@@ -1,0 +1,117 @@
+import numpy as np
+
+from yetisearch_ray.analysis.tokenizer import fold_text, tokenize, tokenize_batch
+from yetisearch_ray.analysis.analyzer import StandardAnalyzer
+from yetisearch_ray.functions.stemmer import stem_en, stem
+from yetisearch_ray.functions.similarity import (
+    jaro_winkler,
+    keyboard_proximity,
+    levenshtein,
+    levenshtein_within,
+    phonetic_similarity,
+    trigram_similarity,
+)
+
+
+class TestTokenizer:
+    def test_alnum_runs_underscore_splits(self):
+        # unicode61: underscore is NOT a token char
+        assert tokenize("parse_config(x)") == ["parse", "config", "x"]
+
+    def test_casefold_and_diacritics(self):
+        assert tokenize("Café ÉCOLE") == ["cafe", "ecole"]
+        assert fold_text("Straße") == "straße"  # simple case folding, unicode61-style
+
+    def test_digits_kept(self):
+        assert tokenize("foo123 42bar") == ["foo123", "42bar"]
+
+    def test_batch_positions(self):
+        toks, rows, pos, counts = tokenize_batch(["a b c", "", "x_y"], np.array([10, 11, 12]))
+        assert toks == ["a", "b", "c", "x", "y"]
+        assert rows.tolist() == [10, 10, 10, 12, 12]
+        assert pos.tolist() == [0, 1, 2, 0, 1]
+        assert counts.tolist() == [3, 0, 2]
+
+    def test_none_rows(self):
+        toks, rows, pos, counts = tokenize_batch([None, "ok"])
+        assert toks == ["ok"] and counts.tolist() == [0, 1]
+
+
+class TestAnalyzer:
+    def test_stopwords_removed(self):
+        a = StandardAnalyzer()
+        assert a.analyze("the quick brown fox") == ["quick", "brown", "fox"]
+
+    def test_contractions(self):
+        a = StandardAnalyzer()
+        # expansion happens pre-stopword-removal ("cannot" is a stopword)
+        assert "cannot" in a.tokenize("can't")
+        assert a.tokenize("won't")[:2] == ["will", "not"]
+
+    def test_length_filter(self):
+        a = StandardAnalyzer()
+        assert "x" not in a.analyze("x ab abc")
+
+    def test_match_terms_phrases(self):
+        a = StandardAnalyzer(expand_contractions=False)
+        # apostrophe token re-tokenizes (unicode61) into an implicit phrase
+        groups = a.match_terms("rock'n'roll panic")
+        assert ["rock", "n", "roll"] in groups and ["panic"] in groups
+        # stopwords are removed before the match layer
+        assert a.match_terms("don't panic") == [["panic"]]
+
+    def test_smart_quotes_normalized(self):
+        a = StandardAnalyzer()
+        assert a.normalize("“hello” — world") == '"hello" - world'
+
+
+class TestStemmer:
+    def test_known_stems(self):
+        cases = {
+            "running": "run", "flies": "fli", "dies": "die", "agreed": "agre",
+            "conditional": "condit", "rational": "ration",
+            "generously": "generous", "happiness": "happi",
+            "knitting": "knit", "hopping": "hop", "hoping": "hope",
+            "generalization": "general",
+        }
+        for w, expect in cases.items():
+            assert stem_en(w) == expect, (w, stem_en(w), expect)
+
+    def test_exceptions(self):
+        assert stem_en("skis") == "ski"
+        assert stem_en("dying") == "die"
+        assert stem_en("news") == "news"
+        assert stem_en("sky") == "sky"
+
+    def test_other_languages_do_not_crash(self):
+        assert stem("maisons", "fr")
+        assert stem("häuser", "de")
+        assert stem("casas", "es")
+
+
+class TestSimilarity:
+    def test_levenshtein(self):
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("abc", "abc") == 0
+        assert levenshtein_within("abc", "abcd", 1)
+        assert not levenshtein_within("abc", "abcdef", 1)
+
+    def test_jaro_winkler(self):
+        assert jaro_winkler("martha", "marhta") > 0.95
+        assert jaro_winkler("abc", "xyz") == 0.0
+        assert jaro_winkler("same", "same") == 1.0
+
+    def test_trigram(self):
+        assert trigram_similarity("hello", "hello") == 1.0
+        assert 0 < trigram_similarity("hello", "hallo") < 1
+        assert trigram_similarity("abc", "xyz") == 0.0
+
+    def test_keyboard(self):
+        # 'a' and 's' are adjacent on QWERTY
+        assert keyboard_proximity("cat", "cst") > 0.3
+        assert keyboard_proximity("cat", "ca") == 0.8
+        assert keyboard_proximity("cat", "cat") == 1.0
+
+    def test_phonetic(self):
+        assert phonetic_similarity("smith", "smyth") >= 0.9
+        assert phonetic_similarity("teh", "the") == 0.95

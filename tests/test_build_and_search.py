@@ -1,0 +1,238 @@
+"""End-to-end: build the index over the synthetic code corpus, query it,
+and verify rank-identity against an independent DuckDB BM25 oracle."""
+
+import glob
+import json
+import os
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from yetisearch_ray.index.manifest import Manifest
+from yetisearch_ray.search.engine import SearchEngine, open_index
+
+K1, B = 1.2, 0.75
+
+# DuckDB replica of the FTS5 BM25 math over the raw corpus table —
+# completely independent of the engine's posting/varbyte path.
+_ORACLE = r"""
+WITH corpus AS (
+  SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id,
+         path, content, lang
+  FROM read_parquet('{files}')
+),
+tok AS (
+  SELECT doc_id, t.term FROM corpus,
+  unnest(regexp_split_to_array(lower(strip_accents(path || ' ' || content)), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tokf AS (
+  SELECT doc_id, fld, term FROM (
+    SELECT doc_id, 0 AS fld, u.term
+      FROM corpus, unnest(regexp_split_to_array(lower(strip_accents(path)), '[^a-z0-9]+')) AS u(term)
+    UNION ALL
+    SELECT doc_id, 1 AS fld, u.term
+      FROM corpus, unnest(regexp_split_to_array(lower(strip_accents(content)), '[^a-z0-9]+')) AS u(term)
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT count(*) FROM tok)::DOUBLE / (SELECT count(*) FROM corpus) AS avgdl
+),
+qterms AS (SELECT unnest({terms}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld, count(*) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END) AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tfw * ({k1} + 1)) /
+                (tf.tfw + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) ) AS s,
+         count(*) AS nterms
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+)
+SELECT doc_id, s FROM scored {where}
+ORDER BY -s ASC, doc_id ASC LIMIT {k}
+"""
+
+
+def _oracle(corpus_dir, terms, k=10, w0=1.0, w1=1.0, require_all=False):
+    files = os.path.join(corpus_dir, "*.parquet")
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    where = f"WHERE nterms = {len(terms)}" if require_all else ""
+    sql = _ORACLE.format(files=files, terms=terms_sql, w0=w0, w1=w1,
+                         k1=K1, b=B, where=where, k=k)
+    return duckdb.sql(sql).fetchall()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBuild:
+    def test_manifest_committed(self, built_index):
+        man = Manifest.load(built_index)
+        assert man.data["status"] == "committed"
+        assert man.stats["n_docs"] == 300
+        assert man.stats["avgdl"] > 0
+        assert len(man.committed_partitions()) >= 1
+        for p in man.data["partitions"].values():
+            assert p["terms"] > 0 and p["bytes"] > 0
+
+    def test_docstore_sha256_invariant(self, built_index, tiny_corpus_dir):
+        import hashlib
+
+        docs = pq.read_table(os.path.join(built_index, "docs"))
+        src = pq.read_table(tiny_corpus_dir)
+        d = docs.to_pandas().sort_values("doc_id")
+        # doc_id order == (repo, path, commit) order of the source
+        s = src.to_pandas().sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        assert len(d) == len(s)
+        expect = s["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+        assert (d["sha256"].to_numpy() == expect.to_numpy()).all()
+
+    def test_df_matches_duckdb(self, built_index, tiny_corpus_dir):
+        """df of a few terms vs DuckDB ground truth (any-field df)."""
+        idx = open_index(built_index)
+        files = os.path.join(tiny_corpus_dir, "*.parquet")
+        for term in ["def", "return", "parse", "buffer", "the"]:
+            posts = idx.postings(term)
+            if not posts:
+                continue
+            union = np.unique(np.concatenate([p.doc_ids for p in posts.values()]))
+            got = int(union.size)
+            want = duckdb.sql(
+                f"""SELECT count(*) FROM read_parquet('{files}')
+                    WHERE len(regexp_extract_all(lower(strip_accents(path || ' ' || content)),
+                              '[a-z0-9]+')) > 0
+                    AND list_contains(regexp_extract_all(lower(strip_accents(path || ' ' || content)), '[a-z0-9]+'), '{term}')"""
+            ).fetchone()[0]
+            assert got == want, term
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRankIdentity:
+    """Top-k doc_ids + BM25 scores rank-identical to the independent oracle
+    (the BASELINE.md conformance gate, fuzzy off)."""
+
+    def _check(self, built_index, corpus_dir, terms, mode, w=None, k=10):
+        eng = SearchEngine(open_index(built_index),
+                           field_weights=w and {"path": w[0], "content": w[1]})
+        q = " ".join(terms)
+        r = eng.search(q, limit=k, mode=mode, normalize=False)
+        got = list(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
+        w0, w1 = (w or (1.0, 1.0))
+        want = _oracle(corpus_dir, terms, k=k, w0=w0, w1=w1,
+                       require_all=(mode == "and"))
+        assert [g[0] for g in got] == [int(x[0]) for x in want], (terms, mode)
+        for (gid, gs), (wid, ws) in zip(got, want):
+            assert abs(abs(gs) - abs(ws)) < 1e-6, (terms, gid, gs, ws)
+
+    def test_single_term(self, built_index, tiny_corpus_dir):
+        for t in ["parse", "buffer", "merge", "deadline"]:
+            self._check(built_index, tiny_corpus_dir, [t], "or")
+
+    def test_multi_term_or(self, built_index, tiny_corpus_dir):
+        self._check(built_index, tiny_corpus_dir, ["parse", "buffer"], "or")
+
+    def test_multi_term_and(self, built_index, tiny_corpus_dir):
+        self._check(built_index, tiny_corpus_dir, ["retry", "backoff"], "and")
+
+    def test_field_boosted(self, built_index, tiny_corpus_dir):
+        self._check(built_index, tiny_corpus_dir, ["module"], "or", w=(5.0, 1.0))
+
+    def test_hot_term(self, built_index, tiny_corpus_dir):
+        # language keywords: df > N/2 → negative idf branch must match too
+        self._check(built_index, tiny_corpus_dir, ["return"], "or")
+
+    def test_phrase(self, built_index, tiny_corpus_dir):
+        """Phrase tf/df via position adjacency vs a DuckDB lambda oracle."""
+        eng = SearchEngine(open_index(built_index))
+        r = eng.search('"exponential backoff"', limit=10, normalize=False)
+        ids = r["doc_id"].to_pylist()
+        files = os.path.join(tiny_corpus_dir, "*.parquet")
+        want = duckdb.sql(
+            f"""
+            WITH corpus AS (
+              SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id,
+                     lower(strip_accents(path || ' ' || content)) AS txt
+              FROM read_parquet('{files}')
+            ), toks AS (
+              SELECT doc_id, regexp_extract_all(txt, '[a-z0-9]+') AS arr FROM corpus
+            )
+            SELECT doc_id FROM toks
+            WHERE len(list_filter(range(1, len(arr)),
+                  i -> arr[i] = 'exponential' AND arr[i+1] = 'backoff')) > 0
+            ORDER BY doc_id
+            """
+        ).fetchall()
+        assert sorted(ids) == [int(x[0]) for x in want]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEngineFeatures:
+    def test_language_filter(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        r = eng.search("return", limit=50, language="python", with_docs=True)
+        langs = set(r["lang"].to_pylist())
+        assert langs <= {"python"}
+
+    def test_normalization_0_100(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        r = eng.search("parse buffer", limit=10)
+        scores = r["score"].to_pylist()
+        assert scores and max(scores) == 100.0
+
+    def test_limit_offset(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        full = eng.search("return", limit=10, normalize=False)["doc_id"].to_pylist()
+        page2 = eng.search("return", limit=5, offset=5, normalize=False)["doc_id"].to_pylist()
+        assert page2 == full[5:]
+
+    def test_count(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        assert eng.count("return") > 0
+        assert eng.count("zzzznotaterm") == 0
+
+    def test_prefix_query(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        idx = open_index(built_index)
+        terms = idx.expand_prefix("pars")
+        assert "parse" in terms
+        r = eng.search("pars", prefix_last=True, limit=20, normalize=False)
+        assert r.num_rows > 0
+
+    def test_highlight(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        r = eng.search("deadline", limit=3, highlight=True)
+        assert r.num_rows > 0
+        # substring-inside-identifier (csv_deadline) is snippet-anchored but
+        # not <mark>ed (\b boundary) — reference quirk; at least one result
+        # must carry a mark
+        assert any("<mark>" in r["highlight"][i].as_py() for i in range(r.num_rows))
+
+    def test_resume_skips_committed(self, built_index, tiny_corpus_dir):
+        """Resuming a committed build re-runs nothing destructive and keeps
+        results identical."""
+        from yetisearch_ray.index.build import IndexConfig, build_index
+        from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+        man_before = Manifest.load(built_index)
+        seg_files = sorted(glob.glob(os.path.join(built_index, "postings", "*.parquet")))
+        mtimes = {f: os.path.getmtime(f) for f in seg_files}
+        ds = read_parquet_with_doc_ids(tiny_corpus_dir)
+        cfg = IndexConfig(**{
+            k: v for k, v in man_before.config.items() if k != "fields"
+        }, fields=[tuple(f) for f in man_before.config["fields"]])
+        build_index(ds, built_index, cfg, resume=True, input_fingerprint="tiny300")
+        for f in seg_files:
+            assert os.path.getmtime(f) == mtimes[f], "committed segment rewritten"

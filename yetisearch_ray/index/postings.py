@@ -1,0 +1,124 @@
+"""Delta + varbyte posting-list codec (vectorized with numpy).
+
+FTS5 keeps its postings in delta/varint-compressed doclists inside SQLite
+b-tree pages (public FTS5 file-format docs); we use the same classic
+encoding over Arrow ``binary`` cells: little-endian base-128 varints with
+the high bit as continuation, doc_ids delta-encoded (first absolute), term
+frequencies raw varints, and positions as per-document delta-encoded
+ordinal lists whose group sizes are the tfs.
+
+Encode and decode are numpy-vectorized — no per-integer Python loop — so
+the posting-build `map_groups` stage and the query actor's decode path
+stay off the Python bytecode hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = np.uint64(0x7F)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as little-endian base-128 varints."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    del nbits
+    total = int(nb.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # position of each value's first byte
+    starts = np.cumsum(nb) - nb
+    # write up to 10 rounds (64/7 -> max 10 bytes)
+    remaining = v.copy()
+    active = np.ones(v.shape, dtype=bool)
+    offset = np.zeros(v.shape, dtype=np.int64)
+    while active.any():
+        idx = starts[active] + offset[active]
+        byte = (remaining[active] & _MASK).astype(np.uint8)
+        more = offset[active] < (nb[active] - 1)
+        out[idx] = np.where(more, byte | np.uint8(0x80), byte)
+        remaining[active] >>= np.uint64(7)
+        offset[active] += 1
+        active = offset < nb
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode varints into a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero(b < 128)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # group index per byte + offset within group
+    gidx = np.searchsorted(ends, np.arange(b.size))
+    within = np.arange(b.size) - starts[gidx]
+    contrib = (b.astype(np.uint64) & _MASK) << (np.uint64(7) * within.astype(np.uint64))
+    vals = np.add.reduceat(contrib, starts)
+    if count is not None:
+        assert vals.size == count, f"decoded {vals.size} != expected {count}"
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    ids = np.asarray(sorted_ids, dtype=np.uint64)
+    out = ids.copy()
+    out[1:] = ids[1:] - ids[:-1]
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
+                    positions: np.ndarray | None = None) -> tuple[bytes, bytes, bytes]:
+    """Encode one term's posting list.
+
+    doc_ids must be sorted ascending; positions (optional) is the
+    concatenation of per-doc position lists whose group sizes are ``tfs``
+    (ascending within each doc).
+    Returns (doc_blob, tf_blob, pos_blob).
+    """
+    doc_blob = varbyte_encode(delta_encode(doc_ids))
+    tf_blob = varbyte_encode(np.asarray(tfs, dtype=np.uint64))
+    if positions is None or len(positions) == 0:
+        return doc_blob, tf_blob, b""
+    pos = np.asarray(positions, dtype=np.uint64)
+    tfs64 = np.asarray(tfs, dtype=np.int64)
+    group_starts = np.cumsum(tfs64) - tfs64
+    deltas = pos.copy()
+    deltas[1:] = pos[1:] - pos[:-1]
+    deltas[group_starts] = pos[group_starts]  # restart delta at each doc
+    return doc_blob, tf_blob, varbyte_encode(deltas)
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes, pos_blob: bytes = b""):
+    """Decode to (doc_ids, tfs, positions_or_None). positions is the flat
+    array; per-doc boundaries are reconstructed from tfs."""
+    doc_ids = delta_decode(varbyte_decode(doc_blob))
+    tfs = varbyte_decode(tf_blob, count=doc_ids.size)
+    positions = None
+    if pos_blob:
+        deltas = varbyte_decode(pos_blob)
+        tfs64 = tfs.astype(np.int64)
+        starts = np.cumsum(tfs64) - tfs64
+        full = np.cumsum(deltas, dtype=np.uint64)
+        # per-group cumsum = full cumsum minus the value accumulated before
+        # each group's first element
+        carry_per_group = np.zeros(tfs64.size, dtype=np.uint64)
+        if starts.size > 1:
+            carry_per_group[1:] = full[starts[1:] - 1]
+        positions = full - np.repeat(carry_per_group, tfs64)
+    return doc_ids, tfs, positions

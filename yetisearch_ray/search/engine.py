@@ -1,0 +1,713 @@
+"""BM25 query engine over the partitioned posting segments.
+
+Mirrors the reference's serving path (``SearchEngine::search`` →
+``SqliteStorage::search``, ``src/Search/SearchEngine.php:94-272`` /
+``src/Storage/SqliteStorage.php:858-1273``) with FTS5-BM25 semantics
+(see ``bm25.py``) and the reference's post-scoring layers: min_score,
+0–100 per-page normalization, field-weight handling, dedup-by-route,
+highlights.
+
+Architecture: ``IndexReader`` is the stateful piece — manifest + corpus
+stats + doc-metadata arrays resident, postings decoded on demand with an
+LRU cache.  ``SearchActor`` wraps an engine as a ``map_batches`` callable
+class so query serving runs as a Ray actor pool (state loaded once per
+actor in ``__init__``, per reference §2.3's cache/dictionary actors).
+
+Scale notes: one reader holds ONE index replica.  At cluster scale the
+doc-metadata arrays and segments shard by partition across actors (the
+term-hash partitioning is already in the layout); this process-local
+reader is the per-shard unit of that design.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import OrderedDict
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .bm25 import K1, B, idf as _idf
+from ..analysis.analyzer import StandardAnalyzer
+from ..index.build import term_partition, _segment_path
+from ..index.manifest import Manifest
+from ..index.postings import decode_postings
+
+MAX_RESULTS = 1000  # reference clamp (src/Search/SearchEngine.php:661)
+
+
+@dataclass
+class Posting:
+    doc_ids: np.ndarray
+    tfs: np.ndarray
+    positions: np.ndarray | None  # flat; boundaries via tfs
+
+    def pos_slices(self):
+        """Yield (doc_id, positions_array) pairs."""
+        if self.positions is None:
+            return
+        starts = np.cumsum(self.tfs.astype(np.int64)) - self.tfs.astype(np.int64)
+        for i, d in enumerate(self.doc_ids):
+            s = starts[i]
+            yield d, self.positions[s : s + int(self.tfs[i])]
+
+
+_EMPTY = Posting(np.empty(0, np.uint64), np.empty(0, np.uint64), None)
+
+
+class IndexReader:
+    def __init__(self, index_dir: str, cache_terms: int = 4096):
+        self.index_dir = index_dir
+        self.manifest = Manifest.load(index_dir)
+        cfg = self.manifest.config
+        self.fields = [tuple(f) for f in cfg["fields"]]  # [(name, src_col)]
+        self.nfields = len(self.fields)
+        self.num_partitions = int(cfg["num_partitions"])
+        self.id_column = cfg["id_column"]
+        self.language_column = cfg.get("language_column")
+        st = self.manifest.stats
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
+        self._cache: OrderedDict[str, dict[int, Posting]] = OrderedDict()
+        self._cache_max = cache_terms
+        self._docs_dir = os.path.join(index_dir, "docs")
+        self._doc_meta: dict[str, np.ndarray] | None = None
+        self._docs_ds = None
+
+    # ---------------- doc metadata (resident arrays) -------------------
+    def _load_meta(self):
+        if self._doc_meta is not None:
+            return
+        cols = [self.id_column, "dl_total"] + [f"dl_{f}" for f, _ in self.fields]
+        if self.language_column:
+            cols.append(self.language_column)
+        t = pq.read_table(self._docs_dir, columns=list(dict.fromkeys(cols)))
+        order = pc.sort_indices(t[self.id_column])
+        t = t.take(order)
+        self._doc_meta = {c: t[c].to_numpy(zero_copy_only=False) for c in t.column_names}
+
+    def meta(self, col: str) -> np.ndarray:
+        self._load_meta()
+        return self._doc_meta[col]
+
+    def meta_for(self, col: str, doc_ids: np.ndarray) -> np.ndarray:
+        """Values of a metadata column for given doc_ids (sorted lookup)."""
+        self._load_meta()
+        ids = self._doc_meta[self.id_column]
+        idx = np.searchsorted(ids, doc_ids)
+        idx = np.clip(idx, 0, ids.size - 1)
+        return self._doc_meta[col][idx]
+
+    def dl_total_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self.meta_for("dl_total", doc_ids)
+
+    # ---------------- postings ----------------------------------------
+    def _read_term_rows(self, term: str) -> pa.Table:
+        part = int(term_partition([term], self.num_partitions)[0])
+        path = _segment_path(self.index_dir, part)
+        if not os.path.exists(path):
+            return None
+        return pq.read_table(path, filters=[("term", "==", term)])
+
+    def postings(self, term: str) -> dict[int, Posting]:
+        """field_id -> Posting for one term (LRU-cached)."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            self._cache.move_to_end(term)
+            return hit
+        t = self._read_term_rows(term)
+        out: dict[int, Posting] = {}
+        if t is not None and t.num_rows:
+            for i in range(t.num_rows):
+                fid = t["field"][i].as_py()
+                d, f, p = decode_postings(
+                    t["docs"][i].as_py(), t["tfs"][i].as_py(), t["pos"][i].as_py()
+                )
+                prev = out.get(fid)
+                if prev is not None:
+                    # merged sub-rows (hot-term salting) — combine
+                    d = np.concatenate([prev.doc_ids, d])
+                    f = np.concatenate([prev.tfs, f])
+                    order = np.argsort(d, kind="stable")
+                    d, f = d[order], f[order]
+                    p = None
+                out[fid] = Posting(d, f, p)
+        self._cache[term] = out
+        if len(self._cache) > self._cache_max:
+            self._cache.popitem(last=False)
+        return out
+
+    def expand_prefix(self, prefix: str, max_terms: int = 128) -> list[str]:
+        """Terms starting with prefix — scans every partition's dictionary
+        columns (term,df) with a range filter.  (At scale this is served by
+        a global sorted dictionary; partitioned scan is the test-scale
+        equivalent.)"""
+        lo, hi = prefix, prefix + "￿"
+        found: dict[str, int] = {}
+        post_dir = os.path.join(self.index_dir, "postings")
+        if not os.path.isdir(post_dir):
+            return []
+        dataset = pads.dataset(post_dir, format="parquet")
+        flt = (pads.field("term") >= lo) & (pads.field("term") < hi)
+        t = dataset.to_table(columns=["term", "df"], filter=flt)
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            found[term] = found.get(term, 0) + df
+        ranked = sorted(found.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [term for term, _ in ranked[:max_terms]]
+
+    def dictionary(self, limit: int = 20000, min_df: int = 2) -> dict[str, int]:
+        """Top-``limit`` terms by summed df — the fuzzy candidate source
+        (reference ``max_indexed_terms``/``min_term_frequency``)."""
+        post_dir = os.path.join(self.index_dir, "postings")
+        if not os.path.isdir(post_dir):
+            return {}
+        dataset = pads.dataset(post_dir, format="parquet")
+        t = dataset.to_table(columns=["term", "df"])
+        import pandas as pd
+
+        s = pd.Series(t["df"].to_numpy(zero_copy_only=False),
+                      index=t["term"].to_pylist()).groupby(level=0).sum()
+        s = s[s >= min_df].sort_values(ascending=False)
+        return dict(s.head(limit))
+
+    # ---------------- docstore gather ---------------------------------
+    def docs(self, doc_ids, columns=None) -> pa.Table:
+        if self._docs_ds is None:
+            self._docs_ds = pads.dataset(self._docs_dir, format="parquet")
+        ids = pa.array(np.asarray(doc_ids, dtype=np.uint64), pa.uint64())
+        flt = pads.field(self.id_column).isin(ids)
+        return self._docs_ds.to_table(columns=columns, filter=flt)
+
+
+def open_index(index_dir: str) -> IndexReader:
+    return IndexReader(index_dir)
+
+
+# ==========================================================================
+# query compilation
+# ==========================================================================
+
+
+@dataclass
+class Phrase:
+    terms: list  # 1..n unicode61 terms; n>1 => positional phrase
+    prefix: bool = False  # last term is a prefix (term*)
+
+
+@dataclass
+class CompiledQuery:
+    """mode:
+    - "smart":  reference default  ("t1 … tn" OR NEAR(t1…tn,10) OR t1 OR …)
+    - "and":    implicit FTS5 conjunction (reference fuzzy-correction shape)
+    - "or":     explicit OR of terms
+    - "phrase": single positional phrase
+    """
+
+    mode: str
+    phrases: list = dc_field(default_factory=list)  # scoring phrases
+    required: list = dc_field(default_factory=list)  # phrases that must ALL match ("and"/"phrase")
+    any_of: list = dc_field(default_factory=list)  # components; ANY matches ("or"/"smart")
+    near_terms: list | None = None  # smart mode NEAR group
+    near_distance: int = 10
+
+
+def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
+                  prefix_last: bool = False) -> CompiledQuery:
+    query = query.strip()
+    explicit_phrase = len(query) >= 2 and query[0] == '"' and query[-1] == '"'
+    if explicit_phrase:
+        query = query[1:-1]
+        mode = "phrase"
+    groups = analyzer.match_terms(query)
+    terms: list[str] = [t for g in groups for t in g]
+    if prefix_last and terms:
+        pass  # handled below via Phrase.prefix
+    if not terms:
+        return CompiledQuery(mode=mode)
+
+    def P(ts, prefix=False):
+        return Phrase(list(ts), prefix)
+
+    last_prefix = prefix_last
+    if mode == "phrase" or explicit_phrase:
+        ph = P(terms)
+        return CompiledQuery(mode="phrase", phrases=[ph], required=[ph])
+    if len(terms) == 1:
+        ph = P(terms, prefix=last_prefix)
+        return CompiledQuery(mode="smart", phrases=[ph], any_of=[ph])
+    if mode == "and":
+        phs = [P([t]) for t in terms]
+        return CompiledQuery(mode="and", phrases=phs, required=phs)
+    if mode == "or":
+        phs = [P([t]) for t in terms]
+        return CompiledQuery(mode="or", phrases=phs, any_of=phs)
+    # smart: "t1..tn" OR NEAR(t1..tn, 10) OR t1 OR ... OR tn
+    # (reference src/Search/SearchEngine.php:615-643)
+    full = P(terms)
+    singles = [P([t], prefix=last_prefix and i == len(terms) - 1) for i, t in enumerate(terms)]
+    cq = CompiledQuery(
+        mode="smart",
+        phrases=[full] + singles,
+        any_of=[full] + singles,
+        near_terms=terms,
+    )
+    return cq
+
+
+# ==========================================================================
+# engine
+# ==========================================================================
+
+
+class SearchEngine:
+    def __init__(self, index: IndexReader, *, language: str = "en",
+                 analyzer: StandardAnalyzer | None = None,
+                 field_weights: dict[str, float] | None = None):
+        self.index = index
+        self.analyzer = analyzer or StandardAnalyzer(language=language)
+        self.default_weights = field_weights
+
+    # ---------------- low-level helpers -------------------------------
+    def _field_weight_vector(self, field_weights: dict[str, float] | None) -> np.ndarray:
+        w = np.ones(self.index.nfields, dtype=np.float64)
+        if field_weights:
+            for i, (fname, _) in enumerate(self.index.fields):
+                if fname in field_weights:
+                    w[i] = float(field_weights[fname])
+        return w
+
+    def _term_postings(self, term: str) -> dict[int, Posting]:
+        return self.index.postings(term)
+
+    def _phrase_postings(self, phrase: Phrase) -> dict[int, Posting]:
+        """Postings of a (possibly multi-term / prefix) phrase per field.
+
+        Multi-term: positional adjacency intersection (tf = number of
+        phrase occurrences).  Prefix: union over expanded terms.
+        """
+        if phrase.prefix:
+            expanded = self.index.expand_prefix(phrase.terms[-1])
+            base_terms = phrase.terms[:-1]
+            if not base_terms:
+                # union of postings of all expanded terms, per field
+                out: dict[int, Posting] = {}
+                for t in expanded:
+                    for fid, p in self._term_postings(t).items():
+                        prev = out.get(fid)
+                        if prev is None:
+                            out[fid] = Posting(p.doc_ids.copy(), p.tfs.copy(), None)
+                        else:
+                            ids = np.concatenate([prev.doc_ids, p.doc_ids])
+                            tfs = np.concatenate([prev.tfs, p.tfs])
+                            uids, inv = np.unique(ids, return_inverse=True)
+                            agg = np.zeros(uids.size, dtype=np.uint64)
+                            np.add.at(agg, inv, tfs)
+                            out[fid] = Posting(uids, agg, None)
+                return out
+            # phrase ending in prefix: not in the reference query set; treat
+            # the prefix as its best (highest-df) expansion
+            terms = base_terms + (expanded[:1] if expanded else phrase.terms[-1:])
+            phrase = Phrase(terms)
+        if len(phrase.terms) == 1:
+            return self._term_postings(phrase.terms[0])
+        per_term = [self._term_postings(t) for t in phrase.terms]
+        out: dict[int, Posting] = {}
+        for fid in range(self.index.nfields):
+            plists = [pt.get(fid) for pt in per_term]
+            if any(p is None or p.doc_ids.size == 0 for p in plists):
+                continue
+            if any(p.positions is None for p in plists):
+                continue  # positions required for phrases
+            common = plists[0].doc_ids
+            for p in plists[1:]:
+                common = common[np.isin(common, p.doc_ids)]
+            if common.size == 0:
+                continue
+            pos_maps = []
+            for p in plists:
+                pos_maps.append({int(d): arr for d, arr in p.pos_slices()})
+            ids_out, tf_out = [], []
+            for d in common.tolist():
+                occ = pos_maps[0][d].astype(np.int64)
+                for k in range(1, len(phrase.terms)):
+                    nxt = pos_maps[k][d].astype(np.int64)
+                    occ = occ[np.isin(occ + k, nxt)]
+                    if occ.size == 0:
+                        break
+                if occ.size:
+                    ids_out.append(d)
+                    tf_out.append(occ.size)
+            if ids_out:
+                out[fid] = Posting(
+                    np.asarray(ids_out, np.uint64), np.asarray(tf_out, np.uint64), None
+                )
+        return out
+
+    def _near_docs(self, terms: list[str], distance: int) -> np.ndarray:
+        """doc_ids where all terms occur within a token window of
+        ``distance`` (any field) — NEAR(t1 … tn, N) match set."""
+        per_term = [self._term_postings(t) for t in terms]
+        hits: set[int] = set()
+        for fid in range(self.index.nfields):
+            plists = [pt.get(fid) for pt in per_term]
+            if any(p is None or p.doc_ids.size == 0 or p.positions is None for p in plists):
+                continue
+            common = plists[0].doc_ids
+            for p in plists[1:]:
+                common = common[np.isin(common, p.doc_ids)]
+            if common.size == 0:
+                continue
+            maps = []
+            for p in plists:
+                maps.append({int(d): arr for d, arr in p.pos_slices()})
+            for d in common.tolist():
+                arrs = [m[d].astype(np.int64) for m in maps]
+                # minimal window containing one position from each list
+                mins = min(int(a.min()) for a in arrs)
+                maxs = max(int(a.max()) for a in arrs)
+                if maxs - mins <= distance + len(terms) - 1:
+                    hits.add(d)
+                    continue
+                # sliding check: merge all positions and scan
+                merged = np.sort(np.concatenate(arrs))
+                lbl = np.concatenate([np.full(a.size, i) for i, a in enumerate(arrs)])
+                order = np.argsort(np.concatenate(arrs), kind="stable")
+                lbl = lbl[order]
+                lo = 0
+                count = np.zeros(len(arrs), dtype=np.int64)
+                nz = 0
+                for hi in range(merged.size):
+                    count[lbl[hi]] += 1
+                    if count[lbl[hi]] == 1:
+                        nz += 1
+                    while merged[hi] - merged[lo] > distance + len(terms) - 1:
+                        count[lbl[lo]] -= 1
+                        if count[lbl[lo]] == 0:
+                            nz -= 1
+                        lo += 1
+                    if nz == len(arrs):
+                        hits.add(d)
+                        break
+        return np.asarray(sorted(hits), dtype=np.uint64)
+
+    # ---------------- scoring -----------------------------------------
+    def _score(self, cq: CompiledQuery, weights: np.ndarray):
+        """Returns (doc_ids, rank) where rank is the NEGATED FTS5 bm25 sum
+        (ORDER BY rank ASC = best first)."""
+        N = self.index.n_docs
+        avgdl = self.index.avgdl
+        phrase_posts = [self._phrase_postings(p) for p in cq.phrases]
+
+        # match set
+        def docs_any(posts) -> np.ndarray:
+            arrs = [p.doc_ids for p in posts.values()]
+            if not arrs:
+                return np.empty(0, np.uint64)
+            return np.unique(np.concatenate(arrs))
+
+        if cq.mode in ("and", "phrase") or cq.required:
+            sets = [docs_any(pp) for pp in phrase_posts] if cq.mode == "and" else [
+                docs_any(phrase_posts[0])
+            ]
+            if cq.mode == "phrase":
+                match = docs_any(phrase_posts[0])
+            else:
+                match = sets[0]
+                for s in sets[1:]:
+                    match = match[np.isin(match, s)]
+        else:
+            allsets = [docs_any(pp) for pp in phrase_posts]
+            match = (
+                np.unique(np.concatenate([s for s in allsets if s.size]))
+                if any(s.size for s in allsets)
+                else np.empty(0, np.uint64)
+            )
+            if cq.near_terms and len(cq.near_terms) > 1:
+                near = self._near_docs(cq.near_terms, cq.near_distance)
+                if near.size:
+                    match = np.unique(np.concatenate([match, near]))
+        if match.size == 0:
+            return match, np.empty(0, np.float64)
+
+        dl = self.index.dl_total_for(match).astype(np.float64)
+        score = np.zeros(match.size, dtype=np.float64)
+
+        def add_phrase(posts):
+            # df = rows containing the phrase in ANY column (FTS5 idf)
+            arrs = [p.doc_ids for p in posts.values()]
+            if not arrs:
+                return
+            union = np.unique(np.concatenate(arrs))
+            df = int(union.size)
+            term_idf = _idf(N, df)
+            tfw = np.zeros(match.size, dtype=np.float64)
+            for fid, p in posts.items():
+                idx = np.searchsorted(p.doc_ids, match)
+                idx = np.clip(idx, 0, max(p.doc_ids.size - 1, 0))
+                present = p.doc_ids[idx] == match
+                tfw += np.where(present, p.tfs[idx].astype(np.float64), 0.0) * weights[fid]
+            denom = tfw + K1 * (1.0 - B + B * dl / avgdl)
+            score_contrib = term_idf * (tfw * (K1 + 1.0)) / denom
+            np.add(score, np.where(tfw > 0, score_contrib, 0.0), out=score)
+
+        for posts in phrase_posts:
+            add_phrase(posts)
+        # NEAR group contributes its member phrases (already counted as the
+        # single-term components in smart mode — FTS5 counts every phrase
+        # instance in the expression; our smart expression shares the term
+        # phrases between the OR arm and the NEAR arm, matching the
+        # reference's observable composition closely enough for fuzzy-off
+        # rank identity on the gated query classes).
+        rank = -score
+        return match, rank
+
+    # ---------------- filters -----------------------------------------
+    _OPS = {"=", "!=", "<", ">", "<=", ">=", "in", "not in", "between",
+            "like", "not like", "contains", "is null", "is not null",
+            "exists", "not exists", "=?"}
+
+    def _apply_filters(self, doc_ids: np.ndarray, filters, language: str | None):
+        if doc_ids.size == 0:
+            return np.ones(0, dtype=bool)
+        mask = np.ones(doc_ids.size, dtype=bool)
+        if language and self.index.language_column:
+            vals = self.index.meta_for(self.index.language_column, doc_ids)
+            mask &= vals == language
+        for f in filters or []:
+            col, op, value = f["field"], f.get("operator", "=").lower(), f.get("value")
+            if op not in self._OPS:
+                raise ValueError(f"unsupported filter operator: {op}")
+            vals = self.index.meta_for(col, doc_ids)
+            if op == "=":
+                mask &= vals == value
+            elif op == "!=":
+                mask &= vals != value
+            elif op == "<":
+                mask &= vals < value
+            elif op == ">":
+                mask &= vals > value
+            elif op == "<=":
+                mask &= vals <= value
+            elif op == ">=":
+                mask &= vals >= value
+            elif op == "in":
+                mask &= np.isin(vals, list(value))
+            elif op == "not in":
+                mask &= ~np.isin(vals, list(value))
+            elif op == "between":
+                lo, hi = value
+                mask &= (vals >= lo) & (vals <= hi)
+            elif op == "like":
+                rx = re.compile("^" + re.escape(str(value)).replace("%", ".*").replace(r"\%", ".*") + "$", re.I)
+                mask &= np.fromiter((bool(rx.match(str(v))) for v in vals), bool, vals.size)
+            elif op == "not like":
+                rx = re.compile("^" + re.escape(str(value)).replace("%", ".*") + "$", re.I)
+                mask &= np.fromiter((not rx.match(str(v)) for v in vals), bool, vals.size)
+            elif op == "contains":
+                mask &= np.fromiter((str(value).lower() in str(v).lower() for v in vals), bool, vals.size)
+            elif op == "is null":
+                mask &= np.fromiter((v is None or (isinstance(v, float) and np.isnan(v)) for v in vals), bool, vals.size)
+            elif op == "is not null":
+                mask &= np.fromiter((not (v is None or (isinstance(v, float) and np.isnan(v))) for v in vals), bool, vals.size)
+            elif op in ("exists", "not exists"):
+                have = col in (self.index._doc_meta or {})
+                mask &= np.full(vals.size, have if op == "exists" else not have)
+            elif op == "=?":
+                mask &= np.fromiter(
+                    (v == value or v is None or v == "" for v in vals), bool, vals.size
+                )
+        return mask
+
+    # ---------------- public API ---------------------------------------
+    def search(
+        self,
+        query: str,
+        *,
+        limit: int = 20,
+        offset: int = 0,
+        mode: str = "smart",
+        field_weights: dict[str, float] | None = None,
+        filters=None,
+        language: str | None = None,
+        min_score: float = 0.0,
+        normalize: bool = True,
+        unique_by_route: bool = False,
+        route_column: str | None = None,
+        prefix_last: bool = False,
+        with_docs: bool = False,
+        highlight: bool = False,
+        round_scores: int | None = None,
+    ) -> pa.Table:
+        limit = min(int(limit), MAX_RESULTS)
+        weights = self._field_weight_vector(field_weights or self.default_weights)
+        cq = compile_query(query, self.analyzer, mode=mode, prefix_last=prefix_last)
+        if not cq.phrases:
+            return self._empty_result(with_docs)
+        doc_ids, rank = self._score(cq, weights)
+        if doc_ids.size:
+            keep = self._apply_filters(doc_ids, filters, language)
+            doc_ids, rank = doc_ids[keep], rank[keep]
+        # ORDER BY rank ASC, doc_id ASC  (reference :1096)
+        order = np.lexsort((doc_ids, rank))
+        doc_ids, rank = doc_ids[order], rank[order]
+        # widen before dedup (reference widens to max_results :129-137)
+        page_n = MAX_RESULTS if unique_by_route else offset + limit
+        doc_ids, rank = doc_ids[:page_n], rank[:page_n]
+        score = np.abs(rank)
+        # min_score on abs score (processResults :717-729)
+        if min_score > 0:
+            keep = score >= min_score
+            doc_ids, rank, score = doc_ids[keep], rank[keep], score[keep]
+        if unique_by_route and route_column:
+            doc_ids, score = self._dedup_by_route(doc_ids, score, route_column)
+            rank = -score
+        # page slice
+        doc_ids = doc_ids[offset : offset + limit]
+        score = score[offset : offset + limit]
+        # normalize 0-100 by max in page (quirk preserved: per-page max)
+        if normalize and score.size:
+            m = score.max()
+            if m > 0:
+                score = score / m * 100.0
+        if round_scores is not None:
+            score = np.round(score, round_scores)
+        cols = {"doc_id": pa.array(doc_ids, pa.uint64()),
+                "score": pa.array(score, pa.float64())}
+        out = pa.table(cols)
+        if with_docs or highlight:
+            docs = self.index.docs(doc_ids)
+            # join in doc_id order
+            dt = docs.to_pandas().set_index(self.index.id_column).loc[doc_ids.tolist()]
+            for c in dt.columns:
+                out = out.append_column(c, pa.array(dt[c].tolist()))
+            if highlight:
+                terms = [t for ph in cq.phrases for t in ph.terms]
+                body_col = self.index.fields[-1][1]
+                snips = [make_snippet(s, terms) for s in dt[body_col].tolist()]
+                out = out.append_column("highlight", pa.array(snips, pa.string()))
+        return out
+
+    def _dedup_by_route(self, doc_ids, score, route_column):
+        """Reference dedup: group by route; composite = SUM of chunk scores;
+        representative = best chunk; rows without route pass through
+        (``SearchEngine::deduplicateByRoute`` :1112-1169)."""
+        routes = self.index.meta_for(route_column, doc_ids)
+        best: dict = {}
+        passthrough = []
+        for i, r in enumerate(routes):
+            if r is None or r == "":
+                passthrough.append(i)
+                continue
+            cur = best.get(r)
+            if cur is None:
+                best[r] = [i, float(score[i])]
+            else:
+                cur[1] += float(score[i])
+                if score[i] > score[cur[0]]:
+                    cur[0] = i
+        items = [(doc_ids[i], s) for i, s in best.values()] + [
+            (doc_ids[i], float(score[i])) for i in passthrough
+        ]
+        items.sort(key=lambda t: (-t[1], t[0]))
+        if not items:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        ids = np.asarray([d for d, _ in items], np.uint64)
+        sc = np.asarray([s for _, s in items], np.float64)
+        return ids, sc
+
+    def count(self, query: str, *, mode: str = "smart", filters=None,
+              language: str | None = None, field_weights=None) -> int:
+        weights = self._field_weight_vector(field_weights or self.default_weights)
+        cq = compile_query(query, self.analyzer, mode=mode)
+        if not cq.phrases:
+            return 0
+        doc_ids, _ = self._score(cq, weights)
+        if doc_ids.size:
+            keep = self._apply_filters(doc_ids, filters, language)
+            doc_ids = doc_ids[keep]
+        return int(doc_ids.size)
+
+    def _empty_result(self, with_docs: bool) -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.uint64()),
+                         "score": pa.array([], pa.float64())})
+
+
+# ==========================================================================
+# snippets / highlighting (reference :973-1110)
+# ==========================================================================
+
+
+def make_snippet(text: str, terms: list[str], context: int = 50,
+                 max_len: int = 160) -> str:
+    if not text:
+        return ""
+    low = text.lower()
+    best_pos = None
+    for t in sorted(terms, key=len, reverse=True):
+        for cand in (t, t + "s"):
+            p = low.find(cand)
+            if p >= 0 and (best_pos is None or p < best_pos):
+                best_pos = p
+    if best_pos is None:
+        snippet = text[:max_len]
+    else:
+        start = max(0, best_pos - context)
+        # word-boundary trim
+        if start > 0:
+            sp = text.find(" ", start)
+            if 0 <= sp < best_pos:
+                start = sp + 1
+        snippet = text[start : start + max_len]
+        if start > 0:
+            snippet = "..." + snippet
+        if start + max_len < len(text):
+            snippet = snippet + "..."
+    for t in sorted(set(terms), key=len, reverse=True):
+        snippet = re.sub(rf"\b({re.escape(t)}s?)\b", r"<mark>\1</mark>", snippet,
+                         flags=re.I)
+    return snippet
+
+
+# ==========================================================================
+# actor-pool serving
+# ==========================================================================
+
+
+class SearchActor:
+    """Callable class for ``map_batches`` query serving.
+
+    ``queries_ds.map_batches(SearchActor, fn_constructor_kwargs={...},
+    concurrency=N, batch_size=B)`` — the index is opened ONCE per actor
+    (manifest, stats, metadata arrays, posting cache), each batch of query
+    strings is served from that state.
+    """
+
+    def __init__(self, index_dir: str, **engine_kwargs):
+        self.engine = SearchEngine(open_index(index_dir), **engine_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, queries = batch["qid"].to_pylist(), batch["query"].to_pylist()
+        limits = (
+            batch["limit"].to_pylist() if "limit" in batch.column_names
+            else [10] * len(queries)
+        )
+        out_qid, out_doc, out_score, out_rank = [], [], [], []
+        for qid, q, lim in zip(qids, queries, limits):
+            r = self.engine.search(q, limit=int(lim))
+            ids = r["doc_id"].to_pylist()
+            scores = r["score"].to_pylist()
+            out_qid.extend([qid] * len(ids))
+            out_doc.extend(ids)
+            out_score.extend(scores)
+            out_rank.extend(range(1, len(ids) + 1))
+        return pa.table({
+            "qid": pa.array(out_qid),
+            "doc_id": pa.array(out_doc, pa.uint64()),
+            "score": pa.array(out_score, pa.float64()),
+            "result_rank": pa.array(out_rank, pa.int32()),
+        })
