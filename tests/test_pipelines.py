@@ -1,0 +1,171 @@
+"""Unit tests for the training-data pipeline operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture()
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup_with_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import exact_dedup, exact_dedup_rows
+
+        rows = [{"doc_id": i, "text": f"unique text {i}"} for i in range(10)]
+        rows += [{"doc_id": 100 + i, "text": "duplicated body"} for i in range(3)]
+        ds = rd.from_items(rows)
+        surv = exact_dedup(ds).to_pandas()
+        assert len(surv) == 11
+        dup_row = surv[surv.doc_id >= 100]
+        assert dup_row.doc_id.tolist() == [100]  # min doc_id survives
+        full = exact_dedup_rows(ds).to_pandas()
+        assert len(full) == 11 and "text" in full.columns
+
+    def test_minhash_finds_planted_near_dups(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import minhash_dedup_pairs
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+        near = base.replace("sigma", "sigmoid")  # one-token change
+        rows = [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": near}]
+        rows += [{"doc_id": 2 + i, "text": f"totally different words here num{i} "
+                                           f"foo{i} bar{i} baz{i} qux{i} quux{i}"}
+                 for i in range(8)]
+        pairs = minhash_dedup_pairs(rd.from_items(rows), threshold=0.5).to_pandas()
+        assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+        assert all(j >= 0.5 for j in pairs.jaccard)
+
+    def test_simhash_exact_dups_hamming_zero(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import simhash_near_pairs
+
+        rows = [{"doc_id": 0, "text": "the same exact document body here"},
+                {"doc_id": 1, "text": "the same exact document body here"},
+                {"doc_id": 2, "text": "completely unrelated other content words"}]
+        pairs = simhash_near_pairs(rd.from_items(rows)).to_pandas()
+        assert {(0, 1)} == set(zip(pairs.id_a, pairs.id_b))
+        assert pairs.hamming.tolist() == [0]
+
+    def test_jaccard_query_self_is_top(self, docs_ds):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.dedup import ngram_jaccard_vs_query
+
+        text0 = pq.read_table(f"{SF}/documents.parquet").to_pandas().text.iloc[0]
+        top = ngram_jaccard_vs_query(docs_ds, text0, k=3).to_pandas()
+        assert top.doc_id.iloc[0] == 0 and top.jaccard.iloc[0] == 1.0
+
+
+class TestTextstats:
+    def test_token_counts(self, docs_ds):
+        from yetisearch_ray.pipelines.textstats import token_counts
+
+        df = token_counts(docs_ds).to_pandas()
+        assert (df.n_tokens > 0).all()
+
+    def test_quality_bounds(self, docs_ds):
+        from yetisearch_ray.pipelines.textstats import quality_scores
+
+        df = quality_scores(docs_ds).to_pandas()
+        assert ((df.quality >= 0) & (df.quality <= 1)).all()
+        assert ((df.stopword_ratio >= 0) & (df.stopword_ratio <= 1)).all()
+
+    def test_lang_id_deterministic(self, docs_ds):
+        from yetisearch_ray.pipelines.textstats import language_id
+
+        a = language_id(docs_ds).to_pandas().sort_values("doc_id")
+        b = language_id(docs_ds).to_pandas().sort_values("doc_id")
+        assert a.pred_lang.tolist() == b.pred_lang.tolist()
+        assert set(a.pred_lang) <= {"en", "fr", "de", "es", "und"}
+
+    def test_rolling_fingerprint(self, docs_ds):
+        from yetisearch_ray.pipelines.textstats import rolling_fingerprint
+
+        df = rolling_fingerprint(docs_ds).to_pandas()
+        assert df.fingerprints.map(len).min() >= 1
+
+
+class TestAnn:
+    def test_self_similarity_is_top(self, emb_ds):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.ann import cosine_topk
+
+        q = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().embedding.iloc[5]
+        top = cosine_topk(emb_ds, q, k=3).to_pandas()
+        assert top.vec_id.iloc[0] == 5 and abs(top.cosine.iloc[0] - 1.0) < 1e-9
+
+    def test_ivf_full_probe_equals_bruteforce(self, emb_ds):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.ann import cosine_topk, ivf_topk
+
+        q = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().embedding.iloc[7]
+        bf = cosine_topk(emb_ds, q, k=10).to_pandas()
+        ivf = ivf_topk(emb_ds, q, k=10, n_clusters=8, nprobe=None).to_pandas()
+        assert bf.vec_id.tolist() == ivf.vec_id.tolist()
+
+    def test_ivf_partial_probe_subset(self, emb_ds):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.ann import cosine_topk, ivf_topk
+
+        q = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().embedding.iloc[7]
+        bf = cosine_topk(emb_ds, q, k=5).to_pandas()
+        approx = ivf_topk(emb_ds, q, k=5, n_clusters=8, nprobe=3).to_pandas()
+        # approximate: top-1 (the query's own cluster) must be found
+        assert bf.vec_id.iloc[0] == approx.vec_id.iloc[0]
+
+
+class TestMultimodal:
+    def test_binary_payload_plumbing(self, docs_ds):
+        from yetisearch_ray.pipelines.multimodal import (
+            decode_features,
+            frame_sample,
+            to_binary_payloads,
+        )
+
+        payloads = to_binary_payloads(docs_ds, kind="image")
+        sch = payloads.schema()
+        assert dict(zip(sch.names, [str(t) for t in sch.types]))["payload"] == "binary"
+        feats = decode_features(payloads, feature_dim=8, concurrency=2).to_pandas()
+        assert feats.features.map(len).eq(8).all()
+        frames = frame_sample(payloads, every_n_bytes=64, max_frames=3)
+        fdf = frames.to_pandas()
+        assert fdf.frame_index.max() <= 2
+        assert (fdf.groupby("doc_id").size() >= 1).all()
+
+    def test_strict_decode_raises(self, ray_session):
+        from yetisearch_ray.pipelines.multimodal import DecodeStage
+
+        stage = DecodeStage(strict=True)
+        t = pa.table({"doc_id": pa.array([1]), "payload": pa.array([b"x"], pa.binary())})
+        with pytest.raises(NotImplementedError):
+            stage(t)
+
+    def test_decoder_is_deterministic(self, ray_session):
+        from yetisearch_ray.pipelines.multimodal import DecodeStage
+
+        a = DecodeStage(feature_dim=4)._decode_one(b"hello")
+        b = DecodeStage(feature_dim=4)._decode_one(b"hello")
+        assert np.array_equal(a, b)

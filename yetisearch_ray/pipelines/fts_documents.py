@@ -1,0 +1,141 @@
+"""Full-text search over the driver's ``documents`` table.
+
+Adapter that builds (and caches per scale factor) a two-field index —
+``source`` (title-like, field 0) + ``text`` (body, field 1) — over
+``{sf_dir}/documents.parquet``, and exposes the reference query classes
+(exact term / AND / OR / phrase / field-boosted / language-filtered) as
+callables whose results are SQL-oracle-checkable (see
+``yetisearch_ray.pipelines.oracles`` for the matching DuckDB BM25 CTEs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..index.build import IndexConfig, build_index
+from ..index.manifest import Manifest
+from ..search.engine import SearchEngine, open_index
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def documents_index_dir(sf_dir: str, base: str = "/tmp/ys_idx") -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(base, f"documents_{sf}")
+
+
+def get_engine(sf_dir: str) -> SearchEngine:
+    """Build-once, open-many index over documents.parquet."""
+    idx_dir = documents_index_dir(sf_dir)
+    eng = _ENGINES.get(idx_dir)
+    if eng is not None:
+        return eng
+    if not (Manifest.exists(idx_dir) and Manifest.load(idx_dir).data.get("status") == "committed"):
+        import ray.data as rd
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        def cast_ids(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            i = t.schema.get_field_index("doc_id")
+            return t.set_column(i, "doc_id", pc.cast(t["doc_id"], pa.uint64()))
+
+        ds = ds.map_batches(cast_ids, batch_format="pyarrow")
+        cfg = IndexConfig(
+            fields=[("source", "source"), ("text", "text")],
+            language_column="lang",
+            store_columns=["text", "lang", "source", "n_chars"],
+            num_partitions=8,
+            content_hash_column="text",
+        )
+        build_index(ds, idx_dir, cfg, input_fingerprint=sf_dir)
+    eng = SearchEngine(open_index(idx_dir))
+    _ENGINES[idx_dir] = eng
+    return eng
+
+
+def _as_result(t: pa.Table, round_to: int = 5) -> pd.DataFrame:
+    df = t.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].abs().round(round_to)
+    return df[["doc_id", "score"]]
+
+
+def term_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pd.DataFrame:
+    return _as_result(get_engine(sf_dir).search(term, limit=k, normalize=False))
+
+
+def and_topk(sf_dir: str, terms=("hash", "merge"), k: int = 20) -> pd.DataFrame:
+    return _as_result(
+        get_engine(sf_dir).search(" ".join(terms), mode="and", limit=k, normalize=False)
+    )
+
+
+def or_topk(sf_dir: str, terms=("vector", "stream"), k: int = 20) -> pd.DataFrame:
+    return _as_result(
+        get_engine(sf_dir).search(" ".join(terms), mode="or", limit=k, normalize=False)
+    )
+
+
+def phrase_topk(sf_dir: str, phrase: str = "hash value", k: int = 20) -> pd.DataFrame:
+    return _as_result(get_engine(sf_dir).search(f'"{phrase}"', limit=k, normalize=False))
+
+
+def weighted_topk(sf_dir: str, term: str = "src3", k: int = 20,
+                  w_source: float = 5.0, w_text: float = 1.0) -> pd.DataFrame:
+    return _as_result(
+        get_engine(sf_dir).search(
+            term, limit=k, normalize=False,
+            field_weights={"source": w_source, "text": w_text},
+        )
+    )
+
+
+def filtered_topk(sf_dir: str, term: str = "window", lang: str = "es",
+                  k: int = 20) -> pd.DataFrame:
+    return _as_result(
+        get_engine(sf_dir).search(term, limit=k, normalize=False, language=lang)
+    )
+
+
+def smart_topk(sf_dir: str, query: str = "hash value", k: int = 20) -> pd.DataFrame:
+    """Reference default compile shape ("p" OR NEAR(p,10) OR terms) —
+    rows-only check (NEAR instance semantics not SQL-replicated)."""
+    return _as_result(get_engine(sf_dir).search(query, limit=k, normalize=False))
+
+
+def match_count(sf_dir: str, term: str = "merge") -> pd.DataFrame:
+    n = get_engine(sf_dir).count(term)
+    return pd.DataFrame({"n": pd.array([n], dtype="int64")})
+
+
+def actor_pool_search(sf_dir: str, queries=("merge", "vector", "window"),
+                      k: int = 5) -> pd.DataFrame:
+    """Query serving through the map_batches actor pool (SearchActor):
+    one actor holds the index state, a Dataset of queries streams
+    through it."""
+    import ray.data as rd
+
+    from ..search.engine import SearchActor
+
+    get_engine(sf_dir)  # ensure the index is built
+    qds = rd.from_items([
+        {"qid": i, "query": q, "limit": k} for i, q in enumerate(queries)
+    ])
+    out = qds.map_batches(
+        SearchActor,
+        fn_constructor_kwargs={"index_dir": documents_index_dir(sf_dir)},
+        batch_format="pyarrow",
+        concurrency=1,
+        batch_size=8,
+    )
+    df = out.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["qid"] = df["qid"].astype("int64")
+    df["result_rank"] = df["result_rank"].astype("int64")
+    return df[["qid", "doc_id", "result_rank"]]

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this container, so the
+DECODE step is stubbed (deterministic fake features, or
+NotImplementedError in strict mode) — but the Ray-side plumbing is real
+and tested: schema (binary payload + struct metadata), actor-pool
+map_batches stages with per-actor setup, small batch sizes for large
+binary rows, and Arrow-native (never pandas) handling of binary columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def to_binary_payloads(ds, *, source_col="text", id_col="doc_id", kind="image"):
+    """Wrap a column as an opaque binary payload with typed metadata —
+    the canonical multimodal input layout."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        payloads = [(s or "").encode("utf-8") for s in t[source_col].to_pylist()]
+        return pa.table({
+            id_col: t[id_col],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array([kind] * t.num_rows, pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class DecodeStage:
+    """Actor-pool decode stage.
+
+    ``strict=True`` raises NotImplementedError (no image/audio libs in
+    this container — clearly marked stub); ``strict=False`` produces a
+    deterministic fake feature vector derived from the payload bytes, so
+    the downstream plumbing (schema, batching, actor reuse) is fully
+    exercised.  Real deployments replace ``_decode_one``.
+    """
+
+    def __init__(self, *, feature_dim: int = 16, strict: bool = False):
+        self.feature_dim = feature_dim
+        self.strict = strict
+        self.calls = 0  # per-actor state: proves one instance serves many batches
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "media decode requires image/audio libraries not present in "
+                "this environment; run with strict=False for the "
+                "deterministic stub"
+            )
+        h = hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest()
+        return (
+            np.frombuffer(h, dtype=np.uint32).astype(np.float64)
+            / np.iinfo(np.uint32).max
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self.calls += 1
+        feats = [self._decode_one(p) for p in t["payload"].to_pylist()]
+        flat = np.concatenate(feats) if feats else np.empty(0)
+        offsets = pa.array(
+            np.arange(0, (len(feats) + 1) * self.feature_dim, self.feature_dim,
+                      dtype=np.int32)
+        )
+        col = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float64()))
+        out = t.select([c for c in t.column_names if c != "payload"])
+        return out.append_column("features", col)
+
+
+def decode_features(ds, *, feature_dim=16, concurrency=2, batch_size=256,
+                    strict=False):
+    """Actor-pool decode: small batches (large binary rows), setup once
+    per actor."""
+    return ds.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"feature_dim": feature_dim, "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_sample(ds, *, every_n_bytes=256, max_frames=4, id_col="doc_id"):
+    """Frame-sampling analogue over binary payloads: emit up to
+    ``max_frames`` fixed-offset slices per payload as separate rows
+    (flat-map shape — one input row → N output rows)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        for i, p in enumerate(t["payload"].to_pylist()):
+            did = t[id_col][i].as_py()
+            for f in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                ids.append(did)
+                frame_idx.append(f)
+                frames.append(p[f * every_n_bytes : (f + 1) * every_n_bytes])
+        return pa.table({
+            id_col: pa.array(ids),
+            "frame_index": pa.array(frame_idx, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)

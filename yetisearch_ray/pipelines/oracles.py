@@ -1,0 +1,295 @@
+"""DuckDB SQL oracle builders.
+
+Each function returns an ANSI-SQL string that recomputes a pipeline's
+result from the raw tables, fully independently of the engine (no
+postings, no varbyte, no Ray) — the driver runs these side-by-side with
+the Ray pipelines and hash-compares values.  Column names and rounding
+MUST match the corresponding ``queries()`` callables exactly.
+
+The BM25 CTE replicates the publicly documented SQLite-FTS5 formula
+(see ``yetisearch_ray.search.bm25``): idf over any-column df, tf
+column-weighted, doc length unweighted, N = all rows.
+"""
+
+from __future__ import annotations
+
+K1, B = 1.2, 0.75
+
+# corpus CTE producing (doc_id, f0, f1, lang) for the two standard corpora
+DOCUMENTS_CORPUS = (
+    "SELECT doc_id, source AS f0, text AS f1, lang FROM documents"
+)
+
+
+def code_corpus_cte(parquet_glob: str) -> str:
+    return (
+        'SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id, '
+        "path AS f0, content AS f1, lang "
+        f"FROM read_parquet('{parquet_glob}')"
+    )
+
+
+_TOK = "regexp_split_to_array(lower(strip_accents({col})), '[^a-z0-9]+')"
+
+
+def _base_ctes(corpus: str) -> str:
+    t0 = _TOK.format(col="f0")
+    t1 = _TOK.format(col="f1")
+    return f"""
+WITH corpus AS ({corpus}),
+tokf AS (
+  SELECT doc_id, 0 AS fld, u.term FROM corpus, unnest({t0}) AS u(term) WHERE u.term <> ''
+  UNION ALL
+  SELECT doc_id, 1 AS fld, u.term FROM corpus, unnest({t1}) AS u(term) WHERE u.term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT count(*) FROM tokf)::DOUBLE / (SELECT count(*) FROM corpus) AS avgdl
+)"""
+
+
+def bm25_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
+                  w1: float = 1.0, require_all: bool = False,
+                  lang: str | None = None, k: int = 20,
+                  round_to: int = 5) -> str:
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    where = f"WHERE s.nterms = {len(terms)}" if require_all else ""
+    lang_join = (
+        f"JOIN corpus c ON c.doc_id = s.doc_id AND c.lang = '{lang}'" if lang else ""
+    )
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld,
+           count(*) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END) AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s,
+         count(*) AS nterms
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+)
+SELECT s.doc_id::BIGINT AS doc_id, round(abs(s.s), {round_to}) AS score
+FROM scored s {lang_join} {where}
+ORDER BY -s.s ASC, s.doc_id ASC LIMIT {k}"""
+
+
+def phrase_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, k: int = 20,
+                    round_to: int = 5) -> str:
+    """Positional phrase over the body field (f1) — adjacency count = tf."""
+    n = len(terms)
+    cond = " AND ".join(f"arr[i+{j}] = '{t}'" for j, t in enumerate(terms))
+    arr = "regexp_extract_all(lower(strip_accents(f1)), '[a-z0-9]+')"
+    return f"""{_base_ctes(corpus)},
+phr AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(arr) - {n} + 2), i -> {cond})) AS tf
+  FROM (SELECT doc_id, {arr} AS arr FROM corpus)
+),
+pstats AS (SELECT count(*) AS df FROM phr WHERE tf > 0),
+scored AS (
+  SELECT p.doc_id,
+         ln((stats.n - pstats.df + 0.5) / (pstats.df + 0.5))
+         * (p.tf * ({K1} + 1)) /
+           (p.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM phr p JOIN dl USING (doc_id), stats, pstats
+  WHERE p.tf > 0
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
+FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
+
+
+def match_count_sql(term: str, *, corpus: str = DOCUMENTS_CORPUS) -> str:
+    return f"""{_base_ctes(corpus)}
+SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tokf WHERE term = '{term}'"""
+
+
+def term_df_sql(*, corpus: str = DOCUMENTS_CORPUS, top: int = 100) -> str:
+    """Per-(term, field) document frequencies — the dictionary head."""
+    return f"""{_base_ctes(corpus)}
+SELECT term, fld::TINYINT AS field, count(DISTINCT doc_id)::BIGINT AS df
+FROM tokf GROUP BY term, fld
+ORDER BY df DESC, term ASC, fld ASC LIMIT {top}"""
+
+
+def corpus_stats_sql(*, corpus: str = DOCUMENTS_CORPUS, round_to: int = 6) -> str:
+    return f"""{_base_ctes(corpus)}
+SELECT stats.n::BIGINT AS n_docs,
+       (SELECT count(*) FROM tokf)::BIGINT AS total_dl,
+       round(stats.avgdl, {round_to}) AS avgdl
+FROM stats"""
+
+
+def code_sha256_sql(parquet_glob: str) -> str:
+    return (
+        'SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id, '
+        "sha256(content) AS sha256 "
+        f"FROM read_parquet('{parquet_glob}')"
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY md5(text)"""
+
+
+def jaccard_topk_sql(query_doc_id: int = 0, n: int = 3, k: int = 10,
+                     round_to: int = 6) -> str:
+    shingle = (
+        "list_distinct(list_transform(range(1, len(arr) - {m}), "
+        "i -> arr[i] || ' ' || " + " || ' ' || ".join(
+            f"arr[i+{j}]" for j in range(1, n)
+        ) + "))"
+    ).format(m=n - 2)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+sh AS (SELECT doc_id, {shingle} AS s FROM toks),
+q AS (SELECT s FROM sh WHERE doc_id = {query_doc_id})
+SELECT sh.doc_id::BIGINT AS doc_id,
+       round( len(list_intersect(sh.s, q.s))::DOUBLE /
+              NULLIF(len(list_distinct(list_concat(sh.s, q.s))), 0), {round_to}
+       ) AS jaccard
+FROM sh, q
+ORDER BY jaccard DESC, sh.doc_id ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------- textstats
+
+TOKENS_EXPR = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id, len({TOKENS_EXPR})::BIGINT AS n_tokens
+FROM documents"""
+
+
+def quality_sql(stopwords) -> str:
+    sw = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(stopwords))
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_EXPR} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(len(list_filter(toks, x -> x IN ({sw})))::DOUBLE / len(toks), 6)
+         END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+         END AS mean_token_len
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars, stopword_ratio, mean_token_len,
+       round( least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio), 6) AS quality
+FROM f"""
+
+
+def lang_id_sql(markers: dict, order) -> str:
+    cnt = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in markers.items()
+    }
+    # strictly-greater-than-running-best with fixed order = first max wins
+    case = "CASE "
+    prev = []
+    for lang in order:
+        conds = [f"{cnt[lang]} > 0"]
+        for p in prev:
+            conds.append(f"{cnt[lang]} > {cnt[p]}")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+        prev.append(lang)
+    case += "ELSE 'und' END"
+    # NOTE: the CASE above picks the FIRST lang in order that strictly
+    # beats every earlier lang and has >0 hits — identical to the Python
+    # loop in textstats.language_id
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents)
+SELECT doc_id::BIGINT AS doc_id, {case} AS pred_lang FROM t"""
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       md5(array_to_string({TOKENS_EXPR}, ' ')) AS fingerprint
+FROM documents"""
+
+
+# ---------------------------------------------------------------- ann
+
+def ann_topk_sql(query_vec_id: int = 1, k: int = 10, round_to: int = 6) -> str:
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), {round_to}) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
+def near_dup_pairs_sql(threshold: float = 0.95, round_to: int = 6) -> str:
+    return f"""
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {round_to}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}"""
+
+
+# ---------------------------------------------------------------- relational
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+TOP_CUSTOMERS_SQL = """
+SELECT o.o_custkey::BIGINT AS o_custkey, c.c_name,
+       round(sum(o.o_totalprice), 4) AS total_spend,
+       count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY total_spend DESC, o_custkey ASC LIMIT 10"""
+
+FACET_COUNTS_SQL = """
+SELECT event_type, count(*)::BIGINT AS count
+FROM events GROUP BY event_type
+ORDER BY count DESC, event_type ASC LIMIT 50"""
+
+FILTER_MATRIX_SQL = """
+SELECT * FROM (
+  SELECT 'eq' AS op, count(*)::BIGINT AS n FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL SELECT 'neq', count(*) FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL SELECT 'gt', count(*) FROM orders WHERE o_totalprice > 100000.0
+  UNION ALL SELECT 'lte', count(*) FROM orders WHERE o_totalprice <= 50000.0
+  UNION ALL SELECT 'between', count(*) FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+  UNION ALL SELECT 'in', count(*) FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  UNION ALL SELECT 'contains', count(*) FROM orders WHERE o_orderpriority LIKE '%HIGH%'
+  UNION ALL SELECT 'like_prefix', count(*) FROM orders WHERE o_orderpriority LIKE '1-%'
+) ORDER BY op"""
+
+MULTI_UNION_SQL = """
+SELECT doc_id::BIGINT AS doc_id, n_chars::DOUBLE AS score,
+       CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+            THEN 'idx_even' ELSE 'idx_odd' END AS _index
+FROM documents
+ORDER BY score DESC, doc_id ASC LIMIT 10"""

@@ -1,0 +1,157 @@
+"""Relational operator demonstrations over the TPC-H-ish test tables.
+
+These map the reference's aggregation / facet / sort / filter semantics
+(SURVEY.md §2.5, §2.6, §2.8) onto general Dataset operators, and serve as
+SQL-oracle-gated coverage of groupby-aggregate, join, top-k and
+value-count (facet) shapes.
+
+Scale notes: aggregates pre-combine inside map_batches before the
+groupby where it matters; the join broadcasts the small side
+(customer) instead of shuffling both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-ish pricing summary over lineitem (groupby-aggregate with
+    computed columns; all aggregates named for the oracle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    pdf = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]:
+        pdf[c] = pdf[c].round(4)
+    pdf["count_order"] = pdf["count_order"].astype("int64")
+    return pdf
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """orders ⋈ customer (broadcast small side) → top-k by total spend."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust_ref = ray.put(dict(zip(cust.c_custkey, cust.c_name)))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spend"),
+        Count(alias_name="n_orders"),
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = ray.get(cust_ref)
+        keys = t["o_custkey"].to_pylist()
+        return t.append_column("c_name", pa.array([names.get(kk) for kk in keys], pa.string()))
+
+    out = agg.map_batches(attach_name, batch_format="pyarrow")
+    pdf = out.to_pandas()
+    pdf["total_spend"] = pdf["total_spend"].round(4)
+    pdf["n_orders"] = pdf["n_orders"].astype("int64")
+    pdf = pdf.sort_values(["total_spend", "o_custkey"], ascending=[False, True]).head(k)
+    return pdf.reset_index(drop=True)[["o_custkey", "c_name", "total_spend", "n_orders"]]
+
+
+def facet_counts(sf_dir: str, table: str = "events", column: str = "event_type",
+                 min_count: int = 1, top_n: int = 50):
+    """Facet value counts (reference ``computeFacets`` semantics: count
+    desc, min_count filter, top-N — §2.5)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    out = ds.groupby(column).aggregate(Count(alias_name="count"))
+    pdf = out.to_pandas()
+    pdf["count"] = pdf["count"].astype("int64")
+    pdf = pdf[pdf["count"] >= min_count]
+    pdf = pdf.sort_values(["count", column], ascending=[False, True]).head(top_n)
+    return pdf.reset_index(drop=True)
+
+
+def filter_matrix(sf_dir: str):
+    """The reference's filter-operator matrix (§2.8) exercised as
+    vectorized Arrow predicates over orders: one row per operator with
+    the matching row count."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_totalprice", "o_orderpriority"])
+
+    def count_where(pred):
+        return ds.map_batches(
+            lambda t, p=pred: pa.table({"n": pa.array([t.filter(p(t)).num_rows], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("n")
+
+    checks = {
+        "eq": lambda t: pc.equal(t["o_orderstatus"], "F"),
+        "neq": lambda t: pc.not_equal(t["o_orderstatus"], "F"),
+        "gt": lambda t: pc.greater(t["o_totalprice"], 100000.0),
+        "lte": lambda t: pc.less_equal(t["o_totalprice"], 50000.0),
+        "between": lambda t: pc.and_(
+            pc.greater_equal(t["o_totalprice"], 50000.0),
+            pc.less_equal(t["o_totalprice"], 150000.0),
+        ),
+        "in": lambda t: pc.is_in(t["o_orderpriority"],
+                                 value_set=pa.array(["1-URGENT", "2-HIGH"])),
+        "contains": lambda t: pc.match_substring(t["o_orderpriority"], "HIGH"),
+        "like_prefix": lambda t: pc.match_like(t["o_orderpriority"], "1-%"),
+    }
+    rows = [{"op": name, "n": int(count_where(pred))} for name, pred in checks.items()]
+    return pd.DataFrame(rows).sort_values("op").reset_index(drop=True)
+
+
+def multi_index_union(sf_dir: str, k: int = 10):
+    """searchMultiple analogue (§2.7): two per-'index' result sets
+    (documents split by source parity), tagged with _index, merged,
+    sorted by score desc, sliced — expressed as Dataset union + sort."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars", "source"])
+
+    def split_and_tag(name, want_even):
+        def fn(t: pa.Table) -> pa.Table:
+            srcnum = pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 99), pa.int32())
+            parity_mask = pc.equal(pc.bit_wise_and(srcnum, 1), 0 if want_even else 1)
+            t2 = t.filter(parity_mask)
+            return pa.table({
+                "doc_id": t2["doc_id"],
+                "score": pc.cast(t2["n_chars"], pa.float64()),
+                "_index": pa.array([name] * t2.num_rows, pa.string()),
+            })
+        return fn
+
+    a = ds.map_batches(split_and_tag("idx_even", True), batch_format="pyarrow")
+    b = ds.map_batches(split_and_tag("idx_odd", False), batch_format="pyarrow")
+    merged = a.union(b).sort(["score", "doc_id"], descending=[True, False]).limit(k)
+    return merged.to_pandas()

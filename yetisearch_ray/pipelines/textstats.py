@@ -1,0 +1,136 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All are single-pass ``map_batches`` transforms (no shuffle); the
+heuristics are deliberately simple + fully deterministic so each has an
+exact DuckDB SQL oracle.  Language-ID uses per-language stopword hit
+counts (the classic cheap heuristic); quality scoring mirrors the usual
+pretraining filters (length, stopword ratio, mean word length).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis.stopwords import STOPWORDS
+
+# fixed, ordered subsets so the SQL oracle can embed identical lists
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for", "with", "was"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "es": ("el", "la", "los", "las", "de", "y", "que", "en", "un", "una"),
+}
+_LANG_ORDER = ("en", "fr", "de", "es")
+
+_EN_STOP = STOPWORDS["en"]
+
+
+def token_counts(ds, *, text_col="text", id_col="doc_id"):
+    """(id, n_tokens) — whitespace/alnum tokens (ASCII corpora: == words)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        counts = [len((s or "").split()) for s in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col], "n_tokens": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(ds, *, text_col="text", id_col="doc_id"):
+    """Pretraining-style quality features + a composite score.
+
+    n_tokens, n_chars, stopword_ratio (en), mean_token_len, and
+    quality = round(min(1, n_tokens/100) * (1 - stopword_ratio) , 6).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        n_tok, n_chr, stop_r, mean_len, score = [], [], [], [], []
+        for s in t[text_col].to_pylist():
+            toks = (s or "").split()
+            n = len(toks)
+            n_tok.append(n)
+            n_chr.append(len(s or ""))
+            sw = sum(1 for w in toks if w in _EN_STOP)
+            sr = (sw / n) if n else 0.0
+            stop_r.append(round(sr, 6))
+            ml = (sum(len(w) for w in toks) / n) if n else 0.0
+            mean_len.append(round(ml, 6))
+            score.append(round(min(1.0, n / 100.0) * (1.0 - sr), 6))
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_chars": pa.array(n_chr, pa.int64()),
+            "stopword_ratio": pa.array(stop_r, pa.float64()),
+            "mean_token_len": pa.array(mean_len, pa.float64()),
+            "quality": pa.array(score, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def language_id(ds, *, text_col="text", id_col="doc_id"):
+    """Predicted language by stopword-marker hits; ties broken by the
+    fixed order en > fr > de > es; zero hits → 'und'."""
+    marker_sets = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+
+    def fn(t: pa.Table) -> pa.Table:
+        preds = []
+        for s in t[text_col].to_pylist():
+            toks = (s or "").split()
+            best_lang, best_n = "und", 0
+            for lang in _LANG_ORDER:
+                n = sum(1 for w in toks if w in marker_sets[lang])
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            preds.append(best_lang)
+        return pa.table({id_col: t[id_col], "pred_lang": pa.array(preds, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(ds, *, text_col="text", id_col="doc_id"):
+    """Stable document fingerprint: md5 of the whitespace-normalized
+    token stream (SQL oracle: md5(array_to_string(...)))."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(" ".join((s or "").split()).encode("utf-8")).hexdigest()
+            for s in t[text_col].to_pylist()
+        ]
+        return pa.table({id_col: t[id_col], "fingerprint": pa.array(fps, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprint(ds, *, text_col="text", id_col="doc_id", window=8):
+    """Winnowing-style rolling-hash fingerprint set (min hash per window
+    of token 64-bit hashes) — the near-dup-grade fingerprint; rows-only
+    (hash function not SQL-replicable)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        out = []
+        for s in t[text_col].to_pylist():
+            toks = (s or "").split()
+            hs = np.array(
+                [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+                 for w in toks],
+                dtype=np.uint64,
+            )
+            if hs.size == 0:
+                out.append([])
+                continue
+            if hs.size <= window:
+                out.append([int(hs.min())])
+                continue
+            mins = {
+                int(hs[i : i + window].min()) for i in range(hs.size - window + 1)
+            }
+            out.append(sorted(mins))
+        return pa.table({id_col: ids, "fingerprints": pa.array(out, pa.list_(pa.uint64()))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
