@@ -63,6 +63,13 @@ def term_partition(terms, num_partitions: int) -> np.ndarray:
     return (pd.util.hash_array(arr, hash_key=_HASH_KEY) % num_partitions).astype(np.uint32)
 
 
+def _empty_lists(n: int) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+        pa.array([], pa.uint32()),
+    )
+
+
 @dataclass
 class IndexConfig:
     """Field list is ordered: field_id = position (FTS5 column order)."""
@@ -88,39 +95,41 @@ class IndexConfig:
 
 
 # --------------------------------------------------------------------------
-# docstore pass
+# docstore (written as a SIDE EFFECT of the single ingest pass)
 # --------------------------------------------------------------------------
 
 
-def _docstore_batch(cfg: IndexConfig):
-    field_cols = [c for _, c in cfg.fields]
+def _docstore_table(cfg: IndexConfig, t: pa.Table) -> pa.Table:
+    out = {cfg.id_column: t[cfg.id_column]}
+    for c in cfg.store_columns:
+        out[c] = t[c]
+    if cfg.language_column and cfg.language_column not in cfg.store_columns:
+        out[cfg.language_column] = t[cfg.language_column]
+    for fname, col in cfg.fields:
+        if col not in out:
+            out[col] = t[col]
+    if cfg.content_hash_column:
+        hashes = [
+            hashlib.sha256((s or "").encode("utf-8")).hexdigest()
+            for s in t[cfg.content_hash_column].to_pylist()
+        ]
+        out["sha256"] = pa.array(hashes, pa.string())
+    return pa.table(out)
 
-    def fn(t: pa.Table) -> pa.Table:
-        out = {cfg.id_column: t[cfg.id_column]}
-        for c in cfg.store_columns:
-            out[c] = t[c]
-        if cfg.language_column and cfg.language_column not in cfg.store_columns:
-            out[cfg.language_column] = t[cfg.language_column]
-        for fname, col in cfg.fields:
-            if col not in out:
-                out[col] = t[col]
-        # per-field token counts (doc lengths) — BM25's D and avgdl inputs
-        dl_total = np.zeros(t.num_rows, dtype=np.int64)
-        for fname, col in cfg.fields:
-            texts = t[col].to_pylist()
-            _, _, _, counts = tokenize_batch(texts)
-            out[f"dl_{fname}"] = pa.array(counts, pa.int64())
-            dl_total += counts
-        out["dl_total"] = pa.array(dl_total, pa.int64())
-        if cfg.content_hash_column:
-            hashes = [
-                hashlib.sha256((s or "").encode("utf-8")).hexdigest()
-                for s in t[cfg.content_hash_column].to_pylist()
-            ]
-            out["sha256"] = pa.array(hashes, pa.string())
-        return pa.table(out)
 
-    return fn
+def _write_docstore_chunk(cfg: IndexConfig, docs_dir: str, t: pa.Table) -> None:
+    """Deterministic, idempotent docstore chunk: named by its doc_id range
+    (each ingest batch covers a contiguous range), written tmp+rename —
+    re-execution (task retry / resume) simply overwrites the same file."""
+    ids = t[cfg.id_column].to_numpy(zero_copy_only=False)
+    lo, hi = int(ids.min()), int(ids.max())
+    os.makedirs(docs_dir, exist_ok=True)
+    path = os.path.join(docs_dir, f"docs-{lo:012d}-{hi:012d}.parquet")
+    fd, tmp = tempfile.mkstemp(dir=docs_dir, prefix=".docs-")
+    os.close(fd)
+    pq.write_table(_docstore_table(cfg, t), tmp, compression="zstd",
+                   row_group_size=4096)
+    os.replace(tmp, path)
 
 
 # --------------------------------------------------------------------------
@@ -128,17 +137,33 @@ def _docstore_batch(cfg: IndexConfig):
 # --------------------------------------------------------------------------
 
 
-def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int]):
-    """Vectorized tokenize → (part, term, field, doc_id, tf, positions)."""
+def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
+                         docs_dir: str | None = None):
+    """The single INGEST pass: tokenize → per-partition IPC blobs.
+
+    Per input batch (vectorized, zero-copy Arrow):
+    1. side-writes the batch's docstore chunk (idempotent range file),
+    2. tokenizes every field → (term, field, doc_id, tf, positions),
+    3. emits one DOC-LENGTH row per doc (``field = -1``, ``term = ""``,
+       ``tf = dl_total``, partitioned by doc_id hash) so corpus stats and
+       BM25 doc lengths come from the same single tokenization,
+    4. map-side-combines all rows into one Arrow-IPC blob per partition.
+
+    The corpus is read and tokenized exactly once per build.
+    """
     nparts = cfg.num_partitions
     want_pos = cfg.positions
 
     def fn(t: pa.Table) -> pa.Table:
+        if docs_dir is not None and t.num_rows:
+            _write_docstore_chunk(cfg, docs_dir, t)
         doc_ids = t[cfg.id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dl_total = np.zeros(doc_ids.size, dtype=np.int64)
         parts_out = []
         for fid, (fname, col) in enumerate(cfg.fields):
             texts = t[col].to_pylist()
-            tokens, rows, positions, _ = tokenize_batch(texts, doc_ids)
+            tokens, rows, positions, counts = tokenize_batch(texts, doc_ids)
+            dl_total += counts
             if not tokens:
                 continue
             # aggregate (doc, term) -> tf + position list, all vectorized:
@@ -167,28 +192,53 @@ def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int]):
                     pa.array(offsets, pa.int32()), pa.array(sp, pa.uint32())
                 )
             else:
-                cols["pos"] = pa.nulls(starts.size, pa.list_(pa.uint32()))
-            batch_t = pa.table(cols)
-            if skip_parts:
-                import pyarrow.compute as pc
+                cols["pos"] = _empty_lists(starts.size)
+            parts_out.append(pa.table(cols))
+        # doc-length rows: one per doc, hash-partitioned by doc_id
+        dl_part = (
+            pd.util.hash_array(doc_ids.astype(np.uint64), hash_key=_HASH_KEY)
+            % nparts
+        ).astype(np.uint32)
+        parts_out.append(pa.table({
+            "part": pa.array(dl_part, pa.uint32()),
+            "term": pa.array([""] * doc_ids.size, pa.string()),
+            "field": pa.array(np.full(doc_ids.size, -1, np.int8), pa.int8()),
+            "doc_id": pa.array(doc_ids, pa.uint64()),
+            "tf": pa.array(dl_total.astype(np.uint32), pa.uint32()),
+            # empty (not null) lists keep the offsets buffer well-defined
+            # for the segment builder's vectorized position gather
+            "pos": _empty_lists(doc_ids.size),
+        }))
+        out_t = pa.concat_tables(parts_out, promote_options="default")
+        if skip_parts:
+            import pyarrow.compute as pc
 
-                mask = pc.invert(
-                    pc.is_in(batch_t["part"], value_set=pa.array(sorted(skip_parts), pa.uint32()))
-                )
-                batch_t = batch_t.filter(mask)
-            parts_out.append(batch_t)
-        if not parts_out:
-            return pa.table(
-                {
-                    "part": pa.array([], pa.uint32()),
-                    "term": pa.array([], pa.string()),
-                    "field": pa.array([], pa.int8()),
-                    "doc_id": pa.array([], pa.uint64()),
-                    "tf": pa.array([], pa.uint32()),
-                    "pos": pa.array([], pa.list_(pa.uint32())),
-                }
+            mask = pc.invert(
+                pc.is_in(out_t["part"], value_set=pa.array(sorted(skip_parts), pa.uint32()))
             )
-        return pa.concat_tables(parts_out)
+            out_t = out_t.filter(mask)
+        # MAP-SIDE COMBINE: pack each partition's rows into ONE Arrow-IPC
+        # blob so the exchange moves (#batches × P) blob rows instead of
+        # millions of posting rows — the groupby's sort and group-split
+        # costs then scale with partition count, not corpus size.
+        out_t = out_t.sort_by("part")
+        pcol = out_t["part"].to_numpy(zero_copy_only=False)
+        if pcol.size == 0:
+            return pa.table({"part": pa.array([], pa.uint32()),
+                             "blob": pa.array([], pa.large_binary())})
+        bstarts = np.flatnonzero(np.r_[True, pcol[1:] != pcol[:-1]])
+        bends = np.append(bstarts[1:], pcol.size)
+        payload = out_t.drop_columns(["part"])
+        parts_col, blobs = [], []
+        for s, e in zip(bstarts, bends):
+            sl = payload.slice(s, e - s)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sl.schema) as w:
+                w.write_table(sl)
+            parts_col.append(int(pcol[s]))
+            blobs.append(sink.getvalue().to_pybytes())
+        return pa.table({"part": pa.array(parts_col, pa.uint32()),
+                         "blob": pa.array(blobs, pa.large_binary())})
 
     return fn
 
@@ -206,37 +256,95 @@ def _build_segment(index_dir: str, want_pos: bool):
     Ray task retries or build resumes can never leave a torn segment.
     """
 
-    def fn(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+    def fn(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
             return pa.table({"part": pa.array([], pa.uint32()),
                              "rows": pa.array([], pa.int64()),
                              "terms": pa.array([], pa.int64()),
-                             "bytes": pa.array([], pa.int64())})
-        part = int(t["part"][0].as_py())
-        t = t.sort_by([("term", "ascending"), ("field", "ascending"), ("doc_id", "ascending")])
-        terms = t["term"].to_pandas().to_numpy(dtype=object)
+                             "bytes": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_dl": pa.array([], pa.int64())})
+        part = int(group["part"][0].as_py())
+        # unpack the map-side IPC blobs into one posting table
+        t = pa.concat_tables(
+            pa.ipc.open_stream(b.as_py()).read_all() for b in group["blob"]
+        )
+        # --- numpy-centric path: no pyarrow sort_by / filter / to_pandas on
+        # the big table (those cost microseconds per row on list columns) ---
         fields = t["field"].to_numpy(zero_copy_only=False)
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         tfs = t["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pos_col = t["pos"].combine_chunks() if t["pos"].num_chunks > 1 else t["pos"].chunk(0)
-        have_pos = want_pos and pos_col.null_count < t.num_rows
+        term_col = t["term"].combine_chunks() if t["term"].num_chunks != 1 else t["term"].chunk(0)
+        tdict = term_col.dictionary_encode()
+        tcodes = tdict.indices.to_numpy(zero_copy_only=False)
+        dict_strings = np.asarray(tdict.dictionary.to_pylist(), dtype=object)
+        pos_col = t["pos"].combine_chunks() if t["pos"].num_chunks != 1 else t["pos"].chunk(0)
+        flat_pos = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        list_offsets = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_lens = np.diff(list_offsets)
+
+        # --- doc-length rows (field == -1) → doclens side-file ---
+        dl_mask = fields == -1
+        n_docs = int(dl_mask.sum())
+        sum_dl = int(tfs[dl_mask].sum())
+        if n_docs:
+            dl_ids = doc_ids[dl_mask]
+            dl_vals = tfs[dl_mask].astype(np.int64)
+            o = np.argsort(dl_ids, kind="stable")
+            dl_out = pa.table({"doc_id": pa.array(dl_ids[o], pa.uint64()),
+                               "dl": pa.array(dl_vals[o], pa.int64())})
+            dl_path = os.path.join(index_dir, "doclens", f"part={part:05d}.parquet")
+            os.makedirs(os.path.dirname(dl_path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dl_path), prefix=".dl-")
+            os.close(fd)
+            pq.write_table(dl_out, tmp, compression="zstd")
+            os.replace(tmp, dl_path)
+
+        keep = ~dl_mask
+        if not keep.any():
+            return pa.table({"part": pa.array([part], pa.uint32()),
+                             "rows": pa.array([0], pa.int64()),
+                             "terms": pa.array([0], pa.int64()),
+                             "bytes": pa.array([0], pa.int64()),
+                             "n_docs": pa.array([n_docs], pa.int64()),
+                             "sum_dl": pa.array([sum_dl], pa.int64())})
+        kidx = np.flatnonzero(keep)
+        # rank terms lexicographically so the segment file is term-sorted
+        # (row-group min/max pruning on point lookups depends on this)
+        dict_order = np.argsort(dict_strings, kind="stable")
+        rank = np.empty(dict_order.size, dtype=np.int64)
+        rank[dict_order] = np.arange(dict_order.size)
+        k_rank = rank[tcodes[kidx]]
+        k_fields = fields[kidx]
+        k_docs = doc_ids[kidx]
+        order = np.lexsort((k_docs, k_fields, k_rank))
+        sidx = kidx[order]                       # original row order, sorted
+        s_rank, s_fields = k_rank[order], k_fields[order]
+        s_docs, s_tfs = k_docs[order], tfs[sidx]
+        have_pos = want_pos and flat_pos.size > 0
         if have_pos:
-            flat_pos = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-            list_offsets = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        # run boundaries on (term, field)
-        codes, uniq = pd.factorize(terms, sort=False)  # already sorted → runs contiguous
-        run_start = np.empty(codes.size, dtype=bool)
+            # gather positions into sorted-row order, fully vectorized
+            lens_s = pos_lens[sidx]
+            gstarts = np.repeat(list_offsets[sidx], lens_s)
+            within = np.arange(int(lens_s.sum()), dtype=np.int64)
+            row_off = np.cumsum(lens_s) - lens_s
+            within -= np.repeat(row_off, lens_s)
+            flat_sorted = flat_pos[gstarts + within]
+            new_offsets = np.concatenate(([0], np.cumsum(lens_s)))
+        # run boundaries on (term-rank, field)
+        run_start = np.empty(s_rank.size, dtype=bool)
         run_start[0] = True
-        np.not_equal(codes[1:], codes[:-1], out=run_start[1:])
-        run_start[1:] |= fields[1:] != fields[:-1]
+        np.not_equal(s_rank[1:], s_rank[:-1], out=run_start[1:])
+        run_start[1:] |= s_fields[1:] != s_fields[:-1]
         starts = np.flatnonzero(run_start)
-        ends = np.append(starts[1:], codes.size)
+        ends = np.append(starts[1:], s_rank.size)
 
         out_terms, out_fields, out_df, out_cf = [], [], [], []
         out_docs, out_tfs, out_pos = [], [], []
+        inv_rank = dict_order  # rank -> dictionary code
         for s, e in zip(starts, ends):
-            ids = doc_ids[s:e]
-            f = tfs[s:e]
+            ids = s_docs[s:e]
+            f = s_tfs[s:e]
             # merge duplicate doc rows (possible after hot-term salting)
             if ids.size > 1 and np.any(ids[1:] == ids[:-1]):
                 uids, inv = np.unique(ids, return_inverse=True)
@@ -245,12 +353,12 @@ def _build_segment(index_dir: str, want_pos: bool):
                 ids, f = uids, fsum
                 pos_flat = None  # positions not preserved across salt-merge
             elif have_pos:
-                pos_flat = flat_pos[list_offsets[s] : list_offsets[e]]
+                pos_flat = flat_sorted[new_offsets[s] : new_offsets[e]]
             else:
                 pos_flat = None
             db, tb, pb = encode_postings(ids, f, pos_flat)
-            out_terms.append(terms[s])
-            out_fields.append(int(fields[s]))
+            out_terms.append(dict_strings[inv_rank[s_rank[s]]])
+            out_fields.append(int(s_fields[s]))
             out_df.append(ids.size)
             out_cf.append(int(f.sum()))
             out_docs.append(db)
@@ -278,9 +386,11 @@ def _build_segment(index_dir: str, want_pos: bool):
         return pa.table(
             {
                 "part": pa.array([part], pa.uint32()),
-                "rows": pa.array([t.num_rows], pa.int64()),
+                "rows": pa.array([int(keep.sum())], pa.int64()),
                 "terms": pa.array([len(out_terms)], pa.int64()),
                 "bytes": pa.array([nbytes], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "sum_dl": pa.array([sum_dl], pa.int64()),
             }
         )
 
@@ -296,9 +406,10 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
                 input_fingerprint: str = "") -> Manifest:
     """Build (or resume) an index from a Dataset with a uint64 id column.
 
-    ``ds`` is consumed twice (docstore pass + postings pass); both passes
-    stream — nothing is materialized driver-side except metrics rows and
-    small aggregates.
+    One streaming execution: the ingest pass tokenizes each block once,
+    side-writes its docstore chunk, and ships per-partition IPC blobs
+    through the term shuffle; nothing is materialized driver-side except
+    the per-partition metrics rows.
     """
     import ray.data  # noqa: F401  (ensures Dataset API available)
 
@@ -319,34 +430,15 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
         man = Manifest.new(index_dir, cfg.as_dict(), input_fingerprint)
         man.save()
 
-    # ---- docstore pass ----
-    docstore_done = man.data.get("docstore", {}).get("status") == "committed"
-    if not docstore_done:
-        ds.map_batches(_docstore_batch(cfg), batch_format="pyarrow").write_parquet(docs_dir)
-        man.data["docstore"] = {"status": "committed", "path": docs_dir}
-        man.save()
-
-    # ---- corpus stats (from the docstore, column-pruned read) ----
-    import ray.data as rd
-
-    dl_cols = [f"dl_{f}" for f, _ in cfg.fields] + ["dl_total"]
-    stat_ds = rd.read_parquet(docs_dir, columns=dl_cols)
-    from ray.data.aggregate import Count, Sum
-
-    aggs = [Count(alias_name="n_docs")] + [Sum(c, alias_name=f"sum_{c}") for c in dl_cols]
-    row = stat_ds.aggregate(*aggs)
-    n_docs = int(row["n_docs"])
-    stats = {
-        "n_docs": n_docs,
-        "total_dl": int(row["sum_dl_total"]),
-        "avgdl": (row["sum_dl_total"] / n_docs) if n_docs else 0.0,
-        "per_field": {
-            f: int(row[f"sum_dl_{f}"]) for f, _ in cfg.fields
-        },
-    }
-
-    # ---- postings pass (the explicit term-partitioned shuffle) ----
-    emitted = ds.map_batches(_emit_postings_batch(cfg, skip), batch_format="pyarrow")
+    # ---- single ingest pass: docstore side-writes + term-partitioned
+    # shuffle.  Doc-length rows ride the same shuffle, so corpus stats
+    # (N, total_dl, avgdl) fall out of the per-partition metrics — the
+    # corpus is read and tokenized exactly once, in one execution.
+    # batch_size=None → whole blocks as batches: block boundaries come from
+    # the deterministic source (one block per parquet row group), so the
+    # docstore chunk ranges are stable across runs and resumes
+    emitted = ds.map_batches(_emit_postings_batch(cfg, skip, docs_dir),
+                             batch_format="pyarrow", batch_size=None)
     metrics = (
         emitted.groupby("part")
         .map_groups(_build_segment(index_dir, cfg.positions), batch_format="pyarrow")
@@ -354,8 +446,17 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
     for m in metrics.iter_rows():
         man.record_partition(int(m["part"]), {
             "rows": int(m["rows"]), "terms": int(m["terms"]), "bytes": int(m["bytes"]),
+            "n_docs": int(m["n_docs"]), "sum_dl": int(m["sum_dl"]),
             "input_fingerprint": input_fingerprint,
         })
+    # stats over ALL partitions (including ones committed in a prior run)
+    n_docs = sum(p.get("n_docs", 0) for p in man.data["partitions"].values())
+    total_dl = sum(p.get("sum_dl", 0) for p in man.data["partitions"].values())
+    stats = {
+        "n_docs": n_docs,
+        "total_dl": total_dl,
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+    }
     man.finalize(stats, {"status": "committed", "path": docs_dir})
     man.save()
     return man

@@ -82,13 +82,32 @@ def _word_shingles(tokens: list[str], n: int = 3) -> set[str]:
     return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
 
 
-def _hash_shingles(sh: set[str]) -> np.ndarray:
-    out = np.empty(len(sh), dtype=np.uint64)
-    for i, s in enumerate(sh):
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-        )
-    return out
+_HASH_KEY = "0123456789123456"  # pandas siphash fixed key — deterministic
+
+
+def _hash_obj_array(arr: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY)
+
+
+def _shingle_hashes_batch(texts, n: int = 3):
+    """Vectorized per-batch shingling: returns (flat shingle hashes uint64,
+    per-doc counts int64).  Shingles are word n-grams; hashing is pandas'
+    deterministic siphash — no per-shingle Python loop."""
+    token_lists = [(t or "").split() for t in texts]
+    counts = np.array([len(tl) for tl in token_lists], dtype=np.int64)
+    flat = np.array([w for tl in token_lists for w in tl], dtype=object)
+    if flat.size == 0:
+        return np.empty(0, np.uint64), np.zeros(len(texts), np.int64)
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    ser = pd.Series(flat)
+    parts = [ser] + [ser.shift(-j) for j in range(1, n)]
+    sh = parts[0].str.cat(parts[1:], sep=" ", na_rep="\x00")
+    valid = np.zeros(flat.size, dtype=bool)
+    if flat.size >= n:
+        valid[: flat.size - n + 1] = doc_idx[: flat.size - n + 1] == doc_idx[n - 1 :]
+    sh_counts = np.maximum(counts - n + 1, 0)
+    hashes = _hash_obj_array(sh.to_numpy(dtype=object)[valid])
+    return hashes.astype(np.uint64), sh_counts
 
 
 # ------------------------------------------------------------------ minhash
@@ -130,34 +149,46 @@ def minhash_lsh_candidates(ds, *, text_col="text", id_col="doc_id",
     class Signer:
         def __init__(self):
             self.mh = MinHasher(num_perm, seed)
+            rng = np.random.default_rng(seed + 1)
+            # per-row mixing multipliers for band hashing (odd → bijective)
+            self.mix = rng.integers(1, 2**63, rows_per_band, dtype=np.uint64) | np.uint64(1)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            out_band, out_hash, out_id = [], [], []
-            for i, text in enumerate(t[text_col].to_pylist()):
-                toks = (text or "").split()
-                sig = self.mh.signature(_hash_shingles(_word_shingles(toks, shingle_n)))
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                    out_band.append(b)
-                    out_hash.append(h)
-                    out_id.append(ids[i])
+            hashes, sh_counts = _shingle_hashes_batch(t[text_col].to_pylist(), shingle_n)
+            ndocs = ids.size
+            sigs = np.full((ndocs, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+            starts = np.cumsum(sh_counts) - sh_counts
+            nonempty = np.flatnonzero(sh_counts > 0)
+            # chunk docs so the (perm × shingle) matrix stays small
+            for lo in range(0, nonempty.size, 128):
+                sel = nonempty[lo : lo + 128]
+                span_lo = starts[sel[0]]
+                span_hi = starts[sel[-1]] + sh_counts[sel[-1]]
+                h = hashes[span_lo:span_hi] % _MERSENNE
+                v = (self.mh.a[:, None] * h[None, :] + self.mh.b[:, None]) % np.uint64(_MERSENNE)
+                local_starts = (starts[sel] - span_lo).astype(np.int64)
+                mins = np.minimum.reduceat(v, local_starts, axis=1)
+                sigs[sel] = mins.T
+            # band hashes: mix the rows of each band (vectorized)
+            band_sigs = sigs.reshape(ndocs, bands, rows_per_band)
+            bh = (band_sigs * self.mix[None, None, :]).sum(axis=2, dtype=np.uint64)
+            bh ^= bh >> np.uint64(33)
             return pa.table({
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
-                id_col: pa.array(out_id),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), ndocs)),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+                id_col: pa.array(np.repeat(ids, bands)),
             })
 
     def bucket(t: pa.Table) -> pa.Table:
         if t.num_rows < 2:
             return pa.table({"band": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.string()),
+                             "band_hash": pa.array([], pa.uint64()),
                              "members": pa.array([], pa.list_(pa.int64()))})
         ids = sorted(t[id_col].to_pylist())
         return pa.table({
             "band": pa.array([t["band"][0].as_py()], pa.int32()),
-            "band_hash": pa.array([t["band_hash"][0].as_py()], pa.string()),
+            "band_hash": pa.array([t["band_hash"][0].as_py()], pa.uint64()),
             "members": pa.array([ids], pa.list_(pa.int64())),
         })
 
@@ -216,27 +247,33 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
 
 
 def simhash_signatures(ds, *, text_col="text", id_col="doc_id"):
-    """64-bit SimHash per doc (sign-sum of tf-weighted token hashes)."""
+    """64-bit SimHash per doc (sign-sum of tf-weighted token hashes) —
+    fully vectorized: one siphash pass over all tokens of the batch, bit
+    expansion in doc-chunks, per-doc reduceat accumulation."""
+
+    _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col]
-        sigs = np.empty(t.num_rows, dtype=np.uint64)
-        for i, text in enumerate(t[text_col].to_pylist()):
-            toks = (text or "").split()
-            if not toks:
-                sigs[i] = 0
-                continue
-            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            hs = np.empty(uniq.size, dtype=np.uint64)
-            for k, tok in enumerate(uniq):
-                hs[k] = np.uint64(int.from_bytes(
-                    hashlib.blake2b(str(tok).encode(), digest_size=8).digest(), "little"))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            sig = np.uint64(0)
-            for bit in np.flatnonzero(v > 0):
-                sig |= np.uint64(1) << np.uint64(bit)
-            sigs[i] = sig
+        texts = t[text_col].to_pylist()
+        token_lists = [(s or "").split() for s in texts]
+        counts = np.array([len(tl) for tl in token_lists], dtype=np.int64)
+        flat = np.array([w for tl in token_lists for w in tl], dtype=object)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        if flat.size:
+            hs = _hash_obj_array(flat).astype(np.uint64)
+            starts = np.cumsum(counts) - counts
+            nonempty = np.flatnonzero(counts > 0)
+            for lo in range(0, nonempty.size, 256):
+                sel = nonempty[lo : lo + 256]
+                span_lo = starts[sel[0]]
+                span_hi = starts[sel[-1]] + counts[sel[-1]]
+                h = hs[span_lo:span_hi]
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int32) * 2 - 1
+                local_starts = (starts[sel] - span_lo).astype(np.int64)
+                sums = np.add.reduceat(bits, local_starts, axis=0)
+                sigs[sel] = ((sums > 0) * _POW2[None, :]).sum(axis=1, dtype=np.uint64)
         return pa.table({id_col: ids, "simhash": pa.array(sigs, pa.uint64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -81,15 +81,33 @@ class IndexReader:
 
     # ---------------- doc metadata (resident arrays) -------------------
     def _load_meta(self):
+        """Doc-metadata arrays: doc lengths from the ``doclens`` side-files
+        (written by the posting shuffle), filterable columns from the
+        docstore.  Both sorted by doc_id for searchsorted lookup.
+
+        At cluster scale these arrays shard by doc_id range across query
+        actors; one reader = one shard."""
         if self._doc_meta is not None:
             return
-        cols = [self.id_column, "dl_total"] + [f"dl_{f}" for f, _ in self.fields]
+        dl_dir = os.path.join(self.index_dir, "doclens")
+        dt = pq.read_table(dl_dir, columns=["doc_id", "dl"])
+        dt = dt.take(pc.sort_indices(dt["doc_id"]))
+        self._doc_meta = {
+            self.id_column: dt["doc_id"].to_numpy(zero_copy_only=False),
+            "dl_total": dt["dl"].to_numpy(zero_copy_only=False),
+        }
+        cols = [self.id_column]
         if self.language_column:
             cols.append(self.language_column)
-        t = pq.read_table(self._docs_dir, columns=list(dict.fromkeys(cols)))
-        order = pc.sort_indices(t[self.id_column])
-        t = t.take(order)
-        self._doc_meta = {c: t[c].to_numpy(zero_copy_only=False) for c in t.column_names}
+        extra = [c for c in self.manifest.config.get("store_columns", [])
+                 if c not in (self.fields[-1][1],)]  # skip the big body column
+        cols = list(dict.fromkeys(cols + extra))
+        t = pq.read_table(self._docs_dir, columns=cols)
+        t = t.take(pc.sort_indices(t[self.id_column]))
+        for c in t.column_names:
+            if c == self.id_column:
+                continue
+            self._doc_meta[c] = t[c].to_numpy(zero_copy_only=False)
 
     def meta(self, col: str) -> np.ndarray:
         self._load_meta()
@@ -323,29 +341,24 @@ class SearchEngine:
                 continue
             if any(p.positions is None for p in plists):
                 continue  # positions required for phrases
-            common = plists[0].doc_ids
-            for p in plists[1:]:
-                common = common[np.isin(common, p.doc_ids)]
-            if common.size == 0:
-                continue
-            pos_maps = []
+            # fully vectorized adjacency: encode each occurrence as
+            # key = doc_id * 2^24 + position, then a phrase anchored at key
+            # requires key+j present in term j's key set — a chain of
+            # sorted-array membership tests, no per-doc loop.
+            SHIFT = np.uint64(24)
+            keys = []
             for p in plists:
-                pos_maps.append({int(d): arr for d, arr in p.pos_slices()})
-            ids_out, tf_out = [], []
-            for d in common.tolist():
-                occ = pos_maps[0][d].astype(np.int64)
-                for k in range(1, len(phrase.terms)):
-                    nxt = pos_maps[k][d].astype(np.int64)
-                    occ = occ[np.isin(occ + k, nxt)]
-                    if occ.size == 0:
-                        break
-                if occ.size:
-                    ids_out.append(d)
-                    tf_out.append(occ.size)
-            if ids_out:
-                out[fid] = Posting(
-                    np.asarray(ids_out, np.uint64), np.asarray(tf_out, np.uint64), None
-                )
+                docs_exp = np.repeat(p.doc_ids, p.tfs.astype(np.int64))
+                keys.append((docs_exp << SHIFT) | p.positions.astype(np.uint64))
+            occ = keys[0]
+            for j in range(1, len(phrase.terms)):
+                occ = occ[np.isin(occ + np.uint64(j), keys[j], assume_unique=True)]
+                if occ.size == 0:
+                    break
+            if occ.size:
+                docs = (occ >> SHIFT).astype(np.uint64)
+                uids, counts = np.unique(docs, return_counts=True)
+                out[fid] = Posting(uids, counts.astype(np.uint64), None)
         return out
 
     def _near_docs(self, terms: list[str], distance: int) -> np.ndarray:
@@ -427,10 +440,11 @@ class SearchEngine:
                 if any(s.size for s in allsets)
                 else np.empty(0, np.uint64)
             )
-            if cq.near_terms and len(cq.near_terms) > 1:
-                near = self._near_docs(cq.near_terms, cq.near_distance)
-                if near.size:
-                    match = np.unique(np.concatenate([match, near]))
+            # NOTE: the smart expression's NEAR(t1..tn, 10) arm adds NOTHING
+            # to the match set — every NEAR match contains all terms, which
+            # the OR-of-terms arms already cover — so it is intentionally
+            # not evaluated here.  ``_near_docs`` exists for explicit
+            # NEAR() queries (DSL layer).
         if match.size == 0:
             return match, np.empty(0, np.float64)
 

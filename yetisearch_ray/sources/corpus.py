@@ -97,10 +97,15 @@ def _doc_content(rng: np.random.Generator, lang: str) -> str:
     return "\n".join(lines)
 
 
-def generate_code_corpus(n_docs: int, out_dir: str, *, num_files: int = 4,
+def generate_code_corpus(n_docs: int, out_dir: str, *, num_files: int = 8,
                          force: bool = False) -> str:
-    """Generate (idempotently) and return the corpus directory."""
-    marker = os.path.join(out_dir, f".complete-{n_docs}")
+    """Generate (idempotently) and return the corpus directory.
+
+    Files are written with many small-ish row groups: each row group is a
+    read task in ``read_parquet_with_doc_ids``, so row-group count bounds
+    the build's read/tokenize parallelism.
+    """
+    marker = os.path.join(out_dir, f".complete-v2-{n_docs}")
     if os.path.exists(marker) and not force:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -134,6 +139,8 @@ def generate_code_corpus(n_docs: int, out_dir: str, *, num_files: int = 4,
     # split into ordered part files (each internally sorted; file order =
     # global order), multiple row groups per file for read parallelism
     chunk = -(-n_docs // num_files)
+    # target ≥ 64 row groups overall so a 32-core build has headroom
+    rg = max(128, n_docs // 64)
     for fi in range(num_files):
         lo, hi = fi * chunk, min((fi + 1) * chunk, n_docs)
         if lo >= hi:
@@ -141,7 +148,7 @@ def generate_code_corpus(n_docs: int, out_dir: str, *, num_files: int = 4,
         pq.write_table(
             t.slice(lo, hi - lo),
             os.path.join(out_dir, f"part-{fi:04d}.parquet"),
-            row_group_size=max(256, chunk // 4),
+            row_group_size=rg,
         )
     with open(marker, "w") as f:
         f.write(str(n_docs))
