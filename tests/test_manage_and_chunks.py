@@ -1,0 +1,178 @@
+"""Chunking stage, index management (tombstones/optimize/stats), facets,
+multi-index union, dedup-by-route over chunks."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from yetisearch_ray.index.build import IndexConfig, build_index
+from yetisearch_ray.index.manage import (
+    clear_index,
+    delete_by_prefix,
+    delete_docs,
+    drop_index,
+    index_stats,
+    optimize_index,
+    tombstones,
+)
+from yetisearch_ray.search.engine import SearchEngine, open_index
+from yetisearch_ray.stages.chunker import chunk_documents, chunk_text, split_sentences
+
+
+class TestChunkText:
+    def test_sentence_split(self):
+        assert split_sentences("One. Two! Three? Four") == ["One.", "Two!", "Three?", "Four"]
+
+    def test_short_doc_single_chunk(self):
+        assert chunk_text("short", 50, 10) == ["short"]
+
+    def test_fixture_2b(self):
+        # FIXTURES.md §2b: "Sentence. " * 20, chunk_size 50, overlap 10
+        text = ("Sentence. " * 20).strip()
+        chunks = chunk_text(text, 50, 10)
+        assert len(chunks) > 1
+        assert all(len(c) <= 60 for c in chunks)  # size + carried overlap
+        # overlap: consecutive chunks share trailing/leading words
+        assert chunks[1].startswith("Sentence")
+
+    def test_giant_sentence_hard_split(self):
+        text = "x" * 250
+        chunks = chunk_text(text, 100, 10)
+        assert sum(len(c) for c in chunks) >= 250
+        assert all(len(c) <= 100 for c in chunks)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkStage:
+    def test_explode_and_ids(self):
+        import ray.data as rd
+
+        rows = [
+            {"doc_id": 1, "text": ("Sentence. " * 20).strip(), "lang": "en"},
+            {"doc_id": 2, "text": "tiny", "lang": "en"},
+        ]
+        out = chunk_documents(rd.from_items(rows), chunk_size=50,
+                              chunk_overlap=10).to_pandas()
+        parents = out[~out.is_chunk]
+        chunks = out[out.is_chunk]
+        assert len(parents) == 2
+        assert len(chunks) >= 3
+        assert (chunks.parent_id == 1).all()
+        assert sorted(chunks.chunk_index) == list(range(len(chunks)))
+        # derived ids: unique, parent-prefixed
+        assert out.doc_id.is_unique
+        assert (chunks.doc_id.to_numpy() >> 12 == 1).all()
+        assert "lang" in out.columns
+
+    def test_chunked_index_dedup_by_route(self, tmp_path):
+        """Index chunk rows, search, dedup by parent route (reference
+        chunk + unique_by_route flow)."""
+        import ray.data as rd
+        import pyarrow as pa
+
+        body = "Alpha beta gamma. " * 12
+        rows = [
+            {"doc_id": 1, "text": body + "needle here.", "route": "/a"},
+            {"doc_id": 2, "text": body + "needle there.", "route": "/b"},
+        ]
+        ds = chunk_documents(rd.from_items(rows), chunk_size=80, chunk_overlap=10,
+                             keep_parent=False)
+
+        def cast_ids(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            i = t.schema.get_field_index("doc_id")
+            return t.set_column(i, "doc_id", pc.cast(t["doc_id"], pa.uint64()))
+
+        ds = ds.map_batches(cast_ids, batch_format="pyarrow")
+        idx = str(tmp_path / "chunkidx")
+        cfg = IndexConfig(fields=[("text", "text")],
+                          store_columns=["text", "route", "parent_id",
+                                         "chunk_index", "is_chunk"],
+                          num_partitions=4)
+        build_index(ds, idx, cfg)
+        eng = SearchEngine(open_index(idx))
+        plain = eng.search("alpha", limit=50, normalize=False)
+        assert plain.num_rows > 2  # multiple chunks match
+        dedup = eng.search("alpha", limit=50, normalize=False,
+                           unique_by_route=True, route_column="route")
+        assert dedup.num_rows == 2  # one representative per route
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestManagement:
+    @pytest.fixture()
+    def small_index(self, tmp_path, tiny_corpus_dir):
+        from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+        idx = str(tmp_path / "mgmt")
+        cfg = IndexConfig(
+            fields=[("path", "path"), ("content", "content")],
+            language_column="lang",
+            store_columns=["repo", "path", "commit", "lang", "content"],
+            num_partitions=8, content_hash_column="content",
+        )
+        build_index(read_parquet_with_doc_ids(tiny_corpus_dir), idx, cfg)
+        return idx
+
+    def test_delete_and_query_time_filter(self, small_index):
+        eng = SearchEngine(open_index(small_index))
+        r = eng.search("return", limit=5, normalize=False)
+        victim = r["doc_id"][0].as_py()
+        n_before = eng.count("return")
+        delete_docs(small_index, [victim])
+        eng2 = SearchEngine(open_index(small_index))  # reload manifest
+        r2 = eng2.search("return", limit=5, normalize=False)
+        assert victim not in r2["doc_id"].to_pylist()
+        assert eng2.count("return") == n_before - 1
+
+    def test_delete_by_prefix(self, small_index):
+        n = delete_by_prefix(small_index, "path", "src/module_1/")
+        assert n > 0
+        assert len(tombstones(small_index)) >= n
+
+    def test_optimize_compacts(self, small_index):
+        eng = SearchEngine(open_index(small_index))
+        victim = eng.search("return", limit=1, normalize=False)["doc_id"][0].as_py()
+        n_docs_before = index_stats(small_index)["n_docs"]
+        delete_docs(small_index, [victim])
+        res = optimize_index(small_index)
+        assert res["docs_removed"] == 1
+        st = index_stats(small_index)
+        assert st["n_docs"] == n_docs_before - 1
+        assert st["tombstones"] == 0
+        eng2 = SearchEngine(open_index(small_index))
+        assert victim not in eng2.search("return", limit=1000,
+                                         normalize=False)["doc_id"].to_pylist()
+
+    def test_stats_by_language(self, small_index):
+        st = index_stats(small_index, by="lang")
+        assert sum(st["by_lang"].values()) == st["n_docs"]
+        assert "python" in st["by_lang"]
+
+    def test_clear_and_drop(self, small_index):
+        clear_index(small_index)
+        assert index_stats(small_index)["n_docs"] == 0
+        drop_index(small_index)
+        assert not os.path.exists(small_index)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFacetsAndMulti:
+    def test_facets_over_match_set(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        f = eng.facets("return", ["lang"], top_n=10)
+        t = f["lang"].to_pandas()
+        assert t["count"].sum() > 0
+        assert t["count"].is_monotonic_decreasing
+
+    def test_search_multiple_union(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        merged = SearchEngine.search_multiple(
+            {"a": eng, "b": eng}, "parse", limit=10, normalize=False)
+        assert merged.num_rows == 10
+        assert set(merged["_index"].to_pylist()) <= {"a", "b"}
+        scores = merged["score"].to_pylist()
+        assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,213 @@
+"""Index management: delete (tombstones), clear, drop, stats, optimize.
+
+Maps the reference's SQLite mutations onto the immutable-segment world:
+
+- ``delete_docs`` / ``delete_by_prefix`` (reference
+  ``SqliteStorage::delete`` :703-763 / ``deleteByIdPrefix`` :775-856) →
+  TOMBSTONES in the manifest, applied at query time; physical removal
+  happens at ``optimize``.
+- ``clear_index`` / ``drop_index`` (:1543-1572 / :329-344) → directory
+  truncation / removal.
+- ``index_stats`` (``getIndexStats`` :1397-1436) → docstore aggregates.
+- ``optimize_index`` (``SqliteStorage::optimize`` :1383-1395, the FTS
+  'optimize' + VACUUM analogue) → per-partition segment compaction: a
+  Ray job that rewrites every posting segment with tombstoned docs
+  removed, rewrites doclens/docstore, refreshes stats, clears the
+  tombstone list.  Per-partition tasks, idempotent atomic writes — the
+  same resumability story as the build.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .manifest import Manifest
+from .postings import decode_postings, encode_postings
+
+
+# ---------------------------------------------------------------- deletes
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone documents (applied at query time; physical at optimize)."""
+    man = Manifest.load(index_dir)
+    tomb = set(man.data.get("tombstones", []))
+    before = len(tomb)
+    tomb.update(int(d) for d in doc_ids)
+    man.data["tombstones"] = sorted(tomb)
+    man.data["tombstone_version"] = man.data.get("tombstone_version", 0) + 1
+    man.save()
+    return len(tomb) - before
+
+
+def delete_by_prefix(index_dir: str, column: str, prefix: str) -> int:
+    """Delete every doc whose ``column`` starts with ``prefix`` (the
+    reference's id-prefix purge used for stale chunk cleanup)."""
+    docs_dir = os.path.join(index_dir, "docs")
+    man = Manifest.load(index_dir)
+    id_col = man.config["id_column"]
+    t = pq.read_table(docs_dir, columns=[id_col, column])
+    import pyarrow.compute as pc
+
+    mask = pc.starts_with(pc.cast(t[column], pa.string()), prefix)
+    ids = t.filter(mask)[id_col].to_pylist()
+    if ids:
+        delete_docs(index_dir, ids)
+    return len(ids)
+
+
+def tombstones(index_dir: str) -> set[int]:
+    man = Manifest.load(index_dir)
+    return set(man.data.get("tombstones", []))
+
+
+# ---------------------------------------------------------------- lifecycle
+
+
+def clear_index(index_dir: str) -> None:
+    """Remove all data but keep the index dir + manifest shell."""
+    man = Manifest.load(index_dir)
+    for sub in ("postings", "docs", "doclens"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    man.data["partitions"] = {}
+    man.data["tombstones"] = []
+    man.data["stats"] = {"n_docs": 0, "total_dl": 0, "avgdl": 0.0}
+    man.data["status"] = "cleared"
+    man.save()
+
+
+def drop_index(index_dir: str) -> None:
+    if Manifest.exists(index_dir):
+        shutil.rmtree(index_dir)
+
+
+def index_stats(index_dir: str, by: str | None = None):
+    """Doc count (+ optional per-column value counts, reference
+    getIndexStats groups by language/type)."""
+    man = Manifest.load(index_dir)
+    out = {
+        "n_docs": man.stats.get("n_docs", 0),
+        "avgdl": man.stats.get("avgdl", 0.0),
+        "total_dl": man.stats.get("total_dl", 0),
+        "partitions": len(man.data.get("partitions", {})),
+        "tombstones": len(man.data.get("tombstones", [])),
+    }
+    if by:
+        t = pq.read_table(os.path.join(index_dir, "docs"),
+                          columns=[by])
+        import pandas as pd
+
+        counts = pd.Series(t[by].to_pylist()).value_counts().to_dict()
+        out[f"by_{by}"] = counts
+    return out
+
+
+# ---------------------------------------------------------------- optimize
+
+
+def _compact_segment(path: str, dead: np.ndarray) -> tuple[int, int]:
+    """Rewrite one posting segment without tombstoned docs.
+    Returns (terms_kept, rows_removed)."""
+    t = pq.read_table(path)
+    out = {c: [] for c in ("term", "field", "df", "cf", "docs", "tfs", "pos")}
+    removed = 0
+    for i in range(t.num_rows):
+        d, f, p = decode_postings(t["docs"][i].as_py(), t["tfs"][i].as_py(),
+                                  t["pos"][i].as_py())
+        keep = ~np.isin(d, dead)
+        if not keep.any():
+            removed += d.size
+            continue
+        removed += int((~keep).sum())
+        if p is not None:
+            tf64 = f.astype(np.int64)
+            starts = np.cumsum(tf64) - tf64
+            sel = np.concatenate([
+                np.arange(starts[j], starts[j] + tf64[j])
+                for j in np.flatnonzero(keep)
+            ]) if keep.any() else np.empty(0, np.int64)
+            p = p[sel]
+        d, f = d[keep], f[keep]
+        db, tb, pb = encode_postings(d, f, p)
+        out["term"].append(t["term"][i].as_py())
+        out["field"].append(t["field"][i].as_py())
+        out["df"].append(d.size)
+        out["cf"].append(int(f.sum()))
+        out["docs"].append(db)
+        out["tfs"].append(tb)
+        out["pos"].append(pb)
+    seg = pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "field": pa.array(out["field"], pa.int8()),
+        "df": pa.array(out["df"], pa.uint32()),
+        "cf": pa.array(out["cf"], pa.uint64()),
+        "docs": pa.array(out["docs"], pa.binary()),
+        "tfs": pa.array(out["tfs"], pa.binary()),
+        "pos": pa.array(out["pos"], pa.binary()),
+    })
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".opt-")
+    os.close(fd)
+    pq.write_table(seg, tmp, row_group_size=4096, compression="zstd")
+    os.replace(tmp, path)
+    return len(out["term"]), removed
+
+
+def _filter_parquet_dir(dir_path: str, id_col: str, dead: np.ndarray) -> int:
+    """Drop tombstoned rows from every parquet file in a dir (atomic)."""
+    n_dropped = 0
+    for f in sorted(glob.glob(os.path.join(dir_path, "*.parquet"))):
+        t = pq.read_table(f)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, dead)
+        if keep.all():
+            continue
+        n_dropped += int((~keep).sum())
+        fd, tmp = tempfile.mkstemp(dir=dir_path, prefix=".opt-")
+        os.close(fd)
+        pq.write_table(t.filter(pa.array(keep)), tmp, compression="zstd")
+        os.replace(tmp, f)
+    return n_dropped
+
+
+def optimize_index(index_dir: str) -> dict:
+    """Physically apply tombstones to every partition (parallel Ray tasks)
+    and refresh stats — the segment-compaction analogue of the reference's
+    optimize()."""
+    import ray
+
+    man = Manifest.load(index_dir)
+    dead = np.array(sorted(man.data.get("tombstones", [])), dtype=np.uint64)
+    seg_files = sorted(glob.glob(os.path.join(index_dir, "postings", "*.parquet")))
+    if dead.size == 0:
+        return {"segments": len(seg_files), "docs_removed": 0}
+
+    @ray.remote
+    def compact(path: str, dead_arr: np.ndarray):
+        return _compact_segment(path, dead_arr)
+
+    dead_ref = ray.put(dead)
+    results = ray.get([compact.remote(f, dead_ref) for f in seg_files])
+    _filter_parquet_dir(os.path.join(index_dir, "doclens"), "doc_id", dead)
+    _filter_parquet_dir(os.path.join(index_dir, "docs"),
+                        man.config["id_column"], dead)
+    # refresh stats from the compacted doclens
+    dl = pq.read_table(os.path.join(index_dir, "doclens"), columns=["dl"])
+    n_docs = dl.num_rows
+    total_dl = int(pa.compute.sum(dl["dl"]).as_py() or 0)
+    man.data["stats"] = {
+        "n_docs": n_docs,
+        "total_dl": total_dl,
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+    }
+    man.data["tombstones"] = []
+    man.data["optimized_at"] = __import__("time").time()
+    man.save()
+    return {"segments": len(seg_files), "docs_removed": int(dead.size),
+            "terms_kept": sum(r[0] for r in results)}

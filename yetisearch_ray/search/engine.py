@@ -73,6 +73,12 @@ class IndexReader:
         st = self.manifest.stats
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
+        # tombstones: deletes are logical until optimize_index() compacts
+        # (N/avgdl intentionally reflect the pre-delete corpus until then,
+        # mirroring "stats lag physical state" of segment architectures)
+        self.tombstones = np.array(
+            sorted(self.manifest.data.get("tombstones", [])), dtype=np.uint64
+        )
         self._cache: OrderedDict[str, dict[int, Posting]] = OrderedDict()
         self._cache_max = cache_terms
         self._docs_dir = os.path.join(index_dir, "docs")
@@ -230,6 +236,7 @@ class CompiledQuery:
     phrases: list = dc_field(default_factory=list)  # scoring phrases
     required: list = dc_field(default_factory=list)  # phrases that must ALL match ("and"/"phrase")
     any_of: list = dc_field(default_factory=list)  # components; ANY matches ("or"/"smart")
+    exclude: list = dc_field(default_factory=list)  # NOT phrases (DSL layer)
     near_terms: list | None = None  # smart mode NEAR group
     near_distance: int = 10
 
@@ -285,10 +292,46 @@ def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
 class SearchEngine:
     def __init__(self, index: IndexReader, *, language: str = "en",
                  analyzer: StandardAnalyzer | None = None,
-                 field_weights: dict[str, float] | None = None):
+                 field_weights: dict[str, float] | None = None,
+                 synonyms: dict[str, list] | None = None,
+                 fuzzy_algorithm: str = "trigram",
+                 fuzziness: float = 0.4,
+                 max_indexed_terms: int = 20000,
+                 min_term_frequency: int = 2):
         self.index = index
         self.analyzer = analyzer or StandardAnalyzer(language=language)
         self.default_weights = field_weights
+        self.synonyms = {k.lower(): list(v) for k, v in (synonyms or {}).items()}
+        self.fuzzy_algorithm = fuzzy_algorithm
+        self.fuzziness = fuzziness
+        self._fuzzy_cfg = (max_indexed_terms, min_term_frequency)
+        self._fuzzy = None
+
+    @property
+    def fuzzy_matcher(self):
+        """Dictionary head + fuzzy state, built lazily once per engine
+        (reference's indexed-terms cache, §2.3)."""
+        if self._fuzzy is None:
+            from .fuzzy import FuzzyMatcher
+
+            limit, min_df = self._fuzzy_cfg
+            self._fuzzy = FuzzyMatcher(
+                self.index.dictionary(limit=limit, min_df=min_df),
+                algorithm=self.fuzzy_algorithm, fuzziness=self.fuzziness,
+            )
+        return self._fuzzy
+
+    def _expand_synonyms(self, groups: list[list[str]], cap_per_term: int = 3):
+        """Synonym expansion (reference ``expandSynonyms`` :2157-2213):
+        extra OR-arms per term; multi-word synonyms become phrases."""
+        extra = []
+        for g in groups:
+            if len(g) != 1:
+                continue
+            for syn in self.synonyms.get(g[0], [])[:cap_per_term]:
+                toks = self.analyzer.match_terms(syn)
+                extra.extend(toks)
+        return extra
 
     # ---------------- low-level helpers -------------------------------
     def _field_weight_vector(self, field_weights: dict[str, float] | None) -> np.ndarray:
@@ -445,6 +488,12 @@ class SearchEngine:
             # the OR-of-terms arms already cover — so it is intentionally
             # not evaluated here.  ``_near_docs`` exists for explicit
             # NEAR() queries (DSL layer).
+        if match.size and cq.exclude:
+            for ph in cq.exclude:
+                posts = self._phrase_postings(ph)
+                bad = docs_any(posts)
+                if bad.size:
+                    match = match[~np.isin(match, bad)]
         if match.size == 0:
             return match, np.empty(0, np.float64)
 
@@ -556,13 +605,37 @@ class SearchEngine:
         with_docs: bool = False,
         highlight: bool = False,
         round_scores: int | None = None,
+        fuzzy: bool = False,
+        fuzzy_mode: str = "correction",
+        exclude_terms=None,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         weights = self._field_weight_vector(field_weights or self.default_weights)
-        cq = compile_query(query, self.analyzer, mode=mode, prefix_last=prefix_last)
+        orig_terms: list[str] = []
+        if fuzzy:
+            cq, orig_terms = self._compile_fuzzy(query, fuzzy_mode)
+        else:
+            cq = compile_query(query, self.analyzer, mode=mode,
+                               prefix_last=prefix_last)
+        if exclude_terms:
+            for x in exclude_terms:
+                g = self.analyzer.match_terms(x)
+                for sub in g:
+                    cq.exclude.append(Phrase(sub))
+        if self.synonyms and not fuzzy:
+            extra = self._expand_synonyms(
+                [ph.terms for ph in cq.phrases if len(ph.terms) == 1])
+            for g in extra:
+                ph = Phrase(g)
+                cq.phrases.append(ph)
+                if cq.any_of:
+                    cq.any_of.append(ph)
         if not cq.phrases:
             return self._empty_result(with_docs)
         doc_ids, rank = self._score(cq, weights)
+        if doc_ids.size and self.index.tombstones.size:
+            live = ~np.isin(doc_ids, self.index.tombstones)
+            doc_ids, rank = doc_ids[live], rank[live]
         if doc_ids.size:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids, rank = doc_ids[keep], rank[keep]
@@ -570,13 +643,18 @@ class SearchEngine:
         order = np.lexsort((doc_ids, rank))
         doc_ids, rank = doc_ids[order], rank[order]
         # widen before dedup (reference widens to max_results :129-137)
-        page_n = MAX_RESULTS if unique_by_route else offset + limit
+        page_n = MAX_RESULTS if (unique_by_route or fuzzy) else offset + limit
         doc_ids, rank = doc_ids[:page_n], rank[:page_n]
         score = np.abs(rank)
         # min_score on abs score (processResults :717-729)
         if min_score > 0:
             keep = score >= min_score
             doc_ids, rank, score = doc_ids[keep], rank[keep], score[keep]
+        if fuzzy and doc_ids.size and orig_terms:
+            score = self._apply_fuzzy_penalty(doc_ids, score, orig_terms)
+            order = np.lexsort((doc_ids, -score))  # re-sort after penalty
+            doc_ids, score = doc_ids[order], score[order]
+            rank = -score
         if unique_by_route and route_column:
             doc_ids, score = self._dedup_by_route(doc_ids, score, route_column)
             rank = -score
@@ -606,6 +684,100 @@ class SearchEngine:
                 out = out.append_column("highlight", pa.array(snips, pa.string()))
         return out
 
+    # ---------------- fuzzy -------------------------------------------
+    def _compile_fuzzy(self, query: str, fuzzy_mode: str):
+        """Fuzzy query compilation (reference ``processQuery`` :394-654).
+
+        correction (default): replace each token with its best correction
+        and emit an implicit-AND expression (:549-562).
+        expansion: (smart shape over exact terms) OR (variations) — the
+        budget is ``fuzzy_total_max_variations`` (:563-614).
+        """
+        fm = self.fuzzy_matcher
+        groups = self.analyzer.match_terms(query)
+        terms = [t for g in groups for t in g]
+        if not terms:
+            return CompiledQuery(mode="and"), []
+        if fuzzy_mode == "correction":
+            corrected: list[str] = []
+            for t in terms:
+                c = fm.find_best_correction(t)
+                corrected.extend((c or t).split())
+            phs = [Phrase([t]) for t in corrected]
+            return CompiledQuery(mode="and", phrases=phs, required=phs), terms
+        # expansion mode
+        cq = compile_query(" ".join(terms), self.analyzer, mode="smart")
+        budget = fm.total_max_variations
+        for t in terms:
+            if budget <= 0:
+                break
+            vars_ = fm.variations(t)[: min(fm.max_variations, budget)]
+            budget -= len(vars_)
+            for v in vars_:
+                ph = Phrase(v.split())
+                cq.phrases.append(ph)
+                cq.any_of.append(ph)
+        return cq, terms
+
+    def _apply_fuzzy_penalty(self, doc_ids, score, orig_terms):
+        """Penalty layer (§2.9 step 4): per-candidate match quality vs the
+        ORIGINAL query terms decides the multiplier."""
+        from .fuzzy import fuzzy_penalty
+
+        n_present = np.zeros(doc_ids.size, dtype=np.int64)
+        for t in orig_terms:
+            posts = self._term_postings(t)
+            present = np.zeros(doc_ids.size, dtype=bool)
+            for p in posts.values():
+                if p.doc_ids.size == 0:
+                    continue
+                idx = np.clip(np.searchsorted(p.doc_ids, doc_ids), 0,
+                              p.doc_ids.size - 1)
+                present |= p.doc_ids[idx] == doc_ids
+            n_present += present
+        # exact-phrase presence (only meaningful for multi-term queries)
+        phrase_present = np.zeros(doc_ids.size, dtype=bool)
+        if len(orig_terms) > 1:
+            pp = self._phrase_postings(Phrase(list(orig_terms)))
+            for p in pp.values():
+                if p.doc_ids.size == 0:
+                    continue
+                idx = np.clip(np.searchsorted(p.doc_ids, doc_ids), 0,
+                              p.doc_ids.size - 1)
+                phrase_present |= p.doc_ids[idx] == doc_ids
+        nt = max(1, len(orig_terms))
+        penalties = np.fromiter(
+            (fuzzy_penalty(bool(phrase_present[i]),
+                           n_present[i] == nt,
+                           n_present[i] / nt)
+             for i in range(doc_ids.size)),
+            np.float64, doc_ids.size,
+        )
+        return score * (1.0 - penalties)
+
+    def suggest(self, query: str, *, limit: int = 5) -> pa.Table:
+        """Did-you-mean (reference ``SearchEngine::suggest`` :2215-2373):
+        per-token correction, verified to have hits, with confidence."""
+        tokens = [t for g in self.analyzer.match_terms(query) for t in g]
+        if not tokens:
+            return pa.table({"suggestion": pa.array([], pa.string()),
+                             "confidence": pa.array([], pa.float64()),
+                             "count": pa.array([], pa.int64())})
+        corrected, conf, changed = self.fuzzy_matcher.suggest_tokens(tokens)
+        suggestion = " ".join(corrected)
+        if not changed:
+            return pa.table({"suggestion": pa.array([], pa.string()),
+                             "confidence": pa.array([], pa.float64()),
+                             "count": pa.array([], pa.int64())})
+        n = self.count(suggestion, mode="and")
+        if n == 0:
+            return pa.table({"suggestion": pa.array([], pa.string()),
+                             "confidence": pa.array([], pa.float64()),
+                             "count": pa.array([], pa.int64())})
+        return pa.table({"suggestion": pa.array([suggestion], pa.string()),
+                         "confidence": pa.array([round(conf, 4)], pa.float64()),
+                         "count": pa.array([n], pa.int64())})
+
     def _dedup_by_route(self, doc_ids, score, route_column):
         """Reference dedup: group by route; composite = SUM of chunk scores;
         representative = best chunk; rows without route pass through
@@ -634,6 +806,56 @@ class SearchEngine:
         sc = np.asarray([s for _, s in items], np.float64)
         return ids, sc
 
+    def facets(self, query: str, facet_fields, *, candidates: int = 1000,
+               min_count: int = 1, top_n: int = 10,
+               **search_kwargs) -> dict[str, pa.Table]:
+        """Facet value counts over the match set — reference semantics
+        preserved (``computeFacets`` :1187-1307): counts come from the
+        TOP-``candidates`` (1000) results only, min_count filter, count
+        desc, top-N."""
+        r = self.search(query, limit=candidates, normalize=False,
+                        **search_kwargs)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out: dict[str, pa.Table] = {}
+        for field in facet_fields:
+            try:
+                vals = self.index.meta_for(field, ids)
+            except KeyError:
+                docs = self.index.docs(ids, columns=[self.index.id_column, field])
+                vals = docs[field].to_numpy(zero_copy_only=False)
+            import pandas as pd
+
+            counts = pd.Series(vals).value_counts()
+            counts = counts[counts >= min_count]
+            df = counts.reset_index()
+            df.columns = ["value", "count"]
+            df["value"] = df["value"].astype(str)
+            df = df.sort_values(["count", "value"],
+                                ascending=[False, True]).head(top_n)
+            out[field] = pa.Table.from_pandas(df.reset_index(drop=True),
+                                              preserve_index=False)
+        return out
+
+    @staticmethod
+    def search_multiple(engines: dict, query: str, *, limit: int = 20,
+                        offset: int = 0, **kwargs) -> pa.Table:
+        """Multi-index union (reference ``searchMultiple`` :1574-1628):
+        per-index searches, tag ``_index``, merge by score desc, slice."""
+        frames = []
+        for name, eng in engines.items():
+            r = eng.search(query, limit=limit + offset, **kwargs)
+            t = r.append_column("_index",
+                                pa.array([name] * r.num_rows, pa.string()))
+            frames.append(t)
+        merged = pa.concat_tables(frames, promote_options="default")
+        import pandas as pd
+
+        df = merged.to_pandas().sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).iloc[offset : offset + limit]
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
     def count(self, query: str, *, mode: str = "smart", filters=None,
               language: str | None = None, field_weights=None) -> int:
         weights = self._field_weight_vector(field_weights or self.default_weights)
@@ -641,6 +863,8 @@ class SearchEngine:
         if not cq.phrases:
             return 0
         doc_ids, _ = self._score(cq, weights)
+        if doc_ids.size and self.index.tombstones.size:
+            doc_ids = doc_ids[~np.isin(doc_ids, self.index.tombstones)]
         if doc_ids.size:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids = doc_ids[keep]

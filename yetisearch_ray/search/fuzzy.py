@@ -1,0 +1,253 @@
+"""Fuzzy matching layer: corrections, variations, suggestions.
+
+Re-expresses the reference's fuzzy pipeline
+(``src/Search/SearchEngine.php:1328-2373``) over the engine's dictionary
+head: a ``FuzzyMatcher`` holds the top-``max_indexed_terms`` terms by
+document frequency (the candidate source, reference §2.3) plus an LRU
+memo of computed expansions (the FuzzyTermCache analogue), and exposes
+
+- ``find_best_correction`` — staged: common-typo table → known-term
+  short-circuit → prefix match → quick edit-distance-1 vs compound-split
+  arbitration → full consensus scan (weighted blend of trigram /
+  levenshtein / jaro-winkler / phonetic / keyboard, reference
+  ``:1994-2042``: ≥2 algorithms must score > 0, ×1.1 when ≥2 ≥ 0.8),
+- ``variations`` — per-algorithm candidate generation with length/bigram
+  prefilters and a total budget (``fuzzy_total_max_variations``),
+- ``suggest`` — per-token correction with confidence, verified against
+  the index (did-you-mean).
+
+All pure Python over in-actor state — never a per-row hot path.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from ..functions.similarity import (
+    _COMMON_TYPOS,
+    jaro_winkler,
+    keyboard_proximity,
+    levenshtein,
+    levenshtein_within,
+    phonetic_similarity,
+    trigram_similarity,
+)
+
+CONSENSUS_WEIGHTS = {
+    "trigram": 0.25,
+    "levenshtein": 0.20,
+    "jaro_winkler": 0.25,
+    "phonetic": 0.15,
+    "keyboard": 0.15,
+}
+
+
+def consensus_score(a: str, b: str) -> float:
+    """Weighted blend of the five similarity signals (reference
+    ``calculateConsensusScore``)."""
+    lev = levenshtein(a, b)
+    lev_sim = 1.0 - lev / max(len(a), len(b), 1)
+    scores = {
+        "trigram": trigram_similarity(a, b),
+        "levenshtein": max(0.0, lev_sim),
+        "jaro_winkler": jaro_winkler(a, b),
+        "phonetic": phonetic_similarity(a, b),
+        "keyboard": keyboard_proximity(a, b),
+    }
+    nonzero = sum(1 for v in scores.values() if v > 0)
+    if nonzero < 2:
+        return 0.0
+    blended = sum(CONSENSUS_WEIGHTS[k] * v for k, v in scores.items())
+    strong = sum(1 for v in scores.values() if v >= 0.8)
+    if strong >= 2:
+        blended *= 1.1
+    return min(1.0, blended)
+
+
+class FuzzyMatcher:
+    def __init__(self, dictionary: dict[str, int], *,
+                 algorithm: str = "trigram",
+                 fuzziness: float = 0.4,
+                 max_variations: int = 10,
+                 total_max_variations: int = 30,
+                 cache_size: int = 10000):
+        self.dict = dictionary  # term -> df, ordered by df desc is fine
+        self.algorithm = algorithm
+        self.fuzziness = fuzziness
+        self.max_variations = max_variations
+        self.total_max_variations = total_max_variations
+        self._cache: OrderedDict[tuple, list] = OrderedDict()
+        self._cache_max = cache_size
+        # length buckets for candidate prefiltering
+        self._by_len: dict[int, list[str]] = {}
+        for t in dictionary:
+            self._by_len.setdefault(len(t), []).append(t)
+
+    # ------------------------------------------------------------------
+    def _candidates_near_length(self, term: str, delta: int = 2):
+        for ln in range(max(1, len(term) - delta), len(term) + delta + 1):
+            yield from self._by_len.get(ln, ())
+
+    def _cached(self, key, compute):
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        val = compute()
+        self._cache[key] = val
+        if len(self._cache) > self._cache_max:
+            self._cache.popitem(last=False)
+        return val
+
+    # ------------------------------------------------------------------
+    def variations(self, term: str, algorithm: str | None = None,
+                   limit: int | None = None) -> list[str]:
+        """Index terms similar to ``term`` under the chosen algorithm,
+        ranked by (similarity desc, df desc)."""
+        algo = algorithm or self.algorithm
+        limit = limit or self.max_variations
+        key = (term, algo, limit)
+
+        def compute():
+            out = []
+            if algo == "basic":
+                # wildcard / deletion / transposition edits that exist
+                cands = set()
+                for i in range(len(term)):
+                    cands.add(term[:i] + term[i + 1 :])  # deletion
+                    if i + 1 < len(term):
+                        cands.add(term[:i] + term[i + 1] + term[i] + term[i + 2 :])
+                for c in cands:
+                    df = self.dict.get(c)
+                    if df and c != term:
+                        out.append((c, 0.8, df))
+            elif algo == "levenshtein":
+                max_d = 1 if len(term) <= 4 else 2
+                for c in self._candidates_near_length(term, max_d):
+                    if c == term:
+                        continue
+                    # bigram prefilter (reference :1359-1474)
+                    big_a = {term[i : i + 2] for i in range(len(term) - 1)}
+                    big_b = {c[i : i + 2] for i in range(len(c) - 1)}
+                    if big_a and big_b and not (big_a & big_b):
+                        continue
+                    if levenshtein_within(term, c, max_d):
+                        d = levenshtein(term, c)
+                        out.append((c, 1.0 - d / max(len(term), len(c)), self.dict[c]))
+            elif algo == "jaro_winkler":
+                thr = 1.0 - self.fuzziness * 0.5
+                for c in self._candidates_near_length(term, 2):
+                    s = jaro_winkler(term, c)
+                    if s >= thr and c != term:
+                        out.append((c, s, self.dict[c]))
+            else:  # trigram (default); adaptive n=2 for short terms
+                n = 2 if len(term) <= 4 else 3
+                thr = max(0.2, 1.0 - self.fuzziness - 0.3)
+                for c in self._candidates_near_length(term, 3):
+                    s = trigram_similarity(term, c, n)
+                    if s >= thr and c != term:
+                        out.append((c, s, self.dict[c]))
+            out.sort(key=lambda x: (-x[1], -x[2], x[0]))
+            return [c for c, _, _ in out[:limit]]
+
+        return self._cached(key, compute)
+
+    # ------------------------------------------------------------------
+    def _compound_split(self, term: str) -> tuple[str, str] | None:
+        """``searchengine`` → ``search engine`` when both halves are known
+        (reference ``:1655-1699``)."""
+        best = None
+        for i in range(2, len(term) - 1):
+            a, b = term[:i], term[i:]
+            fa, fb = self.dict.get(a), self.dict.get(b)
+            if fa and fb:
+                balance = min(fa, fb) / max(fa, fb)
+                score = (fa + fb) * (0.5 + balance / 2)
+                if best is None or score > best[2]:
+                    best = (a, b, score)
+        return (best[0], best[1]) if best else None
+
+    def find_best_correction(self, term: str) -> str | None:
+        """Staged correction pipeline (reference ``:1706-1927``).
+        Returns a replacement term/phrase, or None if the term is fine or
+        uncorrectable."""
+        low = term.lower()
+        # 1. common-typo table
+        fixed = _COMMON_TYPOS.get(low)
+        if fixed and fixed in self.dict:
+            return fixed
+        # 2. already a known term → no correction needed
+        if low in self.dict:
+            return None
+        # 3. prefix match: a known term extending this one
+        prefix_hits = [
+            (c, self.dict[c]) for c in self._candidates_near_length(low, 3)
+            if c.startswith(low) and len(c) > len(low)
+        ]
+        if prefix_hits and len(low) >= 3:
+            prefix_hits.sort(key=lambda x: (-x[1], x[0]))
+            best_prefix = prefix_hits[0]
+        else:
+            best_prefix = None
+        # 4. quick fuzzy (edit distance 1) vs compound split arbitration
+        quick = [
+            c for c in self._candidates_near_length(low, 1)
+            if levenshtein_within(low, c, 1)
+        ]
+        quick.sort(key=lambda c: (-self.dict[c], c))
+        split = self._compound_split(low)
+        if quick and split:
+            qf = self.dict[quick[0]]
+            sf = min(self.dict[split[0]], self.dict[split[1]])
+            choice = quick[0] if qf >= sf else f"{split[0]} {split[1]}"
+            return choice
+        if quick:
+            return quick[0]
+        if split:
+            return f"{split[0]} {split[1]}"
+        if best_prefix:
+            return best_prefix[0]
+        # 5. full consensus scan with validation
+        best, best_score = None, 0.0
+        for c in self._candidates_near_length(low, 2):
+            s = consensus_score(low, c)
+            if s > best_score or (s == best_score and best is not None
+                                  and self.dict[c] > self.dict[best]):
+                best, best_score = c, s
+        if best is not None and best_score >= 0.5:
+            return best
+        return None
+
+    # ------------------------------------------------------------------
+    def suggest_tokens(self, tokens: list[str]) -> tuple[list[str], float, bool]:
+        """Per-token correction; returns (corrected tokens, confidence,
+        changed?)."""
+        out, confs, changed = [], [], False
+        for t in tokens:
+            corr = self.find_best_correction(t)
+            if corr is None:
+                out.append(t)
+                confs.append(1.0 if t.lower() in self.dict else 0.0)
+            else:
+                out.append(corr)
+                confs.append(consensus_score(t.lower(), corr.split()[0]))
+                changed = True
+        conf = sum(confs) / len(confs) if confs else 0.0
+        return out, conf, changed
+
+
+def fuzzy_penalty(matched_exact_phrase: bool, all_terms: bool,
+                  term_ratio: float, base_penalty: float = 0.2,
+                  similarity_tier: float = 1.0) -> float:
+    """Score penalty for fuzzy matches (reference ``calculateFuzzyPenalty``
+    ``:850-971``): exact-phrase 0.05, all-terms 0.1, ≥75 % terms 0.2,
+    otherwise scaled by match ratio and similarity tier."""
+    if matched_exact_phrase:
+        return 0.05
+    if all_terms:
+        return 0.1
+    if term_ratio >= 0.75:
+        return 0.2
+    if term_ratio > 0:
+        return base_penalty * (1.0 - term_ratio * 0.5)
+    return base_penalty * similarity_tier

@@ -1,0 +1,113 @@
+"""Document chunking stage (reference ``Indexer`` :385-445).
+
+Large documents split at sentence boundaries into ≤``chunk_size``-char
+chunks with a ``chunk_overlap``-char tail of the previous chunk carried
+into the next; each chunk is indexed as its own row, keyed
+``parent_doc_id`` + ``chunk_index``, with ``is_chunk`` and a parent
+route for query-time dedup-by-route (reference chunk-id format
+``"{parentId}#chunk{N}"`` :298,334).
+
+As a Ray stage it is a ``map_batches`` transform that EXPLODES rows
+(one in → 1+N out) — flat-map shape, still vectorized per batch at the
+row level.  Chunk doc_ids are derived deterministically:
+``(parent_id << CHUNK_BITS) | (chunk_index + 1)`` and the parent keeps
+``parent_id << CHUNK_BITS``, so ids stay unique, ordered and stable
+across runs and cluster sizes (doc-id determinism, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+CHUNK_BITS = 12  # up to 4095 chunks per parent
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(text: str) -> list[str]:
+    return [s for s in _SENT_RE.split(text) if s]
+
+
+def chunk_text(text: str, chunk_size: int, overlap: int) -> list[str]:
+    """Pack sentences into ≤chunk_size-char chunks; carry up to
+    ``overlap`` trailing characters (whole words) into the next chunk."""
+    if len(text) <= chunk_size:
+        return [text]
+    sentences = split_sentences(text)
+    chunks: list[str] = []
+    cur = ""
+    for s in sentences:
+        if cur and len(cur) + 1 + len(s) > chunk_size:
+            chunks.append(cur)
+            # overlap: trailing words of the finished chunk
+            tail = cur[-overlap:] if overlap > 0 else ""
+            sp = tail.find(" ")
+            if sp >= 0:
+                tail = tail[sp + 1 :]
+            cur = (tail + " " + s).strip() if tail else s
+        else:
+            cur = (cur + " " + s).strip() if cur else s
+        # a single sentence longer than chunk_size becomes its own chunk(s)
+        while len(cur) > chunk_size:
+            chunks.append(cur[:chunk_size])
+            cur = cur[chunk_size - overlap :] if overlap > 0 else cur[chunk_size:]
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_size: int = 1000, chunk_overlap: int = 100,
+                    route_col: str | None = None, keep_parent: bool = True):
+    """Explode oversized docs into chunk rows.
+
+    Output schema: original columns (text replaced by the chunk text) +
+    ``parent_id`` (uint64), ``chunk_index`` (int32, -1 for the parent
+    row), ``is_chunk`` (bool).  Docs ≤ chunk_size pass through unchanged
+    (chunk_index -1).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        other_cols = [c for c in t.column_names if c not in (id_col, text_col)]
+        out_rows: dict[str, list] = {c: [] for c in other_cols}
+        out_ids, out_parent, out_idx, out_is, out_text = [], [], [], [], []
+
+        def emit(i, did, parent, idx, is_chunk, text):
+            out_ids.append(did)
+            out_parent.append(parent)
+            out_idx.append(idx)
+            out_is.append(is_chunk)
+            out_text.append(text)
+            for c in other_cols:
+                out_rows[c].append(t[c][i].as_py())
+
+        for i, (pid, text) in enumerate(zip(ids, texts)):
+            base = int(pid) << CHUNK_BITS
+            text = text or ""
+            if len(text) <= chunk_size:
+                emit(i, base, int(pid), -1, False, text)
+                continue
+            chunks = chunk_text(text, chunk_size, chunk_overlap)
+            if keep_parent:
+                emit(i, base, int(pid), -1, False, text)
+            for n, ch in enumerate(chunks):
+                if n + 1 >= (1 << CHUNK_BITS):
+                    break
+                emit(i, base | (n + 1), int(pid), n, True, ch)
+
+        cols = {
+            id_col: pa.array(np.asarray(out_ids, dtype=np.uint64), pa.uint64()),
+            "parent_id": pa.array(np.asarray(out_parent, dtype=np.uint64), pa.uint64()),
+            "chunk_index": pa.array(out_idx, pa.int32()),
+            "is_chunk": pa.array(out_is, pa.bool_()),
+            text_col: pa.array(out_text, pa.string()),
+        }
+        for c in other_cols:
+            cols[c] = pa.array(out_rows[c], t.schema.field(c).type)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
