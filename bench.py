@@ -70,7 +70,8 @@ def bench_build(corpus_dir: str, idx_dir: str) -> tuple[float, int]:
 def bench_queries(idx_dir: str) -> dict[str, float]:
     from yetisearch_ray.search.engine import SearchEngine, open_index
 
-    eng = SearchEngine(open_index(idx_dir))
+    # cache_ttl=0: measure real query latency, not result-cache hits
+    eng = SearchEngine(open_index(idx_dir), cache_ttl=0)
     # warm: touch postings once
     for q, kw in QUERY_SET:
         eng.search(q, limit=10, **kw)

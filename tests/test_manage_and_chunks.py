@@ -176,3 +176,104 @@ class TestFacetsAndMulti:
         assert set(merged["_index"].to_pylist()) <= {"a", "b"}
         scores = merged["score"].to_pylist()
         assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScoringExtras:
+    def test_post_rescore_boosts_field_matches(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        base = eng.search("module", limit=10, normalize=False)
+        res = eng.search("module", limit=10, normalize=False,
+                         post_rescore=True,
+                         field_weights={"path": 5.0, "content": 1.0})
+        assert res.num_rows == 10
+        # rescored scores are >= base (multiplicative boost >= 1)
+        assert max(res["score"].to_pylist()) >= max(base["score"].to_pylist())
+
+    def test_two_pass_mode(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        r = eng.search_two_pass("module parse", limit=10,
+                                field_weights={"path": 5.0, "content": 1.0})
+        assert r.num_rows == 10
+        df = r.to_pandas()
+        assert not df.doc_id.duplicated().any()
+        assert df.score.is_monotonic_decreasing
+
+    def test_query_cache_hits(self, built_index):
+        eng = SearchEngine(open_index(built_index), cache_ttl=300)
+        a = eng.search("parse", limit=5)
+        assert len(eng._result_cache) == 1
+        b = eng.search("parse", limit=5)
+        assert a is b  # identity: served from cache
+        c = eng.search("parse", limit=6)
+        assert c is not a
+
+    def test_cache_disabled(self, built_index):
+        eng = SearchEngine(open_index(built_index), cache_ttl=0)
+        eng.search("parse", limit=5)
+        assert len(eng._result_cache) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalAppend:
+    def test_append_generation_and_merge(self, tmp_path):
+        """Incremental indexing: base build + append of new docs -> reader
+        merges generations; optimize compacts to one file per part with
+        identical query results."""
+        import glob as _glob
+
+        import ray.data as rd
+        import pyarrow as pa
+
+        def mk(rows):
+            def cast_ids(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                i = t.schema.get_field_index("doc_id")
+                return t.set_column(i, "doc_id", pc.cast(t["doc_id"], pa.uint64()))
+
+            return rd.from_items(rows).map_batches(cast_ids, batch_format="pyarrow")
+
+        idx = str(tmp_path / "genidx")
+        cfg = IndexConfig(fields=[("text", "text")], store_columns=["text"],
+                          num_partitions=4)
+        base = [{"doc_id": i, "text": f"alpha shared token doc{i}"} for i in range(10)]
+        build_index(mk(base), idx, cfg, balance_hot_terms=False)
+        extra = [{"doc_id": 100 + i, "text": f"alpha newer token doc{100+i}"}
+                 for i in range(5)]
+        build_index(mk(extra), idx, cfg, append=True)
+
+        eng = SearchEngine(open_index(idx))
+        r = eng.search("alpha", limit=50, normalize=False)
+        assert r.num_rows == 15  # both generations visible
+        assert eng.index.n_docs == 15  # stats accumulated
+        gens = _glob.glob(os.path.join(idx, "postings", "*-g001.parquet"))
+        assert gens, "second generation files expected"
+
+        before = eng.search("newer", limit=50, normalize=False)["doc_id"].to_pylist()
+        res = optimize_index(idx)
+        assert res["segments"] >= 1
+        assert not _glob.glob(os.path.join(idx, "postings", "*-g001.parquet"))
+        eng2 = SearchEngine(open_index(idx))
+        after = eng2.search("newer", limit=50, normalize=False)["doc_id"].to_pylist()
+        assert sorted(before) == sorted(after)
+        assert eng2.index.n_docs == 15
+
+    def test_hot_term_map_persisted_and_used(self, tmp_path, tiny_corpus_dir):
+        from yetisearch_ray.index.manifest import Manifest
+        from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+        idx = str(tmp_path / "hotidx")
+        cfg = IndexConfig(fields=[("path", "path"), ("content", "content")],
+                          language_column="lang",
+                          store_columns=["repo", "path", "commit", "lang", "content"],
+                          num_partitions=8, content_hash_column="content")
+        build_index(read_parquet_with_doc_ids(tiny_corpus_dir), idx, cfg,
+                    balance_hot_terms=True)
+        man = Manifest.load(idx)
+        hot = man.data.get("hot_terms")
+        assert hot and "return" in hot  # keywords land in the sketch
+        # the engine must find hot terms via the explicit placement
+        eng = SearchEngine(open_index(idx))
+        assert eng.search("return", limit=5, normalize=False).num_rows == 5
+        assert eng.count("return") > 100

@@ -23,11 +23,13 @@ Scale design:
   size it so (total index size / P) fits a worker heap; at 100 TB input
   that means P in the 10^4–10^5 range, not the default 32 used for tests.
 - Skew: hot terms (code keywords: ``the``, ``if``, ``return`` …) are
-  Zipf-headed but a partition holds MANY terms, so imbalance averages out
-  across P; residual skew is handled by ``hot_term_split`` which re-salts
-  terms whose in-batch df exceeds a threshold into ``(term, salt)``
-  sub-rows merged at read time (same partition, multiple rows per term —
-  the segment builder merges them before encoding).
+  Zipf-headed; a df-sketch pre-pass (``sketch_hot_terms``) explicitly
+  bin-packs the head across partitions by descending df (least-loaded
+  first) and persists the placement in the manifest, so no partition
+  collects several ultra-hot keywords by hash accident and readers agree
+  on placement.  The segment builder additionally merges duplicate
+  (term, doc) rows, so sub-partition salting can be layered on later
+  without a format change.
 - Resume: each partition's segment file is written atomically
   (tmp + rename) and recorded in the manifest with lineage + metrics;
   a resumed build filters already-committed partitions out of the shuffle
@@ -58,9 +60,51 @@ from ..analysis.tokenizer import tokenize_batch
 _HASH_KEY = "0123456789123456"
 
 
-def term_partition(terms, num_partitions: int) -> np.ndarray:
+def term_partition(terms, num_partitions: int,
+                   hot_map: dict | None = None) -> np.ndarray:
+    """Partition assignment: explicit placement for hot terms (skew
+    balancing), hash for the long tail.  ``hot_map`` comes from the build's
+    df-sketch pre-pass and is persisted in the manifest so build and query
+    always agree."""
     arr = np.asarray(terms, dtype=object)
-    return (pd.util.hash_array(arr, hash_key=_HASH_KEY) % num_partitions).astype(np.uint32)
+    parts = (pd.util.hash_array(arr, hash_key=_HASH_KEY) % num_partitions).astype(np.uint32)
+    if hot_map:
+        for i, t in enumerate(arr):
+            p = hot_map.get(t)
+            if p is not None:
+                parts[i] = p
+    return parts
+
+
+def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
+                     top_k: int | None = None) -> dict[str, int]:
+    """df-sketch pre-pass → explicit balanced placement of the Zipf head.
+
+    Samples the first ``sample_docs`` docs, counts per-term df, takes the
+    top ``top_k`` (default 4×P) and greedily bin-packs them across
+    partitions by descending df (least-loaded-first), so no partition
+    receives several ultra-hot code keywords by hash accident.
+    """
+    top_k = top_k or cfg.num_partitions * 4
+    sample = ds.limit(sample_docs)
+    import collections
+
+    df_counts: collections.Counter = collections.Counter()
+    for batch in sample.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for _, col in cfg.fields:
+            texts = batch[col].to_pylist()
+            for s in texts:
+                from ..analysis.tokenizer import tokenize
+
+                df_counts.update(set(tokenize(s or "")))
+    hot = df_counts.most_common(top_k)
+    loads = np.zeros(cfg.num_partitions, dtype=np.int64)
+    hot_map: dict[str, int] = {}
+    for term, df in hot:
+        p = int(np.argmin(loads))
+        hot_map[term] = p
+        loads[p] += df
+    return hot_map
 
 
 def _empty_lists(n: int) -> pa.ListArray:
@@ -138,7 +182,8 @@ def _write_docstore_chunk(cfg: IndexConfig, docs_dir: str, t: pa.Table) -> None:
 
 
 def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
-                         docs_dir: str | None = None):
+                         docs_dir: str | None = None,
+                         hot_map: dict | None = None):
     """The single INGEST pass: tokenize → per-partition IPC blobs.
 
     Per input batch (vectorized, zero-copy Arrow):
@@ -178,7 +223,7 @@ def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
             starts = np.flatnonzero(run_start)
             lens = np.diff(np.append(starts, sc.size))
             terms_arr = uniques[sc[starts]]
-            part = term_partition(terms_arr, nparts)
+            part = term_partition(terms_arr, nparts, hot_map)
             cols = {
                 "part": pa.array(part, pa.uint32()),
                 "term": pa.array(terms_arr.astype(str), pa.string()),
@@ -243,11 +288,11 @@ def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
     return fn
 
 
-def _segment_path(index_dir: str, part: int) -> str:
-    return os.path.join(index_dir, "postings", f"part={part:05d}.parquet")
+def _segment_path(index_dir: str, part: int, gen: int = 0) -> str:
+    return os.path.join(index_dir, "postings", f"part={part:05d}-g{gen:03d}.parquet")
 
 
-def _build_segment(index_dir: str, want_pos: bool):
+def _build_segment(index_dir: str, want_pos: bool, gen: int = 0):
     """Per-partition group → sorted, encoded segment file + metrics row.
 
     Runs inside ``groupby("part").map_groups``: sorts the whole partition by
@@ -293,7 +338,8 @@ def _build_segment(index_dir: str, want_pos: bool):
             o = np.argsort(dl_ids, kind="stable")
             dl_out = pa.table({"doc_id": pa.array(dl_ids[o], pa.uint64()),
                                "dl": pa.array(dl_vals[o], pa.int64())})
-            dl_path = os.path.join(index_dir, "doclens", f"part={part:05d}.parquet")
+            dl_path = os.path.join(index_dir, "doclens",
+                                   f"part={part:05d}-g{gen:03d}.parquet")
             os.makedirs(os.path.dirname(dl_path), exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dl_path), prefix=".dl-")
             os.close(fd)
@@ -376,7 +422,7 @@ def _build_segment(index_dir: str, want_pos: bool):
                 "pos": pa.array(out_pos, pa.binary()),
             }
         )
-        path = _segment_path(index_dir, part)
+        path = _segment_path(index_dir, part, gen)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".seg-")
         os.close(fd)
@@ -403,31 +449,52 @@ def _build_segment(index_dir: str, want_pos: bool):
 
 
 def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
-                input_fingerprint: str = "") -> Manifest:
-    """Build (or resume) an index from a Dataset with a uint64 id column.
+                append: bool = False, input_fingerprint: str = "",
+                balance_hot_terms: bool = True) -> Manifest:
+    """Build, resume, or append to an index (uint64 id column required).
 
     One streaming execution: the ingest pass tokenizes each block once,
     side-writes its docstore chunk, and ships per-partition IPC blobs
     through the term shuffle; nothing is materialized driver-side except
     the per-partition metrics rows.
+
+    - ``resume=True``  — skip partitions already committed (same gen).
+    - ``append=True``  — incremental indexing: new docs (caller guarantees
+      doc_id uniqueness) go into a NEW segment generation per partition;
+      readers merge generations per term; ``optimize_index`` compacts.
+    - ``balance_hot_terms`` — df-sketch pre-pass assigns the Zipf head to
+      explicit partitions (persisted in the manifest) so no partition
+      collects several ultra-hot code keywords by hash accident.
     """
     import ray.data  # noqa: F401  (ensures Dataset API available)
 
     docs_dir = os.path.join(index_dir, "docs")
-    if not resume and Manifest.exists(index_dir):
+    if not (resume or append) and Manifest.exists(index_dir):
         # fresh build over an existing index dir: clear it (it is ours — it
         # has a manifest) so stale segments/docstore files can't mix in
         import shutil
 
         shutil.rmtree(index_dir)
     skip: frozenset[int] = frozenset()
-    if resume and Manifest.exists(index_dir):
+    gen = 0
+    if (resume or append) and Manifest.exists(index_dir):
         man = Manifest.load(index_dir)
         if man.data.get("config") != cfg.as_dict():
-            raise ValueError("resume with different config; use a fresh index_dir")
-        skip = frozenset(man.committed_partitions())
+            raise ValueError("resume/append with different config; use a fresh index_dir")
+        gens = [int(k.split(":")[0]) for k in man.data.get("partitions", {})]
+        if append:
+            gen = (max(gens) + 1) if gens else 0
+        else:
+            gen = max(gens) if gens else 0
+            skip = frozenset(
+                int(k.split(":")[1]) for k, v in man.data["partitions"].items()
+                if int(k.split(":")[0]) == gen and v.get("status") == "committed"
+            )
+        hot_map = man.data.get("hot_terms") or None
     else:
         man = Manifest.new(index_dir, cfg.as_dict(), input_fingerprint)
+        hot_map = sketch_hot_terms(ds, cfg) if balance_hot_terms else None
+        man.data["hot_terms"] = hot_map or {}
         man.save()
 
     # ---- single ingest pass: docstore side-writes + term-partitioned
@@ -437,14 +504,15 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
     # batch_size=None → whole blocks as batches: block boundaries come from
     # the deterministic source (one block per parquet row group), so the
     # docstore chunk ranges are stable across runs and resumes
-    emitted = ds.map_batches(_emit_postings_batch(cfg, skip, docs_dir),
+    emitted = ds.map_batches(_emit_postings_batch(cfg, skip, docs_dir, hot_map),
                              batch_format="pyarrow", batch_size=None)
     metrics = (
         emitted.groupby("part")
-        .map_groups(_build_segment(index_dir, cfg.positions), batch_format="pyarrow")
+        .map_groups(_build_segment(index_dir, cfg.positions, gen),
+                    batch_format="pyarrow")
     )
     for m in metrics.iter_rows():
-        man.record_partition(int(m["part"]), {
+        man.record_partition(f"{gen}:{int(m['part'])}", {
             "rows": int(m["rows"]), "terms": int(m["terms"]), "bytes": int(m["bytes"]),
             "n_docs": int(m["n_docs"]), "sum_dl": int(m["sum_dl"]),
             "input_fingerprint": input_fingerprint,

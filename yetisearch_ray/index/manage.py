@@ -176,29 +176,131 @@ def _filter_parquet_dir(dir_path: str, id_col: str, dead: np.ndarray) -> int:
     return n_dropped
 
 
+def _merge_partition_files(files: list[str], dead: np.ndarray,
+                           out_path: str) -> int:
+    """K-way merge of one partition's generation files into a single
+    segment: group rows by (term, field), merge postings positions-
+    preserving, drop tombstoned docs, write atomically.  Returns terms
+    kept."""
+    from .postings import merge_postings
+
+    groups: dict[tuple, list] = {}
+    order: list[tuple] = []
+    for f in files:
+        t = pq.read_table(f)
+        for i in range(t.num_rows):
+            key = (t["term"][i].as_py(), t["field"][i].as_py())
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(decode_postings(
+                t["docs"][i].as_py(), t["tfs"][i].as_py(), t["pos"][i].as_py()))
+    order.sort()
+    out = {c: [] for c in ("term", "field", "df", "cf", "docs", "tfs", "pos")}
+    for term, fid in order:
+        d, f, p = merge_postings(groups[(term, fid)])
+        if dead.size:
+            keep = ~np.isin(d, dead)
+            if not keep.all():
+                if p is not None:
+                    tf64 = f.astype(np.int64)
+                    starts = np.cumsum(tf64) - tf64
+                    kept_rows = np.flatnonzero(keep)
+                    sel = np.concatenate(
+                        [np.arange(starts[j], starts[j] + tf64[j]) for j in kept_rows]
+                    ) if kept_rows.size else np.empty(0, np.int64)
+                    p = p[sel]
+                d, f = d[keep], f[keep]
+        if d.size == 0:
+            continue
+        db, tb, pb = encode_postings(d, f, p)
+        out["term"].append(term)
+        out["field"].append(fid)
+        out["df"].append(d.size)
+        out["cf"].append(int(f.sum()))
+        out["docs"].append(db)
+        out["tfs"].append(tb)
+        out["pos"].append(pb)
+    seg = pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "field": pa.array(out["field"], pa.int8()),
+        "df": pa.array(out["df"], pa.uint32()),
+        "cf": pa.array(out["cf"], pa.uint64()),
+        "docs": pa.array(out["docs"], pa.binary()),
+        "tfs": pa.array(out["tfs"], pa.binary()),
+        "pos": pa.array(out["pos"], pa.binary()),
+    })
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out_path), prefix=".opt-")
+    os.close(fd)
+    pq.write_table(seg, tmp, row_group_size=4096, compression="zstd")
+    os.replace(tmp, out_path)
+    for f in files:
+        if os.path.abspath(f) != os.path.abspath(out_path):
+            os.remove(f)
+    return len(out["term"])
+
+
 def optimize_index(index_dir: str) -> dict:
-    """Physically apply tombstones to every partition (parallel Ray tasks)
-    and refresh stats — the segment-compaction analogue of the reference's
-    optimize()."""
+    """Segment compaction (the reference's optimize() analogue): merge all
+    segment generations per partition into one file, physically apply
+    tombstones, refresh stats.  One Ray task per partition — idempotent
+    atomic writes, same resumability story as the build."""
+    import collections
+    import re as _re
+
     import ray
 
     man = Manifest.load(index_dir)
     dead = np.array(sorted(man.data.get("tombstones", [])), dtype=np.uint64)
     seg_files = sorted(glob.glob(os.path.join(index_dir, "postings", "*.parquet")))
-    if dead.size == 0:
-        return {"segments": len(seg_files), "docs_removed": 0}
+    by_part: dict[int, list] = collections.defaultdict(list)
+    for f in seg_files:
+        m = _re.search(r"part=(\d+)", os.path.basename(f))
+        if m:
+            by_part[int(m.group(1))].append(f)
 
     @ray.remote
-    def compact(path: str, dead_arr: np.ndarray):
-        return _compact_segment(path, dead_arr)
+    def compact(part: int, files: list, dead_arr: np.ndarray):
+        out_path = os.path.join(index_dir, "postings",
+                                f"part={part:05d}-g000.parquet")
+        return _merge_partition_files(files, dead_arr, out_path)
 
     dead_ref = ray.put(dead)
-    results = ray.get([compact.remote(f, dead_ref) for f in seg_files])
-    _filter_parquet_dir(os.path.join(index_dir, "doclens"), "doc_id", dead)
-    _filter_parquet_dir(os.path.join(index_dir, "docs"),
-                        man.config["id_column"], dead)
+    results = ray.get([
+        compact.remote(p, fs, dead_ref) for p, fs in sorted(by_part.items())
+    ])
+    # merge doclens generations: concat, drop tombstoned + duplicate ids
+    dl_dir = os.path.join(index_dir, "doclens")
+    dl_files = sorted(glob.glob(os.path.join(dl_dir, "*.parquet")))
+    by_part_dl: dict[int, list] = collections.defaultdict(list)
+    for f in dl_files:
+        m = _re.search(r"part=(\d+)", os.path.basename(f))
+        if m:
+            by_part_dl[int(m.group(1))].append(f)
+    dl_per_part: dict[int, tuple[int, int]] = {}
+    for p, fs in sorted(by_part_dl.items()):
+        t = pa.concat_tables([pq.read_table(f) for f in fs])
+        import pandas as pd
+
+        df = t.to_pandas().drop_duplicates("doc_id", keep="last")
+        if dead.size:
+            df = df[~df.doc_id.isin(dead)]
+        df = df.sort_values("doc_id")
+        dl_per_part[p] = (len(df), int(df.dl.sum()))
+        out_path = os.path.join(dl_dir, f"part={p:05d}-g000.parquet")
+        fd, tmp = tempfile.mkstemp(dir=dl_dir, prefix=".opt-")
+        os.close(fd)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp,
+                       compression="zstd")
+        os.replace(tmp, out_path)
+        for f in fs:
+            if os.path.abspath(f) != os.path.abspath(out_path):
+                os.remove(f)
+    if dead.size:
+        _filter_parquet_dir(os.path.join(index_dir, "docs"),
+                            man.config["id_column"], dead)
     # refresh stats from the compacted doclens
-    dl = pq.read_table(os.path.join(index_dir, "doclens"), columns=["dl"])
+    dl = pq.read_table(dl_dir, columns=["dl"])
     n_docs = dl.num_rows
     total_dl = int(pa.compute.sum(dl["dl"]).as_py() or 0)
     man.data["stats"] = {
@@ -206,8 +308,16 @@ def optimize_index(index_dir: str) -> dict:
         "total_dl": total_dl,
         "avgdl": (total_dl / n_docs) if n_docs else 0.0,
     }
+    # collapse partition bookkeeping to the merged generation, keeping
+    # n_docs/sum_dl per partition so later appends re-derive stats right
+    merged_parts = {}
+    for (p, _), terms in zip(sorted(by_part.items()), results):
+        nd, sd = dl_per_part.get(p, (0, 0))
+        merged_parts[f"0:{p}"] = {"status": "committed", "terms": terms,
+                                  "merged": True, "n_docs": nd, "sum_dl": sd}
+    man.data["partitions"] = merged_parts
     man.data["tombstones"] = []
     man.data["optimized_at"] = __import__("time").time()
     man.save()
-    return {"segments": len(seg_files), "docs_removed": int(dead.size),
-            "terms_kept": sum(r[0] for r in results)}
+    return {"segments": len(by_part), "docs_removed": int(dead.size),
+            "terms_kept": sum(results)}

@@ -75,13 +75,21 @@ class Manifest:
         return int(self.data["config"]["num_partitions"])
 
     def committed_partitions(self) -> set[int]:
+        """Committed partition ids (across generations; keys are
+        ``"gen:part"``, legacy bare ``"part"`` accepted)."""
+        out = set()
+        for k, v in self.data.get("partitions", {}).items():
+            if v.get("status") == "committed":
+                out.add(int(k.split(":")[-1]))
+        return out
+
+    def generations(self) -> set[int]:
         return {
-            int(k)
-            for k, v in self.data.get("partitions", {}).items()
-            if v.get("status") == "committed"
+            int(k.split(":")[0]) if ":" in k else 0
+            for k in self.data.get("partitions", {})
         }
 
-    def record_partition(self, part: int, metrics: dict) -> None:
+    def record_partition(self, part, metrics: dict) -> None:
         self.data["partitions"][str(part)] = {"status": "committed", **metrics}
 
     def finalize(self, stats: dict, docstore: dict) -> None:

@@ -122,3 +122,39 @@ def decode_postings(doc_blob: bytes, tf_blob: bytes, pos_blob: bytes = b""):
             carry_per_group[1:] = full[starts[1:] - 1]
         positions = full - np.repeat(carry_per_group, tfs64)
     return doc_ids, tfs, positions
+
+
+def merge_postings(parts):
+    """Merge posting lists with disjoint (or duplicated) doc sets —
+    segment-generation merge.  ``parts`` is a list of
+    (doc_ids, tfs, positions_or_None); returns the merged triple with
+    doc_ids sorted, duplicate doc_ids tf-summed (positions dropped for
+    duplicates only), and positions preserved otherwise (vectorized
+    group gather, no per-doc loop)."""
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64), None)
+    if len(parts) == 1:
+        return parts[0]
+    docs = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    have_pos = all(p[2] is not None for p in parts)
+    order = np.argsort(docs, kind="stable")
+    docs, tfs_o = docs[order], tfs[order]
+    if docs.size > 1 and np.any(docs[1:] == docs[:-1]):
+        # duplicates across generations (re-added doc): sum tfs, drop pos
+        uids, inv = np.unique(docs, return_inverse=True)
+        agg = np.zeros(uids.size, dtype=np.uint64)
+        np.add.at(agg, inv, tfs_o)
+        return uids, agg, None
+    if not have_pos:
+        return docs, tfs_o, None
+    flat = np.concatenate([p[2] for p in parts])
+    lens_all = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    starts_all = np.cumsum(lens_all) - lens_all
+    lens_o = lens_all[order]
+    gstarts = np.repeat(starts_all[order], lens_o)
+    within = np.arange(int(lens_o.sum()), dtype=np.int64)
+    row_off = np.cumsum(lens_o) - lens_o
+    within -= np.repeat(row_off, lens_o)
+    return docs, tfs_o, flat[gstarts + within]

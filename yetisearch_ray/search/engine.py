@@ -36,7 +36,7 @@ from .bm25 import K1, B, idf as _idf
 from ..analysis.analyzer import StandardAnalyzer
 from ..index.build import term_partition, _segment_path
 from ..index.manifest import Manifest
-from ..index.postings import decode_postings
+from ..index.postings import decode_postings, merge_postings
 
 MAX_RESULTS = 1000  # reference clamp (src/Search/SearchEngine.php:661)
 
@@ -131,15 +131,33 @@ class IndexReader:
         return self.meta_for("dl_total", doc_ids)
 
     # ---------------- postings ----------------------------------------
-    def _read_term_rows(self, term: str) -> pa.Table:
-        part = int(term_partition([term], self.num_partitions)[0])
-        path = _segment_path(self.index_dir, part)
-        if not os.path.exists(path):
+    def _term_part(self, term: str) -> int:
+        hot = self.manifest.data.get("hot_terms") or {}
+        p = hot.get(term)
+        if p is not None:
+            return int(p)
+        return int(term_partition([term], self.num_partitions)[0])
+
+    def _read_term_rows(self, term: str) -> pa.Table | None:
+        """Rows for one term across ALL segment generations of its
+        partition (plus the legacy single-file layout)."""
+        part = self._term_part(term)
+        import glob as _glob
+
+        pattern = os.path.join(self.index_dir, "postings",
+                               f"part={part:05d}*.parquet")
+        files = sorted(_glob.glob(pattern))
+        if not files:
             return None
-        return pq.read_table(path, filters=[("term", "==", term)])
+        tabs = [pq.read_table(f, filters=[("term", "==", term)]) for f in files]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return None
+        return pa.concat_tables(tabs)
 
     def postings(self, term: str) -> dict[int, Posting]:
-        """field_id -> Posting for one term (LRU-cached)."""
+        """field_id -> Posting for one term (LRU-cached); rows from
+        multiple segment generations are merged positions-preserving."""
         hit = self._cache.get(term)
         if hit is not None:
             self._cache.move_to_end(term)
@@ -147,19 +165,15 @@ class IndexReader:
         t = self._read_term_rows(term)
         out: dict[int, Posting] = {}
         if t is not None and t.num_rows:
+            by_field: dict[int, list] = {}
             for i in range(t.num_rows):
                 fid = t["field"][i].as_py()
                 d, f, p = decode_postings(
                     t["docs"][i].as_py(), t["tfs"][i].as_py(), t["pos"][i].as_py()
                 )
-                prev = out.get(fid)
-                if prev is not None:
-                    # merged sub-rows (hot-term salting) — combine
-                    d = np.concatenate([prev.doc_ids, d])
-                    f = np.concatenate([prev.tfs, f])
-                    order = np.argsort(d, kind="stable")
-                    d, f = d[order], f[order]
-                    p = None
+                by_field.setdefault(fid, []).append((d, f, p))
+            for fid, parts in by_field.items():
+                d, f, p = merge_postings(parts)
                 out[fid] = Posting(d, f, p)
         self._cache[term] = out
         if len(self._cache) > self._cache_max:
@@ -297,7 +311,8 @@ class SearchEngine:
                  fuzzy_algorithm: str = "trigram",
                  fuzziness: float = 0.4,
                  max_indexed_terms: int = 20000,
-                 min_term_frequency: int = 2):
+                 min_term_frequency: int = 2,
+                 cache_ttl: float = 300.0):
         self.index = index
         self.analyzer = analyzer or StandardAnalyzer(language=language)
         self.default_weights = field_weights
@@ -306,6 +321,9 @@ class SearchEngine:
         self.fuzziness = fuzziness
         self._fuzzy_cfg = (max_indexed_terms, min_term_frequency)
         self._fuzzy = None
+        self._cache_ttl = cache_ttl
+        self._result_cache: OrderedDict = OrderedDict()
+        self._cache_max = 1000
 
     @property
     def fuzzy_matcher(self):
@@ -608,8 +626,29 @@ class SearchEngine:
         fuzzy: bool = False,
         fuzzy_mode: str = "correction",
         exclude_terms=None,
+        post_rescore: bool = False,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
+        # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
+        # the index's mutation version so writes invalidate) ----
+        cache_key = None
+        if self._cache_ttl > 0:
+            cache_key = (query, limit, offset, mode,
+                         tuple(sorted((field_weights or {}).items())),
+                         repr(filters), language, min_score, normalize,
+                         unique_by_route, route_column, prefix_last,
+                         with_docs, highlight, round_scores, fuzzy,
+                         fuzzy_mode, tuple(exclude_terms or ()), post_rescore,
+                         self.index.manifest.data.get("tombstone_version", 0))
+            hit = self._result_cache.get(cache_key)
+            if hit is not None:
+                import time as _time
+
+                expiry, table = hit
+                if _time.time() < expiry:
+                    self._result_cache.move_to_end(cache_key)
+                    return table
+                del self._result_cache[cache_key]
         weights = self._field_weight_vector(field_weights or self.default_weights)
         orig_terms: list[str] = []
         if fuzzy:
@@ -650,6 +689,18 @@ class SearchEngine:
         if min_score > 0:
             keep = score >= min_score
             doc_ids, rank, score = doc_ids[keep], rank[keep], score[keep]
+        if post_rescore and doc_ids.size:
+            # candidate widening then PHP-style rescore + resort
+            # (reference :901-913, :1226-1234: clamp(limit·20, 200, 2000))
+            widen = int(np.clip(limit * 20, 200, 2000))
+            doc_ids, score = doc_ids[:widen], score[:widen]
+            terms = [t for ph in cq.phrases for t in ph.terms][:8]
+            score = self._field_weighted_rescore(
+                doc_ids, score, terms,
+                field_weights or self.default_weights or {})
+            order = np.lexsort((doc_ids, -score))
+            doc_ids, score = doc_ids[order], score[order]
+            rank = -score
         if fuzzy and doc_ids.size and orig_terms:
             score = self._apply_fuzzy_penalty(doc_ids, score, orig_terms)
             order = np.lexsort((doc_ids, -score))  # re-sort after penalty
@@ -682,6 +733,12 @@ class SearchEngine:
                 body_col = self.index.fields[-1][1]
                 snips = [make_snippet(s, terms) for s in dt[body_col].tolist()]
                 out = out.append_column("highlight", pa.array(snips, pa.string()))
+        if cache_key is not None:
+            import time as _time
+
+            self._result_cache[cache_key] = (_time.time() + self._cache_ttl, out)
+            if len(self._result_cache) > self._cache_max:
+                self._result_cache.popitem(last=False)
         return out
 
     # ---------------- fuzzy -------------------------------------------
@@ -805,6 +862,86 @@ class SearchEngine:
         ids = np.asarray([d for d, _ in items], np.uint64)
         sc = np.asarray([s for _, s in items], np.float64)
         return ids, sc
+
+    # ---------------- field-weighted post-rescore (§2.9 step 2) --------
+    _PRIMARY_FIELDS = {"title", "h1", "name", "label", "path"}
+
+    def _field_weighted_rescore(self, doc_ids, base_score, terms,
+                                field_weights: dict[str, float]):
+        """The reference's PHP rescoring layer
+        (``calculateFieldWeightedScore``, ``SqliteStorage.php:2472-2658``):
+        per candidate, the best per-field match tier (exact field 100 /
+        exact phrase 50 / all-terms 20 / partial 5·ratio), weighted and
+        blended into the BM25 base as
+        ``base · (1 + (best/10)^1.5 · tier_mult)``."""
+        if doc_ids.size == 0 or not terms:
+            return base_score
+        cols = [self.index.id_column] + [c for _, c in self.index.fields]
+        docs = self.index.docs(doc_ids, columns=cols)
+        dt = docs.to_pandas().set_index(self.index.id_column)
+        dt = dt.loc[[int(d) for d in doc_ids]]
+        phrase = " ".join(terms)
+        out = base_score.copy()
+        for i in range(doc_ids.size):
+            best = 0.0
+            tier_mult = 2.0
+            for fname, col in self.index.fields:
+                text = str(dt[col].iloc[i] or "").lower()
+                w = float(field_weights.get(fname, 1.0))
+                primary = 2.0 if (fname in self._PRIMARY_FIELDS or w >= 5) else 1.0
+                s, tm = 0.0, 2.0
+                if text == phrase:
+                    s, tm = 100.0, 10.0
+                elif phrase in text and len(terms) > 1:
+                    ratio = len(phrase) / max(1, len(text))
+                    s = 50.0 + (20.0 if ratio > 0.5 else 10.0 * ratio)
+                    tm = 10.0
+                else:
+                    present = [t for t in terms if t in text]
+                    if len(present) == len(terms):
+                        s, tm = 20.0, 5.0
+                        pos = [text.find(t) for t in terms]
+                        gap = max(pos) - min(pos)
+                        if gap < 50:
+                            s += 10.0 * (1.0 - gap / 50.0)
+                        stripped = "".join(ch for ch in text if ch.isalnum() or ch == " ")
+                        if set(stripped.split()) == set(terms):
+                            s += 30.0
+                    elif present:
+                        s, tm = 5.0 * len(present) / len(terms), 2.0
+                s *= w * primary
+                if s > best:
+                    best, tier_mult = s, tm
+            if best > 0:
+                out[i] = base_score[i] * (1.0 + (best / 10.0) ** 1.5 * tier_mult)
+        return out
+
+    def search_two_pass(self, query: str, *, limit: int = 20,
+                        field_weights: dict[str, float] | None = None,
+                        primary_boost: float = 1.5, **kwargs) -> pa.Table:
+        """Two-pass precision mode (reference :139-203): pass 1 over
+        primary fields with doubled weights (limit 100), pass 2 full;
+        merge primary-first with a ×boost, dedup by id, sort, slice."""
+        fw = dict(field_weights or self.default_weights or {})
+        primary_fw = {
+            f: fw.get(f, 1.0) * 2.0
+            for f, _ in self.index.fields
+            if f in self._PRIMARY_FIELDS or fw.get(f, 1.0) >= 5
+        }
+        p1 = self.search(query, limit=100, field_weights={**fw, **primary_fw},
+                         normalize=False, **kwargs)
+        p2 = self.search(query, limit=max(100, limit), field_weights=fw or None,
+                         normalize=False, **kwargs)
+        import pandas as pd
+
+        d1 = p1.to_pandas()
+        d1["score"] = d1["score"] * primary_boost
+        d2 = p2.to_pandas()
+        merged = pd.concat([d1, d2]).drop_duplicates("doc_id", keep="first")
+        merged = merged.sort_values(["score", "doc_id"],
+                                    ascending=[False, True]).head(limit)
+        return pa.Table.from_pandas(merged.reset_index(drop=True),
+                                    preserve_index=False)
 
     def facets(self, query: str, facet_fields, *, candidates: int = 1000,
                min_count: int = 1, top_n: int = 10,
