@@ -180,6 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_smart_topk": lambda sf: ftsd.smart_topk(sf),          # rows-only
         "fts_match_count": lambda sf: ftsd.match_count(sf),
         "fts_actor_pool": lambda sf: ftsd.actor_pool_search(sf),   # rows-only
+        "fts_facet_lang": lambda sf: ftsd.facet_lang(sf),
+        "fts_suggest": lambda sf: ftsd.suggest(sf),                # rows-only
+        "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
+        "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),         # rows-only
+        "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
+        "text_chunk_stats": lambda sf: ftsd.chunk_stats(sf),       # rows-only
         # --- code corpus (north-rule input table) ---
         "code_sha256": q_code_sha256,
         "code_term_df_top100": q_code_term_df,
@@ -273,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_weighted_topk": oracles.bm25_topk_sql(["src3"], w0=5.0, w1=1.0, k=20),
         "fts_filtered_topk": oracles.bm25_topk_sql(["window"], lang="es", k=20),
         "fts_match_count": oracles.match_count_sql("merge"),
+        "fts_facet_lang": oracles.facet_lang_sql("merge"),
+        "fts_index_stats": oracles.INDEX_STATS_BY_LANG_SQL,
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

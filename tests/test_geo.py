@@ -1,0 +1,121 @@
+"""Geo primitives + engine geo filters (near/within/distance sort/blend)."""
+
+import numpy as np
+import pytest
+
+from yetisearch_ray.functions.geo import (
+    bounding_box,
+    distance_blend,
+    haversine_km,
+    in_bounds,
+    near_mask,
+    split_bbox,
+)
+
+
+class TestGeoFunctions:
+    def test_haversine_known_distance(self):
+        # Paris -> London ≈ 344 km
+        d = float(haversine_km(48.8566, 2.3522, 51.5074, -0.1278))
+        assert 335 < d < 355
+
+    def test_haversine_zero(self):
+        assert float(haversine_km(10, 20, 10, 20)) == 0.0
+
+    def test_vectorized(self):
+        d = haversine_km(np.array([0.0, 0.0]), np.array([0.0, 1.0]), 0.0, 0.0)
+        assert d.shape == (2,) and d[0] == 0 and 110 < d[1] < 112
+
+    def test_bbox_and_in_bounds(self):
+        bbox = bounding_box(48.85, 2.35, 10.0)
+        assert in_bounds([48.85], [2.35], bbox)[0]
+        assert not in_bounds([49.5], [2.35], bbox)[0]
+
+    def test_antimeridian_split(self):
+        bbox = bounding_box(0.0, 179.9, 50.0)  # crosses +180
+        boxes = split_bbox(bbox)
+        assert len(boxes) == 2
+        assert in_bounds([0.0], [-179.95], bbox)[0]  # wraps around
+
+    def test_near_mask(self):
+        lats = np.array([48.85, 48.86, 40.0])
+        lngs = np.array([2.35, 2.36, -74.0])
+        m = near_mask(lats, lngs, 48.8566, 2.3522, 5.0)
+        assert m.tolist() == [True, True, False]
+
+    def test_distance_blend(self):
+        s = distance_blend([100.0, 100.0], [0.0, 100.0], weight=0.3, decay=0.05)
+        assert s[0] == pytest.approx(100.0)
+        assert s[1] < s[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEngineGeo:
+    @pytest.fixture(scope="class")
+    def geo_index(self, tmp_path_factory):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from yetisearch_ray.index.build import IndexConfig, build_index
+
+        rows = [
+            {"doc_id": 1, "text": "cozy cafe in paris", "lat": 48.8566, "lng": 2.3522},
+            {"doc_id": 2, "text": "cafe near paris suburb", "lat": 48.9, "lng": 2.4},
+            {"doc_id": 3, "text": "london cafe by the river", "lat": 51.5074, "lng": -0.1278},
+            {"doc_id": 4, "text": "new york cafe downtown", "lat": 40.7, "lng": -74.0},
+        ]
+
+        def cast_ids(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            i = t.schema.get_field_index("doc_id")
+            return t.set_column(i, "doc_id", pc.cast(t["doc_id"], pa.uint64()))
+
+        ds = rd.from_items(rows).map_batches(cast_ids, batch_format="pyarrow")
+        idx = str(tmp_path_factory.mktemp("geo")) + "/idx"
+        cfg = IndexConfig(fields=[("text", "text")],
+                          store_columns=["text", "lat", "lng"],
+                          num_partitions=4)
+        build_index(ds, idx, cfg, balance_hot_terms=False)
+        return idx
+
+    def test_near_filter(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        r = eng.search("cafe", limit=10, normalize=False,
+                       geo_filters={"near": {"lat": 48.8566, "lng": 2.3522,
+                                             "radius_km": 20.0}})
+        assert sorted(r["doc_id"].to_pylist()) == [1, 2]
+        assert r["distance_km"][0].as_py() is not None
+
+    def test_within_bounds(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        r = eng.search("cafe", limit=10, normalize=False,
+                       geo_filters={"within": {"bounds": (45, 55, -5, 5)}})
+        assert sorted(r["doc_id"].to_pylist()) == [1, 2, 3]
+
+    def test_distance_sort(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        r = eng.search("cafe", limit=10, normalize=False,
+                       geo_filters={"near": {"lat": 48.8566, "lng": 2.3522,
+                                             "radius_km": 5000.0},
+                                    "sort_by_distance": True})
+        dists = r["distance_km"].to_pylist()
+        assert dists == sorted(dists)
+        assert r["doc_id"][0].as_py() == 1
+
+    def test_distance_blend_changes_ranking(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        blended = eng.search("cafe paris", limit=10,
+                             geo_filters={"near": {"lat": 40.7, "lng": -74.0,
+                                                   "radius_km": 20000.0}},
+                             distance_weight=0.9)
+        # heavy distance weight pulls NYC up
+        assert blended["doc_id"][0].as_py() == 4

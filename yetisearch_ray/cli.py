@@ -1,0 +1,210 @@
+"""CLI entry points (reference ``bin/yetisearch`` :34-66 commands).
+
+``python -m yetisearch_ray.cli <command> ...``:
+
+    index-build   --input DIR --index DIR [--fields path,content] [...]
+    search        --index DIR QUERY [--limit N] [--fuzzy] [--lang L] ...
+    search-dsl    --index DIR 'term field:value -excluded "a phrase"'
+    search-url    --index DIR 'q=...&filter[lang]=python&limit=5'
+    suggest       --index DIR QUERY
+    stats         --index DIR [--by lang]
+    optimize      --index DIR
+    verify        --index DIR     (manifest + segment integrity check)
+
+Owns its Ray session (scripts init/shutdown; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+
+def _print_table(t, limit=50):
+    import pandas as pd
+
+    df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+    print(df.head(limit).to_string(index=False))
+
+
+def cmd_index_build(args):
+    _init_ray()
+    from .index.build import IndexConfig, build_index
+    from .sources.parquet_source import read_parquet_with_doc_ids
+
+    fields = [(f, f) for f in args.fields.split(",")]
+    store = args.store.split(",") if args.store else [c for _, c in fields]
+    cfg = IndexConfig(fields=fields, language_column=args.lang_column,
+                      store_columns=store, num_partitions=args.partitions,
+                      content_hash_column=args.hash_column)
+    ds = read_parquet_with_doc_ids(args.input)
+    man = build_index(ds, args.index, cfg, resume=args.resume,
+                      append=args.append, input_fingerprint=args.input)
+    print(json.dumps({"status": man.data["status"], "stats": man.stats}))
+
+
+def _engine(args):
+    from .search.engine import SearchEngine, open_index
+
+    return SearchEngine(open_index(args.index))
+
+
+def cmd_search(args):
+    _init_ray()
+    eng = _engine(args)
+    r = eng.search(args.query, limit=args.limit, mode=args.mode,
+                   language=args.lang, fuzzy=args.fuzzy,
+                   with_docs=args.docs, highlight=args.highlight)
+    _print_table(r)
+
+
+def cmd_search_dsl(args):
+    _init_ray()
+    from .dsl import QueryParser
+
+    eng = _engine(args)
+    parsed = QueryParser().parse(args.query)
+    kw = parsed.to_search_kwargs()
+    q = kw.pop("query")
+    r = eng.search(q, limit=args.limit, **{k: v for k, v in kw.items() if v})
+    _print_table(r)
+
+
+def cmd_search_url(args):
+    _init_ray()
+    from .dsl import URLQueryParser
+
+    eng = _engine(args)
+    out = URLQueryParser().parse(args.query)
+    q = out.pop("query")
+    out.pop("sort", None)
+    out.pop("result_fields", None)
+    r = eng.search(q, **out)
+    _print_table(r)
+
+
+def cmd_suggest(args):
+    _init_ray()
+    eng = _engine(args)
+    _print_table(eng.suggest(args.query))
+
+
+def cmd_stats(args):
+    from .index.manage import index_stats
+
+    print(json.dumps(index_stats(args.index, by=args.by), indent=1))
+
+
+def cmd_optimize(args):
+    _init_ray()
+    from .index.manage import optimize_index
+
+    print(json.dumps(optimize_index(args.index)))
+
+
+def cmd_verify(args):
+    """Integrity check: manifest committed, every partition file present
+    and decodable, stats consistent with doclens."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .index.manifest import Manifest
+    from .index.postings import decode_postings
+
+    man = Manifest.load(args.index)
+    problems = []
+    if man.data.get("status") != "committed":
+        problems.append(f"status={man.data.get('status')}")
+    seg_files = glob.glob(os.path.join(args.index, "postings", "*.parquet"))
+    n_terms = 0
+    for f in seg_files:
+        t = pq.read_table(f)
+        n_terms += t.num_rows
+        for i in range(min(t.num_rows, 5)):  # spot-decode
+            d, tf, p = decode_postings(t["docs"][i].as_py(), t["tfs"][i].as_py(),
+                                       t["pos"][i].as_py())
+            if d.size != t["df"][i].as_py():
+                problems.append(f"{f}: df mismatch row {i}")
+            if d.size > 1 and not (np.diff(d.astype(np.int64)) > 0).all():
+                problems.append(f"{f}: unsorted doc_ids row {i}")
+    dl = pq.read_table(os.path.join(args.index, "doclens"), columns=["dl"])
+    if dl.num_rows != man.stats.get("n_docs"):
+        problems.append(
+            f"doclens rows {dl.num_rows} != stats n_docs {man.stats.get('n_docs')}")
+    print(json.dumps({"ok": not problems, "segments": len(seg_files),
+                      "term_rows": n_terms, "problems": problems}))
+    sys.exit(0 if not problems else 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="yetisearch_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("index-build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--fields", default="path,content")
+    b.add_argument("--store", default="")
+    b.add_argument("--lang-column", default=None)
+    b.add_argument("--hash-column", default=None)
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--append", action="store_true")
+    b.set_defaults(fn=cmd_index_build)
+
+    for name, fn in (("search", cmd_search), ("search-dsl", cmd_search_dsl),
+                     ("search-url", cmd_search_url), ("suggest", cmd_suggest)):
+        s = sub.add_parser(name)
+        s.add_argument("--index", required=True)
+        s.add_argument("query")
+        s.add_argument("--limit", type=int, default=10)
+        if name == "search":
+            s.add_argument("--mode", default="smart")
+            s.add_argument("--lang", default=None)
+            s.add_argument("--fuzzy", action="store_true")
+            s.add_argument("--docs", action="store_true")
+            s.add_argument("--highlight", action="store_true")
+        s.set_defaults(fn=fn)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+    s.add_argument("--by", default=None)
+    s.set_defaults(fn=cmd_stats)
+
+    s = sub.add_parser("optimize")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_optimize)
+
+    s = sub.add_parser("verify")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    try:
+        args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

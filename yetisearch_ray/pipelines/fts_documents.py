@@ -114,6 +114,68 @@ def match_count(sf_dir: str, term: str = "merge") -> pd.DataFrame:
     return pd.DataFrame({"n": pd.array([n], dtype="int64")})
 
 
+def facet_lang(sf_dir: str, term: str = "merge", candidates: int = 1000,
+               top_n: int = 10) -> pd.DataFrame:
+    """Facets over the match set (top-1000 candidates quirk preserved)."""
+    f = get_engine(sf_dir).facets(term, ["lang"], candidates=candidates,
+                                  top_n=top_n, mode="or")
+    df = f["lang"].to_pandas()
+    df["count"] = df["count"].astype("int64")
+    return df
+
+
+def suggest(sf_dir: str, query: str = "mrege windwo") -> pd.DataFrame:
+    df = get_engine(sf_dir).suggest(query).to_pandas()
+    df["count"] = df["count"].astype("int64") if len(df) else df.get("count")
+    return df
+
+
+def fuzzy_topk(sf_dir: str, query: str = "mrege", k: int = 10) -> pd.DataFrame:
+    return _as_result(get_engine(sf_dir).search(query, limit=k, fuzzy=True,
+                                                normalize=False))
+
+
+def index_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    from ..index.manage import index_stats
+
+    get_engine(sf_dir)  # ensure built
+    st = index_stats(documents_index_dir(sf_dir), by="lang")
+    rows = sorted(st["by_lang"].items())
+    return pd.DataFrame({
+        "lang": [k for k, _ in rows],
+        "n": pd.array([v for _, v in rows], dtype="int64"),
+    })
+
+
+def chunk_stats(sf_dir: str, chunk_size: int = 200, overlap: int = 20) -> pd.DataFrame:
+    """Chunking stage over documents: per-doc chunk counts (rows-only)."""
+    import ray.data as rd
+
+    from ..stages.chunker import chunk_documents
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = chunk_documents(ds, chunk_size=chunk_size, chunk_overlap=overlap)
+    df = out.to_pandas()
+    agg = df.groupby("parent_id").agg(
+        n_rows=("doc_id", "size"),
+        n_chunks=("is_chunk", "sum"),
+    ).reset_index()
+    agg["parent_id"] = agg["parent_id"].astype("int64")
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    agg["n_chunks"] = agg["n_chunks"].astype("int64")
+    return agg.sort_values("parent_id").reset_index(drop=True)
+
+
+def two_pass_topk(sf_dir: str, query: str = "merge window", k: int = 10) -> pd.DataFrame:
+    r = get_engine(sf_dir).search_two_pass(
+        query, limit=k, field_weights={"source": 5.0, "text": 1.0})
+    df = r.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].abs().round(5)
+    return df[["doc_id", "score"]]
+
+
 def actor_pool_search(sf_dir: str, queries=("merge", "vector", "window"),
                       k: int = 5) -> pd.DataFrame:
     """Query serving through the map_batches actor pool (SearchActor):

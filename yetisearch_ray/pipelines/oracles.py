@@ -293,3 +293,20 @@ SELECT doc_id::BIGINT AS doc_id, n_chars::DOUBLE AS score,
             THEN 'idx_even' ELSE 'idx_odd' END AS _index
 FROM documents
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+def facet_lang_sql(term: str, *, corpus: str = DOCUMENTS_CORPUS,
+                   candidates: int = 1000, top_n: int = 10) -> str:
+    """Facet counts over the top-``candidates`` BM25 match set (the
+    reference's top-1000 facet quirk)."""
+    inner = bm25_topk_sql([term], corpus=corpus, k=candidates)
+    return f"""
+WITH hits AS ({inner})
+SELECT d.lang AS value, count(*)::BIGINT AS count
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+GROUP BY d.lang
+ORDER BY count DESC, value ASC LIMIT {top_n}"""
+
+
+INDEX_STATS_BY_LANG_SQL = """
+SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"""

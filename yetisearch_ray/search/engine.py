@@ -627,6 +627,8 @@ class SearchEngine:
         fuzzy_mode: str = "correction",
         exclude_terms=None,
         post_rescore: bool = False,
+        geo_filters: dict | None = None,
+        distance_weight: float = 0.0,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -678,17 +680,34 @@ class SearchEngine:
         if doc_ids.size:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids, rank = doc_ids[keep], rank[keep]
+        distances = None
+        if geo_filters and doc_ids.size:
+            doc_ids, rank, distances = self._apply_geo(doc_ids, rank, geo_filters)
         # ORDER BY rank ASC, doc_id ASC  (reference :1096)
         order = np.lexsort((doc_ids, rank))
         doc_ids, rank = doc_ids[order], rank[order]
+        if distances is not None:
+            distances = distances[order]
+            if geo_filters.get("sort_by_distance"):
+                # reference two-phase fallback (:1086-1098,:1237-1262):
+                # widen candidates by rank, then re-sort by distance
+                widen = int(np.clip(limit * 20, 200, 1000))
+                doc_ids, rank = doc_ids[:widen], rank[:widen]
+                distances = distances[:widen]
+                o2 = np.lexsort((doc_ids, distances))
+                doc_ids, rank, distances = doc_ids[o2], rank[o2], distances[o2]
         # widen before dedup (reference widens to max_results :129-137)
         page_n = MAX_RESULTS if (unique_by_route or fuzzy) else offset + limit
         doc_ids, rank = doc_ids[:page_n], rank[:page_n]
         score = np.abs(rank)
+        if distances is not None:
+            distances = distances[: doc_ids.size]
         # min_score on abs score (processResults :717-729)
         if min_score > 0:
             keep = score >= min_score
             doc_ids, rank, score = doc_ids[keep], rank[keep], score[keep]
+            if distances is not None:
+                distances = distances[keep]
         if post_rescore and doc_ids.size:
             # candidate widening then PHP-style rescore + resort
             # (reference :901-913, :1226-1234: clamp(limit·20, 200, 2000))
@@ -709,18 +728,31 @@ class SearchEngine:
         if unique_by_route and route_column:
             doc_ids, score = self._dedup_by_route(doc_ids, score, route_column)
             rank = -score
+            distances = None  # representative rows reordered
         # page slice
         doc_ids = doc_ids[offset : offset + limit]
         score = score[offset : offset + limit]
+        if distances is not None:
+            distances = distances[offset : offset + limit]
         # normalize 0-100 by max in page (quirk preserved: per-page max)
         if normalize and score.size:
             m = score.max()
             if m > 0:
                 score = score / m * 100.0
+        # distance blend (§2.9 step 5): after normalization, then re-sort
+        # the page by the blended score
+        if distances is not None and distance_weight > 0 and score.size:
+            from ..functions.geo import distance_blend
+
+            score = distance_blend(score, distances, weight=distance_weight)
+            o3 = np.lexsort((doc_ids, -score))
+            doc_ids, score, distances = doc_ids[o3], score[o3], distances[o3]
         if round_scores is not None:
             score = np.round(score, round_scores)
         cols = {"doc_id": pa.array(doc_ids, pa.uint64()),
                 "score": pa.array(score, pa.float64())}
+        if distances is not None:
+            cols["distance_km"] = pa.array(np.round(distances, 4), pa.float64())
         out = pa.table(cols)
         if with_docs or highlight:
             docs = self.index.docs(doc_ids)
@@ -740,6 +772,37 @@ class SearchEngine:
             if len(self._result_cache) > self._cache_max:
                 self._result_cache.popitem(last=False)
         return out
+
+    # ---------------- geo ---------------------------------------------
+    def _apply_geo(self, doc_ids, rank, geo_filters: dict):
+        """Geo filters over candidate metadata (reference near/within,
+        :2128-2201): ``near {lat, lng, radius_km}`` = bbox prefilter +
+        haversine radius; ``within {bounds: (min_lat, max_lat, min_lng,
+        max_lng)}``.  Lat/lng come from docstore metadata columns
+        (default ``lat``/``lng``)."""
+        from ..functions.geo import haversine_km, in_bounds, near_mask
+
+        lat_col = geo_filters.get("lat_column", "lat")
+        lng_col = geo_filters.get("lng_column", "lng")
+        lats = self.index.meta_for(lat_col, doc_ids).astype(np.float64)
+        lngs = self.index.meta_for(lng_col, doc_ids).astype(np.float64)
+        distances = None
+        mask = np.ones(doc_ids.size, dtype=bool)
+        near = geo_filters.get("near")
+        if near:
+            mask &= near_mask(lats, lngs, near["lat"], near["lng"],
+                              near["radius_km"])
+            distances = haversine_km(lats, lngs, near["lat"], near["lng"])
+        within = geo_filters.get("within")
+        if within:
+            mask &= in_bounds(lats, lngs, within["bounds"])
+        ref = geo_filters.get("distance_from") or near
+        if distances is None and ref:
+            distances = haversine_km(lats, lngs, ref["lat"], ref["lng"])
+        doc_ids, rank = doc_ids[mask], rank[mask]
+        if distances is not None:
+            distances = distances[mask]
+        return doc_ids, rank, distances
 
     # ---------------- fuzzy -------------------------------------------
     def _compile_fuzzy(self, query: str, fuzzy_mode: str):
