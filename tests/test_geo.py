@@ -49,36 +49,36 @@ class TestGeoFunctions:
         assert s[1] < s[0]
 
 
+@pytest.fixture(scope="module")
+def geo_index(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from yetisearch_ray.index.build import IndexConfig, build_index
+
+    rows = [
+        {"doc_id": 1, "text": "cozy cafe in paris", "lat": 48.8566, "lng": 2.3522},
+        {"doc_id": 2, "text": "cafe near paris suburb", "lat": 48.9, "lng": 2.4},
+        {"doc_id": 3, "text": "london cafe by the river", "lat": 51.5074, "lng": -0.1278},
+        {"doc_id": 4, "text": "new york cafe downtown", "lat": 40.7, "lng": -74.0},
+    ]
+
+    def cast_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = t.schema.get_field_index("doc_id")
+        return t.set_column(i, "doc_id", pc.cast(t["doc_id"], pa.uint64()))
+
+    ds = rd.from_items(rows).map_batches(cast_ids, batch_format="pyarrow")
+    idx = str(tmp_path_factory.mktemp("geo")) + "/idx"
+    cfg = IndexConfig(fields=[("text", "text")],
+                      store_columns=["text", "lat", "lng"],
+                      num_partitions=4)
+    build_index(ds, idx, cfg, balance_hot_terms=False)
+    return idx
+
 @pytest.mark.usefixtures("ray_session")
 class TestEngineGeo:
-    @pytest.fixture(scope="class")
-    def geo_index(self, tmp_path_factory):
-        import pyarrow as pa
-        import ray.data as rd
-
-        from yetisearch_ray.index.build import IndexConfig, build_index
-
-        rows = [
-            {"doc_id": 1, "text": "cozy cafe in paris", "lat": 48.8566, "lng": 2.3522},
-            {"doc_id": 2, "text": "cafe near paris suburb", "lat": 48.9, "lng": 2.4},
-            {"doc_id": 3, "text": "london cafe by the river", "lat": 51.5074, "lng": -0.1278},
-            {"doc_id": 4, "text": "new york cafe downtown", "lat": 40.7, "lng": -74.0},
-        ]
-
-        def cast_ids(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            i = t.schema.get_field_index("doc_id")
-            return t.set_column(i, "doc_id", pc.cast(t["doc_id"], pa.uint64()))
-
-        ds = rd.from_items(rows).map_batches(cast_ids, batch_format="pyarrow")
-        idx = str(tmp_path_factory.mktemp("geo")) + "/idx"
-        cfg = IndexConfig(fields=[("text", "text")],
-                          store_columns=["text", "lat", "lng"],
-                          num_partitions=4)
-        build_index(ds, idx, cfg, balance_hot_terms=False)
-        return idx
-
     def test_near_filter(self, geo_index):
         from yetisearch_ray.search.engine import SearchEngine, open_index
 
@@ -119,3 +119,63 @@ class TestEngineGeo:
                              distance_weight=0.9)
         # heavy distance weight pulls NYC up
         assert blended["doc_id"][0].as_py() == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnAndDistanceFacets:
+    def test_knn(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        r = eng.knn({"lat": 48.8566, "lng": 2.3522}, k=2)
+        assert r["doc_id"].to_pylist() == [1, 2]
+        d = r["distance_km"].to_pylist()
+        assert d == sorted(d) and d[0] < 1.0
+
+    def test_knn_max_distance(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        r = eng.knn({"lat": 48.8566, "lng": 2.3522, "max_distance_km": 100}, k=10)
+        assert r["doc_id"].to_pylist() == [1, 2]
+
+    def test_distance_facets(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        f = eng.distance_facets("cafe", {"lat": 48.8566, "lng": 2.3522},
+                                [10, 500, 10000])
+        counts = dict(zip(f["bucket"].to_pylist(), f["count"].to_pylist()))
+        assert counts["<10km"] == 2 and counts["<500km"] == 3 and counts["<10000km"] == 4
+
+    def test_aggregations(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        a = eng.aggregate("cafe", {"lat": ["min", "max", "avg"]})
+        vals = dict(zip(a["aggregation"].to_pylist(), a["value"].to_pylist()))
+        assert vals["min_lat"] == pytest.approx(40.7)
+        assert vals["max_lat"] == pytest.approx(51.5074)
+
+    def test_column_sort(self, geo_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(geo_index))
+        r = eng.search("cafe", limit=10, sort=("lat", "desc"), with_docs=True)
+        lats = r["lat"].to_pylist()
+        assert lats == sorted(lats, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeTokens:
+    def test_adjacent_merge(self, geo_index):
+        """A split identifier merges when the concatenation is indexed."""
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        # NB: "down town" would NOT merge — "down" is a stopword and the
+        # analyzer removes it before the merge layer (reference order too)
+        eng = SearchEngine(open_index(geo_index), min_term_frequency=1)
+        merged = eng._merge_adjacent_tokens("downto wn")
+        assert merged == "downtown"
+        r = eng.search("downto wn", limit=5, merge_tokens=True, normalize=False)
+        assert 4 in r["doc_id"].to_pylist()

@@ -629,6 +629,8 @@ class SearchEngine:
         post_rescore: bool = False,
         geo_filters: dict | None = None,
         distance_weight: float = 0.0,
+        sort: tuple | None = None,
+        merge_tokens: bool = False,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -653,6 +655,8 @@ class SearchEngine:
                 del self._result_cache[cache_key]
         weights = self._field_weight_vector(field_weights or self.default_weights)
         orig_terms: list[str] = []
+        if merge_tokens and not fuzzy:
+            query = self._merge_adjacent_tokens(query)
         if fuzzy:
             cq, orig_terms = self._compile_fuzzy(query, fuzzy_mode)
         else:
@@ -683,8 +687,18 @@ class SearchEngine:
         distances = None
         if geo_filters and doc_ids.size:
             doc_ids, rank, distances = self._apply_geo(doc_ids, rank, geo_filters)
-        # ORDER BY rank ASC, doc_id ASC  (reference :1096)
-        order = np.lexsort((doc_ids, rank))
+        # ORDER BY rank ASC, doc_id ASC  (reference :1096) — or an explicit
+        # column sort (reference :1106-1128: direct/metadata columns)
+        if sort is not None and doc_ids.size:
+            col, direction = (sort if isinstance(sort, (tuple, list))
+                              else (sort, "asc"))
+            vals = self.index.meta_for(col, doc_ids)
+            key = np.argsort(vals, kind="stable")
+            if str(direction).lower().startswith("desc"):
+                key = key[::-1]
+            order = key
+        else:
+            order = np.lexsort((doc_ids, rank))
         doc_ids, rank = doc_ids[order], rank[order]
         if distances is not None:
             distances = distances[order]
@@ -772,6 +786,24 @@ class SearchEngine:
             if len(self._result_cache) > self._cache_max:
                 self._result_cache.popitem(last=False)
         return out
+
+    def _merge_adjacent_tokens(self, query: str) -> str:
+        """tryMergeTokens (reference :1539-1592): merge adjacent query
+        tokens when the concatenation is a known index term
+        ("search engine" -> "searchengine" when that identifier exists)."""
+        toks = self.analyzer.analyze(query)
+        if len(toks) < 2:
+            return query
+        d = self.fuzzy_matcher.dict
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and (toks[i] + toks[i + 1]) in d:
+                out.append(toks[i] + toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return " ".join(out)
 
     # ---------------- geo ---------------------------------------------
     def _apply_geo(self, doc_ids, rank, geo_filters: dict):
@@ -1035,6 +1067,66 @@ class SearchEngine:
             out[field] = pa.Table.from_pandas(df.reset_index(drop=True),
                                               preserve_index=False)
         return out
+
+    def distance_facets(self, query: str, center: dict, thresholds,
+                        *, candidates: int = 1000, **kwargs) -> pa.Table:
+        """Distance-bucket facets (reference :1193-1258): count matches per
+        radius threshold around a center point."""
+        from ..functions.geo import haversine_km
+
+        r = self.search(query, limit=candidates, normalize=False, **kwargs)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lats = self.index.meta_for(center.get("lat_column", "lat"), ids)
+        lngs = self.index.meta_for(center.get("lng_column", "lng"), ids)
+        d = haversine_km(lats.astype(np.float64), lngs.astype(np.float64),
+                         center["lat"], center["lng"])
+        labels, counts = [], []
+        for th in sorted(thresholds):
+            labels.append(f"<{th}km")
+            counts.append(int((d <= th).sum()))
+        return pa.table({"bucket": pa.array(labels, pa.string()),
+                         "count": pa.array(counts, pa.int64())})
+
+    def aggregate(self, query: str, aggregations: dict, *,
+                  candidates: int = 1000, **kwargs) -> pa.Table:
+        """Numeric aggregations over the match set — honoring the API the
+        reference documents but stubs out (``README:1382-1396``,
+        ``SearchEngine.php:1309-1314`` returns []).  ``aggregations`` maps
+        column -> list of ops in {avg, min, max, sum, count}."""
+        r = self.search(query, limit=candidates, normalize=False, **kwargs)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {"aggregation": [], "value": []}
+        for field, ops in aggregations.items():
+            vals = self.index.meta_for(field, ids).astype(np.float64)
+            for op in ops:
+                fn = {"avg": np.mean, "min": np.min, "max": np.max,
+                      "sum": np.sum, "count": np.size}[op]
+                cols["aggregation"].append(f"{op}_{field}")
+                cols["value"].append(float(fn(vals)) if ids.size else 0.0)
+        return pa.table({"aggregation": pa.array(cols["aggregation"], pa.string()),
+                         "value": pa.array(cols["value"], pa.float64())})
+
+    def knn(self, center: dict, k: int = 10) -> pa.Table:
+        """Geo k-NN fast path (reference :916-989): ignore text, nearest
+        ``k`` docs by haversine distance, optional max_distance clamp."""
+        from ..functions.geo import haversine_km
+
+        k = min(int(k), MAX_RESULTS)
+        ids = self.index.meta(self.index.id_column)
+        lats = self.index.meta(center.get("lat_column", "lat")).astype(np.float64)
+        lngs = self.index.meta(center.get("lng_column", "lng")).astype(np.float64)
+        d = haversine_km(lats, lngs, center["lat"], center["lng"])
+        if center.get("max_distance_km") is not None:
+            keep = d <= center["max_distance_km"]
+            ids, d = ids[keep], d[keep]
+        if self.index.tombstones.size:
+            keep = ~np.isin(ids, self.index.tombstones)
+            ids, d = ids[keep], d[keep]
+        order = np.lexsort((ids, d))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order].astype(np.uint64), pa.uint64()),
+            "distance_km": pa.array(np.round(d[order], 4), pa.float64()),
+        })
 
     @staticmethod
     def search_multiple(engines: dict, query: str, *, limit: int = 20,
