@@ -93,7 +93,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from yetisearch_ray.pipelines import ann, dedup, relational, textstats
+    from yetisearch_ray.pipelines import ann, dedup, events, relational, textstats
 
     def _docs(sf_dir):
         import ray.data as rd
@@ -214,6 +214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),
+        # --- stream-shaped operators over the events log ---
+        "ev_tumbling_window": events.tumbling_window,
+        "ev_session_windows": events.session_windows,
+        "ev_asof_join": events.asof_join_orders,
         # --- relational / facet shapes ---
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -297,6 +301,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
+        # events / stream-shaped
+        "ev_tumbling_window": oracles.TUMBLING_WINDOW_SQL,
+        "ev_session_windows": oracles.SESSION_WINDOWS_SQL,
+        "ev_asof_join": oracles.ASOF_JOIN_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

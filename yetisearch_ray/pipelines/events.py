@@ -1,0 +1,123 @@
+"""Stream-shaped operators over the ``events`` log table.
+
+Ray Data is a batch engine (no watermarks); stream semantics are
+expressed over the ordered, partitioned log per the standard pattern:
+partition by key, order by ts within the partition, window inside
+``map_groups`` (SURVEY §2.13: the reference has NO streaming — these
+operators are part of the training-data-pipeline extension).
+
+- ``tumbling_window``: fixed-width event-time windows (groupby on the
+  truncated timestamp — a pure shuffle-aggregate, SQL-oracle-checkable).
+- ``session_windows``: per-user sessions split on inactivity gaps
+  (sorted per-group pandas inside map_groups).
+- ``asof_join_orders``: for each event, the latest order of the same
+  customer at-or-before the event time (``pd.merge_asof`` per key
+  bucket — the guide's as-of join shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window(sf_dir: str, *, width_minutes: int = 60):
+    """Events per (event_type, window_start): count + value sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], multiple=width_minutes, unit="minute")
+        return t.append_column("window_start", w)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    )
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["value_sum"] = pdf["value_sum"].round(4)
+    return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def session_windows(sf_dir: str, *, gap_minutes: int = 30, min_events: int = 1):
+    """Per-user sessions: consecutive events with gaps < ``gap_minutes``.
+
+    groupby(user_id).map_groups with a sorted pandas group — the
+    documented ordering assumption is per-user ts order, established
+    inside the group (not relied on from the input)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = g["ts"].diff() >= gap
+        sid = new_session.cumsum()
+        agg = g.groupby(sid).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        agg = agg[agg.n_events >= min_events]
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        return agg.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    pdf = out.to_pandas()
+    pdf["n_events"] = pdf["n_events"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    return pdf.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def asof_join_orders(sf_dir: str):
+    """For each event: the latest order of customer ``user_id`` placed
+    at-or-before the event ts (as-of backward join).
+
+    Scale shape: bucket both sides by key hash, ``pd.merge_asof`` per
+    bucket inside ``map_groups`` — here the small side (orders) is
+    BROADCAST once and sliced per group, avoiding a second shuffle."""
+    import ray
+    import ray.data as rd
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    orders_ref = ray.put(orders)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(orders_ref)
+        uid = int(g["user_id"].iloc[0])
+        mine = od[od.o_custkey == uid]
+        g = g.sort_values("ts")
+        if mine.empty:
+            g["o_orderkey"] = pd.array([pd.NA] * len(g), dtype="Int64")
+            g["o_orderdate"] = pd.NaT
+            return g
+        # keep the LAST order per date so ties resolve to max o_orderkey
+        mine = (mine.sort_values(["o_orderdate", "o_orderkey"])
+                .groupby("o_orderdate", as_index=False).last())
+        j = pd.merge_asof(g, mine[["o_orderdate", "o_orderkey"]],
+                          left_on="ts", right_on="o_orderdate",
+                          direction="backward")
+        j["o_orderkey"] = j["o_orderkey"].astype("Int64")
+        return j
+
+    out = ds.groupby("user_id").map_groups(join_group, batch_format="pandas")
+    pdf = out.to_pandas()
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pdf["o_orderkey"] = pdf["o_orderkey"].fillna(-1).astype("int64")
+    return (pdf[["event_id", "user_id", "o_orderkey"]]
+            .sort_values("event_id").reset_index(drop=True))

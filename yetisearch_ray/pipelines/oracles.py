@@ -310,3 +310,38 @@ ORDER BY count DESC, value ASC LIMIT {top_n}"""
 
 INDEX_STATS_BY_LANG_SQL = """
 SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"""
+
+
+# ---------------------------------------------------------------- events
+
+TUMBLING_WINDOW_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start"""
+
+SESSION_WINDOWS_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id::BIGINT AS user_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start"""
+
+ASOF_JOIN_SQL = """
+SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
+       COALESCE((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+                -1)::BIGINT AS o_orderkey
+FROM events e ORDER BY event_id"""
