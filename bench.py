@@ -207,7 +207,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
 
     generate_code_corpus(SCALE_DOCS, f"/tmp/ys_corpus/scale{SCALE_DOCS}", num_files=16)
 
-    def run(ncpu: int) -> dict:
+    def run_once_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_CORPUS_DOCS=str(SCALE_DOCS))
         out = subprocess.run(
@@ -216,6 +216,12 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-2: single-node wall times are noisy; capability is the
+        # faster run at each level
+        a, b = run_once_at(ncpu), run_once_at(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

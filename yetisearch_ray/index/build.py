@@ -87,16 +87,27 @@ def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
     """
     top_k = top_k or cfg.num_partitions * 4
     sample = ds.limit(sample_docs)
+    from ..analysis.tokenizer import tokenize_batch
+
     import collections
 
     df_counts: collections.Counter = collections.Counter()
+    row_base = 0
     for batch in sample.iter_batches(batch_size=1024, batch_format="pyarrow"):
         for _, col in cfg.fields:
             texts = batch[col].to_pylist()
-            for s in texts:
-                from ..analysis.tokenizer import tokenize
-
-                df_counts.update(set(tokenize(s or "")))
+            tokens, rows, _, _ = tokenize_batch(texts)
+            if not tokens:
+                continue
+            codes, uniq = pd.factorize(np.asarray(tokens, dtype=object))
+            # distinct (term, doc) pairs → df per term, all vectorized
+            keys = codes.astype(np.int64) * (len(texts) + 1) + rows
+            uk = np.unique(keys)
+            cnt = np.bincount((uk // (len(texts) + 1)).astype(np.int64),
+                              minlength=len(uniq))
+            for i in np.flatnonzero(cnt):
+                df_counts[uniq[i]] += int(cnt[i])
+        row_base += batch.num_rows
     hot = df_counts.most_common(top_k)
     loads = np.zeros(cfg.num_partitions, dtype=np.int64)
     hot_map: dict[str, int] = {}
