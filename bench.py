@@ -57,7 +57,7 @@ def bench_build(corpus_dir: str, idx_dir: str) -> tuple[float, int]:
         fields=[("path", "path"), ("content", "content")],
         language_column="lang",
         store_columns=["repo", "path", "commit", "lang", "content"],
-        num_partitions=max(32, NUM_CPUS * 2),
+        num_partitions=64,  # IDENTICAL config at every parallelism level
         content_hash_column="content",
     )
     t0 = time.perf_counter()

@@ -56,7 +56,7 @@ tf AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5))
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
               * (tf.tfw * ({k1} + 1)) /
                 (tf.tfw + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) ) AS s,
          count(*) AS nterms

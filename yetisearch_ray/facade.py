@@ -1,0 +1,159 @@
+"""Top-level facade mirroring the reference's ``YetiSearch`` API surface
+(``src/YetiSearch.php``): named indexes under one root directory, with
+``create_index / index / index_batch / search / suggest / count / delete /
+optimize / clear / drop / stats / search_multiple`` entry points — so a
+user of the reference maps their calls one-to-one.
+
+Each named index is a directory under ``root``; engines are cached per
+index.  Document ingestion accepts plain dicts (the reference's
+associative-array documents): they are normalized into an Arrow table and
+APPENDED as a new segment generation (the streaming-batch analogue of the
+reference's transactional upsert)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class YetiSearchRay:
+    def __init__(self, root: str, *, default_config: dict | None = None):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._engines: dict[str, Any] = {}
+        self._configs: dict[str, Any] = {}
+        self.default_config = default_config or {}
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # ------------------------------------------------------------- admin
+    def create_index(self, name: str, *, fields: list[str] | None = None,
+                     language_column: str | None = None,
+                     store_columns: list[str] | None = None,
+                     num_partitions: int = 8,
+                     content_hash_column: str | None = None):
+        from .index.build import IndexConfig
+
+        fields = fields or ["title", "content"]
+        cfg = IndexConfig(
+            fields=[(f, f) for f in fields],
+            language_column=language_column,
+            store_columns=store_columns or list(fields),
+            num_partitions=num_partitions,
+            content_hash_column=content_hash_column,
+        )
+        self._configs[name] = cfg
+        return cfg
+
+    def index_exists(self, name: str) -> bool:
+        from .index.manifest import Manifest
+
+        return Manifest.exists(self._dir(name))
+
+    def drop(self, name: str) -> None:
+        from .index.manage import drop_index
+
+        drop_index(self._dir(name))
+        self._engines.pop(name, None)
+
+    def clear(self, name: str) -> None:
+        from .index.manage import clear_index
+
+        clear_index(self._dir(name))
+        self._engines.pop(name, None)
+
+    def optimize(self, name: str) -> dict:
+        from .index.manage import optimize_index
+
+        out = optimize_index(self._dir(name))
+        self._engines.pop(name, None)
+        return out
+
+    def stats(self, name: str, by: str | None = None) -> dict:
+        from .index.manage import index_stats
+
+        return index_stats(self._dir(name), by=by)
+
+    # ------------------------------------------------------------ ingest
+    def _docs_to_table(self, cfg, docs: Iterable[dict], next_id: int) -> pa.Table:
+        rows = []
+        for i, d in enumerate(docs):
+            content = d.get("content", d)
+            row = {cfg.id_column: np.uint64(d.get("doc_id", next_id + i))}
+            for fname, col in cfg.fields:
+                row[col] = str(content.get(fname, d.get(fname, "")) or "")
+            for c in cfg.store_columns:
+                if c not in row:
+                    row[c] = d.get(c, (d.get("metadata") or {}).get(c))
+            if cfg.language_column and cfg.language_column not in row:
+                row[cfg.language_column] = d.get("language", d.get(cfg.language_column))
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        idx = t.schema.get_field_index(cfg.id_column)
+        import pyarrow.compute as pc
+
+        return t.set_column(idx, cfg.id_column, pc.cast(t[cfg.id_column], pa.uint64()))
+
+    def index_batch(self, name: str, docs: list[dict]) -> int:
+        """Add documents (append generation). Returns docs indexed."""
+        import ray.data as rd
+
+        from .index.build import build_index
+        from .index.manifest import Manifest
+
+        cfg = self._configs.get(name) or self.create_index(name, **self.default_config)
+        idx_dir = self._dir(name)
+        next_id = 0
+        append = False
+        if Manifest.exists(idx_dir):
+            man = Manifest.load(idx_dir)
+            if man.data.get("status") == "committed":
+                append = True
+                next_id = man.stats.get("n_docs", 0) * 2 + 10_000_000
+        t = self._docs_to_table(cfg, docs, next_id)
+        ds = rd.from_arrow(t)
+        build_index(ds, idx_dir, cfg, append=append, balance_hot_terms=False,
+                    input_fingerprint=f"facade:{len(docs)}")
+        self._engines.pop(name, None)
+        return t.num_rows
+
+    index = index_batch  # single-doc convenience: pass a 1-element list
+
+    # ------------------------------------------------------------ query
+    def engine(self, name: str, **kwargs):
+        from .search.engine import SearchEngine, open_index
+
+        key = name
+        eng = self._engines.get(key)
+        if eng is None:
+            eng = SearchEngine(open_index(self._dir(name)), **kwargs)
+            self._engines[key] = eng
+        return eng
+
+    def search(self, name: str, query: str, **kwargs) -> pa.Table:
+        return self.engine(name).search(query, **kwargs)
+
+    def count(self, name: str, query: str, **kwargs) -> int:
+        return self.engine(name).count(query, **kwargs)
+
+    def suggest(self, name: str, query: str, **kwargs) -> pa.Table:
+        return self.engine(name).suggest(query, **kwargs)
+
+    def delete(self, name: str, doc_ids) -> int:
+        from .index.manage import delete_docs
+
+        n = delete_docs(self._dir(name), doc_ids)
+        self._engines.pop(name, None)
+        return n
+
+    def search_multiple(self, names: list[str], query: str, **kwargs) -> pa.Table:
+        from .search.engine import SearchEngine
+
+        return SearchEngine.search_multiple(
+            {n: self.engine(n) for n in names}, query, **kwargs)

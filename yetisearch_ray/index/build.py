@@ -52,7 +52,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .manifest import Manifest
-from .postings import encode_postings
+from .postings import encode_postings, encode_postings_bulk
 from ..analysis.tokenizer import tokenize_batch
 
 # pandas' siphash with this fixed key is deterministic across processes —
@@ -396,31 +396,36 @@ def _build_segment(index_dir: str, want_pos: bool, gen: int = 0):
         starts = np.flatnonzero(run_start)
         ends = np.append(starts[1:], s_rank.size)
 
-        out_terms, out_fields, out_df, out_cf = [], [], [], []
-        out_docs, out_tfs, out_pos = [], [], []
         inv_rank = dict_order  # rank -> dictionary code
-        for s, e in zip(starts, ends):
-            ids = s_docs[s:e]
-            f = s_tfs[s:e]
-            # merge duplicate doc rows (possible after hot-term salting)
-            if ids.size > 1 and np.any(ids[1:] == ids[:-1]):
-                uids, inv = np.unique(ids, return_inverse=True)
-                fsum = np.zeros(uids.size, dtype=np.uint64)
-                np.add.at(fsum, inv, f)
-                ids, f = uids, fsum
-                pos_flat = None  # positions not preserved across salt-merge
-            elif have_pos:
-                pos_flat = flat_sorted[new_offsets[s] : new_offsets[e]]
-            else:
-                pos_flat = None
-            db, tb, pb = encode_postings(ids, f, pos_flat)
-            out_terms.append(dict_strings[inv_rank[s_rank[s]]])
-            out_fields.append(int(s_fields[s]))
-            out_df.append(ids.size)
-            out_cf.append(int(f.sum()))
-            out_docs.append(db)
-            out_tfs.append(tb)
-            out_pos.append(pb)
+        # duplicate (term, doc) rows can only appear with sub-partition
+        # salting (not emitted yet) or doc re-adds within one generation;
+        # detect affected runs and handle them individually, bulk-encode
+        # the rest (one varbyte pass per stream — no per-run numpy setup)
+        dup_row = np.zeros(s_docs.size, dtype=bool)
+        if s_docs.size > 1:
+            dup_row[1:] = (s_docs[1:] == s_docs[:-1]) & ~run_start[1:]
+        run_idx_of_row = np.cumsum(run_start) - 1
+        dup_runs = np.unique(run_idx_of_row[dup_row]) if dup_row.any() else np.empty(0, np.int64)
+        dup_set = set(dup_runs.tolist())
+        db_l, tb_l, pb_l = encode_postings_bulk(
+            s_docs, s_tfs, flat_sorted if have_pos else None, starts, ends)
+        out_terms = [dict_strings[inv_rank[s_rank[s]]] for s in starts]
+        out_fields = [int(f) for f in s_fields[starts]]
+        lens = (ends - starts).astype(np.int64)
+        cf_per_run = np.add.reduceat(s_tfs.astype(np.int64), starts)
+        out_df = lens.tolist()
+        out_cf = cf_per_run.tolist()
+        out_docs, out_tfs, out_pos = db_l, tb_l, pb_l
+        for ri in dup_set:
+            s, e = starts[ri], ends[ri]
+            ids, f = s_docs[s:e], s_tfs[s:e]
+            uids, inv = np.unique(ids, return_inverse=True)
+            fsum = np.zeros(uids.size, dtype=np.uint64)
+            np.add.at(fsum, inv, f)
+            db, tb, pb = encode_postings(uids, fsum, None)
+            out_df[ri] = uids.size
+            out_cf[ri] = int(fsum.sum())
+            out_docs[ri], out_tfs[ri], out_pos[ri] = db, tb, pb
 
         seg = pa.table(
             {

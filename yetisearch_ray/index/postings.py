@@ -158,3 +158,78 @@ def merge_postings(parts):
     row_off = np.cumsum(lens_o) - lens_o
     within -= np.repeat(row_off, lens_o)
     return docs, tfs_o, flat[gstarts + within]
+
+
+def _varbyte_encode_with_lengths(values: np.ndarray):
+    """varbyte encode + per-value byte lengths (for bulk slicing)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    tmp = v.copy()
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nb.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.cumsum(nb) - nb
+    remaining = v.copy()
+    active = np.ones(v.shape, dtype=bool)
+    offset = np.zeros(v.shape, dtype=np.int64)
+    while active.any():
+        idx = starts[active] + offset[active]
+        byte = (remaining[active] & _MASK).astype(np.uint8)
+        more = offset[active] < (nb[active] - 1)
+        out[idx] = np.where(more, byte | np.uint8(0x80), byte)
+        remaining[active] >>= np.uint64(7)
+        offset[active] += 1
+        active = offset < nb
+    return out.tobytes(), nb
+
+
+def encode_postings_bulk(docs: np.ndarray, tfs: np.ndarray,
+                         positions: np.ndarray | None,
+                         run_starts: np.ndarray, run_ends: np.ndarray):
+    """Encode MANY posting runs at once (one varbyte pass per stream,
+    per-run output via byte-offset slicing — no per-run numpy setup).
+
+    ``docs``/``tfs`` are the partition's sorted row arrays; runs are
+    [run_starts[i], run_ends[i]) slices with docs sorted ascending and
+    UNIQUE within each run (callers handle duplicate-doc runs separately).
+    ``positions`` is the flat per-doc-sorted position stream aligned with
+    rows (group sizes = tfs).  Returns (doc_blobs, tf_blobs, pos_blobs)
+    lists of bytes per run.
+    """
+    docs = np.ascontiguousarray(docs, dtype=np.uint64)
+    tfs64 = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = docs.size
+    # doc deltas with restart at each run start
+    deltas = docs.copy()
+    deltas[1:] -= docs[:-1]
+    deltas[run_starts] = docs[run_starts]
+    doc_buf, doc_nb = _varbyte_encode_with_lengths(deltas)
+    tf_buf, tf_nb = _varbyte_encode_with_lengths(tfs64)
+    doc_off = np.concatenate(([0], np.cumsum(doc_nb)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_nb)))
+    doc_blobs = [doc_buf[doc_off[s]:doc_off[e]] for s, e in zip(run_starts, run_ends)]
+    tf_blobs = [tf_buf[tf_off[s]:tf_off[e]] for s, e in zip(run_starts, run_ends)]
+    if positions is None or positions.size == 0:
+        empty = b""
+        return doc_blobs, tf_blobs, [empty] * len(doc_blobs)
+    pos = np.ascontiguousarray(positions, dtype=np.uint64)
+    t64 = tfs64.astype(np.int64)
+    doc_pos_starts = np.cumsum(t64) - t64          # per-row group start
+    pdeltas = pos.copy()
+    pdeltas[1:] -= pos[:-1]
+    pdeltas[doc_pos_starts] = pos[doc_pos_starts]  # restart per doc
+    pos_buf, pos_nb = _varbyte_encode_with_lengths(pdeltas)
+    pos_val_off = np.concatenate(([0], np.cumsum(pos_nb)))
+    # run boundary in the position stream = group start of the run's first row
+    run_pos_starts = doc_pos_starts[run_starts]
+    run_pos_ends = np.where(run_ends < n, doc_pos_starts[np.minimum(run_ends, n - 1)],
+                            pos.size)
+    run_pos_ends[run_ends >= n] = pos.size
+    pos_blobs = [pos_buf[pos_val_off[s]:pos_val_off[e]]
+                 for s, e in zip(run_pos_starts, run_pos_ends)]
+    return doc_blobs, tf_blobs, pos_blobs

@@ -74,7 +74,7 @@ tf AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5))
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
               * (tf.tfw * ({K1} + 1)) /
                 (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s,
          count(*) AS nterms
@@ -101,7 +101,7 @@ phr AS (
 pstats AS (SELECT count(*) AS df FROM phr WHERE tf > 0),
 scored AS (
   SELECT p.doc_id,
-         ln((stats.n - pstats.df + 0.5) / (pstats.df + 0.5))
+         greatest(ln((stats.n - pstats.df + 0.5) / (pstats.df + 0.5)), 0.000001)
          * (p.tf * ({K1} + 1)) /
            (p.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
   FROM phr p JOIN dl USING (doc_id), stats, pstats

@@ -27,8 +27,12 @@ K1 = 1.2
 B = 0.75
 
 
+IDF_FLOOR = 1e-6  # FTS5 clamps non-positive idf (fts5_aux.c, public source)
+
+
 def idf(N: int, df: int) -> float:
-    return float(np.log((N - df + 0.5) / (df + 0.5)))
+    v = float(np.log((N - df + 0.5) / (df + 0.5)))
+    return v if v > 0.0 else IDF_FLOOR
 
 
 def bm25_term_score(tf_weighted, dl, avgdl: float, term_idf: float,
