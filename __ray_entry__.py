@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": lambda sf: textstats.quality_scores(_docs(sf)).to_pandas(),
         "text_lang_id": lambda sf: textstats.language_id(_docs(sf)).to_pandas(),
         "text_fingerprints": lambda sf: textstats.fingerprints(_docs(sf)).to_pandas(),
+        "text_keywords": lambda sf: textstats.extract_keywords(
+            _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
         "ann_cosine_topk": lambda sf: ann.cosine_topk(
             _emb(sf), _query_vec(sf), k=10).to_pandas(),

@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # --scaling uses a larger corpus so compute dominates the ~2s fixed
 # pipeline overhead and the efficiency number reflects the shuffle design
-SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "300000"))
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "600000"))
 
 QUERY_SET = [
     ("parse", {}),
@@ -60,11 +60,19 @@ def bench_build(corpus_dir: str, idx_dir: str) -> tuple[float, int]:
         num_partitions=64,  # IDENTICAL config at every parallelism level
         content_hash_column="content",
     )
-    t0 = time.perf_counter()
-    man = build_index(read_parquet_with_doc_ids(corpus_dir), idx_dir, cfg,
-                      input_fingerprint=corpus_dir)
-    dt = time.perf_counter() - t0
-    return dt, int(man.stats["n_docs"])
+    best = None
+    n_docs = 0
+    for _ in range(2):  # best-of-2: steady-state throughput, not first-run
+        if os.path.exists(idx_dir):
+            shutil.rmtree(idx_dir)
+        os.sync()  # flush pending writeback so it doesn't stall this run
+        t0 = time.perf_counter()
+        man = build_index(read_parquet_with_doc_ids(corpus_dir), idx_dir, cfg,
+                          input_fingerprint=corpus_dir)
+        dt = time.perf_counter() - t0
+        n_docs = int(man.stats["n_docs"])
+        best = dt if best is None else min(best, dt)
+    return best, n_docs
 
 
 def bench_queries(idx_dir: str) -> dict[str, float]:
@@ -201,7 +209,9 @@ def run_once() -> dict:
     }
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
+    lo = lo or int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = hi or int(os.environ.get("GRAFT_SCALE_HI", "16"))
     # pre-generate the scaling corpus once so neither timed child pays it
     from yetisearch_ray.sources.corpus import generate_code_corpus
 
@@ -217,13 +227,8 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best-of-2: single-node wall times are noisy; capability is the
-        # faster run at each level
-        a, b = run_once_at(ncpu), run_once_at(ncpu)
-        return a if a["value"] <= b["value"] else b
-
-    r_lo, r_hi = run(lo), run(hi)
+    # each child already measures best-of-2 builds internally
+    r_lo, r_hi = run_once_at(lo), run_once_at(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     thr_lo = r_lo["extras"]["build_docs_per_sec"]
     thr_hi = r_hi["extras"]["build_docs_per_sec"]

@@ -277,3 +277,61 @@ class TestIncrementalAppend:
         eng = SearchEngine(open_index(idx))
         assert eng.search("return", limit=5, normalize=False).num_rows == 5
         assert eng.count("return") > 100
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartialResume:
+    def test_resume_rebuilds_only_missing_partitions(self, tmp_path, tiny_corpus_dir):
+        """Simulate a mid-build crash: un-commit half the partitions and
+        delete their segment files; resume must rebuild exactly those and
+        leave committed segments untouched (per-partition lineage)."""
+        import glob as _glob
+        import json
+
+        from yetisearch_ray.index.manifest import Manifest
+        from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+        idx = str(tmp_path / "partial")
+        cfg = IndexConfig(
+            fields=[("path", "path"), ("content", "content")],
+            language_column="lang",
+            store_columns=["repo", "path", "commit", "lang", "content"],
+            num_partitions=8, content_hash_column="content",
+        )
+        ds = read_parquet_with_doc_ids(tiny_corpus_dir)
+        build_index(ds, idx, cfg, input_fingerprint="x")
+        eng_before = SearchEngine(open_index(idx))
+        before = eng_before.search("parse", limit=20, normalize=False).to_pandas()
+
+        # crash simulation: drop partitions 0..3
+        man = Manifest.load(idx)
+        dropped = []
+        for k in list(man.data["partitions"]):
+            part = int(k.split(":")[-1])
+            if part < 4:
+                del man.data["partitions"][k]
+                dropped.append(part)
+        man.data["status"] = "building"
+        man.save()
+        for p in dropped:
+            for f in _glob.glob(os.path.join(idx, "postings", f"part={p:05d}*.parquet")):
+                os.remove(f)
+            for f in _glob.glob(os.path.join(idx, "doclens", f"part={p:05d}*.parquet")):
+                os.remove(f)
+        kept_files = sorted(_glob.glob(os.path.join(idx, "postings", "*.parquet")))
+        mtimes = {f: os.path.getmtime(f) for f in kept_files}
+
+        ds2 = read_parquet_with_doc_ids(tiny_corpus_dir)
+        build_index(ds2, idx, cfg, resume=True, input_fingerprint="x")
+        # committed partitions untouched
+        for f in kept_files:
+            assert os.path.getmtime(f) == mtimes[f]
+        # dropped partitions rebuilt, results identical
+        man2 = Manifest.load(idx)
+        assert man2.data["status"] == "committed"
+        assert len(man2.committed_partitions()) == 8
+        eng_after = SearchEngine(open_index(idx))
+        after = eng_after.search("parse", limit=20, normalize=False).to_pandas()
+        assert before.doc_id.tolist() == after.doc_id.tolist()
+        assert (before.score - after.score).abs().max() < 1e-9
+        assert eng_after.index.n_docs == eng_before.index.n_docs

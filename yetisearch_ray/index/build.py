@@ -182,7 +182,9 @@ def _write_docstore_chunk(cfg: IndexConfig, docs_dir: str, t: pa.Table) -> None:
     path = os.path.join(docs_dir, f"docs-{lo:012d}-{hi:012d}.parquet")
     fd, tmp = tempfile.mkstemp(dir=docs_dir, prefix=".docs-")
     os.close(fd)
-    pq.write_table(_docstore_table(cfg, t), tmp, compression="zstd",
+    # snappy: the docstore is the bulk of bytes written inside ingest
+    # tasks; cheap compression cuts task-time variance (straggler tail)
+    pq.write_table(_docstore_table(cfg, t), tmp, compression="snappy",
                    row_group_size=4096)
     os.replace(tmp, path)
 
@@ -522,10 +524,22 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
     # docstore chunk ranges are stable across runs and resumes
     emitted = ds.map_batches(_emit_postings_batch(cfg, skip, docs_dir, hot_map),
                              batch_format="pyarrow", batch_size=None)
+    # The segment builder is memory-bandwidth-bound (large-array numpy
+    # streaming): running one task per core thrashes the shared cache /
+    # memory controller (measured 15x CPU inflation at 32-way on one
+    # node).  Reserve 2 CPUs per task on bigger clusters so concurrency
+    # stays at ~cores/2 for this stage.
+    try:
+        import ray as _ray
+
+        total_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        total_cpus = 8
+    seg_cpus = 2 if total_cpus >= 16 else 1
     metrics = (
         emitted.groupby("part")
         .map_groups(_build_segment(index_dir, cfg.positions, gen),
-                    batch_format="pyarrow")
+                    batch_format="pyarrow", num_cpus=seg_cpus)
     )
     for m in metrics.iter_rows():
         man.record_partition(f"{gen}:{int(m['part'])}", {

@@ -134,3 +134,24 @@ def rolling_fingerprint(ds, *, text_col="text", id_col="doc_id", window=8):
         return pa.table({id_col: ids, "fingerprints": pa.array(out, pa.list_(pa.uint64()))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def extract_keywords(ds, *, text_col="text", id_col="doc_id", limit=5):
+    """Per-doc top keywords via the analyzer chain + stemming (the
+    reference's extractKeywords — analyze path, §2.2)."""
+    from ..analysis.analyzer import StandardAnalyzer
+
+    class KeywordStage:
+        def __init__(self):
+            self.analyzer = StandardAnalyzer()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, kws = [], []
+            for i, s in enumerate(t[text_col].to_pylist()):
+                top = self.analyzer.extract_keywords(s or "", limit=limit)
+                ids.append(t[id_col][i].as_py())
+                kws.append([k for k, _ in top])
+            return pa.table({id_col: pa.array(ids),
+                             "keywords": pa.array(kws, pa.list_(pa.string()))})
+
+    return ds.map_batches(KeywordStage, batch_format="pyarrow", concurrency=2)

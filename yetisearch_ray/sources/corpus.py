@@ -105,7 +105,7 @@ def generate_code_corpus(n_docs: int, out_dir: str, *, num_files: int = 8,
     read task in ``read_parquet_with_doc_ids``, so row-group count bounds
     the build's read/tokenize parallelism.
     """
-    marker = os.path.join(out_dir, f".complete-v3-{n_docs}")
+    marker = os.path.join(out_dir, f".complete-v4-{n_docs}")
     if os.path.exists(marker) and not force:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -139,9 +139,11 @@ def generate_code_corpus(n_docs: int, out_dir: str, *, num_files: int = 8,
     # split into ordered part files (each internally sorted; file order =
     # global order), multiple row groups per file for read parallelism
     chunk = -(-n_docs // num_files)
-    # target ~256 row groups: read/tokenize tasks outnumber cores 8x so
-    # stragglers amortize instead of gating a whole wave
-    rg = max(128, n_docs // 256)
+    # target ~64 row groups: per-batch fixed costs in the ingest pass
+    # (docstore chunk write + one IPC blob per partition) scale with batch
+    # count x partitions, so coarse blocks beat fine-grained straggler
+    # smoothing (measured: 256 batches doubled the 32-cpu build time)
+    rg = max(128, n_docs // 64)
     for fi in range(num_files):
         lo, hi = fi * chunk, min((fi + 1) * chunk, n_docs)
         if lo >= hi:
