@@ -53,7 +53,7 @@ import pyarrow.parquet as pq
 
 from .manifest import Manifest
 from .postings import encode_postings, encode_postings_bulk
-from ..analysis.tokenizer import tokenize_batch
+from ..analysis.tokenizer import tokenize_batch, tokenize_batch_dict
 
 # pandas' siphash with this fixed key is deterministic across processes —
 # build and query side MUST use the same function.
@@ -87,7 +87,7 @@ def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
     """
     top_k = top_k or cfg.num_partitions * 4
     sample = ds.limit(sample_docs)
-    from ..analysis.tokenizer import tokenize_batch
+    from ..analysis.tokenizer import tokenize_batch, tokenize_batch_dict
 
     import collections
 
@@ -219,14 +219,15 @@ def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
         dl_total = np.zeros(doc_ids.size, dtype=np.int64)
         parts_out = []
         for fid, (fname, col) in enumerate(cfg.fields):
-            texts = t[col].to_pylist()
-            tokens, rows, positions, counts = tokenize_batch(texts, doc_ids)
+            # dictionary-coded Arrow tokenization: C-level lower/split/
+            # dict-encode; only unique terms surface as Python strings
+            codes, uniques, rows, positions, counts = tokenize_batch_dict(
+                t[col], doc_ids)
             dl_total += counts
-            if not tokens:
+            if codes.size == 0:
                 continue
             # aggregate (doc, term) -> tf + position list, all vectorized:
-            # factorize terms, lexsort by (term, doc, position), find runs
-            codes, uniques = pd.factorize(np.asarray(tokens, dtype=object), sort=False)
+            # lexsort by (term-code, doc, position), find runs
             order = np.lexsort((positions, rows, codes))
             sc, sr, sp = codes[order], rows[order], positions[order]
             run_start = np.empty(sc.size, dtype=bool)
