@@ -677,7 +677,14 @@ class SearchEngine:
                     cq.any_of.append(ph)
         if not cq.phrases:
             return self._empty_result(with_docs)
-        doc_ids, rank = self._score(cq, weights)
+        if self._wand_eligible(cq, fuzzy=fuzzy, filters=filters,
+                               language=language, geo_filters=geo_filters,
+                               unique_by_route=unique_by_route,
+                               min_score=min_score, sort=sort,
+                               post_rescore=post_rescore):
+            doc_ids, rank = self._wand_search(cq, weights, offset + limit)
+        else:
+            doc_ids, rank = self._score(cq, weights)
         if doc_ids.size and self.index.tombstones.size:
             live = ~np.isin(doc_ids, self.index.tombstones)
             doc_ids, rank = doc_ids[live], rank[live]
@@ -804,6 +811,46 @@ class SearchEngine:
                 out.append(toks[i])
                 i += 1
         return " ".join(out)
+
+    # ---------------- block-max WAND ----------------------------------
+    def _wand_eligible(self, cq, *, fuzzy, filters, language, geo_filters,
+                       unique_by_route, min_score, sort, post_rescore) -> bool:
+        return (
+            not fuzzy and not filters and not language and not geo_filters
+            and not unique_by_route and min_score == 0 and sort is None
+            and not post_rescore and not cq.exclude
+            and self.index.tombstones.size == 0
+            and cq.mode in ("or", "smart")
+            and all(len(p.terms) == 1 and not p.prefix for p in cq.phrases)
+        )
+
+    def _wand_search(self, cq, weights: np.ndarray, k: int):
+        """Top-k via block-max WAND over the term cursors — exact same
+        result as the full scan (see wand.py), sub-linear in posting
+        length once the heap threshold rises."""
+        from .bm25 import idf as _idf_fn
+        from .wand import TermCursor, wand_topk
+
+        N = self.index.n_docs
+        cursors = []
+        for ph in cq.phrases:
+            posts = self._term_postings(ph.terms[0])
+            if not posts:
+                continue
+            arrs = [p.doc_ids for p in posts.values()]
+            union = np.unique(np.concatenate(arrs))
+            tfw = np.zeros(union.size, dtype=np.float64)
+            for fid, p in posts.items():
+                idx = np.clip(np.searchsorted(p.doc_ids, union), 0,
+                              max(p.doc_ids.size - 1, 0))
+                present = p.doc_ids[idx] == union
+                tfw += np.where(present, p.tfs[idx].astype(np.float64), 0.0) * weights[fid]
+            cursors.append(TermCursor(union, tfw, _idf_fn(N, int(union.size))))
+        if not cursors:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        docs, scores = wand_topk(cursors, self.index.dl_total_for,
+                                 self.index.avgdl, k)
+        return docs, -scores  # rank = negated (all idfs ≥ 1e-6 → positive)
 
     # ---------------- geo ---------------------------------------------
     def _apply_geo(self, doc_ids, rank, geo_filters: dict):
