@@ -271,8 +271,11 @@ class TestIncrementalAppend:
         build_index(read_parquet_with_doc_ids(tiny_corpus_dir), idx, cfg,
                     balance_hot_terms=True)
         man = Manifest.load(idx)
-        hot = man.data.get("hot_terms")
-        assert hot and "return" in hot  # keywords land in the sketch
+        hot = man.data.get("hot_terms") or {}
+        split = man.data.get("split_terms") or {}
+        assert hot  # the Zipf head gets explicit placement
+        # ultra-hot keywords are split; others get single placement
+        assert "return" in hot or "return" in split
         # the engine must find hot terms via the explicit placement
         eng = SearchEngine(open_index(idx))
         assert eng.search("return", limit=5, normalize=False).num_rows == 5
@@ -335,3 +338,56 @@ class TestPartialResume:
         assert before.doc_id.tolist() == after.doc_id.tolist()
         assert (before.score - after.score).abs().max() < 1e-9
         assert eng_after.index.n_docs == eng_before.index.n_docs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHotTermSplitting:
+    def test_split_terms_salted_and_merged(self, tmp_path, tiny_corpus_dir):
+        """Ultra-hot terms (df >= 50% of sample) are SPLIT across
+        partitions by doc-hash salt; the reader merges the sub-lists and
+        results equal an unsplit build."""
+        import glob as _glob
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.index.manifest import Manifest
+        from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+        cfg = IndexConfig(
+            fields=[("path", "path"), ("content", "content")],
+            language_column="lang",
+            store_columns=["repo", "path", "commit", "lang", "content"],
+            num_partitions=8, content_hash_column="content",
+        )
+        idx_a = str(tmp_path / "split_on")
+        build_index(read_parquet_with_doc_ids(tiny_corpus_dir), idx_a, cfg,
+                    balance_hot_terms=True)
+        man = Manifest.load(idx_a)
+        split = man.data.get("split_terms") or {}
+        assert split, "corpus keywords have df >= 50% and must be split"
+        term = sorted(split)[0]
+        parts = split[term]
+        assert len(set(parts)) > 1
+        # the term's rows exist in more than one partition file
+        found_in = 0
+        for p in set(parts):
+            for f in _glob.glob(os.path.join(idx_a, "postings", f"part={p:05d}*.parquet")):
+                t = pq.read_table(f, filters=[("term", "==", term)])
+                if t.num_rows:
+                    found_in += 1
+        assert found_in > 1
+
+        idx_b = str(tmp_path / "split_off")
+        build_index(read_parquet_with_doc_ids(tiny_corpus_dir), idx_b, cfg,
+                    balance_hot_terms=False)
+        ea = SearchEngine(open_index(idx_a), cache_ttl=0)
+        eb = SearchEngine(open_index(idx_b), cache_ttl=0)
+        for q in [term, "parse buffer", f"{term} parse"]:
+            ra = ea.search(q, limit=20, normalize=False)
+            rb = eb.search(q, limit=20, normalize=False)
+            assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist(), q
+            assert ra["score"].to_pylist() == pytest.approx(
+                rb["score"].to_pylist(), abs=1e-9)
+        # phrase across a split term must keep positions
+        rp = ea.search('"exponential backoff"', limit=10, normalize=False)
+        rq = eb.search('"exponential backoff"', limit=10, normalize=False)
+        assert rp["doc_id"].to_pylist() == rq["doc_id"].to_pylist()

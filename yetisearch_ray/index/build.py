@@ -77,7 +77,8 @@ def term_partition(terms, num_partitions: int,
 
 
 def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
-                     top_k: int | None = None) -> dict[str, int]:
+                     top_k: int | None = None, split_df_ratio: float = 0.5,
+                     split_ways: int = 4):
     """df-sketch pre-pass → explicit balanced placement of the Zipf head.
 
     Samples the first ``sample_docs`` docs, counts per-term df, takes the
@@ -108,14 +109,29 @@ def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
             for i in np.flatnonzero(cnt):
                 df_counts[uniq[i]] += int(cnt[i])
         row_base += batch.num_rows
+    n_sampled = max(1, row_base)
     hot = df_counts.most_common(top_k)
     loads = np.zeros(cfg.num_partitions, dtype=np.int64)
     hot_map: dict[str, int] = {}
+    split_map: dict[str, list[int]] = {}
     for term, df in hot:
-        p = int(np.argmin(loads))
-        hot_map[term] = p
-        loads[p] += df
-    return hot_map
+        if df >= n_sampled * split_df_ratio and cfg.num_partitions >= split_ways:
+            # ULTRA-hot term (present in most docs): SPLIT its postings
+            # across `split_ways` partitions by doc-hash salt; the reader
+            # merges the sub-lists (positions preserved — doc sets are
+            # disjoint).  This bounds any single partition's share of a
+            # pathological term.
+            parts = []
+            for _ in range(split_ways):
+                p = int(np.argmin(loads))
+                parts.append(p)
+                loads[p] += df // split_ways
+            split_map[term] = parts
+        else:
+            p = int(np.argmin(loads))
+            hot_map[term] = p
+            loads[p] += df
+    return hot_map, split_map
 
 
 def _empty_lists(n: int) -> pa.ListArray:
@@ -196,7 +212,8 @@ def _write_docstore_chunk(cfg: IndexConfig, docs_dir: str, t: pa.Table) -> None:
 
 def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
                          docs_dir: str | None = None,
-                         hot_map: dict | None = None):
+                         hot_map: dict | None = None,
+                         split_map: dict | None = None):
     """The single INGEST pass: tokenize → per-partition IPC blobs.
 
     Per input batch (vectorized, zero-copy Arrow):
@@ -238,6 +255,15 @@ def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
             lens = np.diff(np.append(starts, sc.size))
             terms_arr = uniques[sc[starts]]
             part = term_partition(terms_arr, nparts, hot_map)
+            if split_map:
+                # skew-splitting: an ultra-hot term's rows are salted by
+                # doc hash across its assigned partitions
+                run_docs = sr[starts]
+                for sterm, sparts in split_map.items():
+                    m = terms_arr == sterm
+                    if m.any():
+                        salt = (run_docs[m] % np.uint64(len(sparts))).astype(np.int64)
+                        part[m] = np.asarray(sparts, dtype=np.uint32)[salt]
             cols = {
                 "part": pa.array(part, pa.uint32()),
                 "term": pa.array(terms_arr.astype(str), pa.string()),
@@ -510,10 +536,15 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
                 if int(k.split(":")[0]) == gen and v.get("status") == "committed"
             )
         hot_map = man.data.get("hot_terms") or None
+        split_map = man.data.get("split_terms") or None
     else:
         man = Manifest.new(index_dir, cfg.as_dict(), input_fingerprint)
-        hot_map = sketch_hot_terms(ds, cfg) if balance_hot_terms else None
+        if balance_hot_terms:
+            hot_map, split_map = sketch_hot_terms(ds, cfg)
+        else:
+            hot_map, split_map = None, None
         man.data["hot_terms"] = hot_map or {}
+        man.data["split_terms"] = split_map or {}
         man.save()
 
     # ---- single ingest pass: docstore side-writes + term-partitioned
@@ -523,8 +554,9 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
     # batch_size=None → whole blocks as batches: block boundaries come from
     # the deterministic source (one block per parquet row group), so the
     # docstore chunk ranges are stable across runs and resumes
-    emitted = ds.map_batches(_emit_postings_batch(cfg, skip, docs_dir, hot_map),
-                             batch_format="pyarrow", batch_size=None)
+    emitted = ds.map_batches(
+        _emit_postings_batch(cfg, skip, docs_dir, hot_map, split_map),
+        batch_format="pyarrow", batch_size=None)
     # The segment builder is memory-bandwidth-bound (large-array numpy
     # streaming): running one task per core thrashes the shared cache /
     # memory controller (measured 15x CPU inflation at 32-way on one

@@ -131,22 +131,30 @@ class IndexReader:
         return self.meta_for("dl_total", doc_ids)
 
     # ---------------- postings ----------------------------------------
-    def _term_part(self, term: str) -> int:
+    def _term_parts(self, term: str) -> list[int]:
+        """Partition(s) holding a term: split terms live in several
+        (doc-hash-salted) partitions, hot terms in an explicitly placed
+        one, the long tail by hash."""
+        split = self.manifest.data.get("split_terms") or {}
+        sp = split.get(term)
+        if sp:
+            return [int(p) for p in sp]
         hot = self.manifest.data.get("hot_terms") or {}
         p = hot.get(term)
         if p is not None:
-            return int(p)
-        return int(term_partition([term], self.num_partitions)[0])
+            return [int(p)]
+        return [int(term_partition([term], self.num_partitions)[0])]
 
     def _read_term_rows(self, term: str) -> pa.Table | None:
-        """Rows for one term across ALL segment generations of its
-        partition (plus the legacy single-file layout)."""
-        part = self._term_part(term)
+        """Rows for one term across all its partitions and ALL segment
+        generations (plus the legacy single-file layout)."""
         import glob as _glob
 
-        pattern = os.path.join(self.index_dir, "postings",
-                               f"part={part:05d}*.parquet")
-        files = sorted(_glob.glob(pattern))
+        files: list[str] = []
+        for part in self._term_parts(term):
+            pattern = os.path.join(self.index_dir, "postings",
+                                   f"part={part:05d}*.parquet")
+            files.extend(sorted(_glob.glob(pattern)))
         if not files:
             return None
         tabs = [pq.read_table(f, filters=[("term", "==", term)]) for f in files]
