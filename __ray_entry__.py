@@ -162,12 +162,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "avgdl": [round(st["avgdl"], 6)],
         })
 
-    def q_code_bm25(sf_dir):
+    def _code_result(sf_dir, query, **kw):
         eng = _code_engine(sf_dir)
-        r = eng.search("parse buffer", mode="or", limit=20, normalize=False).to_pandas()
+        r = eng.search(query, limit=20, normalize=False, **kw).to_pandas()
         r["doc_id"] = r["doc_id"].astype("int64")
         r["score"] = r["score"].abs().round(5)
         return r[["doc_id", "score"]]
+
+    def q_code_bm25(sf_dir):
+        return _code_result(sf_dir, "parse buffer", mode="or")
 
     return {
         # --- full-text search over documents (reference query classes) ---
@@ -191,6 +194,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_term_df_top100": q_code_term_df,
         "code_corpus_stats": q_code_stats,
         "code_bm25_topk": q_code_bm25,
+        "code_and_topk": lambda sf: _code_result(sf, "retry backoff", mode="and"),
+        "code_phrase_topk": lambda sf: _code_result(sf, '"exponential backoff"'),
+        "code_weighted_topk": lambda sf: _code_result(
+            sf, "module", field_weights={"path": 5.0, "content": 1.0}),
+        "code_filtered_topk": lambda sf: _code_result(sf, "buffer", language="rust"),
         # --- dedup ---
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)).to_pandas(),
         "dedup_jaccard_topk": lambda sf: dedup.ngram_jaccard_vs_query(
@@ -292,6 +300,14 @@ def oracle_sql() -> dict[str, str]:
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),
         "code_corpus_stats": oracles.corpus_stats_sql(corpus=code),
         "code_bm25_topk": oracles.bm25_topk_sql(["parse", "buffer"], corpus=code, k=20),
+        "code_and_topk": oracles.bm25_topk_sql(["retry", "backoff"], corpus=code,
+                                               require_all=True, k=20),
+        "code_phrase_topk": oracles.phrase_topk_sql(["exponential", "backoff"],
+                                                    corpus=code, k=20),
+        "code_weighted_topk": oracles.bm25_topk_sql(["module"], corpus=code,
+                                                    w0=5.0, w1=1.0, k=20),
+        "code_filtered_topk": oracles.bm25_topk_sql(["buffer"], corpus=code,
+                                                    lang="rust", k=20),
         # dedup / textstats
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_jaccard_topk": oracles.jaccard_topk_sql(query_doc_id=0, k=10),

@@ -47,6 +47,14 @@ QUERY_SET = [
 ]
 
 
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def bench_build(corpus_dir: str, idx_dir: str) -> tuple[float, int]:
     from yetisearch_ray.index.build import IndexConfig, build_index
     from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
@@ -205,6 +213,8 @@ def run_once() -> dict:
         "extras": {
             "n_docs": n_docs,
             "build_docs_per_sec": round(n_docs / t_build, 1),
+            "index_bytes": _dir_bytes(idx_dir),
+            "postings_bytes": _dir_bytes(os.path.join(idx_dir, "postings")),
         },
     }
 

@@ -105,10 +105,9 @@ class TestEngineWand:
         from yetisearch_ray.search.engine import SearchEngine, open_index
 
         eng = SearchEngine(open_index(built_index), cache_ttl=0)
-        r = eng.search("parse buffer", mode="or", limit=10, normalize=False)
-        # recompute via the full path by making WAND ineligible (min_score)
-        r2 = eng.search("parse buffer", mode="or", limit=10, normalize=False,
-                        min_score=1e-12)
+        r = eng.search("parse buffer", mode="or", limit=10, normalize=False,
+                       use_wand=True)
+        r2 = eng.search("parse buffer", mode="or", limit=10, normalize=False)
         assert r["doc_id"].to_pylist() == r2["doc_id"].to_pylist()
         a = np.array(r["score"].to_pylist())
         b = np.array(r2["score"].to_pylist())

@@ -639,6 +639,7 @@ class SearchEngine:
         distance_weight: float = 0.0,
         sort: tuple | None = None,
         merge_tokens: bool = False,
+        use_wand: bool = False,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -650,7 +651,7 @@ class SearchEngine:
                          repr(filters), language, min_score, normalize,
                          unique_by_route, route_column, prefix_last,
                          with_docs, highlight, round_scores, fuzzy,
-                         fuzzy_mode, tuple(exclude_terms or ()), post_rescore,
+                         fuzzy_mode, tuple(exclude_terms or ()), post_rescore, use_wand,
                          self.index.manifest.data.get("tombstone_version", 0))
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -685,11 +686,12 @@ class SearchEngine:
                     cq.any_of.append(ph)
         if not cq.phrases:
             return self._empty_result(with_docs)
-        if self._wand_eligible(cq, fuzzy=fuzzy, filters=filters,
-                               language=language, geo_filters=geo_filters,
-                               unique_by_route=unique_by_route,
-                               min_score=min_score, sort=sort,
-                               post_rescore=post_rescore):
+        if use_wand and self._wand_eligible(
+                cq, fuzzy=fuzzy, filters=filters,
+                language=language, geo_filters=geo_filters,
+                unique_by_route=unique_by_route,
+                min_score=min_score, sort=sort,
+                post_rescore=post_rescore):
             doc_ids, rank = self._wand_search(cq, weights, offset + limit)
         else:
             doc_ids, rank = self._score(cq, weights)
@@ -834,8 +836,11 @@ class SearchEngine:
 
     def _wand_search(self, cq, weights: np.ndarray, k: int):
         """Top-k via block-max WAND over the term cursors — exact same
-        result as the full scan (see wand.py), sub-linear in posting
-        length once the heap threshold rises."""
+        result as the full scan (see wand.py).  OPT-IN (`use_wand=True`):
+        the document-at-a-time loop is pure Python, so on in-memory
+        decoded postings the numpy full scan is faster at moderate df;
+        WAND is the right serving shape when cursors stream from disk /
+        compressed blocks where skipping avoids IO + decode."""
         from .bm25 import idf as _idf_fn
         from .wand import TermCursor, wand_topk
 
