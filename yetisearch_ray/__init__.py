@@ -18,3 +18,7 @@ SURVEY.md), the architecture is Ray-Data-first.
 """
 
 __version__ = "0.1.0"
+
+from .facade import YetiSearchRay  # noqa: E402
+
+__all__ = ["YetiSearchRay", "__version__"]

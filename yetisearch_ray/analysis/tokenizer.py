@@ -179,74 +179,6 @@ def tokenize_batch_dict(arr, doc_ids=None):
     return codes, uniq, row_ids, positions, counts
 
 
-def tokenize_batch_arrow(arr, doc_ids=None):
-    """Arrow-kernel tokenization of a string Array/ChunkedArray — the
-    C-level fast path for the ingest stage.
-
-    ASCII rows: ``utf8_lower`` + ``split_pattern_regex('[^a-z0-9]+')``
-    (byte-identical to the Python ASCII path).  Rows containing
-    non-ASCII fall back to the Python unicode61 path (NFKD fold).
-
-    Returns the same tuple as :func:`tokenize_batch`.
-    """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if pa.types.is_large_string(arr.type):
-        arr = arr.cast(pa.string())
-    arr = pc.fill_null(arr, "")
-    n = len(arr)
-    ascii_mask = pc.string_is_ascii(arr)
-    all_ascii = bool(pc.all(ascii_mask).as_py()) if n else True
-    lowered = pc.utf8_lower(arr)
-    split = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
-    flat = split.flatten()
-    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    raw_counts = np.diff(offsets)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    # per-row counts of NON-empty tokens
-    counts = np.zeros(n, dtype=np.int64)
-    if flat.null_count == 0 and len(flat):
-        ne = nonempty.astype(np.int64)
-        cs = np.concatenate(([0], np.cumsum(ne)))
-        counts = cs[offsets[1:]] - cs[offsets[:-1]]
-        tokens_list = flat.filter(pa.array(nonempty)).to_pylist()
-    else:
-        tokens_list = []
-    if not all_ascii:
-        # re-do non-ascii rows with the exact unicode61 fold, splicing the
-        # corrected tokens back in row order
-        am = ascii_mask.to_numpy(zero_copy_only=False)
-        bad_rows = np.flatnonzero(~am)
-        texts = arr.to_pylist()
-        # rebuild per-row token lists (cheap: only splice rows differ)
-        out_tokens: list[str] = []
-        new_counts = counts.copy()
-        cursor = 0
-        per_row_tokens = []
-        for i in range(n):
-            per_row_tokens.append(tokens_list[cursor : cursor + counts[i]])
-            cursor += counts[i]
-        for i in bad_rows:
-            toks = _TOKEN_RE.findall(fold_text(texts[i] or ""))
-            per_row_tokens[i] = toks
-            new_counts[i] = len(toks)
-        tokens_list = [t for row in per_row_tokens for t in row]
-        counts = new_counts
-    if doc_ids is not None:
-        rows = np.repeat(np.asarray(doc_ids), counts)
-    else:
-        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
-    total = int(counts.sum())
-    positions = np.arange(total, dtype=np.uint32)
-    if n:
-        starts = np.repeat(np.cumsum(counts) - counts, counts)
-        positions -= starts.astype(np.uint32)
-    return tokens_list, rows, positions, counts
-
-
 def tokenize_batch(texts, doc_ids=None):
     """Tokenize a column of strings; returns flat numpy-friendly arrays.
 

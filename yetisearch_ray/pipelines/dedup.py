@@ -19,9 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from ..analysis.tokenizer import tokenize_batch
 
 _MERSENNE = (1 << 61) - 1
 

@@ -12,7 +12,6 @@ groupby where it matters; the join broadcasts the small side
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .bm25 import K1, B, idf as _idf
 from ..analysis.analyzer import StandardAnalyzer
-from ..index.build import term_partition, _segment_path
+from ..index.build import term_partition
 from ..index.manifest import Manifest
 from ..index.postings import decode_postings, merge_postings
 
