@@ -147,11 +147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pads.dataset(post_dir, format="parquet").to_table(
             columns=["term", "field", "df"])
         df = t.to_pandas()
+        # split hot terms store partial (disjoint) doc lists in several
+        # partitions — sum to the true df per (term, field)
+        df = df.groupby(["term", "field"], as_index=False)["df"].sum()
         df["df"] = df["df"].astype("int64")
         df["field"] = df["field"].astype("int8")
         df = df.sort_values(["df", "term", "field"],
                             ascending=[False, True, True]).head(100)
-        return df.reset_index(drop=True)
+        return df[["term", "field", "df"]].reset_index(drop=True)
 
     def q_code_stats(sf_dir):
         eng = _code_engine(sf_dir)

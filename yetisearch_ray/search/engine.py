@@ -640,6 +640,7 @@ class SearchEngine:
         sort: tuple | None = None,
         merge_tokens: bool = False,
         use_wand: bool = False,
+        result_fields=None,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -652,6 +653,7 @@ class SearchEngine:
                          unique_by_route, route_column, prefix_last,
                          with_docs, highlight, round_scores, fuzzy,
                          fuzzy_mode, tuple(exclude_terms or ()), post_rescore, use_wand,
+                         tuple(result_fields or ()),
                          self.index.manifest.data.get("tombstone_version", 0))
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -789,8 +791,16 @@ class SearchEngine:
             docs = self.index.docs(doc_ids)
             # join in doc_id order
             dt = docs.to_pandas().set_index(self.index.id_column).loc[doc_ids.tolist()]
-            for c in dt.columns:
-                out = out.append_column(c, pa.array(dt[c].tolist()))
+            cols_wanted = (list(result_fields) if result_fields
+                           else list(dt.columns))
+            if highlight:
+                body = self.index.fields[-1][1]
+                if body not in cols_wanted and body in dt.columns:
+                    cols_wanted.append(body)
+            for c in cols_wanted:
+                if c in dt.columns and (result_fields is None or c in result_fields
+                                        or not highlight):
+                    out = out.append_column(c, pa.array(dt[c].tolist()))
             if highlight:
                 terms = [t for ph in cq.phrases for t in ph.terms]
                 body_col = self.index.fields[-1][1]
