@@ -391,3 +391,32 @@ class TestHotTermSplitting:
         rp = ea.search('"exponential backoff"', limit=10, normalize=False)
         rq = eb.search('"exponential backoff"', limit=10, normalize=False)
         assert rp["doc_id"].to_pylist() == rq["doc_id"].to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRebuild:
+    def test_rebuild_from_docstore(self, tmp_path, tiny_corpus_dir):
+        from yetisearch_ray.index.manage import rebuild_index
+        from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+        idx = str(tmp_path / "rb")
+        cfg = IndexConfig(
+            fields=[("path", "path"), ("content", "content")],
+            language_column="lang",
+            store_columns=["repo", "path", "commit", "lang", "content"],
+            num_partitions=8, content_hash_column="content",
+        )
+        build_index(read_parquet_with_doc_ids(tiny_corpus_dir), idx, cfg)
+        eng = SearchEngine(open_index(idx), cache_ttl=0)
+        before = eng.search("parse buffer", limit=20, normalize=False).to_pandas()
+        victim = int(before.doc_id.iloc[0])
+        delete_docs(idx, [victim])
+        res = rebuild_index(idx)
+        assert res["dropped"] == 1
+        eng2 = SearchEngine(open_index(idx), cache_ttl=0)
+        after = eng2.search("parse buffer", limit=20, normalize=False).to_pandas()
+        assert victim not in after.doc_id.tolist()
+        assert eng2.index.tombstones.size == 0
+        # everything else still searchable with consistent ordering
+        rest = [d for d in before.doc_id.tolist() if d != victim]
+        assert after.doc_id.tolist()[: len(rest)] == rest[: len(after)]

@@ -321,3 +321,43 @@ def optimize_index(index_dir: str) -> dict:
     man.save()
     return {"segments": len(by_part), "docs_removed": int(dead.size),
             "terms_kept": sum(results)}
+
+
+def rebuild_index(index_dir: str) -> dict:
+    """Rebuild postings from the stored documents (the reference's
+    ``rebuildFts`` :1731-1774 / ``Indexer::rebuild`` :181-196): drops all
+    segments/doclens and re-runs the full build pipeline over the
+    docstore.  Doc ids, config, placement maps and stats are re-derived;
+    tombstoned docs are dropped in the process."""
+    from .build import IndexConfig, build_index
+
+    man = Manifest.load(index_dir)
+    cfg = IndexConfig(**{k: v for k, v in man.config.items() if k != "fields"},
+                      fields=[tuple(f) for f in man.config["fields"]])
+    dead = set(man.data.get("tombstones", []))
+
+    import ray.data as rd
+
+    docs_dir = os.path.join(index_dir, "docs")
+    tmp_docs = os.path.join(index_dir, ".rebuild_docs")
+    shutil.rmtree(tmp_docs, ignore_errors=True)
+    os.rename(docs_dir, tmp_docs)
+    for sub in ("postings", "doclens"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    ds = rd.read_parquet(tmp_docs)
+    if dead:
+        dead_arr = np.array(sorted(dead), dtype=np.uint64)
+
+        def drop_dead(t: pa.Table) -> pa.Table:
+            ids = t[cfg.id_column].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(ids, dead_arr)))
+
+        ds = ds.map_batches(drop_dead, batch_format="pyarrow")
+    if "sha256" in (pq.read_schema(
+            os.path.join(tmp_docs, sorted(os.listdir(tmp_docs))[0])).names):
+        cfg.content_hash_column = None  # already stored; don't re-hash a hash
+    # fresh manifest + build (docstore chunks re-written from the copy)
+    os.remove(os.path.join(index_dir, "manifest.json"))
+    man2 = build_index(ds, index_dir, cfg, input_fingerprint="rebuild")
+    shutil.rmtree(tmp_docs, ignore_errors=True)
+    return {"n_docs": man2.stats["n_docs"], "dropped": len(dead)}
