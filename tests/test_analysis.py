@@ -115,3 +115,29 @@ class TestSimilarity:
     def test_phonetic(self):
         assert phonetic_similarity("smith", "smyth") >= 0.9
         assert phonetic_similarity("teh", "the") == 0.95
+
+
+class TestTokenizerPathParity:
+    """The Arrow dict-coded path must agree with the Python path on any
+    input (hypothesis-generated, incl. unicode, punctuation, nulls)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.lists(st.one_of(
+        st.none(),
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=80)), max_size=20))
+    @settings(max_examples=150, deadline=None)
+    def test_dict_path_matches_python(self, texts):
+        import pyarrow as pa
+
+        from yetisearch_ray.analysis.tokenizer import (
+            tokenize_batch, tokenize_batch_dict)
+
+        a = tokenize_batch(texts)
+        codes, uniq, rows, pos, cnt = tokenize_batch_dict(
+            pa.array(texts, pa.string()))
+        assert [uniq[c] for c in codes] == a[0]
+        assert rows.tolist() == a[1].tolist()
+        assert pos.tolist() == a[2].tolist()
+        assert cnt.tolist() == a[3].tolist()

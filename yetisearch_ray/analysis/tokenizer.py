@@ -53,17 +53,22 @@ def fold_text(text: str) -> str:
     """
     if text.isascii():
         return text.lower()
-    out = text.translate(_FOLD_TABLE).lower()
-    if out.isascii():
-        return out
-    # extend the table for unseen chars (identity entries keep ß-likes)
-    grew = False
-    for c in set(out):
-        o = ord(c)
-        if o > 127 and o not in _FOLD_TABLE:
-            _FOLD_TABLE[o] = _fold_char(c)
-            grew = True
-    return out.translate(_FOLD_TABLE) if grew else out
+    # lower FIRST so the fold table (keyed on lowercase chars) always
+    # applies, then fold to a fixpoint — the result is independent of how
+    # warm the table is (identity entries keep ß-likes / CJK)
+    out = text.lower()
+    for _ in range(4):
+        if out.isascii():
+            return out
+        for c in set(out):
+            o = ord(c)
+            if o > 127 and o not in _FOLD_TABLE:
+                _FOLD_TABLE[o] = _fold_char(c)
+        new = out.translate(_FOLD_TABLE)
+        if new == out:
+            break
+        out = new
+    return out
 
 
 def tokenize(text: str) -> list[str]:
