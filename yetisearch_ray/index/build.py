@@ -69,10 +69,10 @@ def term_partition(terms, num_partitions: int,
     arr = np.asarray(terms, dtype=object)
     parts = (pd.util.hash_array(arr, hash_key=_HASH_KEY) % num_partitions).astype(np.uint32)
     if hot_map:
-        for i, t in enumerate(arr):
-            p = hot_map.get(t)
-            if p is not None:
-                parts[i] = p
+        mapped = pd.Series(arr).map(hot_map)  # vectorized dict lookup
+        hit = mapped.notna().to_numpy()
+        if hit.any():
+            parts[hit] = mapped.to_numpy()[hit].astype(np.uint32)
     return parts
 
 
