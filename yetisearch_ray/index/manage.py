@@ -353,9 +353,10 @@ def rebuild_index(index_dir: str) -> dict:
             return t.filter(pa.array(~np.isin(ids, dead_arr)))
 
         ds = ds.map_batches(drop_dead, batch_format="pyarrow")
-    if "sha256" in (pq.read_schema(
-            os.path.join(tmp_docs, sorted(os.listdir(tmp_docs))[0])).names):
-        cfg.content_hash_column = None  # already stored; don't re-hash a hash
+    # NOTE: content_hash_column stays set — re-hashing the stored source
+    # column reproduces identical sha256 values, and clearing it would
+    # silently drop the column from the rebuilt docstore and persisted
+    # config (future appends would stop hashing).
     # fresh manifest + build (docstore chunks re-written from the copy)
     os.remove(os.path.join(index_dir, "manifest.json"))
     man2 = build_index(ds, index_dir, cfg, input_fingerprint="rebuild")

@@ -287,12 +287,16 @@ def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
     if len(terms) == 1:
         ph = P(terms, prefix=last_prefix)
         return CompiledQuery(mode="smart", phrases=[ph], any_of=[ph])
+    # NOTE: phrases/required/any_of must be DISTINCT list objects — callers
+    # append synonym arms to cq.phrases only, which must not leak into the
+    # required conjuncts (aliasing here once made synonyms shrink AND-mode
+    # match sets and double-score OR arms).
     if mode == "and":
         phs = [P([t]) for t in terms]
-        return CompiledQuery(mode="and", phrases=phs, required=phs)
+        return CompiledQuery(mode="and", phrases=list(phs), required=list(phs))
     if mode == "or":
         phs = [P([t]) for t in terms]
-        return CompiledQuery(mode="or", phrases=phs, any_of=phs)
+        return CompiledQuery(mode="or", phrases=list(phs), any_of=list(phs))
     # smart: "t1..tn" OR NEAR(t1..tn, 10) OR t1 OR ... OR tn
     # (reference src/Search/SearchEngine.php:615-643)
     full = P(terms)
@@ -411,12 +415,19 @@ class SearchEngine:
             if any(p.positions is None for p in plists):
                 continue  # positions required for phrases
             # fully vectorized adjacency: encode each occurrence as
-            # key = doc_id * 2^24 + position, then a phrase anchored at key
+            # key = doc_id * 2^32 + position, then a phrase anchored at key
             # requires key+j present in term j's key set — a chain of
             # sorted-array membership tests, no per-doc loop.
-            SHIFT = np.uint64(24)
+            # Bounds: positions are uint32 at build time (< 2^32), and
+            # doc_id must fit the high 32 bits — guard so a pathological
+            # id can never silently corrupt keys into false matches.
+            SHIFT = np.uint64(32)
             keys = []
             for p in plists:
+                if p.doc_ids.size and int(p.doc_ids[-1]) >= (1 << 32):
+                    raise ValueError(
+                        "phrase matching requires doc_id < 2^32 per shard "
+                        f"(got {int(p.doc_ids[-1])}); re-shard the index")
                 docs_exp = np.repeat(p.doc_ids, p.tfs.astype(np.int64))
                 keys.append((docs_exp << SHIFT) | p.positions.astype(np.uint64))
             occ = keys[0]
@@ -493,9 +504,16 @@ class SearchEngine:
             return np.unique(np.concatenate(arrs))
 
         if cq.mode in ("and", "phrase") or cq.required:
-            sets = [docs_any(pp) for pp in phrase_posts] if cq.mode == "and" else [
-                docs_any(phrase_posts[0])
-            ]
+            if cq.mode == "and":
+                # Intersect ONLY over the required conjuncts — synonym
+                # expansion appends extra scoring phrases to cq.phrases
+                # which must behave as OR arms, not shrink the match set
+                # (reference expandSynonyms adds OR components).
+                req_ids = {id(ph) for ph in cq.required}
+                sets = [docs_any(pp) for ph, pp in zip(cq.phrases, phrase_posts)
+                        if id(ph) in req_ids]
+            else:
+                sets = [docs_any(phrase_posts[0])]
             if cq.mode == "phrase":
                 match = docs_any(phrase_posts[0])
             else:
@@ -654,6 +672,8 @@ class SearchEngine:
                          with_docs, highlight, round_scores, fuzzy,
                          fuzzy_mode, tuple(exclude_terms or ()), post_rescore, use_wand,
                          tuple(result_fields or ()),
+                         repr(sort), repr(geo_filters), distance_weight,
+                         merge_tokens,
                          self.index.manifest.data.get("tombstone_version", 0))
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -729,8 +749,16 @@ class SearchEngine:
                 distances = distances[:widen]
                 o2 = np.lexsort((doc_ids, distances))
                 doc_ids, rank, distances = doc_ids[o2], rank[o2], distances[o2]
-        # widen before dedup (reference widens to max_results :129-137)
-        page_n = MAX_RESULTS if (unique_by_route or fuzzy) else offset + limit
+        # widen before dedup (reference widens to max_results :129-137);
+        # post_rescore must keep the full clamp(limit*20, 200, 2000)
+        # candidate pool alive so rescoring can promote docs from outside
+        # the final page (reference :901-913) — truncate only afterwards.
+        if unique_by_route or fuzzy:
+            page_n = MAX_RESULTS
+        elif post_rescore:
+            page_n = max(offset + limit, int(np.clip(limit * 20, 200, 2000)))
+        else:
+            page_n = offset + limit
         doc_ids, rank = doc_ids[:page_n], rank[:page_n]
         score = np.abs(rank)
         if distances is not None:
