@@ -441,9 +441,15 @@ class SearchEngine:
                 out[fid] = Posting(uids, counts.astype(np.uint64), None)
         return out
 
+    # FTS5 NEAR window rule, probed against stdlib sqlite3 FTS5 (see
+    # tests/test_fts5_goldens.py): single-token members of NEAR(t1 … tn, N)
+    # form a qualifying clump iff max(pos) - min(pos) <= N + 1, within a
+    # SINGLE column (positions never span columns).  This holds for any
+    # member count — "tokens between the end of the first phrase and the
+    # start of the last" <= N.
     def _near_docs(self, terms: list[str], distance: int) -> np.ndarray:
-        """doc_ids where all terms occur within a token window of
-        ``distance`` (any field) — NEAR(t1 … tn, N) match set."""
+        """doc_ids where all terms occur within a qualifying NEAR window
+        in some single field — NEAR(t1 … tn, N) match set."""
         per_term = [self._term_postings(t) for t in terms]
         hits: set[int] = set()
         for fid in range(self.index.nfields):
@@ -463,7 +469,7 @@ class SearchEngine:
                 # minimal window containing one position from each list
                 mins = min(int(a.min()) for a in arrs)
                 maxs = max(int(a.max()) for a in arrs)
-                if maxs - mins <= distance + len(terms) - 1:
+                if maxs - mins <= distance + 1:
                     hits.add(d)
                     continue
                 # sliding check: merge all positions and scan
@@ -478,7 +484,7 @@ class SearchEngine:
                     count[lbl[hi]] += 1
                     if count[lbl[hi]] == 1:
                         nz += 1
-                    while merged[hi] - merged[lo] > distance + len(terms) - 1:
+                    while merged[hi] - merged[lo] > distance + 1:
                         count[lbl[lo]] -= 1
                         if count[lbl[lo]] == 0:
                             nz -= 1
@@ -487,6 +493,67 @@ class SearchEngine:
                         hits.add(d)
                         break
         return np.asarray(sorted(hits), dtype=np.uint64)
+
+    def _near_filtered_tfs(self, terms: list[str], distance: int,
+                           match: np.ndarray,
+                           weights: np.ndarray) -> list[np.ndarray]:
+        """Per-term, NEAR-window-filtered, column-weighted tf aligned with
+        the sorted ``match`` array — the tf FTS5's bm25() sees for the
+        member phrases of a NEAR group.
+
+        FTS5 semantics (probed empirically, tests/test_fts5_goldens.py):
+        an instance of a member term counts iff it lies inside some token
+        window of span <= distance+1 (within one column) that contains at
+        least one instance of EVERY member term; instances outside every
+        qualifying window are dropped from the phrase's position list and
+        therefore from its tf.
+        """
+        nterms = len(terms)
+        out = [np.zeros(match.size, dtype=np.float64) for _ in range(nterms)]
+        per_term = [self._term_postings(t) for t in terms]
+        span = distance + 1
+        for fid in range(self.index.nfields):
+            plists = [pt.get(fid) for pt in per_term]
+            if any(p is None or p.doc_ids.size == 0 or p.positions is None
+                   for p in plists):
+                continue
+            common = plists[0].doc_ids
+            for p in plists[1:]:
+                common = common[np.isin(common, p.doc_ids)]
+            common = common[np.isin(common, match)]
+            if common.size == 0:
+                continue
+            maps = [{int(d): arr for d, arr in p.pos_slices()} for p in plists]
+            midx = np.searchsorted(match, common)
+            w = float(weights[fid])
+            for mi, d in zip(midx.tolist(), common.tolist()):
+                arrs = [maps[i][d].astype(np.int64) for i in range(nterms)]
+                merged = np.concatenate(arrs)
+                lbl = np.concatenate(
+                    [np.full(a.size, i) for i, a in enumerate(arrs)])
+                o = np.argsort(merged, kind="stable")
+                merged, lbl = merged[o], lbl[o]
+                qualified = np.zeros(merged.size, dtype=bool)
+                count = np.zeros(nterms, dtype=np.int64)
+                nz = 0
+                lo = 0
+                for hi in range(merged.size):
+                    count[lbl[hi]] += 1
+                    if count[lbl[hi]] == 1:
+                        nz += 1
+                    while merged[hi] - merged[lo] > span:
+                        count[lbl[lo]] -= 1
+                        if count[lbl[lo]] == 0:
+                            nz -= 1
+                        lo += 1
+                    if nz == nterms:
+                        qualified[lo:hi + 1] = True
+                if qualified.any():
+                    for i in range(nterms):
+                        n = int(np.count_nonzero(qualified & (lbl == i)))
+                        if n:
+                            out[i][mi] += w * n
+        return out
 
     # ---------------- scoring -----------------------------------------
     def _score(self, cq: CompiledQuery, weights: np.ndarray):
@@ -527,11 +594,12 @@ class SearchEngine:
                 if any(s.size for s in allsets)
                 else np.empty(0, np.uint64)
             )
-            # NOTE: the smart expression's NEAR(t1..tn, 10) arm adds NOTHING
-            # to the match set — every NEAR match contains all terms, which
-            # the OR-of-terms arms already cover — so it is intentionally
-            # not evaluated here.  ``_near_docs`` exists for explicit
-            # NEAR() queries (DSL layer).
+            # The smart expression's NEAR(t1..tn, 10) arm adds nothing to
+            # the MATCH SET (every NEAR match contains all terms, which the
+            # OR-of-terms arms already cover) but it DOES contribute score:
+            # FTS5's bm25() counts every phrase in the expression, so the
+            # NEAR group's member terms are scored a second time with
+            # window-filtered tf — added below after the phrase loop.
         if match.size and cq.exclude:
             for ph in cq.exclude:
                 posts = self._phrase_postings(ph)
@@ -564,12 +632,28 @@ class SearchEngine:
 
         for posts in phrase_posts:
             add_phrase(posts)
-        # NEAR group contributes its member phrases (already counted as the
-        # single-term components in smart mode — FTS5 counts every phrase
-        # instance in the expression; our smart expression shares the term
-        # phrases between the OR arm and the NEAR arm, matching the
-        # reference's observable composition closely enough for fuzzy-off
-        # rank identity on the gated query classes).
+        # NEAR-arm contribution (smart mode only): FTS5's bm25() scores
+        # every phrase in the expression, so the member terms of
+        # NEAR(t1..tn, 10) count AGAIN, with tf restricted to instances
+        # inside qualifying NEAR windows.  idf uses each member's
+        # standalone df (xQueryPhrase counts unconstrained phrase rows).
+        # Verified rank- and score-identical to real SQLite FTS5 in
+        # tests/test_fts5_goldens.py.
+        if (cq.mode == "smart" and cq.near_terms
+                and len(cq.near_terms) > 1 and match.size):
+            near_tfs = self._near_filtered_tfs(
+                cq.near_terms, cq.near_distance, match, weights)
+            for t, tfw in zip(cq.near_terms, near_tfs):
+                posts = self._term_postings(t)
+                arrs = [p.doc_ids for p in posts.values()]
+                if not arrs:
+                    continue
+                df = int(np.unique(np.concatenate(arrs)).size)
+                term_idf = _idf(N, df)
+                denom = tfw + K1 * (1.0 - B + B * dl / avgdl)
+                contrib = term_idf * (tfw * (K1 + 1.0)) / np.where(
+                    denom > 0, denom, 1.0)
+                np.add(score, np.where(tfw > 0, contrib, 0.0), out=score)
         rank = -score
         return match, rank
 
