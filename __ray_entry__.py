@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_filtered_topk": lambda sf: _code_result(sf, "buffer", language="rust"),
         # --- dedup ---
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)).to_pandas(),
+        "dedup_exact_rows": lambda sf: dedup.exact_dedup_rows(
+            _docs(sf)).to_pandas(),
         "dedup_jaccard_topk": lambda sf: dedup.ngram_jaccard_vs_query(
             _docs(sf), _query_text(sf), k=10).to_pandas(),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_dedup_pairs(
@@ -313,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
                                                     lang="rust", k=20),
         # dedup / textstats
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
+        "dedup_exact_rows": oracles.DEDUP_EXACT_ROWS_SQL,
         "dedup_jaccard_topk": oracles.jaccard_topk_sql(query_doc_id=0, k=10),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),

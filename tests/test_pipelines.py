@@ -136,6 +136,48 @@ class TestAnn:
         # approximate: top-1 (the query's own cluster) must be found
         assert bf.vec_id.iloc[0] == approx.vec_id.iloc[0]
 
+    def test_near_dup_exact_block_method(self, emb_ds):
+        """Block-pair GEMM (distributed, no driver matrix) vs the O(N²)
+        definition computed locally."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.ann import embedding_near_dup_pairs
+
+        pairs = (embedding_near_dup_pairs(emb_ds, threshold=0.45,
+                                          num_blocks=4)
+                 .to_pandas().sort_values(["id_a", "id_b"])
+                 .reset_index(drop=True))
+        df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ids = df.vec_id.to_numpy()
+        want = sorted((int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+                      for i in range(len(ids)) for j in range(i + 1, len(ids))
+                      if sims[i, j] >= 0.45)
+        assert list(zip(pairs.id_a, pairs.id_b)) == want
+
+    def test_near_dup_ivf_recall_on_planted(self, ray_session):
+        """IVF-bucketed pairing finds planted high-cosine near-dups."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.ann import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((40, 16))
+        # plant 5 near-dup pairs: tiny perturbations of rows 0..4
+        planted = base[:5] + 0.01 * rng.standard_normal((5, 16))
+        mat = np.vstack([base, planted])
+        rows = [{"vec_id": i, "embedding": mat[i].tolist()}
+                for i in range(mat.shape[0])]
+        ds = rd.from_items(rows)
+        got = embedding_near_dup_pairs(
+            ds, threshold=0.95, method="ivf", n_clusters=6, nprobe=2,
+            sample_size=45).to_pandas()
+        found = set(zip(got.id_a, got.id_b))
+        for i in range(5):
+            assert (i, 40 + i) in found, f"planted pair {i} missed"
+
 
 class TestMultimodal:
     def test_binary_payload_plumbing(self, docs_ds):

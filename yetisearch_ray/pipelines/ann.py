@@ -140,39 +140,143 @@ def lsh_bucket_topk(ds, query_vec, *, k=10, n_planes=12, vec_col="embedding",
     return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def _pair_table_from_blocks(ids_i, m_i, ids_j, m_j, threshold, round_to,
+                            same_block: bool) -> pa.Table:
+    """Pairs (id_a < id_b, cosine >= threshold) between two normalized
+    blocks — one GEMM, vectorized emission."""
+    sims = m_i @ m_j.T
+    if same_block:
+        # upper triangle only (i<j positionally; ids within a block are
+        # not necessarily sorted, so orient each pair by id below)
+        sims = np.triu(sims, k=1)
+    ii, jj = np.nonzero(sims >= threshold)
+    if ii.size == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    a = ids_i[ii].astype(np.int64)
+    b = ids_j[jj].astype(np.int64)
+    c = np.round(sims[ii, jj], round_to)
+    keep = a != b
+    a, b, c = a[keep], b[keep], c[keep]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return pa.table({"id_a": pa.array(lo, pa.int64()),
+                     "id_b": pa.array(hi, pa.int64()),
+                     "cosine": pa.array(c, pa.float64())})
+
+
 def embedding_near_dup_pairs(ds, *, threshold=0.95, vec_col="embedding",
-                             id_col="vec_id", round_to=6):
+                             id_col="vec_id", round_to=6, method="exact",
+                             num_blocks=None, n_clusters=16, nprobe=2,
+                             sample_size=2048, seed=42):
     """All pairs with cosine ≥ threshold.
 
-    Test-scale implementation: normalized matrix per block × broadcast
-    full matrix (the N² similarity is blocked so each task does one
-    GEMM slab).  At 10^9+ vectors this becomes IVF-bucketed pairing —
-    same emit schema.
+    ``method="exact"``: distributed block-pair GEMM.  The dataset is
+    normalized into B Arrow blocks held in the OBJECT STORE (never on
+    the driver), and one Ray task per block pair (i ≤ j) computes its
+    GEMM slab and emits qualifying pairs.  O(N²) compute is inherent to
+    an exact all-pairs operator, but it is spread over B(B+1)/2 tasks
+    with O(N) driver memory (pairs output only).  Raw Ray tasks are used
+    because the Dataset API cannot express a self-cross-join.
+
+    ``method="ivf"``: the 100 TB scale path — assign every vector to its
+    ``nprobe`` nearest centroids (deterministic k-means on a bounded
+    sample), explode to (bucket, id, vec) rows, groupby(bucket) and pair
+    only within buckets.  Approximate: a qualifying pair is found iff
+    the two vectors share ≥1 probed centroid (recall is validated
+    against the exact method in tests at small scale); dedup across
+    shared buckets is a keyed groupby.
     """
     import ray
 
-    full = ds.to_pandas()
-    mat = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
-    ids_all = full[id_col].to_numpy()
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(ids_all)
+    if method == "ivf":
+        return _near_dup_pairs_ivf(ds, threshold=threshold, vec_col=vec_col,
+                                   id_col=id_col, round_to=round_to,
+                                   n_clusters=n_clusters, nprobe=nprobe,
+                                   sample_size=sample_size, seed=seed)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        m_all = ray.get(mat_ref)
-        ids_glob = ray.get(ids_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+    def prep(t: pa.Table) -> pa.Table:
         m = _normalize(_batch_vectors(t, vec_col))
-        sims = m @ m_all.T
-        ra, rb, rc = [], [], []
-        for i in range(ids.size):
-            hits = np.flatnonzero(sims[i] >= threshold)
-            for j in hits:
-                if ids[i] < ids_glob[j]:
-                    ra.append(int(ids[i]))
-                    rb.append(int(ids_glob[j]))
-                    rc.append(round(float(sims[i, j]), round_to))
-        return pa.table({"id_a": pa.array(ra, pa.int64()),
-                         "id_b": pa.array(rb, pa.int64()),
-                         "cosine": pa.array(rc, pa.float64())})
+        return pa.table({id_col: t[id_col],
+                         "v": pa.array(list(m), pa.list_(pa.float64()))})
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    if num_blocks is None:
+        n = ds.count()
+        num_blocks = max(1, int(np.ceil(n / 4096)))
+    blocks = ds.map_batches(prep, batch_format="pyarrow") \
+               .repartition(num_blocks)
+    refs = blocks.to_arrow_refs()  # object-store refs; no driver pull
+
+    @ray.remote(num_cpus=1)
+    def pair_task(bi, bj, same):
+        ids_i = bi[id_col].to_numpy(zero_copy_only=False)
+        m_i = np.stack(bi["v"].to_numpy(zero_copy_only=False)) \
+            if bi.num_rows else np.empty((0, 1))
+        ids_j = bj[id_col].to_numpy(zero_copy_only=False)
+        m_j = np.stack(bj["v"].to_numpy(zero_copy_only=False)) \
+            if bj.num_rows else np.empty((0, 1))
+        if ids_i.size == 0 or ids_j.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return _pair_table_from_blocks(ids_i, m_i, ids_j, m_j,
+                                       threshold, round_to, same)
+
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(pair_task.remote(refs[i], refs[j], i == j))
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}))
+    return ray.data.from_arrow(pa.concat_tables(tables))
+
+
+def _near_dup_pairs_ivf(ds, *, threshold, vec_col, id_col, round_to,
+                        n_clusters, nprobe, sample_size, seed):
+    """IVF-bucketed near-dup pairing (see embedding_near_dup_pairs)."""
+    import ray
+
+    sample_t = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_t[vec_col].to_numpy()).astype(np.float64)
+    cents = kmeans_fit(sample, n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+    nprobe = min(nprobe, cents.shape[0])
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _batch_vectors(t, vec_col)
+        mn = _normalize(m)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        top = np.argsort(d, axis=1)[:, :nprobe]
+        n = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(top.reshape(-1), pa.int32()),
+            id_col: pa.array(np.repeat(ids, nprobe)),
+            "v": pa.array(list(np.repeat(mn, nprobe, axis=0)),
+                          pa.list_(pa.float64())),
+        })
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = np.stack(t["v"].to_numpy(zero_copy_only=False))
+        return _pair_table_from_blocks(ids, m, ids, m, threshold,
+                                       round_to, same_block=True)
+
+    def first_row(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .map_groups(first_row, batch_format="pyarrow"))

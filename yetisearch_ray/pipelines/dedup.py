@@ -24,6 +24,39 @@ import pyarrow as pa
 _MERSENNE = (1 << 61) - 1
 
 
+def _join_ready(ds, num_partitions: int):
+    """Coalesce away 0-row schema-less blocks.
+
+    Ray Data's groupby/aggregate stages emit empty partitions as blocks
+    with an EMPTY schema; Arrow's hash join then fails with "No match …
+    for key field reference" when such a block reaches a join side.
+    A repartition concatenates blocks so the surviving blocks all carry
+    the real schema.  The datasets passed here are small key/pair tables,
+    so the extra exchange is negligible.
+    """
+    return ds.repartition(num_partitions)
+
+
+def _default_join_partitions(requested: int | None = None) -> int:
+    """Join partition count bounded by cluster CPUs.
+
+    Ray Data's hash join spins up ``num_partitions`` aggregator actors,
+    each holding a CPU slot; requesting more partitions than the cluster
+    has CPUs deadlocks the streaming executor (observed on a 4-CPU local
+    session with 16 partitions).  Scale partitions with the cluster,
+    capped at half the CPUs so map/shuffle stages keep running.
+    """
+    if requested is not None:
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(64, cpus // 2))
+
+
 def _md5_batch(texts) -> list[str]:
     return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
 
@@ -52,23 +85,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return pairs.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
 
 
-def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Full surviving rows via broadcast semi-join of survivor ids."""
-    import ray
+def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                     num_partitions: int | None = None):
+    """Full surviving rows via a keyed SEMI-JOIN on the survivor ids.
 
-    surv = exact_dedup(ds, text_col, id_col)
-    ids = set()
-    for b in surv.iter_batches(batch_format="pyarrow"):
-        ids.update(b[id_col].to_pylist())
-    ref = ray.put(np.array(sorted(ids), dtype=np.int64))
-
-    def keep(t: pa.Table) -> pa.Table:
-        keep_ids = ray.get(ref)
-        arr = t[id_col].to_numpy(zero_copy_only=False)
-        mask = np.isin(arr, keep_ids)
-        return t.filter(pa.array(mask))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    Fully distributed: the survivor set (min id per content hash) is a
+    Dataset, and ``ds.join(..., "left_semi")`` hash-partitions both sides
+    on the id — the driver never materializes ids (the previous
+    implementation collected the survivor set driver-side, O(N) driver
+    memory at corpus scale)."""
+    num_partitions = _default_join_partitions(num_partitions)
+    surv = _join_ready(exact_dedup(ds, text_col, id_col)
+                       .select_columns([id_col]), num_partitions)
+    return ds.join(surv, "left_semi", num_partitions, on=(id_col,))
 
 
 # ------------------------------------------------------------------ shingles
@@ -195,50 +224,125 @@ def minhash_lsh_candidates(ds, *, text_col="text", id_col="doc_id",
 
 
 def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
-                        bands=16, shingle_n=3, threshold=0.7, seed=42):
-    """Candidate pairs from LSH buckets, verified with EXACT shingle
-    Jaccard (gathered via broadcast of the candidate id set)."""
+                        bands=16, shingle_n=3, threshold=0.7, seed=42,
+                        num_partitions=None, max_bucket=1000):
+    """Candidate pairs from LSH buckets, verified with EXACT (string)
+    shingle Jaccard — fully distributed.
+
+    Pipeline (no driver-side materialization of pairs or texts):
+      buckets → pair rows (capped per bucket) → groupby dedupe
+      → candidate ids → SEMI-JOIN docs → per-doc shingle strings
+      → two hash joins attach each side's shingles to its pairs
+      → vectorized-per-row exact Jaccard, threshold filter.
+
+    Shuffles move only (id_a, id_b) tuples and the CANDIDATE docs'
+    shingle lists, never full documents or the whole corpus.  Buckets
+    larger than ``max_bucket`` members are truncated (the pairs beyond
+    the cap are dropped and the count is reported via print → Ray log;
+    a bucket that big means near-identical boilerplate where any
+    survivor policy is equivalent).
+    """
     import itertools
 
-    import ray
-
+    num_partitions = _default_join_partitions(num_partitions)
     buckets = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                      num_perm=num_perm, bands=bands,
                                      shingle_n=shingle_n, seed=seed)
-    cand_pairs: set[tuple[int, int]] = set()
-    for b in buckets.iter_batches(batch_format="pyarrow"):
-        for members in b["members"].to_pylist():
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        ra, rb = [], []
+        members_col = (t["members"].to_pylist()
+                       if "members" in t.column_names else [])
+        for members in members_col:
+            if len(members) > max_bucket:
+                print(f"minhash_dedup_pairs: bucket truncated "
+                      f"{len(members)} -> {max_bucket} members")
+                members = members[:max_bucket]
             for x, y in itertools.combinations(members, 2):
-                cand_pairs.add((min(x, y), max(x, y)))
-    if not cand_pairs:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    needed = sorted({i for p in cand_pairs for i in p})
-    ref = ray.put(np.array(needed, dtype=np.int64))
+                ra.append(min(x, y))
+                rb.append(max(x, y))
+        return pa.table({"id_a": pa.array(ra, pa.int64()),
+                         "id_b": pa.array(rb, pa.int64())})
 
-    def gather(t: pa.Table) -> pa.Table:
-        keep = ray.get(ref)
-        arr = t[id_col].to_numpy(zero_copy_only=False)
-        return t.select([id_col, text_col]).filter(pa.array(np.isin(arr, keep)))
+    def first_row(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
 
-    small = ds.map_batches(gather, batch_format="pyarrow")
-    texts: dict[int, set] = {}
-    for b in small.iter_batches(batch_format="pyarrow"):
-        for i, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            texts[i] = _word_shingles((txt or "").split(), shingle_n)
-    ra, rb, rj = [], [], []
-    for x, y in sorted(cand_pairs):
-        sa, sb = texts.get(x, set()), texts.get(y, set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= threshold:
-            ra.append(x)
-            rb.append(y)
-            rj.append(round(j, 6))
-    return pa.table({"id_a": pa.array(ra, pa.int64()),
-                     "id_b": pa.array(rb, pa.int64()),
-                     "jaccard": pa.array(rj, pa.float64())})
+    pairs = (buckets.map_batches(to_pairs, batch_format="pyarrow")
+             .groupby(["id_a", "id_b"])
+             .map_groups(first_row, batch_format="pyarrow"))
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    # materialize: tuples only, reused three times below; repartition
+    # coalesces empty schema-less groupby blocks ahead of the joins
+    pairs = _join_ready(pairs, num_partitions).materialize()
+    if pairs.count() == 0:
+        return empty
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        if "id_a" not in t.column_names:
+            return pa.table({"cid": pa.array([], pa.int64())})
+        ids = np.concatenate([t["id_a"].to_numpy(zero_copy_only=False),
+                              t["id_b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"cid": pa.array(np.unique(ids), pa.int64())})
+
+    cands = pairs.map_batches(both_sides, batch_format="pyarrow")
+    cand_docs = ds.join(cands, "left_semi", num_partitions,
+                        on=(id_col,), right_on=("cid",))
+
+    # shingle sets ride the joins as a single \x1f-delimited string —
+    # Arrow's hash join rejects list-typed non-key fields
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        if text_col not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        shs = ["\x1f".join(sorted(_word_shingles((txt or "").split(),
+                                                 shingle_n)))
+               for txt in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col],
+                         "sh": pa.array(shs, pa.string())})
+
+    shingles = _join_ready(
+        cand_docs.map_batches(shingle_rows, batch_format="pyarrow"),
+        num_partitions)
+    joined = pairs.join(shingles, "inner", num_partitions,
+                        on=("id_a",), right_on=(id_col,),
+                        right_suffix="_a")
+    # join output also carries empty schema-less partitions — coalesce
+    # before feeding it to the second join
+    joined = _join_ready(joined, num_partitions)
+    joined = joined.join(shingles, "inner", num_partitions,
+                         on=("id_b",), right_on=(id_col,),
+                         right_suffix="_b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        if "id_a" not in t.column_names:
+            return empty
+        sh_cols = [c for c in t.column_names if c.startswith("sh")]
+        sa_col, sb_col = sorted(sh_cols)[:2]  # sh/sh_a then sh_b
+        ra, rb, rj = [], [], []
+        for i in range(t.num_rows):
+            va, vb = t[sa_col][i].as_py(), t[sb_col][i].as_py()
+            sa = set(va.split("\x1f")) if va else set()
+            sb = set(vb.split("\x1f")) if vb else set()
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= threshold:
+                ra.append(t["id_a"][i].as_py())
+                rb.append(t["id_b"][i].as_py())
+                rj.append(round(j, 6))
+        return pa.table({"id_a": pa.array(ra, pa.int64()),
+                         "id_b": pa.array(rb, pa.int64()),
+                         "jaccard": pa.array(rj, pa.float64())})
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    res = out.sort(["id_a", "id_b"]).to_pandas()
+    if res.empty:
+        return empty
+    return pa.table({"id_a": pa.array(res["id_a"], pa.int64()),
+                     "id_b": pa.array(res["id_b"], pa.int64()),
+                     "jaccard": pa.array(res["jaccard"], pa.float64())})
 
 
 # ------------------------------------------------------------------ simhash
@@ -320,10 +424,16 @@ def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
         .groupby(["block", "val"])
         .map_groups(pairs, batch_format="pyarrow")
     )
-    # the same pair can surface from several blocks — distinct it
-    import pandas as pd
 
-    pdf = out.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+    # the same pair can surface from several blocks — distinct it with a
+    # keyed groupby (distributed; only pair tuples shuffle), then collect
+    # the final small pair table sorted for determinism
+    def first_row(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
+
+    ded = out.groupby(["id_a", "id_b"]).map_groups(first_row,
+                                                   batch_format="pyarrow")
+    pdf = ded.sort(["id_a", "id_b"]).to_pandas()
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 

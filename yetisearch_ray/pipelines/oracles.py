@@ -146,6 +146,12 @@ DEDUP_EXACT_SQL = """
 SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY md5(text)"""
 
+DEDUP_EXACT_ROWS_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS _surv
+  FROM documents
+) WHERE doc_id = _surv"""
+
 
 def jaccard_topk_sql(query_doc_id: int = 0, n: int = 3, k: int = 10,
                      round_to: int = 6) -> str:
