@@ -88,6 +88,43 @@ class TestStemmer:
         assert stem("häuser", "de")
         assert stem("casas", "es")
 
+    def test_french_reference_vectors(self):
+        """Parity with reference tests/Unit/Stemmer/FrenchStemmerTest.php."""
+        from yetisearch_ray.functions.stemmer import stem_fr
+
+        cases = {"action": "action", "actions": "action",
+                 "doucement": "douc", "finir": "fin",
+                 "finissaient": "finiss", "chanter": "chant",
+                 "chantaient": "chant", "français": "franc"}
+        for w, want in cases.items():
+            assert stem_fr(w) == want, (w, stem_fr(w), want)
+
+    def test_german_reference_vectors(self):
+        """Parity with reference tests/Unit/Stemmer/GermanStemmerTest.php."""
+        from yetisearch_ray.functions.stemmer import stem_de
+
+        cases = {"Häuser": "haus", "Freunden": "freund", "Kindes": "kind",
+                 "Kinder": "kind", "machest": "mach", "spielst": "spiel",
+                 "notwendigkeit": "notwendig", "natürlich": "naturlich",
+                 "wissenschaftlich": "wissenschaft"}
+        for w, want in cases.items():
+            assert stem_de(w) == want, (w, stem_de(w), want)
+
+    def test_spanish_reference_vectors(self):
+        """Parity with reference tests/Unit/Stemmer/SpanishStemmerTest.php."""
+        from yetisearch_ray.functions.stemmer import stem_es
+
+        cases = {"nación": "nacion", "biología": "biolog",
+                 "hablando": "habl", "comiendo": "com", "niños": "nin",
+                 "rápidamente": "rapid", "tristemente": "trist"}
+        for w, want in cases.items():
+            assert stem_es(w) == want, (w, stem_es(w), want)
+
+    def test_language_name_aliases(self):
+        assert stem("Kinder", "german") == "kind"
+        assert stem("chanter", "french") == "chant"
+        assert stem("hablando", "spanish") == "habl"
+
 
 class TestSimilarity:
     def test_levenshtein(self):

@@ -220,6 +220,23 @@ class TestEngineFeatures:
         # must carry a mark
         assert any("<mark>" in r["highlight"][i].as_py() for i in range(r.num_rows))
 
+    def test_hot_term_sketch_sees_the_tail(self, ray_session):
+        """A term hot only in the corpus TAIL must still reach the
+        placement maps — guards against prefix (ds.limit) sampling."""
+        import ray.data as rd
+
+        from yetisearch_ray.index.build import IndexConfig, sketch_hot_terms
+
+        rows = [{"doc_id": i, "content": "filler words body"}
+                for i in range(700)]
+        rows += [{"doc_id": 700 + i, "content": "tailhotterm appears here"}
+                 for i in range(300)]
+        ds = rd.from_items(rows)
+        cfg = IndexConfig(fields=[("content", "content")], num_partitions=8)
+        hot_map, split_map = sketch_hot_terms(ds, cfg, sample_docs=200)
+        seen = set(hot_map) | set(split_map)
+        assert "tailhotterm" in seen
+
     def test_resume_skips_committed(self, built_index, tiny_corpus_dir):
         """Resuming a committed build re-runs nothing destructive and keeps
         results identical."""

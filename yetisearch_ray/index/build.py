@@ -81,13 +81,25 @@ def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
                      split_ways: int = 4):
     """df-sketch pre-pass → explicit balanced placement of the Zipf head.
 
-    Samples the first ``sample_docs`` docs, counts per-term df, takes the
-    top ``top_k`` (default 4×P) and greedily bin-packs them across
-    partitions by descending df (least-loaded-first), so no partition
-    receives several ultra-hot code keywords by hash accident.
+    Takes a UNIFORM random sample of ``sample_docs`` docs (seeded —
+    deterministic), counts per-term df, takes the top ``top_k`` (default
+    4×P) and greedily bin-packs them across partitions by descending df
+    (least-loaded-first), so no partition receives several ultra-hot
+    code keywords by hash accident.
+
+    A prefix sample (``ds.limit``) would mis-sketch any corpus whose
+    order correlates with content — on a sorted 100 TB corpus a term hot
+    only in the tail would never be seen.  The uniform sample costs one
+    extra counting pass over the input, which is noise next to the full
+    tokenization pass that follows.
     """
     top_k = top_k or cfg.num_partitions * 4
-    sample = ds.limit(sample_docs)
+    n_total = ds.count()
+    if n_total <= sample_docs:
+        sample = ds
+    else:
+        frac = min(1.0, (sample_docs * 1.25) / n_total)
+        sample = ds.random_sample(frac, seed=42).limit(sample_docs)
     from ..analysis.tokenizer import tokenize_batch, tokenize_batch_dict
 
     import collections
