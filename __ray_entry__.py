@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.5).to_pandas(),                 # rows-only
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
             _docs(sf)).to_pandas(),                                # rows-only
+        # --- fuzzy conformance (reference benchmarks/benchmark.php:211-327;
+        #     rows-only: per-case found flags over the deterministic movie
+        #     corpus; pass bars asserted in tests/test_fuzzy_bench.py) ---
+        "fts_fuzzy_bench": lambda sf: __import__(
+            "yetisearch_ray.pipelines.fuzzy_bench",
+            fromlist=["run_fuzzy_benchmark"]).run_fuzzy_benchmark().to_pandas(),
         # --- text analysis ---
         "text_token_counts": lambda sf: textstats.token_counts(_docs(sf)).to_pandas(),
         "text_quality": lambda sf: textstats.quality_scores(_docs(sf)).to_pandas(),

@@ -324,6 +324,7 @@ class SearchEngine:
                  fuzziness: float = 0.4,
                  max_indexed_terms: int = 20000,
                  min_term_frequency: int = 2,
+                 min_part_frequency: int = 5,
                  cache_ttl: float = 300.0):
         self.index = index
         self.analyzer = analyzer or StandardAnalyzer(language=language)
@@ -331,7 +332,8 @@ class SearchEngine:
         self.synonyms = {k.lower(): list(v) for k, v in (synonyms or {}).items()}
         self.fuzzy_algorithm = fuzzy_algorithm
         self.fuzziness = fuzziness
-        self._fuzzy_cfg = (max_indexed_terms, min_term_frequency)
+        self._fuzzy_cfg = (max_indexed_terms, min_term_frequency,
+                           min_part_frequency)
         self._fuzzy = None
         self._cache_ttl = cache_ttl
         self._result_cache: OrderedDict = OrderedDict()
@@ -344,10 +346,11 @@ class SearchEngine:
         if self._fuzzy is None:
             from .fuzzy import FuzzyMatcher
 
-            limit, min_df = self._fuzzy_cfg
+            limit, min_df, min_part = self._fuzzy_cfg
             self._fuzzy = FuzzyMatcher(
                 self.index.dictionary(limit=limit, min_df=min_df),
                 algorithm=self.fuzzy_algorithm, fuzziness=self.fuzziness,
+                min_part_frequency=min_part,
             )
         return self._fuzzy
 

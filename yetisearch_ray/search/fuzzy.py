@@ -70,12 +70,19 @@ class FuzzyMatcher:
                  fuzziness: float = 0.4,
                  max_variations: int = 10,
                  total_max_variations: int = 30,
-                 cache_size: int = 10000):
-        self.dict = dictionary  # term -> df, ordered by df desc is fine
+                 cache_size: int = 10000,
+                 min_part_frequency: int = 5):
+        # term -> df; coerce to plain int (numpy uint64 values overflow
+        # under unary negation in sort keys)
+        self.dict = {t: int(f) for t, f in dictionary.items()}
         self.algorithm = algorithm
         self.fuzziness = fuzziness
         self.max_variations = max_variations
         self.total_max_variations = total_max_variations
+        # compound-split part gate (reference tryCompoundWordSplit
+        # minPartFrequency=5; lower it for tiny corpora whose stats
+        # can't reach 5)
+        self.min_part_frequency = min_part_frequency
         self._cache: OrderedDict[tuple, list] = OrderedDict()
         self._cache_max = cache_size
         # length buckets for candidate prefiltering
@@ -153,63 +160,121 @@ class FuzzyMatcher:
         return self._cached(key, compute)
 
     # ------------------------------------------------------------------
-    def _compound_split(self, term: str) -> tuple[str, str] | None:
+    def _compound_split(self, term: str) -> tuple[str, str, int, int] | None:
         """``searchengine`` → ``search engine`` when both halves are known
-        (reference ``:1655-1699``)."""
-        best = None
-        for i in range(2, len(term) - 1):
+        and sufficiently frequent (reference ``tryCompoundWordSplit``
+        :1651-1699: length 6..20, parts >= 3 chars, both part frequencies
+        >= minPartFrequency, score = log(f1+1)+log(f2+1))."""
+        import math
+
+        if not (6 <= len(term) <= 20):
+            return None
+        best, best_score = None, 0.0
+        for i in range(3, len(term) - 2):
             a, b = term[:i], term[i:]
-            fa, fb = self.dict.get(a), self.dict.get(b)
-            if fa and fb:
-                balance = min(fa, fb) / max(fa, fb)
-                score = (fa + fb) * (0.5 + balance / 2)
-                if best is None or score > best[2]:
-                    best = (a, b, score)
-        return (best[0], best[1]) if best else None
+            fa = int(self.dict.get(a, 0))
+            fb = int(self.dict.get(b, 0))
+            if fa < self.min_part_frequency or fb < self.min_part_frequency:
+                continue
+            score = math.log(fa + 1) + math.log(fb + 1)
+            if score > best_score:
+                best, best_score = (a, b, fa, fb), score
+        return best
+
+    def _best_prefix_match(self, low: str) -> str | None:
+        """Prefix completion (reference ``findBestPrefixMatch``
+        :1933-1990): term length 4..10, extension 1..5 chars, scored by
+        frequency damped by extension length; near-ties prefer the
+        shorter extension."""
+        import functools
+
+        if not (4 <= len(low) <= 10):
+            return None
+        matches = []
+        for c in self._candidates_near_length(low, 5):
+            if len(c) > len(low) and c.startswith(low):
+                extra = len(c) - len(low)
+                if extra <= 5:
+                    matches.append((c, int(self.dict[c]), extra))
+        if not matches:
+            return None
+
+        def score(m):
+            return m[1] / (1.0 + m[2] * 0.5)
+
+        def cmp(a, b):
+            sa, sb = score(a), score(b)
+            if abs(sa - sb) < max(sa, sb) * 0.3:
+                return a[2] - b[2]
+            return (sb > sa) - (sb < sa)
+
+        matches.sort(key=functools.cmp_to_key(cmp))
+        return matches[0][0]
+
+    def _quick_fuzzy(self, low: str) -> tuple[str, float] | None:
+        """Edit-distance-1 candidate gated by trigram similarity >= 0.4,
+        scored sim * (1 + log(1+freq)/10) (reference
+        ``findQuickFuzzyMatchWithScore`` :1598-1649)."""
+        import math
+
+        best, best_score, best_sim = None, 0.0, 0.0
+        for c in self._candidates_near_length(low, 1):
+            if c == low or not levenshtein_within(low, c, 1):
+                continue
+            sim = trigram_similarity(low, c)
+            if sim >= 0.4:
+                sc = sim * (1.0 + math.log1p(int(self.dict[c])) / 10.0)
+                if sc > best_score:
+                    best, best_score, best_sim = c, sc, sim
+        return (best, best_sim) if best is not None else None
 
     def find_best_correction(self, term: str) -> str | None:
-        """Staged correction pipeline (reference ``:1706-1927``).
-        Returns a replacement term/phrase, or None if the term is fine or
-        uncorrectable."""
+        """Staged correction pipeline, faithful to the reference
+        ``findBestCorrection`` (:1706-1927): common-typo table → known
+        term short-circuit → PREFIX completion → quick-fuzzy vs
+        compound-split arbitration (frequency balance + same-length
+        high-similarity rules) → consensus scan.  Returns a replacement
+        term/phrase, or None if the term is fine or uncorrectable."""
         low = term.lower()
-        # 1. common-typo table
+        if len(low) <= 3:  # reference skips short terms (:1710)
+            return None
+        # 1. common-typo table (quickPhoneticCorrection :1715)
         fixed = _COMMON_TYPOS.get(low)
         if fixed and fixed in self.dict:
             return fixed
-        # 2. already a known term → no correction needed
+        # 2. already a known term → no correction needed (:1752)
         if low in self.dict:
             return None
-        # 3. prefix match: a known term extending this one
-        prefix_hits = [
-            (c, self.dict[c]) for c in self._candidates_near_length(low, 3)
-            if c.startswith(low) and len(c) > len(low)
-        ]
-        if prefix_hits and len(low) >= 3:
-            prefix_hits.sort(key=lambda x: (-x[1], x[0]))
-            best_prefix = prefix_hits[0]
-        else:
-            best_prefix = None
-        # 4. quick fuzzy (edit distance 1) vs compound split arbitration
-        quick = [
-            c for c in self._candidates_near_length(low, 1)
-            if levenshtein_within(low, c, 1)
-        ]
-        quick.sort(key=lambda c: (-self.dict[c], c))
+        # 3. prefix completion FIRST (:1757-1762)
+        pref = self._best_prefix_match(low)
+        if pref is not None:
+            return pref
+        # 4. quick fuzzy vs compound split arbitration (:1770-1840)
+        quick = self._quick_fuzzy(low)
         split = self._compound_split(low)
-        if quick and split:
-            qf = self.dict[quick[0]]
-            sf = min(self.dict[split[0]], self.dict[split[1]])
-            choice = quick[0] if qf >= sf else f"{split[0]} {split[1]}"
-            return choice
-        if quick:
+        if quick is not None and split is not None:
+            q, q_sim = quick
+            a, b, fa, fb = split
+            fuzzy_freq = int(self.dict.get(q, 0))
+            min_part, max_part = min(fa, fb), max(fa, fb)
+            balanced = (min_part / max_part if max_part else 0.0) >= 0.15
+            high_sim_sub = len(low) == len(q) and q_sim >= 0.5
+            if fuzzy_freq > min_part:
+                return q
+            if high_sim_sub and fuzzy_freq > 0:
+                return q
+            if not balanced and fuzzy_freq > 0:
+                return q
+            return f"{a} {b}"
+        if quick is not None:
             return quick[0]
-        if split:
+        if split is not None:
             return f"{split[0]} {split[1]}"
-        if best_prefix:
-            return best_prefix[0]
-        # 5. full consensus scan with validation
+        # 5. full consensus scan (:1845-1915)
         best, best_score = None, 0.0
         for c in self._candidates_near_length(low, 2):
+            if c == low:
+                continue
             s = consensus_score(low, c)
             if s > best_score or (s == best_score and best is not None
                                   and self.dict[c] > self.dict[best]):
