@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_smart_topk": lambda sf: ftsd.smart_topk(sf),          # rows-only
         "fts_match_count": lambda sf: ftsd.match_count(sf),
         "fts_actor_pool": lambda sf: ftsd.actor_pool_search(sf),   # rows-only
+        "fts_sharded_topk": lambda sf: ftsd.sharded_topk(sf),
         "fts_facet_lang": lambda sf: ftsd.facet_lang(sf),
         "fts_suggest": lambda sf: ftsd.suggest(sf),                # rows-only
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
@@ -298,6 +299,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "fts_term_topk": oracles.bm25_topk_sql(["merge"], k=20),
+        # sharded serving returns identical results to the local reader,
+        # so it shares the same independent oracle
+        "fts_sharded_topk": oracles.bm25_topk_sql(["merge"], k=20),
         "fts_and_topk": oracles.bm25_topk_sql(["hash", "merge"], require_all=True, k=20),
         "fts_or_topk": oracles.bm25_topk_sql(["vector", "stream"], k=20),
         "fts_phrase_topk": oracles.phrase_topk_sql(["hash", "value"], k=20),

@@ -176,6 +176,25 @@ def two_pass_topk(sf_dir: str, query: str = "merge window", k: int = 10) -> pd.D
     return df[["doc_id", "score"]]
 
 
+_SHARDED: dict[str, SearchEngine] = {}
+
+
+def sharded_topk(sf_dir: str, term: str = "merge", k: int = 20,
+                 n_shards: int = 3) -> pd.DataFrame:
+    """Same query as ``term_topk`` but served through the sharded
+    scatter/gather pool (search/sharded.py) — shares ``term_topk``'s
+    DuckDB oracle because results are identical by construction."""
+    from ..search.sharded import open_sharded
+
+    get_engine(sf_dir)  # ensure the index is built
+    idx_dir = documents_index_dir(sf_dir)
+    eng = _SHARDED.get(idx_dir)
+    if eng is None:
+        eng = open_sharded(idx_dir, n_shards=n_shards)
+        _SHARDED[idx_dir] = eng
+    return _as_result(eng.search(term, limit=k, normalize=False))
+
+
 def actor_pool_search(sf_dir: str, queries=("merge", "vector", "window"),
                       k: int = 5) -> pd.DataFrame:
     """Query serving through the map_batches actor pool (SearchActor):
