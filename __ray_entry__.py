@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_phrase_topk": lambda sf: ftsd.phrase_topk(sf),
         "fts_weighted_topk": lambda sf: ftsd.weighted_topk(sf),
         "fts_filtered_topk": lambda sf: ftsd.filtered_topk(sf),
-        "fts_smart_topk": lambda sf: ftsd.smart_topk(sf),          # rows-only
+        "fts_smart_topk": lambda sf: ftsd.smart_topk(sf),
         "fts_match_count": lambda sf: ftsd.match_count(sf),
         "fts_actor_pool": lambda sf: ftsd.actor_pool_search(sf),   # rows-only
         "fts_sharded_topk": lambda sf: ftsd.sharded_topk(sf),
@@ -192,7 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
         "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),         # rows-only
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
-        "text_chunk_stats": lambda sf: ftsd.chunk_stats(sf),       # rows-only
+        "text_chunk_stats": lambda sf: ftsd.chunk_stats(sf),
         # --- code corpus (north-rule input table) ---
         "code_sha256": q_code_sha256,
         "code_term_df_top100": q_code_term_df,
@@ -302,6 +302,9 @@ def oracle_sql() -> dict[str, str]:
         # sharded serving returns identical results to the local reader,
         # so it shares the same independent oracle
         "fts_sharded_topk": oracles.bm25_topk_sql(["merge"], k=20),
+        # full smart expression incl. NEAR window-filtered arm (semantics
+        # pinned against real FTS5 in tests/test_fts5_goldens.py)
+        "fts_smart_topk": oracles.smart_topk_sql(["hash", "value"], k=20),
         "fts_and_topk": oracles.bm25_topk_sql(["hash", "merge"], require_all=True, k=20),
         "fts_or_topk": oracles.bm25_topk_sql(["vector", "stream"], k=20),
         "fts_phrase_topk": oracles.phrase_topk_sql(["hash", "value"], k=20),
@@ -331,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),
         "text_fingerprints": oracles.FINGERPRINT_SQL,
+        "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),

@@ -111,6 +111,79 @@ SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
 FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
 
 
+def smart_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
+                   w1: float = 1.0, k: int = 20, round_to: int = 5) -> str:
+    """Smart-mode oracle for a TWO-term query — replicates the full FTS5
+    expression ``"t1 t2" OR NEAR(t1 t2, 10) OR t1 OR t2`` incl. the
+    NEAR arm's window-filtered tf (rank+score identity with real FTS5 is
+    pinned by tests/test_fts5_goldens.py; window rule: |p1-p2| <= 11
+    within one column).  Each arm scores idf(arm) * bm25-saturation of
+    its column-weighted tf; NEAR arms reuse the standalone term dfs."""
+    assert len(terms) == 2, "smart oracle covers the 2-term shape"
+    t1, t2 = terms
+    arr0 = "regexp_extract_all(lower(strip_accents(f0)), '[a-z0-9]+')"
+    arr1 = "regexp_extract_all(lower(strip_accents(f1)), '[a-z0-9]+')"
+    return f"""{_base_ctes(corpus)},
+posf AS (
+  SELECT doc_id, 0 AS fld, {arr0} AS arr FROM corpus
+  UNION ALL
+  SELECT doc_id, 1 AS fld, {arr1} AS arr FROM corpus
+),
+pp AS (
+  SELECT doc_id, fld,
+         list_filter(range(1, len(arr) + 1), i -> arr[i] = '{t1}') AS p1,
+         list_filter(range(1, len(arr) + 1), i -> arr[i] = '{t2}') AS p2,
+         len(list_filter(range(1, len(arr)),
+             i -> arr[i] = '{t1}' AND arr[i+1] = '{t2}')) AS adj
+  FROM posf
+),
+wf AS (
+  SELECT doc_id,
+         sum(adj * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END)) AS phr_tf,
+         sum(len(list_filter(p1, p -> len(list_filter(p2,
+             q -> abs(p - q) <= 11)) > 0))
+             * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END)) AS ntf1,
+         sum(len(list_filter(p2, p -> len(list_filter(p1,
+             q -> abs(p - q) <= 11)) > 0))
+             * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END)) AS ntf2,
+         sum(len(p1) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END)) AS tf1,
+         sum(len(p2) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END)) AS tf2
+  FROM pp GROUP BY doc_id
+),
+dfs AS (
+  SELECT (SELECT count(*) FROM wf WHERE tf1 > 0) AS df1,
+         (SELECT count(*) FROM wf WHERE tf2 > 0) AS df2,
+         (SELECT count(*) FROM wf WHERE phr_tf > 0) AS phr_df
+),
+scored AS (
+  SELECT w.doc_id,
+    (CASE WHEN w.tf1 > 0 THEN
+       greatest(ln((stats.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5)), 0.000001)
+       * (w.tf1 * ({K1}+1)) / (w.tf1 + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+     ELSE 0 END) +
+    (CASE WHEN w.tf2 > 0 THEN
+       greatest(ln((stats.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)), 0.000001)
+       * (w.tf2 * ({K1}+1)) / (w.tf2 + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+     ELSE 0 END) +
+    (CASE WHEN w.ntf1 > 0 THEN
+       greatest(ln((stats.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5)), 0.000001)
+       * (w.ntf1 * ({K1}+1)) / (w.ntf1 + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+     ELSE 0 END) +
+    (CASE WHEN w.ntf2 > 0 THEN
+       greatest(ln((stats.n - dfs.df2 + 0.5) / (dfs.df2 + 0.5)), 0.000001)
+       * (w.ntf2 * ({K1}+1)) / (w.ntf2 + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+     ELSE 0 END) +
+    (CASE WHEN w.phr_tf > 0 THEN
+       greatest(ln((stats.n - dfs.phr_df + 0.5) / (dfs.phr_df + 0.5)), 0.000001)
+       * (w.phr_tf * ({K1}+1)) / (w.phr_tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+     ELSE 0 END) AS s
+  FROM wf w JOIN dl USING (doc_id), stats, dfs
+  WHERE w.tf1 > 0 OR w.tf2 > 0
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
+FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
+
+
 def match_count_sql(term: str, *, corpus: str = DOCUMENTS_CORPUS) -> str:
     return f"""{_base_ctes(corpus)}
 SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tokf WHERE term = '{term}'"""
@@ -130,6 +203,74 @@ SELECT stats.n::BIGINT AS n_docs,
        (SELECT count(*) FROM tokf)::BIGINT AS total_dl,
        round(stats.avgdl, {round_to}) AS avgdl
 FROM stats"""
+
+
+def chunk_stats_sql(chunk_size: int = 200, overlap: int = 20) -> str:
+    """Recursive-CTE replica of ``stages.chunker.chunk_text``'s greedy
+    sentence packing (sentence split at whitespace following [.!?],
+    overlap-tail carry, hard split of oversize accumulations) — per-doc
+    (parent_id, n_rows, n_chunks).  Verified identical to the Python
+    chunker on every sf0.01 document."""
+    cs, ov = chunk_size, overlap
+    step = cs - ov
+    return f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, text FROM documents),
+small AS (SELECT doc_id FROM docs WHERE len(text) <= {cs}),
+big AS (SELECT doc_id, text FROM docs WHERE len(text) > {cs}),
+sents AS (
+  SELECT doc_id, arr[i] AS sent, i AS si
+  FROM (SELECT doc_id,
+               list_filter(string_split(regexp_replace(text,
+                   '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+                   s -> s <> '') AS arr
+        FROM big),
+       unnest(range(1, len(arr) + 1)) AS u(i)
+),
+step AS (
+  SELECT doc_id, 0 AS i, '' AS cur, 0 AS nch FROM big
+  UNION ALL
+  SELECT s.doc_id, st.i + 1,
+    (CASE WHEN mk.k > 0 THEN substr(mk.m, mk.k * {step} + 1) ELSE mk.m END),
+    st.nch + mk.closed + mk.k
+  FROM step st
+  JOIN sents s ON s.doc_id = st.doc_id AND s.si = st.i + 1,
+  LATERAL (
+    SELECT m, closed,
+           CASE WHEN len(m) > {cs}
+                THEN ((len(m) - {cs} - 1) // {step}) + 1 ELSE 0 END AS k
+    FROM (
+      SELECT
+        CASE WHEN st.cur <> '' AND len(st.cur) + 1 + len(s.sent) > {cs} THEN
+          CASE WHEN tl.tail <> '' THEN trim(tl.tail || ' ' || s.sent)
+               ELSE s.sent END
+        ELSE
+          CASE WHEN st.cur = '' THEN s.sent
+               ELSE trim(st.cur || ' ' || s.sent) END
+        END AS m,
+        CASE WHEN st.cur <> '' AND len(st.cur) + 1 + len(s.sent) > {cs}
+             THEN 1 ELSE 0 END AS closed
+      FROM (
+        SELECT CASE WHEN strpos(t0.t, ' ') > 0
+                    THEN substr(t0.t, strpos(t0.t, ' ') + 1)
+                    ELSE t0.t END AS tail
+        FROM (SELECT right(st.cur, {ov}) AS t) t0(t)
+      ) tl
+    )
+  ) mk
+),
+fin AS (
+  SELECT st.doc_id,
+         st.nch + (CASE WHEN st.cur <> '' THEN 1 ELSE 0 END) AS nchunks
+  FROM step st
+  JOIN (SELECT doc_id, max(i) AS mi FROM step GROUP BY doc_id) mx
+    ON mx.doc_id = st.doc_id AND mx.mi = st.i
+)
+SELECT doc_id::BIGINT AS parent_id, 1::BIGINT AS n_rows,
+       0::BIGINT AS n_chunks FROM small
+UNION ALL
+SELECT doc_id::BIGINT, (1 + nchunks)::BIGINT, nchunks::BIGINT FROM fin
+ORDER BY parent_id"""
 
 
 def code_sha256_sql(parquet_glob: str) -> str:
