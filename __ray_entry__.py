@@ -105,6 +105,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
+    def _ivf_partitioned(sf_dir):
+        """Centroid-partitioned IVF store (built once per sf under /tmp);
+        nprobe=None probes all partitions → exact, shares the brute-force
+        oracle."""
+        sf = os.path.basename(os.path.normpath(sf_dir))
+        out = f"/tmp/ys_ivf/{sf}"
+        if not os.path.exists(os.path.join(out, "ivf.json")):
+            ann.ivf_build(_emb(sf_dir), out, n_clusters=8)
+        return ann.ivf_search(out, _query_vec(sf_dir), k=10,
+                              nprobe=None).to_pandas()
+
     def _query_vec(sf_dir, vec_id=1):
         import pyarrow.parquet as pq
 
@@ -233,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), _query_vec(sf), k=10, n_clusters=8, nprobe=None).to_pandas(),
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(
             _emb(sf), _query_vec(sf), k=10).to_pandas(),           # rows-only
+        "ann_ivf_partitioned": lambda sf: _ivf_partitioned(sf),
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),
@@ -338,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
+        "ann_ivf_partitioned": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
         # events / stream-shaped
         "ev_tumbling_window": oracles.TUMBLING_WINDOW_SQL,

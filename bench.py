@@ -160,6 +160,63 @@ def bench_agg() -> float:
     return time.perf_counter() - t0
 
 
+def bench_generations(corpus_dir: str, idx_dir: str) -> dict:
+    """Append a second generation (10% delta) then optimize — records the
+    index-size-over-generations curve and the compaction win."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from yetisearch_ray.index.build import IndexConfig, build_index
+    from yetisearch_ray.index.manage import optimize_index
+    from yetisearch_ray.index.manifest import Manifest
+
+    man = Manifest.load(idx_dir)
+    cfg = IndexConfig(**{k: v for k, v in man.config.items() if k != "fields"},
+                      fields=[tuple(f) for f in man.config["fields"]])
+    base_bytes = _dir_bytes(os.path.join(idx_dir, "postings"))
+    n_base = int(man.stats["n_docs"])
+
+    # delta: re-read a 10% slice of the corpus with shifted doc_ids
+    t = pq.read_table(corpus_dir)
+    delta = t.slice(0, max(1, t.num_rows // 10))
+
+    def shift_ids(tb):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(tb.num_rows, dtype=np.uint64) + np.uint64(n_base)
+        cols = {"doc_id": pa.array(ids, pa.uint64())}
+        for c in tb.column_names:
+            cols[c] = tb[c]
+        return pa.table(cols)
+
+    ds = rd.from_arrow(delta).map_batches(shift_ids, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    build_index(ds, idx_dir, cfg, append=True, input_fingerprint="bench-delta")
+    t_append = time.perf_counter() - t0
+    gen2_bytes = _dir_bytes(os.path.join(idx_dir, "postings"))
+    t0 = time.perf_counter()
+    optimize_index(idx_dir)
+    t_opt = time.perf_counter() - t0
+    opt_bytes = _dir_bytes(os.path.join(idx_dir, "postings"))
+    return {
+        "append_sec": round(t_append, 3),
+        "optimize_sec": round(t_opt, 3),
+        "postings_bytes_gen1": base_bytes,
+        "postings_bytes_gen2": gen2_bytes,
+        "postings_bytes_optimized": opt_bytes,
+    }
+
+
+def bench_fuzzy_rates() -> dict:
+    from yetisearch_ray.pipelines.fuzzy_bench import (pass_rates,
+                                                      run_fuzzy_benchmark)
+
+    r = pass_rates(run_fuzzy_benchmark("/tmp/ys_bench/movies"))
+    return {"fuzzy_standard_pass": round(r["standard"], 3),
+            "fuzzy_typo_pass": round(r["fuzzy"], 3)}
+
+
 def run_once() -> dict:
     import ray
 
@@ -188,26 +245,22 @@ def run_once() -> dict:
 
     idx_dir = f"/tmp/ys_bench/idx_{os.path.basename(SF_DIR)}_{NUM_CPUS}"
     t_build, n_docs = bench_build(corpus, idx_dir)
-    qstats = bench_queries(idx_dir)
-    t_pool = bench_query_pool(idx_dir)
-    t_dedup = bench_dedup()
-    t_ann = bench_ann()
-    t_agg = bench_agg()
+    build_only = bool(os.environ.get("GRAFT_BENCH_BUILD_ONLY"))
+    if not build_only:
+        qstats = bench_queries(idx_dir)
+        t_pool = bench_query_pool(idx_dir)
+        t_dedup = bench_dedup()
+        t_ann = bench_ann()
+        t_agg = bench_agg()
+        gens = bench_generations(corpus, idx_dir)
+        fuzzy = bench_fuzzy_rates()
     ray.shutdown()
 
-    return {
+    out = {
         "metric": "index-build seconds (headline) + query p50 + pipeline timings",
         "value": round(t_build, 3),
         "unit": "sec",
-        "queries": {
-            "build": round(t_build, 3),
-            "query_p50": round(qstats["p50"], 5),
-            "query_p95": round(qstats["p95"], 5),
-            "query_pool_200": round(t_pool, 3),
-            "dedup_minhash": round(t_dedup, 3),
-            "ann_cosine": round(t_ann, 3),
-            "agg_pricing": round(t_agg, 3),
-        },
+        "queries": {"build": round(t_build, 3)},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "extras": {
@@ -217,19 +270,41 @@ def run_once() -> dict:
             "postings_bytes": _dir_bytes(os.path.join(idx_dir, "postings")),
         },
     }
+    if not build_only:
+        out["queries"].update({
+            "query_p50": round(qstats["p50"], 5),
+            "query_p95": round(qstats["p95"], 5),
+            "query_pool_200": round(t_pool, 3),
+            "dedup_minhash": round(t_dedup, 3),
+            "ann_cosine": round(t_ann, 3),
+            "agg_pricing": round(t_agg, 3),
+            "append_gen2": gens["append_sec"],
+            "optimize": gens["optimize_sec"],
+        })
+        out["extras"].update(gens)
+        out["extras"].update(fuzzy)
+    return out
 
 
-def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
-    lo = lo or int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    hi = hi or int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    # pre-generate the scaling corpus once so neither timed child pays it
+def run_scaling(pairs=None) -> dict:
+    """Run the build at several parallelism levels in fresh processes on
+    identical input; report throughput + efficiency for BOTH the 4->16
+    and 8->32 pairs (the single node's memory bandwidth saturates around
+    16 concurrent segment tasks, so 4->16 is the faithful node-scaling
+    proxy while 8->32 documents the saturation honestly)."""
+    if pairs is None:
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "0"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "0"))
+        pairs = [(lo, hi)] if lo and hi else [(4, 16), (8, 32)]
+    # pre-generate the scaling corpus once so no timed child pays it
     from yetisearch_ray.sources.corpus import generate_code_corpus
 
     generate_code_corpus(SCALE_DOCS, f"/tmp/ys_corpus/scale{SCALE_DOCS}", num_files=16)
 
     def run_once_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_CORPUS_DOCS=str(SCALE_DOCS))
+                   GRAFT_BENCH_CORPUS_DOCS=str(SCALE_DOCS),
+                   GRAFT_BENCH_BUILD_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -237,21 +312,34 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # each child already measures best-of-2 builds internally
-    r_lo, r_hi = run_once_at(lo), run_once_at(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    thr_lo = r_lo["extras"]["build_docs_per_sec"]
-    thr_hi = r_hi["extras"]["build_docs_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    # each child measures best-of-2 builds internally; cache child runs
+    # across pairs that share a CPU count
+    cache: dict[int, dict] = {}
+
+    def at(n: int) -> dict:
+        if n not in cache:
+            cache[n] = run_once_at(n)
+        return cache[n]
+
+    pair_out = {}
+    for lo, hi in pairs:
+        r_lo, r_hi = at(lo), at(hi)
+        thr_lo = r_lo["extras"]["build_docs_per_sec"]
+        thr_hi = r_hi["extras"]["build_docs_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        pair_out[f"{lo}->{hi}"] = {
+            "build_sec": {str(lo): r_lo["value"], str(hi): r_hi["value"]},
+            "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+            "scaling_efficiency": round(eff, 3),
+        }
+    headline = pair_out[f"{pairs[0][0]}->{pairs[0][1]}"]["scaling_efficiency"]
     return {
         "metric": "index-build scaling efficiency (N vs 4N parallelism)",
-        "value": round(eff, 3),
+        "value": headline,
         "unit": "efficiency",
         "sf": SF_DIR,
-        "cpus": {"lo": lo, "hi": hi},
-        "build_sec": {str(lo): t_lo, str(hi): t_hi},
-        "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
-        "scaling_efficiency": round(eff, 3),
+        "pairs": pair_out,
+        "scaling_efficiency": headline,
     }
 
 

@@ -114,6 +114,87 @@ def ivf_topk(ds, query_vec, *, k=10, n_clusters=8, nprobe=None,
     return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def ivf_build(ds, out_dir, *, n_clusters=16, vec_col="embedding",
+              id_col="vec_id", sample_size=2048, seed=42) -> dict:
+    """Centroid-PARTITIONED vector storage: one parquet partition dir per
+    IVF bucket plus a centroids sidecar.
+
+    This is the true scale path ``ivf_topk`` approximates in-stream: a
+    search probing ``nprobe`` centroids READS ONLY those partitions from
+    storage (partition pruning at the read), instead of streaming every
+    vector and discarding non-probed ones after assignment.
+    """
+    import json
+
+    sample_t = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_t[vec_col].to_numpy()).astype(np.float64)
+    cents = kmeans_fit(sample, n_clusters, seed=seed)
+    import ray
+
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _batch_vectors(t, vec_col)
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column(
+            "bucket", pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    data_dir = os.path.join(out_dir, "data")
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        data_dir, partition_cols=["bucket"])
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    meta = {"n_clusters": int(cents.shape[0]), "vec_col": vec_col,
+            "id_col": id_col, "dim": int(cents.shape[1])}
+    with open(os.path.join(out_dir, "ivf.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_search(out_dir, query_vec, *, k=10, nprobe=None, round_to=6):
+    """Top-k over a centroid-partitioned store, reading ONLY the probed
+    partitions (``nprobe=None`` probes all → exact == brute force)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "ivf.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(out_dir, "centroids.npy"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    nprobe = meta["n_clusters"] if nprobe is None else min(
+        int(nprobe), meta["n_clusters"])
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))
+    import glob as _glob
+
+    probe_files = []
+    for b in order[:nprobe]:
+        d = os.path.join(out_dir, "data", f"bucket={int(b)}")
+        if os.path.isdir(d):
+            probe_files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    ds = rd.read_parquet(probe_files, columns=[id_col, vec_col])
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _normalize(_batch_vectors(t, vec_col))
+        sims = m @ qn
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if sims.size > k:
+            part = np.argpartition(-sims, k)[: k * 2]
+            ids, sims = ids[part], sims[part]
+        return pa.table({id_col: pa.array(ids),
+                         "cosine": pa.array(np.round(sims, round_to),
+                                            pa.float64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["cosine", id_col], descending=[True, False]).limit(k))
+
+
 def lsh_bucket_topk(ds, query_vec, *, k=10, n_planes=12, vec_col="embedding",
                     id_col="vec_id", seed=42, round_to=6):
     """Random-hyperplane LSH: score only vectors sharing the query's sign

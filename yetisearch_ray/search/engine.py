@@ -514,48 +514,61 @@ class SearchEngine:
         nterms = len(terms)
         out = [np.zeros(match.size, dtype=np.float64) for _ in range(nterms)]
         per_term = [self._term_postings(t) for t in terms]
-        span = distance + 1
+        span_u = np.uint64(distance + 1)
+        SHIFT = np.uint64(32)
         for fid in range(self.index.nfields):
             plists = [pt.get(fid) for pt in per_term]
             if any(p is None or p.doc_ids.size == 0 or p.positions is None
                    for p in plists):
                 continue
-            common = plists[0].doc_ids
-            for p in plists[1:]:
-                common = common[np.isin(common, p.doc_ids)]
-            common = common[np.isin(common, match)]
-            if common.size == 0:
+            for p in plists:
+                if int(p.doc_ids[-1]) >= (1 << 32):
+                    raise ValueError(
+                        "NEAR matching requires doc_id < 2^32 per shard")
+            # Global vectorized windowing over ALL docs at once: pack
+            # every occurrence as key = doc<<32 | pos (sorted).  A window
+            # ending at occurrence h starts at lo(h) = first key >=
+            # key[h]-span; same-doc membership is implied (cross-doc keys
+            # differ by >= 2^32 - span).  The window qualifies iff every
+            # term label appears in [lo(h), h] (per-label cumulative
+            # counts), and a qualifying window marks all of its members
+            # (interval-union via a +1/-1 diff array).  O(n log n), no
+            # per-doc Python loop.
+            keys_list, lbl_list = [], []
+            for j, p in enumerate(plists):
+                docs_exp = np.repeat(p.doc_ids, p.tfs.astype(np.int64))
+                keys_list.append((docs_exp << SHIFT)
+                                 | p.positions.astype(np.uint64))
+                lbl_list.append(np.full(keys_list[-1].size, j, dtype=np.int8))
+            keys = np.concatenate(keys_list)
+            lbl = np.concatenate(lbl_list)
+            order = np.argsort(keys, kind="stable")
+            keys, lbl = keys[order], lbl[order]
+            n = keys.size
+            lo_target = np.where(keys >= span_u, keys - span_u,
+                                 np.uint64(0))
+            lo = np.searchsorted(keys, lo_target, side="left")
+            cum = np.empty((nterms, n + 1), dtype=np.int64)
+            ok = np.ones(n, dtype=bool)
+            for j in range(nterms):
+                cum[j, 0] = 0
+                np.cumsum(lbl == j, out=cum[j, 1:])
+                ok &= (cum[j, 1:] - cum[j, lo]) > 0
+            if not ok.any():
                 continue
-            maps = [{int(d): arr for d, arr in p.pos_slices()} for p in plists]
-            midx = np.searchsorted(match, common)
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, lo[ok], 1)
+            hi_idx = np.flatnonzero(ok)
+            np.add.at(diff, hi_idx + 1, -1)
+            marked = np.cumsum(diff[:-1]) > 0
             w = float(weights[fid])
-            for mi, d in zip(midx.tolist(), common.tolist()):
-                arrs = [maps[i][d].astype(np.int64) for i in range(nterms)]
-                merged = np.concatenate(arrs)
-                lbl = np.concatenate(
-                    [np.full(a.size, i) for i, a in enumerate(arrs)])
-                o = np.argsort(merged, kind="stable")
-                merged, lbl = merged[o], lbl[o]
-                qualified = np.zeros(merged.size, dtype=bool)
-                count = np.zeros(nterms, dtype=np.int64)
-                nz = 0
-                lo = 0
-                for hi in range(merged.size):
-                    count[lbl[hi]] += 1
-                    if count[lbl[hi]] == 1:
-                        nz += 1
-                    while merged[hi] - merged[lo] > span:
-                        count[lbl[lo]] -= 1
-                        if count[lbl[lo]] == 0:
-                            nz -= 1
-                        lo += 1
-                    if nz == nterms:
-                        qualified[lo:hi + 1] = True
-                if qualified.any():
-                    for i in range(nterms):
-                        n = int(np.count_nonzero(qualified & (lbl == i)))
-                        if n:
-                            out[i][mi] += w * n
+            for j in range(nterms):
+                sel = marked & (lbl == j)
+                if not sel.any():
+                    continue
+                docs = (keys[sel] >> SHIFT)
+                mi = np.searchsorted(match, docs)
+                np.add.at(out[j], mi, w)
         return out
 
     # ---------------- scoring -----------------------------------------
