@@ -59,6 +59,25 @@ class TestAdviceRegressions:
         assert base  # corpus sanity
         assert with_syn == base  # synonyms add score arms, never conjuncts
 
+    def test_suggestion_on_empty_results(self, built_index):
+        """Reference wires a did-you-mean onto empty result sets
+        (SearchEngine.php:238-249); Arrow mapping = schema metadata."""
+        eng = SearchEngine(open_index(built_index), cache_ttl=0.0,
+                           min_term_frequency=1)
+        r = eng.search("parseing", limit=5, enable_suggestions=True)
+        assert r.num_rows == 0
+        md = r.schema.metadata or {}
+        assert b"suggestion" in md and b"pars" in md[b"suggestion"]
+
+    def test_specific_s_contractions(self):
+        from yetisearch_ray.analysis.analyzer import StandardAnalyzer
+
+        a = StandardAnalyzer(disable_stopwords=True)
+        toks = a.tokenize("it's that's grav's")
+        # pronoun 's expands, possessive 's does not
+        assert toks[:4] == ["it", "is", "that", "is"]
+        assert not any(t.endswith(" is") or t == "gravis" for t in toks[4:])
+
     def test_rebuild_keeps_sha256(self, built_index, tmp_path):
         import shutil
 

@@ -36,7 +36,8 @@ _SMART = {
 }
 
 # Contraction handling per the reference (possessive 's deliberately NOT
-# expanded; n't -> " not"; 're/'ve/'ll/'d/'m expanded).
+# expanded generically; n't -> " not"; 're/'ve/'ll/'d/'m expanded; then
+# the explicit pronoun/wh-word 's list, StandardAnalyzer.php:283-309).
 _CONTRACTIONS = [
     (re.compile(r"\bcan't\b", re.I), "cannot"),
     (re.compile(r"\bwon't\b", re.I), "will not"),
@@ -46,6 +47,10 @@ _CONTRACTIONS = [
     (re.compile(r"'ll\b", re.I), " will"),
     (re.compile(r"'d\b", re.I), " would"),
     (re.compile(r"'m\b", re.I), " am"),
+] + [
+    (re.compile(rf"\b{w}'s\b", re.I), f"{w} is")
+    for w in ("it", "that", "what", "there", "here", "he", "she",
+              "who", "how", "where", "when", "why")
 ]
 
 

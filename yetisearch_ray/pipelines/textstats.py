@@ -146,12 +146,12 @@ def extract_keywords(ds, *, text_col="text", id_col="doc_id", limit=5):
             self.analyzer = StandardAnalyzer()
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids, kws = [], []
-            for i, s in enumerate(t[text_col].to_pylist()):
-                top = self.analyzer.extract_keywords(s or "", limit=limit)
-                ids.append(t[id_col][i].as_py())
-                kws.append([k for k, _ in top])
-            return pa.table({id_col: pa.array(ids),
+            kws = [
+                [k for k, _ in self.analyzer.extract_keywords(s or "",
+                                                              limit=limit)]
+                for s in t[text_col].to_pylist()
+            ]
+            return pa.table({id_col: t[id_col],
                              "keywords": pa.array(kws, pa.list_(pa.string()))})
 
     return ds.map_batches(KeywordStage, batch_format="pyarrow", concurrency=2)

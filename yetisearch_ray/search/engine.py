@@ -759,6 +759,7 @@ class SearchEngine:
         merge_tokens: bool = False,
         use_wand: bool = False,
         result_fields=None,
+        enable_suggestions: bool = False,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -773,7 +774,7 @@ class SearchEngine:
                          fuzzy_mode, tuple(exclude_terms or ()), post_rescore, use_wand,
                          tuple(result_fields or ()),
                          repr(sort), repr(geo_filters), distance_weight,
-                         merge_tokens,
+                         merge_tokens, enable_suggestions,
                          self.index.manifest.data.get("tombstone_version", 0))
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -934,6 +935,14 @@ class SearchEngine:
                 body_col = self.index.fields[-1][1]
                 snips = [make_snippet(s, terms) for s in dt[body_col].tolist()]
                 out = out.append_column("highlight", pa.array(snips, pa.string()))
+        if enable_suggestions and out.num_rows == 0:
+            # reference attaches a did-you-mean to empty result sets
+            # (SearchEngine.php:238-249 -> generateSuggestion); the Arrow
+            # mapping is schema metadata on the (empty) result table
+            sug = self.suggest(query)
+            if sug.num_rows:
+                out = out.replace_schema_metadata(
+                    {b"suggestion": sug["suggestion"][0].as_py().encode()})
         if cache_key is not None:
             import time as _time
 

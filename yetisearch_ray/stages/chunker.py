@@ -73,17 +73,20 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         ids = t[id_col].to_numpy(zero_copy_only=False)
         texts = t[text_col].to_pylist()
         other_cols = [c for c in t.column_names if c not in (id_col, text_col)]
-        out_rows: dict[str, list] = {c: [] for c in other_cols}
+        # collect per-output-row scalars + the INPUT row index; the other
+        # columns are carried over with one vectorized Table.take instead
+        # of per-cell .as_py() (row-at-a-time Arrow access is the slowest
+        # way to explode)
+        take_idx: list[int] = []
         out_ids, out_parent, out_idx, out_is, out_text = [], [], [], [], []
 
         def emit(i, did, parent, idx, is_chunk, text):
+            take_idx.append(i)
             out_ids.append(did)
             out_parent.append(parent)
             out_idx.append(idx)
             out_is.append(is_chunk)
             out_text.append(text)
-            for c in other_cols:
-                out_rows[c].append(t[c][i].as_py())
 
         for i, (pid, text) in enumerate(zip(ids, texts)):
             base = int(pid) << CHUNK_BITS
@@ -106,8 +109,11 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "is_chunk": pa.array(out_is, pa.bool_()),
             text_col: pa.array(out_text, pa.string()),
         }
-        for c in other_cols:
-            cols[c] = pa.array(out_rows[c], t.schema.field(c).type)
+        if other_cols:
+            carried = t.select(other_cols).take(
+                pa.array(np.asarray(take_idx, dtype=np.int64)))
+            for c in other_cols:
+                cols[c] = carried[c]
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
