@@ -66,6 +66,40 @@ class TestChunkStage:
         assert (chunks.doc_id.to_numpy() >> 12 == 1).all()
         assert "lang" in out.columns
 
+    def test_pre_chunked_ingest(self):
+        """User-provided chunks skip automatic splitting (reference
+        Indexer.php:269-325)."""
+        import ray.data as rd
+
+        rows = [
+            {"doc_id": 1, "text": ("Long. " * 50).strip(),
+             "chunks": ["user chunk one", "user chunk two"]},
+            {"doc_id": 2, "text": ("Long. " * 50).strip(), "chunks": []},
+        ]
+        out = chunk_documents(rd.from_items(rows), chunk_size=50,
+                              chunk_overlap=10,
+                              chunks_col="chunks").to_pandas()
+        d1 = out[out.parent_id == 1]
+        assert sorted(d1[d1.is_chunk].text) == ["user chunk one",
+                                                "user chunk two"]
+        assert len(d1) == 3  # parent + 2 user chunks
+        d2 = out[out.parent_id == 2]  # empty list -> auto chunking
+        assert len(d2[d2.is_chunk]) > 2
+        assert "chunks" not in out.columns
+
+    def test_facade_pre_chunked(self, ray_session, tmp_path):
+        from yetisearch_ray.facade import YetiSearchRay
+
+        ys = YetiSearchRay(str(tmp_path / "ys"))
+        ys.create_index("books", fields=["title", "content"])
+        ys.index_batch("books", [{
+            "content": {"title": "Rocketry", "content": "full body text"},
+            "chunks": ["first rocket stage details",
+                       {"content": "second stage separation"}],
+        }])
+        assert ys.search("books", "rocket").num_rows >= 1
+        assert ys.search("books", "separation").num_rows == 1
+
     def test_chunked_index_dedup_by_route(self, tmp_path):
         """Index chunk rows, search, dedup by parent route (reference
         chunk + unique_by_route flow)."""

@@ -82,9 +82,12 @@ class YetiSearchRay:
     # ------------------------------------------------------------ ingest
     def _docs_to_table(self, cfg, docs: Iterable[dict], next_id: int) -> pa.Table:
         rows = []
-        for i, d in enumerate(docs):
+        seq = 0
+        body_col = cfg.fields[-1][1]
+        for d in docs:
             content = d.get("content", d)
-            row = {cfg.id_column: np.uint64(d.get("doc_id", next_id + i))}
+            row = {cfg.id_column: np.uint64(d.get("doc_id", next_id + seq))}
+            seq += 1
             for fname, col in cfg.fields:
                 row[col] = str(content.get(fname, d.get(fname, "")) or "")
             for c in cfg.store_columns:
@@ -93,6 +96,33 @@ class YetiSearchRay:
             if cfg.language_column and cfg.language_column not in row:
                 row[cfg.language_column] = d.get("language", d.get(cfg.language_column))
             rows.append(row)
+            # pre-chunked ingest (reference Indexer.php:269-325): chunks
+            # become their own rows — body replaced by the chunk text,
+            # other fields inherited; chunk metadata keys are available
+            # to any store_columns that declare them
+            for n, ch in enumerate(d.get("chunks") or []):
+                crow = dict(row)
+                crow[cfg.id_column] = np.uint64(next_id + seq)
+                seq += 1
+                if isinstance(ch, dict):
+                    cmeta = ch.get("metadata") or {}
+                    ctext = ch.get("content")
+                    if isinstance(ctext, dict):
+                        for fname, col in cfg.fields:
+                            if fname in ctext:
+                                crow[col] = str(ctext[fname] or "")
+                    else:
+                        crow[body_col] = str(ctext or "")
+                    for k, v in cmeta.items():
+                        if k in cfg.store_columns:
+                            crow[k] = v
+                else:
+                    crow[body_col] = str(ch or "")
+                for k, v in (("parent_id", row[cfg.id_column]),
+                             ("chunk_index", n), ("is_chunk", True)):
+                    if k in cfg.store_columns:
+                        crow[k] = v
+                rows.append(crow)
         df = pd.DataFrame(rows)
         t = pa.Table.from_pandas(df, preserve_index=False)
         idx = t.schema.get_field_index(cfg.id_column)

@@ -60,19 +60,30 @@ def chunk_text(text: str, chunk_size: int, overlap: int) -> list[str]:
 
 def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
                     chunk_size: int = 1000, chunk_overlap: int = 100,
-                    route_col: str | None = None, keep_parent: bool = True):
+                    route_col: str | None = None, keep_parent: bool = True,
+                    chunks_col: str | None = None):
     """Explode oversized docs into chunk rows.
 
     Output schema: original columns (text replaced by the chunk text) +
     ``parent_id`` (uint64), ``chunk_index`` (int32, -1 for the parent
     row), ``is_chunk`` (bool).  Docs ≤ chunk_size pass through unchanged
     (chunk_index -1).
+
+    ``chunks_col`` names an optional ``list<string>`` (or list of
+    ``{"content": ...}`` structs) column of USER-PROVIDED chunks
+    (reference pre-chunked ingest, ``Indexer.php:269-325``): rows with a
+    non-empty list skip automatic chunking and index those chunks
+    verbatim (parent still kept per ``keep_parent``).
     """
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         texts = t[text_col].to_pylist()
-        other_cols = [c for c in t.column_names if c not in (id_col, text_col)]
+        user_chunks = (t[chunks_col].to_pylist()
+                       if chunks_col and chunks_col in t.column_names
+                       else None)
+        other_cols = [c for c in t.column_names
+                      if c not in (id_col, text_col, chunks_col)]
         # collect per-output-row scalars + the INPUT row index; the other
         # columns are carried over with one vectorized Table.take instead
         # of per-cell .as_py() (row-at-a-time Arrow access is the slowest
@@ -91,6 +102,18 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         for i, (pid, text) in enumerate(zip(ids, texts)):
             base = int(pid) << CHUNK_BITS
             text = text or ""
+            pre = user_chunks[i] if user_chunks is not None else None
+            if pre:
+                # pre-chunked ingest: user chunks verbatim, no auto split
+                if keep_parent:
+                    emit(i, base, int(pid), -1, False, text)
+                for n, ch in enumerate(pre):
+                    if n + 1 >= (1 << CHUNK_BITS):
+                        break
+                    if isinstance(ch, dict):
+                        ch = ch.get("content") or ""
+                    emit(i, base | (n + 1), int(pid), n, True, str(ch))
+                continue
             if len(text) <= chunk_size:
                 emit(i, base, int(pid), -1, False, text)
                 continue
