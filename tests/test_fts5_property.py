@@ -103,20 +103,21 @@ terms_st = st.lists(st.sampled_from(VOCAB + ["absent", "qqq"]),
 def test_random_queries_rank_identical(prop_pair, terms, mode, w):
     eng, db = prop_pair
     q = " ".join(terms)
+    uniq = list(dict.fromkeys(terms))  # reference array_unique on arms
     if mode == "phrase":
         match = '"' + " ".join(terms) + '"'
         q = match
     elif mode == "and":
-        match = " AND ".join(terms)
+        match = " AND ".join(uniq)
     elif mode == "or":
-        match = " OR ".join(terms)
+        match = " OR ".join(uniq)
     else:
         if len(terms) == 1:
             match = terms[0]
         else:
             joined = " ".join(terms)
             match = (f'"{joined}" OR NEAR({joined}, 10) OR '
-                     + " OR ".join(terms))
+                     + " OR ".join(uniq))
     want = _fts5(db, match, w=w)
     if want is None:
         return  # FTS5 rejected the expression; nothing to compare

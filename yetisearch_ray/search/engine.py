@@ -85,14 +85,18 @@ class IndexReader:
         self._doc_meta: dict[str, np.ndarray] | None = None
         self._docs_ds = None
 
-    # ---------------- doc metadata (resident arrays) -------------------
+    # ---------------- doc metadata (lazy resident arrays) --------------
     def _load_meta(self):
-        """Doc-metadata arrays: doc lengths from the ``doclens`` side-files
-        (written by the posting shuffle), filterable columns from the
-        docstore.  Both sorted by doc_id for searchsorted lookup.
+        """Doc-length arrays from the ``doclens`` side-files (written by
+        the posting shuffle), sorted by doc_id for searchsorted lookup.
+        Needed by EVERY query (BM25 normalization), so loaded eagerly on
+        first use.  Filterable docstore columns load LAZILY, one column
+        on first reference (``_load_col``) — a reader serving unfiltered
+        queries never pays for store-column residency.
 
         At cluster scale these arrays shard by doc_id range across query
-        actors; one reader = one shard."""
+        actors (the SearchActor replica axis); term-partition sharding is
+        the orthogonal axis served by search/sharded.py."""
         if self._doc_meta is not None:
             return
         dl_dir = os.path.join(self.index_dir, "doclens")
@@ -102,26 +106,43 @@ class IndexReader:
             self.id_column: dt["doc_id"].to_numpy(zero_copy_only=False),
             "dl_total": dt["dl"].to_numpy(zero_copy_only=False),
         }
-        cols = [self.id_column]
-        if self.language_column:
-            cols.append(self.language_column)
-        extra = [c for c in self.manifest.config.get("store_columns", [])
-                 if c not in (self.fields[-1][1],)]  # skip the big body column
-        cols = list(dict.fromkeys(cols + extra))
-        t = pq.read_table(self._docs_dir, columns=cols)
+
+    def _load_col(self, col: str):
+        if col in self._doc_meta:
+            return
+        t = pq.read_table(self._docs_dir, columns=[self.id_column, col])
         t = t.take(pc.sort_indices(t[self.id_column]))
-        for c in t.column_names:
-            if c == self.id_column:
-                continue
-            self._doc_meta[c] = t[c].to_numpy(zero_copy_only=False)
+        # docstore rows are the same doc set as doclens; align by doc_id
+        ids = t[self.id_column].to_numpy(zero_copy_only=False)
+        vals = t[col].to_numpy(zero_copy_only=False)
+        ref = self._doc_meta[self.id_column]
+        if ids.size == ref.size and np.array_equal(ids, ref):
+            self._doc_meta[col] = vals
+        else:  # defensive: docstore/doclens divergence (mid-append reads)
+            idx = np.clip(np.searchsorted(ids, ref), 0, max(ids.size - 1, 0))
+            self._doc_meta[col] = vals[idx]
+
+    def has_meta(self, col: str) -> bool:
+        """Whether the docstore carries this metadata column (schema
+        check — does not force the column resident)."""
+        try:
+            return col in pq.read_schema(
+                os.path.join(self._docs_dir,
+                             sorted(os.listdir(self._docs_dir))[0])).names
+        except (OSError, IndexError):
+            return False
 
     def meta(self, col: str) -> np.ndarray:
         self._load_meta()
+        if col != "dl_total":
+            self._load_col(col)
         return self._doc_meta[col]
 
     def meta_for(self, col: str, doc_ids: np.ndarray) -> np.ndarray:
         """Values of a metadata column for given doc_ids (sorted lookup)."""
         self._load_meta()
+        if col != "dl_total":
+            self._load_col(col)
         ids = self._doc_meta[self.id_column]
         idx = np.searchsorted(ids, doc_ids)
         idx = np.clip(idx, 0, ids.size - 1)
@@ -292,15 +313,24 @@ def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
     # required conjuncts (aliasing here once made synonyms shrink AND-mode
     # match sets and double-score OR arms).
     if mode == "and":
-        phs = [P([t]) for t in terms]
+        phs = [P([t]) for t in dict.fromkeys(terms)]
         return CompiledQuery(mode="and", phrases=list(phs), required=list(phs))
     if mode == "or":
-        phs = [P([t]) for t in terms]
+        phs = [P([t]) for t in dict.fromkeys(terms)]
         return CompiledQuery(mode="or", phrases=list(phs), any_of=list(phs))
     # smart: "t1..tn" OR NEAR(t1..tn, 10) OR t1 OR ... OR tn
-    # (reference src/Search/SearchEngine.php:615-643)
+    # (reference src/Search/SearchEngine.php:615-643; components pass
+    # through array_unique, so DUPLICATE single-term arms collapse while
+    # the phrase/NEAR arms keep repeated tokens)
     full = P(terms)
-    singles = [P([t], prefix=last_prefix and i == len(terms) - 1) for i, t in enumerate(terms)]
+    singles = []
+    seen: set = set()
+    for i, t in enumerate(terms):
+        pfx = last_prefix and i == len(terms) - 1
+        if (t, pfx) in seen:
+            continue
+        seen.add((t, pfx))
+        singles.append(P([t], prefix=pfx))
     cq = CompiledQuery(
         mode="smart",
         phrases=[full] + singles,
@@ -689,6 +719,10 @@ class SearchEngine:
             col, op, value = f["field"], f.get("operator", "=").lower(), f.get("value")
             if op not in self._OPS:
                 raise ValueError(f"unsupported filter operator: {op}")
+            if op in ("exists", "not exists"):
+                have = self.index.has_meta(col)
+                mask &= np.full(doc_ids.size, have if op == "exists" else not have)
+                continue
             vals = self.index.meta_for(col, doc_ids)
             if op == "=":
                 mask &= vals == value
@@ -721,9 +755,6 @@ class SearchEngine:
                 mask &= np.fromiter((v is None or (isinstance(v, float) and np.isnan(v)) for v in vals), bool, vals.size)
             elif op == "is not null":
                 mask &= np.fromiter((not (v is None or (isinstance(v, float) and np.isnan(v))) for v in vals), bool, vals.size)
-            elif op in ("exists", "not exists"):
-                have = col in (self.index._doc_meta or {})
-                mask &= np.full(vals.size, have if op == "exists" else not have)
             elif op == "=?":
                 mask &= np.fromiter(
                     (v == value or v is None or v == "" for v in vals), bool, vals.size
