@@ -201,7 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_facet_lang": lambda sf: ftsd.facet_lang(sf),
         "fts_suggest": lambda sf: ftsd.suggest(sf),                # rows-only
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
-        "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),         # rows-only
+        "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
         "text_chunk_stats": lambda sf: ftsd.chunk_stats(sf),
         # --- code corpus (north-rule input table) ---
@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),
         # --- stream-shaped operators over the events log ---
         "ev_tumbling_window": events.tumbling_window,
+        "ev_sliding_window": events.sliding_window,
         "ev_session_windows": events.session_windows,
         "ev_asof_join": events.asof_join_orders,
         # --- relational / facet shapes ---
@@ -317,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         # full smart expression incl. NEAR window-filtered arm (semantics
         # pinned against real FTS5 in tests/test_fts5_goldens.py)
         "fts_smart_topk": oracles.smart_topk_sql(["hash", "value"], k=20),
+        "fts_two_pass": oracles.two_pass_sql(["merge", "window"],
+                                             w0=5.0, w1=1.0, k=10),
         "fts_and_topk": oracles.bm25_topk_sql(["hash", "merge"], require_all=True, k=20),
         "fts_or_topk": oracles.bm25_topk_sql(["vector", "stream"], k=20),
         "fts_phrase_topk": oracles.phrase_topk_sql(["hash", "value"], k=20),
@@ -354,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
         # events / stream-shaped
         "ev_tumbling_window": oracles.TUMBLING_WINDOW_SQL,
+        "ev_sliding_window": oracles.SLIDING_WINDOW_SQL,
         "ev_session_windows": oracles.SESSION_WINDOWS_SQL,
         "ev_asof_join": oracles.ASOF_JOIN_SQL,
         # relational

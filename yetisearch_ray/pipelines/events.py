@@ -46,6 +46,48 @@ def tumbling_window(sf_dir: str, *, width_minutes: int = 60):
     return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+def sliding_window(sf_dir: str, *, width_minutes: int = 60,
+                   step_minutes: int = 15):
+    """Hopping (sliding) event-time windows: every event is assigned to
+    the width/step overlapping windows containing it — a vectorized
+    explode (np.repeat over the window offsets) feeding the same
+    shuffle-aggregate as the tumbling case.  SQL-oracle-checkable
+    (cross join against the offset series)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    assert width_minutes % step_minutes == 0
+    k = width_minutes // step_minutes
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=step_minutes,
+                                 unit="minute")
+        base_np = base.to_numpy(zero_copy_only=False)
+        n = base_np.size
+        starts = (np.repeat(base_np, k)
+                  - np.tile(np.arange(k), n)
+                  * np.timedelta64(step_minutes, "m"))
+        return pa.table({
+            "event_type": pa.array(
+                np.repeat(t["event_type"].to_numpy(zero_copy_only=False), k)),
+            "window_start": pa.array(starts),
+            "value": pa.array(
+                np.repeat(t["value"].to_numpy(zero_copy_only=False), k)),
+        })
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    )
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["value_sum"] = pdf["value_sum"].round(4)
+    return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
 def session_windows(sf_dir: str, *, gap_minutes: int = 30, min_events: int = 1):
     """Per-user sessions: consecutive events with gaps < ``gap_minutes``.
 

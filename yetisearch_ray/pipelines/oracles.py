@@ -184,6 +184,32 @@ SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
 FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
 
 
+def two_pass_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 5.0,
+                 w1: float = 1.0, primary_boost: float = 1.5, k: int = 10,
+                 round_to: int = 5) -> str:
+    """Two-pass precision mode (reference SearchEngine.php:139-203):
+    pass 1 = smart search with PRIMARY field weights doubled (limit 100,
+    scores × boost), pass 2 = smart with the base weights; merge
+    primary-first, dedup by doc_id, sort, slice.  Each pass reuses the
+    full smart expression oracle (incl. the NEAR arm)."""
+    p1 = smart_topk_sql(terms, corpus=corpus, w0=w0 * 2.0, w1=w1, k=100,
+                        round_to=9)
+    p2 = smart_topk_sql(terms, corpus=corpus, w0=w0, w1=w1, k=100,
+                        round_to=9)
+    return f"""
+WITH p1 AS (SELECT doc_id, score * {primary_boost} AS score, 0 AS pass
+            FROM ({p1}) t1),
+p2 AS (SELECT doc_id, score, 1 AS pass FROM ({p2}) t2),
+merged AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pass ASC) AS rn
+  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, {round_to}) AS score
+FROM merged WHERE rn = 1
+ORDER BY -score ASC, doc_id ASC LIMIT {k}"""
+
+
 def match_count_sql(term: str, *, corpus: str = DOCUMENTS_CORPUS) -> str:
     return f"""{_base_ctes(corpus)}
 SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tokf WHERE term = '{term}'"""
@@ -466,6 +492,15 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, window_start"""
+
+SLIDING_WINDOW_SQL = """
+WITH offs AS (SELECT unnest(range(0, 4)) AS k)
+SELECT event_type,
+       time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+         AS window_start,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+FROM events, offs
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
 SESSION_WINDOWS_SQL = """
 WITH x AS (
