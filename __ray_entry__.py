@@ -196,7 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_filtered_topk": lambda sf: ftsd.filtered_topk(sf),
         "fts_smart_topk": lambda sf: ftsd.smart_topk(sf),
         "fts_match_count": lambda sf: ftsd.match_count(sf),
-        "fts_actor_pool": lambda sf: ftsd.actor_pool_search(sf),   # rows-only
+        "fts_actor_pool": lambda sf: ftsd.actor_pool_search(sf),
         "fts_sharded_topk": lambda sf: ftsd.sharded_topk(sf),
         "fts_facet_lang": lambda sf: ftsd.facet_lang(sf),
         "fts_suggest": lambda sf: ftsd.suggest(sf),                # rows-only
@@ -320,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_smart_topk": oracles.smart_topk_sql(["hash", "value"], k=20),
         "fts_two_pass": oracles.two_pass_sql(["merge", "window"],
                                              w0=5.0, w1=1.0, k=10),
+        "fts_actor_pool": oracles.actor_pool_sql(
+            ("merge", "vector", "window"), k=5),
         "fts_and_topk": oracles.bm25_topk_sql(["hash", "merge"], require_all=True, k=20),
         "fts_or_topk": oracles.bm25_topk_sql(["vector", "stream"], k=20),
         "fts_phrase_topk": oracles.phrase_topk_sql(["hash", "value"], k=20),

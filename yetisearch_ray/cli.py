@@ -61,6 +61,11 @@ def cmd_index_build(args):
 def _engine(args):
     from .search.engine import SearchEngine, open_index
 
+    n_shards = getattr(args, "sharded", 0)
+    if n_shards:
+        from .search.sharded import open_sharded
+
+        return open_sharded(args.index, n_shards=n_shards)
     return SearchEngine(open_index(args.index))
 
 
@@ -181,6 +186,8 @@ def main(argv=None):
             s.add_argument("--fuzzy", action="store_true")
             s.add_argument("--docs", action="store_true")
             s.add_argument("--highlight", action="store_true")
+            s.add_argument("--sharded", type=int, default=0, metavar="N",
+                           help="serve via N term-partition shard actors")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("stats")

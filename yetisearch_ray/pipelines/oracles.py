@@ -210,6 +210,22 @@ FROM merged WHERE rn = 1
 ORDER BY -score ASC, doc_id ASC LIMIT {k}"""
 
 
+def actor_pool_sql(queries, *, corpus: str = DOCUMENTS_CORPUS,
+                   k: int = 5) -> str:
+    """Actor-pool serving oracle: per query id, the 1-based result rank
+    of each top-k doc under the same smart-mode scoring (single-term
+    queries → the plain BM25 oracle ranking)."""
+    parts = []
+    for qid, term in enumerate(queries):
+        inner = bm25_topk_sql([term], corpus=corpus, k=k, round_to=9)
+        parts.append(f"""
+SELECT {qid} AS qid, doc_id,
+       row_number() OVER (ORDER BY -score ASC, doc_id ASC)::BIGINT
+         AS result_rank
+FROM ({inner}) q{qid}""")
+    return " UNION ALL ".join(parts)
+
+
 def match_count_sql(term: str, *, corpus: str = DOCUMENTS_CORPUS) -> str:
     return f"""{_base_ctes(corpus)}
 SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tokf WHERE term = '{term}'"""
