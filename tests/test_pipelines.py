@@ -197,6 +197,28 @@ class TestMultimodal:
         assert fdf.frame_index.max() <= 2
         assert (fdf.groupby("doc_id").size() >= 1).all()
 
+    def test_resize_plumbing(self, docs_ds):
+        from yetisearch_ray.pipelines.multimodal import (resize_images,
+                                                         to_binary_payloads)
+
+        payloads = to_binary_payloads(docs_ds.limit(20))
+        out = resize_images(payloads, target_w=8, target_h=4).to_pandas()
+        assert len(out) == 20
+        assert (out.width == 8).all() and (out.height == 4).all()
+        assert all(len(p) == 32 for p in out.payload)
+        # deterministic: same input -> same bytes
+        out2 = resize_images(to_binary_payloads(docs_ds.limit(20)),
+                             target_w=8, target_h=4).to_pandas()
+        a = out.sort_values("doc_id").payload.tolist()
+        b = out2.sort_values("doc_id").payload.tolist()
+        assert a == b
+
+    def test_strict_resize_raises(self, ray_session):
+        from yetisearch_ray.pipelines.multimodal import ResizeStage
+
+        with pytest.raises(NotImplementedError):
+            ResizeStage(strict=True)._resize_one(b"abc")
+
     def test_strict_decode_raises(self, ray_session):
         from yetisearch_ray.pipelines.multimodal import DecodeStage
 

@@ -107,3 +107,59 @@ def frame_sample(ds, *, every_n_bytes=256, max_frames=4, id_col="doc_id"):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+class ResizeStage:
+    """Actor-pool resize stage (image-resize analogue).
+
+    ``strict=True`` raises NotImplementedError (no image libs in this
+    container); ``strict=False`` performs a deterministic byte-grid
+    downsample of the payload to ``target_w*target_h`` bytes so the
+    Ray-side plumbing (actor signature, small-batch sizing for large
+    binary rows, output schema) is real and tested.  Real deployments
+    replace ``_resize_one`` with PIL/libvips.
+    """
+
+    def __init__(self, *, target_w: int = 16, target_h: int = 16,
+                 strict: bool = False):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.strict = strict
+
+    def _resize_one(self, payload: bytes) -> bytes:
+        if self.strict:
+            raise NotImplementedError(
+                "image resize requires PIL/libvips not present in this "
+                "environment; run with strict=False for the deterministic "
+                "byte-grid stub")
+        n = self.target_w * self.target_h
+        if not payload:
+            return bytes(n)
+        idx = np.linspace(0, len(payload) - 1, n).astype(np.int64)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return arr[idx].tobytes()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        resized = [self._resize_one(p) for p in t["payload"].to_pylist()]
+        out = t.select([c for c in t.column_names if c != "payload"])
+        out = out.append_column("payload", pa.array(resized, pa.binary()))
+        out = out.append_column("width", pa.array(
+            [self.target_w] * t.num_rows, pa.int32()))
+        out = out.append_column("height", pa.array(
+            [self.target_h] * t.num_rows, pa.int32()))
+        return out
+
+
+def resize_images(ds, *, target_w=16, target_h=16, concurrency=2,
+                  batch_size=128, strict=False):
+    """Actor-pool resize: small batches (large binary rows), stage state
+    built once per actor."""
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h,
+                               "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
