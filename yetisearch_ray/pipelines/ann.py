@@ -36,6 +36,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _fit_sample(ds, vec_col: str, sample_size: int, seed: int) -> np.ndarray:
+    """Bounded, UNIFORM (seeded) sample matrix for centroid fitting.
+
+    A prefix sample (``ds.limit``) would fit centroids on the corpus
+    head — biased whenever storage order correlates with content.  The
+    uniform sample costs one counting pass, which parquet metadata makes
+    cheap."""
+    n = ds.count()
+    if n > sample_size:
+        frac = min(1.0, (sample_size * 1.25) / n)
+        ds = ds.random_sample(frac, seed=seed).limit(sample_size)
+    t = ds.to_pandas()
+    return np.stack(t[vec_col].to_numpy()).astype(np.float64)
+
+
 def cosine_topk(ds, query_vec, *, k=10, vec_col="embedding", id_col="vec_id",
                 round_to=6):
     """Exact top-k by cosine similarity to one query vector.
@@ -88,8 +103,7 @@ def ivf_topk(ds, query_vec, *, k=10, n_clusters=8, nprobe=None,
     import ray
 
     nprobe = n_clusters if nprobe is None else min(nprobe, n_clusters)
-    sample_t = ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_t[vec_col].to_numpy()).astype(np.float64)
+    sample = _fit_sample(ds, vec_col, sample_size, seed)
     cents = kmeans_fit(sample, n_clusters, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
@@ -126,8 +140,7 @@ def ivf_build(ds, out_dir, *, n_clusters=16, vec_col="embedding",
     """
     import json
 
-    sample_t = ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_t[vec_col].to_numpy()).astype(np.float64)
+    sample = _fit_sample(ds, vec_col, sample_size, seed)
     cents = kmeans_fit(sample, n_clusters, seed=seed)
     import ray
 
@@ -322,8 +335,7 @@ def _near_dup_pairs_ivf(ds, *, threshold, vec_col, id_col, round_to,
     """IVF-bucketed near-dup pairing (see embedding_near_dup_pairs)."""
     import ray
 
-    sample_t = ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_t[vec_col].to_numpy()).astype(np.float64)
+    sample = _fit_sample(ds, vec_col, sample_size, seed)
     cents = kmeans_fit(sample, n_clusters, seed=seed)
     cents_ref = ray.put(cents)
     nprobe = min(nprobe, cents.shape[0])
