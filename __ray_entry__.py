@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_match_count": lambda sf: ftsd.match_count(sf),
         "fts_actor_pool": lambda sf: ftsd.actor_pool_search(sf),
         "fts_sharded_topk": lambda sf: ftsd.sharded_topk(sf),
+        "fts_doc_sharded_topk": lambda sf: ftsd.doc_sharded_topk(sf),
         "fts_facet_lang": lambda sf: ftsd.facet_lang(sf),
         "fts_suggest": lambda sf: ftsd.suggest(sf),                # rows-only
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
@@ -312,9 +313,10 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "fts_term_topk": oracles.bm25_topk_sql(["merge"], k=20),
-        # sharded serving returns identical results to the local reader,
-        # so it shares the same independent oracle
+        # sharded serving (term- and doc-axis) returns identical results
+        # to the local reader, so both share the same independent oracle
         "fts_sharded_topk": oracles.bm25_topk_sql(["merge"], k=20),
+        "fts_doc_sharded_topk": oracles.bm25_topk_sql(["merge"], k=20),
         # full smart expression incl. NEAR window-filtered arm (semantics
         # pinned against real FTS5 in tests/test_fts5_goldens.py)
         "fts_smart_topk": oracles.smart_topk_sql(["hash", "value"], k=20),

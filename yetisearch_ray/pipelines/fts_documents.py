@@ -195,6 +195,53 @@ def sharded_topk(sf_dir: str, term: str = "merge", k: int = 20,
     return _as_result(eng.search(term, limit=k, normalize=False))
 
 
+_DOC_SHARDED: dict[str, object] = {}
+
+
+def doc_sharded_topk(sf_dir: str, term: str = "merge", k: int = 20,
+                     n_shards: int = 3) -> pd.DataFrame:
+    """Same query as ``term_topk`` served through DOC-RANGE shards with
+    the two-phase global-stats BM25 protocol (search/doc_sharded.py) —
+    shares ``term_topk``'s oracle because the merged ranking is exact."""
+    import ray.data as rd
+
+    from ..search.doc_sharded import DocShardedEngine, build_doc_shards
+
+    base = documents_index_dir(sf_dir) + "_docshards"
+    eng = _DOC_SHARDED.get(base)
+    if eng is None:
+        from ..index.manifest import Manifest
+
+        dirs = [os.path.join(base, f"shard={s}") for s in range(n_shards)]
+        if not all(Manifest.exists(d) and
+                   Manifest.load(d).data.get("status") == "committed"
+                   for d in dirs):
+            ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+            def cast_ids(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                i = t.schema.get_field_index("doc_id")
+                return t.set_column(i, "doc_id",
+                                    pc.cast(t["doc_id"], pa.uint64()))
+
+            ds = ds.map_batches(cast_ids, batch_format="pyarrow")
+            cfg = IndexConfig(
+                fields=[("source", "source"), ("text", "text")],
+                language_column="lang",
+                store_columns=["text", "lang", "source", "n_chars"],
+                num_partitions=4,
+            )
+            dirs = build_doc_shards(ds, base, cfg, n_shards=n_shards)
+        eng = DocShardedEngine(dirs)
+        _DOC_SHARDED[base] = eng
+    r = eng.search(term, limit=k, normalize=False)
+    df = r.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].abs().round(5)
+    return df[["doc_id", "score"]]
+
+
 def actor_pool_search(sf_dir: str, queries=("merge", "vector", "window"),
                       k: int = 5) -> pd.DataFrame:
     """Query serving through the map_batches actor pool (SearchActor):

@@ -602,11 +602,49 @@ class SearchEngine:
         return out
 
     # ---------------- scoring -----------------------------------------
-    def _score(self, cq: CompiledQuery, weights: np.ndarray):
+    @staticmethod
+    def _arm_key(ph: Phrase):
+        return ("phrase", tuple(ph.terms), bool(ph.prefix))
+
+    def arm_dfs(self, cq: CompiledQuery) -> dict:
+        """LOCAL document frequencies per scoring arm — phrase arms keyed
+        ("phrase", terms, prefix), NEAR member terms keyed ("near", t).
+        The doc-sharded coordinator sums these across shards and feeds
+        the totals back via ``_score(stats_override=...)`` so every shard
+        scores with GLOBAL idf (distributed-BM25 two-phase protocol)."""
+        out: dict = {}
+        for ph in cq.phrases:
+            posts = self._phrase_postings(ph)
+            arrs = [p.doc_ids for p in posts.values()]
+            union = (np.unique(np.concatenate(arrs)) if arrs
+                     else np.empty(0, np.uint64))
+            out[self._arm_key(ph)] = int(union.size)
+        if cq.near_terms and len(cq.near_terms) > 1:
+            for t in cq.near_terms:
+                posts = self._term_postings(t)
+                arrs = [p.doc_ids for p in posts.values()]
+                union = (np.unique(np.concatenate(arrs)) if arrs
+                         else np.empty(0, np.uint64))
+                out[("near", t)] = int(union.size)
+        return out
+
+    def _score(self, cq: CompiledQuery, weights: np.ndarray,
+               stats_override: dict | None = None):
         """Returns (doc_ids, rank) where rank is the NEGATED FTS5 bm25 sum
-        (ORDER BY rank ASC = best first)."""
-        N = self.index.n_docs
-        avgdl = self.index.avgdl
+        (ORDER BY rank ASC = best first).
+
+        ``stats_override`` = {"n_docs": N, "avgdl": x, "dfs": {arm_key:
+        df}} replaces the LOCAL corpus statistics with cluster-global
+        ones — the per-shard scoring phase of doc-sharded serving.
+        """
+        if stats_override:
+            N = int(stats_override["n_docs"])
+            avgdl = float(stats_override["avgdl"])
+            dfs = stats_override["dfs"]
+        else:
+            N = self.index.n_docs
+            avgdl = self.index.avgdl
+            dfs = None
         phrase_posts = [self._phrase_postings(p) for p in cq.phrases]
 
         # match set
@@ -658,13 +696,18 @@ class SearchEngine:
         dl = self.index.dl_total_for(match).astype(np.float64)
         score = np.zeros(match.size, dtype=np.float64)
 
-        def add_phrase(posts):
+        def add_phrase(posts, key=None):
             # df = rows containing the phrase in ANY column (FTS5 idf)
             arrs = [p.doc_ids for p in posts.values()]
             if not arrs:
                 return
-            union = np.unique(np.concatenate(arrs))
-            df = int(union.size)
+            if dfs is not None and key is not None:
+                df = int(dfs.get(key, 0))
+                if df == 0:
+                    return
+            else:
+                union = np.unique(np.concatenate(arrs))
+                df = int(union.size)
             term_idf = _idf(N, df)
             tfw = np.zeros(match.size, dtype=np.float64)
             for fid, p in posts.items():
@@ -676,8 +719,8 @@ class SearchEngine:
             score_contrib = term_idf * (tfw * (K1 + 1.0)) / denom
             np.add(score, np.where(tfw > 0, score_contrib, 0.0), out=score)
 
-        for posts in phrase_posts:
-            add_phrase(posts)
+        for ph, posts in zip(cq.phrases, phrase_posts):
+            add_phrase(posts, key=self._arm_key(ph))
         # NEAR-arm contribution (smart mode only): FTS5's bm25() scores
         # every phrase in the expression, so the member terms of
         # NEAR(t1..tn, 10) count AGAIN, with tf restricted to instances
@@ -694,7 +737,12 @@ class SearchEngine:
                 arrs = [p.doc_ids for p in posts.values()]
                 if not arrs:
                     continue
-                df = int(np.unique(np.concatenate(arrs)).size)
+                if dfs is not None:
+                    df = int(dfs.get(("near", t), 0))
+                    if df == 0:
+                        continue
+                else:
+                    df = int(np.unique(np.concatenate(arrs)).size)
                 term_idf = _idf(N, df)
                 denom = tfw + K1 * (1.0 - B + B * dl / avgdl)
                 contrib = term_idf * (tfw * (K1 + 1.0)) / np.where(
