@@ -104,6 +104,24 @@ def bench_queries(idx_dir: str) -> dict[str, float]:
     }
 
 
+def bench_sharded_queries(idx_dir: str) -> dict[str, float]:
+    """Scatter/gather serving latency over term-partition shard actors
+    (honest cost of the distributed read path vs the local reader)."""
+    from yetisearch_ray.search.sharded import open_sharded
+
+    eng = open_sharded(idx_dir, n_shards=4, cache_ttl=0)
+    for q, kw in QUERY_SET:
+        eng.search(q, limit=10, **kw)
+    lat = []
+    for _ in range(3):
+        for q, kw in QUERY_SET:
+            t0 = time.perf_counter()
+            eng.search(q, limit=10, **kw)
+            lat.append(time.perf_counter() - t0)
+    eng.index.shutdown()
+    return {"p50": statistics.median(lat)}
+
+
 def bench_query_pool(idx_dir: str) -> float:
     import ray.data as rd
 
@@ -248,6 +266,7 @@ def run_once() -> dict:
     build_only = bool(os.environ.get("GRAFT_BENCH_BUILD_ONLY"))
     if not build_only:
         qstats = bench_queries(idx_dir)
+        shstats = bench_sharded_queries(idx_dir)
         t_pool = bench_query_pool(idx_dir)
         t_dedup = bench_dedup()
         t_ann = bench_ann()
@@ -274,6 +293,7 @@ def run_once() -> dict:
         out["queries"].update({
             "query_p50": round(qstats["p50"], 5),
             "query_p95": round(qstats["p95"], 5),
+            "query_sharded_p50": round(shstats["p50"], 5),
             "query_pool_200": round(t_pool, 3),
             "dedup_minhash": round(t_dedup, 3),
             "ann_cosine": round(t_ann, 3),

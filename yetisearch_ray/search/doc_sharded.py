@@ -33,7 +33,7 @@ import ray
 from .engine import MAX_RESULTS, SearchEngine, compile_query, open_index
 
 
-@ray.remote
+@ray.remote(max_restarts=2)
 class DocShardActor:
     """One doc-range shard: full engine over its sub-index."""
 

@@ -33,7 +33,7 @@ import ray
 from .engine import IndexReader, SearchEngine
 
 
-@ray.remote
+@ray.remote(max_restarts=2)
 class TermShardActor:
     """Owns the segment files of a subset of term partitions.
 
