@@ -259,6 +259,9 @@ def metaphone_key(word: str) -> str:
     return "".join(out)
 
 
+# The reference's quickPhoneticCorrection table
+# (src/Utils/PhoneticMatcher.php:115-141) plus common misspellings; the
+# lookup runs BEFORE the known-term check, as in the reference.
 _COMMON_TYPOS = {
     "teh": "the", "recieve": "receive", "seperate": "separate",
     "definately": "definitely", "occured": "occurred", "untill": "until",
@@ -269,6 +272,12 @@ _COMMON_TYPOS = {
     "weird", "thier": "their", "truely": "truly", "basicly": "basically",
     "gaurd": "guard", "publically": "publicly", "accross": "across",
     "tommorow": "tomorrow",
+    # PhoneticMatcher.php entries not covered above
+    "fone": "phone", "adn": "and", "taht": "that", "whihc": "which",
+    "waht": "what", "were": "where", "wher": "where",
+    "becasue": "because", "neccessary": "necessary", "thru": "through",
+    "tho": "though", "alot": "a lot", "cant": "can't", "wont": "won't",
+    "dont": "don't",
 }
 
 

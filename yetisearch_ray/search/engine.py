@@ -1207,7 +1207,9 @@ class SearchEngine:
             return pa.table({"suggestion": pa.array([], pa.string()),
                              "confidence": pa.array([], pa.float64()),
                              "count": pa.array([], pa.int64())})
-        n = self.count(suggestion, mode="and")
+        # the reference verifies the composed suggestion with a DEFAULT
+        # (smart) SearchQuery count, not an AND (SearchEngine.php:2254)
+        n = self.count(suggestion)
         if n == 0:
             return pa.table({"suggestion": pa.array([], pa.string()),
                              "confidence": pa.array([], pa.float64()),
@@ -1462,7 +1464,16 @@ def make_snippet(text: str, terms: list[str], context: int = 50,
                  max_len: int = 160) -> str:
     if not text:
         return ""
-    low = text.lower()
+    # terms arrive FOLDED (unicode61: lowercase + diacritics stripped);
+    # match against the folded text so accented originals highlight
+    # (reference Utf8HighlightTest: "brûlée" must <mark>).  fold_text is
+    # length-preserving for precomposed letters, so matched offsets map
+    # 1:1 back onto the original text; on the rare ligature expansion
+    # fall back to plain lowercase matching.
+    from ..analysis.tokenizer import fold_text
+
+    folded = fold_text(text)
+    low = folded if len(folded) == len(text) else text.lower()
     best_pos = None
     for t in sorted(terms, key=len, reverse=True):
         for cand in (t, t + "s"):
@@ -1483,10 +1494,25 @@ def make_snippet(text: str, terms: list[str], context: int = 50,
             snippet = "..." + snippet
         if start + max_len < len(text):
             snippet = snippet + "..."
+    # mark original-text spans found via the folded view
+    folded_snip = fold_text(snippet)
+    if len(folded_snip) != len(snippet):
+        folded_snip = snippet.lower()
+    spans: list[tuple[int, int]] = []
     for t in sorted(set(terms), key=len, reverse=True):
-        snippet = re.sub(rf"\b({re.escape(t)}s?)\b", r"<mark>\1</mark>", snippet,
-                         flags=re.I)
-    return snippet
+        for m in re.finditer(rf"\b({re.escape(t)}s?)\b", folded_snip,
+                             flags=re.I):
+            s, e = m.span(1)
+            if not any(s < e2 and e > s2 for s2, e2 in spans):
+                spans.append((s, e))
+    out = []
+    last = 0
+    for s, e in sorted(spans):
+        out.append(snippet[last:s])
+        out.append("<mark>" + snippet[s:e] + "</mark>")
+        last = e
+    out.append(snippet[last:])
+    return "".join(out)
 
 
 # ==========================================================================
