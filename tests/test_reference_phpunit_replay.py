@@ -179,6 +179,70 @@ class TestSuggestionsReplay:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPreChunkedReplay:
+    """tests/PreChunkedDocumentTest.php."""
+
+    def test_pre_chunked_with_simple_strings(self, tmp_path):
+        ys = YetiSearchRay(str(tmp_path / "pc1"))
+        ys.create_index("test", fields=["title", "content"])
+        ys.index_batch("test", [{
+            "content": {"title": "Pre-chunked Document",
+                        "content": "This is the main content that would "
+                                   "normally be chunked automatically."},
+            "chunks": [
+                "Chapter 1: Introduction. This is the introduction to "
+                "the document.",
+                "Chapter 2: Main Content. This section contains the "
+                "main content.",
+                "Chapter 3: Conclusion. This is where we wrap things up.",
+            ],
+        }])
+        assert ys.search("test", "introduction").num_rows > 0
+        assert ys.search("test", "conclusion").num_rows > 0
+
+    def test_pre_chunked_with_structured_chunks(self, tmp_path):
+        ys = YetiSearchRay(str(tmp_path / "pc2"))
+        ys.create_index("test", fields=["title", "content"],
+                        store_columns=["title", "content", "section",
+                                       "is_chunk"])
+        ys.index_batch("test", [{
+            "content": {"title": "Structured Pre-chunked Document",
+                        "content": "Main document content"},
+            "chunks": [
+                {"content": "## Introduction\nThis is the introduction "
+                            "paragraph that provides context.",
+                 "metadata": {"section": "introduction"}},
+                {"content": "## Methodology\nHere we describe the "
+                            "methodology used in this research.",
+                 "metadata": {"section": "methodology"}},
+                {"content": "## Results\nThe results show significant "
+                            "improvements.",
+                 "metadata": {"section": "results"}},
+            ],
+        }])
+        r = ys.search("test", "methodology research", with_docs=True)
+        assert r.num_rows > 0
+        top = {c: r[c][0].as_py() for c in r.column_names}
+        assert top.get("section") == "methodology" or top.get("is_chunk")
+
+    def test_mixed_chunking_modes(self, tmp_path):
+        ys = YetiSearchRay(str(tmp_path / "pc3"))
+        ys.create_index("test", fields=["title", "content"])
+        ys.index_batch("test", [
+            {"content": {"title": "Pre-chunked Article",
+                         "content": "Short main content"},
+             "chunks": ["First paragraph content.",
+                        "Second paragraph content."]},
+            {"content": {"title": "Auto-chunked Article",
+                         "content": "This is a long document that will "
+                                    "be automatically chunked. " * 200}},
+            {"content": {"title": "Short Article",
+                         "content": "This is too short to chunk."}},
+        ])
+        assert ys.search("test", "Article", limit=20).num_rows >= 3
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWeightedBm25Replay:
     """tests/Integration/Search/WeightedBm25AndPrefixTest.php — the
     behavioral assertions (the exact bm25 arithmetic is pinned in
