@@ -57,12 +57,61 @@ class TestAnalyzer:
         # apostrophe token re-tokenizes (unicode61) into an implicit phrase
         groups = a.match_terms("rock'n'roll panic")
         assert ["rock", "n", "roll"] in groups and ["panic"] in groups
-        # stopwords are removed before the match layer
-        assert a.match_terms("don't panic") == [["panic"]]
+        # stopwords are removed before the match layer ("don't" is NOT a
+        # reference stopword, so it re-tokenizes to an implicit phrase)
+        assert a.match_terms("the panic") == [["panic"]]
+        assert a.match_terms("don't panic") == [["don", "t"], ["panic"]]
 
     def test_smart_quotes_normalized(self):
         a = StandardAnalyzer()
         assert a.normalize("“hello” — world") == '"hello" - world'
+
+    def test_analyze_full_reference_vectors(self):
+        """Replays tests/Unit/Analyzers/StandardAnalyzerTest.php's
+        behavioral assertions against the full (stemming) chain."""
+        a = StandardAnalyzer()
+        t = a.analyze_full("The quick brown fox jumps over the lazy dog")
+        assert "the" not in t
+        for w in ("quick", "brown", "fox"):
+            assert w in t
+        t = a.analyze_full("This is a test of the analyzer")
+        assert "test" in t and "analyz" in t  # 'analyzer' stems to 'analyz'
+        for w in ("this", "is", "the", "of"):
+            assert w not in t
+        assert set(a.analyze_full("running runs")) == {"run"}
+        assert all(x.startswith("comput")
+                   for x in a.analyze_full("computers computing computed"))
+        t = a.analyze_full("Les ordinateurs sont utiles", "french")
+        assert "les" not in t and "ordinat" in t
+        t = a.analyze_full("Die Computer sind nützlich", "german")
+        assert "die" not in t and "comput" in t
+        t = a.analyze_full("I'm won't can't shouldn't they're")
+        assert "cannot" in t and "won't" not in t
+        t = a.analyze_full("The price is $99.99 or 100 euros")
+        assert "price" in t and "99" in t and "100" in t and "euro" in t
+        t = a.analyze_full("email@example.com and C++ programming!")
+        for w in ("email", "exampl", "com", "program"):
+            assert w in t
+        assert a.analyze_full("") == []
+        t = a.analyze_full("Café naïve résumé 北京 Москва")
+        for w in ("café", "naïv", "résumé", "北京", "москва"):
+            assert w in t
+
+    def test_min_word_length_config(self):
+        a = StandardAnalyzer(min_word_length=4)
+        t = a.analyze_full("The cat and dog are big")
+        for w in ("cat", "dog", "are", "big"):
+            assert w not in t
+
+    def test_html_stripping(self):
+        a = StandardAnalyzer(strip_html=True)
+        t = a.analyze_full('<p>This is <strong>bold</strong> text with '
+                           '<a href="#">link</a></p>')
+        for w in ("bold", "text", "link"):
+            assert w in t
+        a2 = StandardAnalyzer(strip_html=False)
+        t2 = a2.analyze_full('<a href="#">link</a>')
+        assert "href" in t2
 
 
 class TestStemmer:

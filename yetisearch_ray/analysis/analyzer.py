@@ -113,8 +113,24 @@ class StandardAnalyzer:
         return out
 
     def analyze(self, text: str) -> list[str]:
-        """tokenize + stopword removal (the reference's ``analyze``)."""
+        """tokenize + stopword removal (the FTS match-path view; the
+        reference's full ``analyze`` additionally stems — see
+        ``analyze_full``)."""
         return [t for t in self.tokenize(text) if t not in self.stopwords]
+
+    def analyze_full(self, text: str, language: str | None = None) -> list[str]:
+        """The reference's complete ``analyze($text, $language)`` chain
+        (StandardAnalyzer.php): tokenize → per-language stopword removal
+        → per-language STEMMING.  This is the terms-index / keyword view
+        ('analyzer' → 'analyz', 'computers' → 'comput'); the FTS match
+        path stays unstemmed (FTS5 indexes raw tokens)."""
+        from ..functions.stemmer import stem as _stem_fn
+
+        lang = language or self.language
+        stopw = (self.stopwords if language in (None, self.language)
+                 else stopwords_for(lang))
+        return [_stem_fn(t, lang) for t in self.tokenize(text)
+                if t not in stopw]
 
     def match_terms(self, text: str) -> list[list[str]]:
         """Query terms as the FTS match layer sees them.
