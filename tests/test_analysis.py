@@ -176,6 +176,36 @@ class TestStemmer:
 
 
 class TestSimilarity:
+    def test_jaro_winkler_reference_vectors(self):
+        """tests/Unit/Utils/JaroWinklerTest.php — exact to 1e-3."""
+        cases = [("MARTHA", "MARHTA", 0.961), ("DIXON", "DICKSONX", 0.813),
+                 ("JELLYFISH", "SMELLYFISH", 0.896),
+                 ("Dwayne", "Duane", 0.840), ("Johnson", "Jonson", 0.962)]
+        for a, b, want in cases:
+            assert abs(jaro_winkler(a, b) - want) < 1e-3, (a, b)
+        assert jaro_winkler("test", "test") == 1.0
+        assert jaro_winkler("", "test") == 0.0
+        assert jaro_winkler("Anakin", "amazon") < 0.7
+        assert jaro_winkler("Anakin", "amazing") < 0.7
+
+    def test_trigram_reference_vectors(self):
+        """tests/Unit/Utils/TrigramTest.php bounds."""
+        assert trigram_similarity("test", "test") == 1.0
+        assert trigram_similarity("abc", "xyz") == 0.0
+        assert trigram_similarity("", "test") == 0.0
+        assert trigram_similarity("night", "nite") > 0.1
+        assert trigram_similarity("color", "colour") > 0.3
+        assert trigram_similarity("test", "tests") > 0.4
+        assert trigram_similarity("test", "best") < 0.4
+        assert trigram_similarity("cat", "dog") < 0.2
+
+    def test_metaphone_reference_vectors(self):
+        """tests/Unit/Utils/PhoneticMatcherTest.php key equalities."""
+        from yetisearch_ray.functions.similarity import metaphone_key
+
+        assert metaphone_key("phone") == metaphone_key("fone") == "FN"
+        assert metaphone_key("their") == metaphone_key("there") == "0R"
+
     def test_levenshtein(self):
         assert levenshtein("kitten", "sitting") == 3
         assert levenshtein("abc", "abc") == 0
@@ -199,8 +229,11 @@ class TestSimilarity:
         assert keyboard_proximity("cat", "cat") == 1.0
 
     def test_phonetic(self):
-        assert phonetic_similarity("smith", "smyth") >= 0.9
-        assert phonetic_similarity("teh", "the") == 0.95
+        # reference PhoneticMatcherTest.php: identical metaphone -> 1.0
+        assert phonetic_similarity("smith", "smyth") == 1.0
+        assert phonetic_similarity("phone", "fone") == 1.0
+        assert phonetic_similarity("their", "there") == 1.0
+        assert phonetic_similarity("phone", "phone") == 1.0
 
 
 class TestTokenizerPathParity:

@@ -293,10 +293,12 @@ def _similar_ratio(a: str, b: str) -> float:
 
 
 def phonetic_similarity(a: str, b: str) -> float:
-    a, b = a.lower(), b.lower()
-    if _COMMON_TYPOS.get(a) == b or _COMMON_TYPOS.get(b) == a:
-        return 0.95
-    ka, kb = metaphone_key(a), metaphone_key(b)
+    """Reference ``PhoneticMatcher::phoneticSimilarity``
+    (src/Utils/PhoneticMatcher.php:38-71): identical metaphone keys →
+    1.0 ('phone'/'fone', 'their'/'there'); otherwise the similar-text
+    ratio of the keys.  (The reference's doubleMetaphone 0.9 branch can
+    never fire — its "double" is the same key twice.)"""
+    ka, kb = metaphone_key(a.lower()), metaphone_key(b.lower())
     if ka and ka == kb:
-        return 1.0 if a == b else 0.9
-    return _similar_ratio(ka, kb) * 0.8
+        return 1.0
+    return _similar_ratio(ka, kb)
