@@ -179,3 +179,61 @@ class TestMergeTokens:
         assert merged == "downtown"
         r = eng.search("downto wn", limit=5, merge_tokens=True, normalize=False)
         assert 4 in r["doc_id"].to_pylist()
+
+
+class TestGeoUtilsReferenceVectors:
+    """Replays tests/Unit/Geo/GeoUtilsTest.php (distances in METERS
+    there; our haversine_km returns km)."""
+
+    def test_distance_between_points(self):
+        from yetisearch_ray.functions.geo import haversine_km
+
+        d = float(haversine_km(37.7749, -122.4194, 37.7849, -122.4094)) * 1000
+        assert 1400 < d < 1450  # ~1414 m
+
+    def test_distance_zero_same_point(self):
+        from yetisearch_ray.functions.geo import haversine_km
+
+        assert float(haversine_km(37.7749, -122.4194,
+                                  37.7749, -122.4194)) == 0.0
+
+    def test_distance_across_date_line(self):
+        from yetisearch_ray.functions.geo import haversine_km
+
+        d = float(haversine_km(0, 179.9, 0, -179.9)) * 1000
+        assert d < 25000  # small hop, not half the world
+
+    def test_is_within_radius(self):
+        import numpy as np
+
+        from yetisearch_ray.functions.geo import near_mask
+
+        lats = np.array([37.7849, 37.8049])
+        lngs = np.array([-122.4094, -122.4194])
+        near2 = near_mask(lats, lngs, 37.7749, -122.4194, 2.0)
+        near1 = near_mask(lats, lngs, 37.7749, -122.4194, 1.0)
+        near5 = near_mask(lats, lngs, 37.7749, -122.4194, 5.0)
+        assert near2.tolist() == [True, False]
+        assert near1.tolist() == [False, False]
+        assert near5.tolist() == [True, True]
+
+    def test_bounding_box(self):
+        from yetisearch_ray.functions.geo import bounding_box, in_bounds
+
+        bb = bounding_box(37.7749, -122.4194, 1.0)
+        min_lat, max_lat, min_lng, max_lng = bb
+        assert min_lat > 37.765 and max_lat < 37.785
+        assert min_lng > -122.435 and max_lng < -122.405
+        import numpy as np
+
+        assert in_bounds(np.array([37.7749]), np.array([-122.4194]),
+                         bb).tolist() == [True]
+
+    def test_bounding_box_near_pole(self):
+        import numpy as np
+
+        from yetisearch_ray.functions.geo import bounding_box, in_bounds
+
+        bb = bounding_box(89.9, 0.0, 10.0)
+        assert in_bounds(np.array([89.9]), np.array([0.0]),
+                         bb).tolist() == [True]
