@@ -101,3 +101,138 @@ class TestBuilderAndEndToEnd:
         out.pop("offset", None)
         r = eng.search(q, with_docs=True, **out)
         assert set(r["lang"].to_pylist()) <= {"go"}
+
+
+class TestReferenceQueryParser:
+    """Vectors transcribed from the reference's
+    tests/DSL/QueryParserDetailedTest.php — incl. the documented
+    tokenizer quirks (positive numbers parse as strings, LIMIT with a
+    positive literal falls back to defaults)."""
+
+    def setup_method(self):
+        from yetisearch_ray.dsl import ReferenceQueryParser
+
+        self.p = ReferenceQueryParser()
+
+    def test_empty_and_plain_queries(self):
+        r = self.p.parse("")
+        assert r.query == "" and r.filters == []
+        r = self.p.parse("golang")
+        assert r.query == "golang" and r.filters == []
+        assert self.p.parse("golang tutorial advanced").query == \
+            "golang tutorial advanced"
+        assert self.p.parse('"hello world"').query == "hello world"
+
+    def test_equality_filters(self):
+        r = self.p.parse('author = "John Doe"')
+        assert r.filters == [{"field": "author", "operator": "=",
+                              "value": "John Doe"}]
+        assert self.p.parse("author = 'Jane Smith'").filters[0]["value"] == \
+            "Jane Smith"
+        assert self.p.parse("status = published").filters[0]["value"] == \
+            "published"
+
+    def test_numeric_value_quirks(self):
+        # positive numbers tokenize as field -> strings
+        assert self.p.parse("count = 42").filters[0]["value"] == "42"
+        assert self.p.parse("price = 19.99").filters[0]["value"] == "19.99"
+        # negative numbers tokenize as number -> int/float
+        assert self.p.parse("score = -5").filters[0]["value"] == -5
+        assert self.p.parse("score = -3.5").filters[0]["value"] == -3.5
+        f = self.p.parse("score > -10").filters[0]
+        assert f["operator"] == ">" and f["value"] == -10
+
+    def test_comparison_operators(self):
+        assert self.p.parse('status != "deleted"').filters[0]["operator"] == "!="
+        assert self.p.parse('price > "100"').filters[0]["operator"] == ">"
+        assert self.p.parse('price < "50"').filters[0]["operator"] == "<"
+        assert self.p.parse('rating >= "4"').filters[0]["operator"] == ">="
+        assert self.p.parse('rating <= "3"').filters[0]["operator"] == "<="
+        f = self.p.parse('category =? "tech"').filters[0]
+        assert f["operator"] == "=?" and f["value"] == "tech"
+
+    def test_like_operator(self):
+        f = self.p.parse('title LIKE "%golang%"').filters[0]
+        assert f["operator"] == "like" and f["value"] == "%golang%"
+        f = self.p.parse("title LIKE %golang%").filters[0]
+        assert f["operator"] == "like" and f["value"] == "%golang%"
+
+    def test_in_operators(self):
+        f = self.p.parse("status IN [draft, published, archived]").filters[0]
+        assert f["operator"] == "in"
+        assert f["value"] == ["draft", "published", "archived"]
+        assert self.p.parse("status IN [published]").filters[0]["value"] == \
+            ["published"]
+        assert self.p.parse('author IN ["John Doe", "Jane Smith"]'
+                            ).filters[0]["value"] == ["John Doe", "Jane Smith"]
+        # positive numbers in arrays are strings (tokenizer quirk)
+        assert self.p.parse("rating IN [1, 2, 3, 4, 5]").filters[0]["value"] \
+            == ["1", "2", "3", "4", "5"]
+        f = self.p.parse("status NOT IN [draft, deleted]").filters[0]
+        assert f["operator"] == "not in" and f["value"] == ["draft", "deleted"]
+
+    def test_multiple_filters_and_grouping(self):
+        r = self.p.parse('status = "published" AND author = "John"')
+        assert [f["field"] for f in r.filters] == ["status", "author"]
+        r = self.p.parse('status = "published" OR status = "featured"')
+        assert len(r.filters) == 2
+        r = self.p.parse('price > "10" AND price < "100" AND status = "active"')
+        assert [f["operator"] for f in r.filters] == [">", "<", "="]
+        r = self.p.parse('(status = "published" OR status = "featured") '
+                         'AND author = "John"')
+        assert len(r.filters) >= 2
+        r = self.p.parse('(status = "published") AND (category = "tech")')
+        assert len(r.filters) >= 2
+
+    def test_query_text_with_filters(self):
+        r = self.p.parse('golang tutorial author = "John"')
+        assert r.query == "golang tutorial"
+        assert r.filters[0]["field"] == "author"
+        r = self.p.parse('search terms status = "published" AND rating > "3"')
+        assert r.query == "search terms" and len(r.filters) == 2
+
+    def test_fields_and_sort(self):
+        r = self.p.parse("FIELDS title, author, body")
+        assert r.fields == ["title", "author", "body"]
+        r = self.p.parse("FIELDS title:t, author:a")
+        assert r.fields == {"title": "t", "author": "a"}
+        r = self.p.parse('author = "John" FIELDS title, body')
+        assert len(r.filters) == 1 and r.fields == ["title", "body"]
+        r = self.p.parse("SORT title")
+        assert r.sort == {"title": "asc"}
+        r = self.p.parse("SORT title, author")
+        assert set(r.sort) == {"title", "author"}
+        r = self.p.parse('status = "published" SORT created_at')
+        assert r.sort == {"created_at": "asc"}
+
+    def test_pagination_quirks(self):
+        # positive literals after LIMIT/OFFSET tokenize as fields -> defaults
+        r = self.p.parse("LIMIT 50")
+        assert r.limit == 20
+        r = self.p.parse("OFFSET 20")
+        assert r.offset == 0
+        r = self.p.parse("PAGE 1")
+        assert r.limit == 10 and r.offset == 0
+
+    def test_field_aliases(self):
+        from yetisearch_ray.dsl import ReferenceQueryParser
+
+        p = ReferenceQueryParser({"writer": "author", "cat": "category"})
+        r = p.parse('writer = "John" AND cat = "tech"')
+        assert [f["field"] for f in r.filters] == ["author", "category"]
+        assert p.parse('status = "published"').filters[0]["field"] == "status"
+
+    def test_dot_notation_fields(self):
+        assert self.p.parse('metadata.author = "John"').filters[0]["field"] \
+            == "metadata.author"
+        assert self.p.parse('metadata.address.city = "NYC"'
+                            ).filters[0]["field"] == "metadata.address.city"
+
+    def test_combined_clauses(self):
+        r = self.p.parse('status = "published" FIELDS title, body '
+                         'SORT created_at')
+        assert len(r.filters) == 1 and len(r.fields) == 2
+        assert "created_at" in r.sort
+        r = self.p.parse('tutorial author = "John" SORT title')
+        assert r.query == "tutorial" and len(r.filters) == 1
+        assert "title" in r.sort

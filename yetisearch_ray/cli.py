@@ -90,6 +90,19 @@ def cmd_search_dsl(args):
     _print_table(r)
 
 
+def cmd_search_ref_dsl(args):
+    """Reference SQL-ish DSL (author = \"John\" AND ... SORT title)."""
+    _init_ray()
+    from .dsl import ReferenceQueryParser
+
+    eng = _engine(args)
+    parsed = ReferenceQueryParser().parse(args.query)
+    kw = parsed.to_search_kwargs()
+    q = kw.pop("query")
+    r = eng.search(q, **{k: v for k, v in kw.items() if v})
+    _print_table(r)
+
+
 def cmd_search_url(args):
     _init_ray()
     from .dsl import URLQueryParser
@@ -175,6 +188,7 @@ def main(argv=None):
     b.set_defaults(fn=cmd_index_build)
 
     for name, fn in (("search", cmd_search), ("search-dsl", cmd_search_dsl),
+                     ("search-ref-dsl", cmd_search_ref_dsl),
                      ("search-url", cmd_search_url), ("suggest", cmd_suggest)):
         s = sub.add_parser(name)
         s.add_argument("--index", required=True)
