@@ -236,3 +236,104 @@ class TestReferenceQueryParser:
         r = self.p.parse('tutorial author = "John" SORT title')
         assert r.query == "tutorial" and len(r.filters) == 1
         assert "title" in r.sort
+
+
+class TestURLParserReferenceVectors:
+    """Vectors from the reference tests/DSL/URLQueryParserTest.php."""
+
+    def setup_method(self):
+        self.p = URLQueryParser()
+
+    def test_query_sources_and_precedence(self):
+        assert self.p.parse({})["query"] == ""
+        assert self.p.parse({"q": "golang tutorial"})["query"] == \
+            "golang tutorial"
+        assert self.p.parse({"query": "search terms"})["query"] == \
+            "search terms"
+        assert self.p.parse({"q": "primary", "query": "secondary"}
+                            )["query"] == "primary"
+
+    def test_from_raw_query_string(self):
+        out = self.p.parse("q=hello+world&limit=5")
+        assert out["query"] == "hello world" and out["limit"] == 5
+        out = self.p.parse("q=test&filter[status][eq]=published")
+        f = out["filters"][0]
+        assert f["field"] == "status" and f["operator"] == "="
+
+    def test_operator_map(self):
+        def op(cond):
+            return self.p.parse({"filter": cond})["filters"][0]
+
+        assert op({"author": {"eq": "John"}})["operator"] == "="
+        assert op({"author": {"eq": "John"}})["value"] == "John"
+        assert op({"category": {"eqor": "tech"}})["operator"] == "=?"
+        assert op({"status": {"neq": "deleted"}})["operator"] == "!="
+        assert op({"status": {"ne": "deleted"}})["operator"] == "!="
+        f = op({"price": {"gt": "100"}})
+        assert f["operator"] == ">" and f["value"] == 100
+        assert op({"rating": {"gte": "4"}})["operator"] == ">="
+        assert op({"price": {"lt": "50"}})["operator"] == "<"
+        assert op({"price": {"lte": "50"}})["operator"] == "<="
+        f = op({"title": {"like": "%golang%"}})
+        assert f["operator"] == "like" and f["value"] == "%golang%"
+        f = op({"status": {"in": "published,featured,archived"}})
+        assert f["operator"] == "in"
+        assert f["value"] == ["published", "featured", "archived"]
+        f = op({"status": {"nin": "draft,deleted"}})
+        assert f["operator"] == "not in"
+        assert f["value"] == ["draft", "deleted"]
+        assert op({"price": {"between": "10,100"}})["operator"] == "between"
+        assert op({"meta": {"exists": "true"}})["operator"] == "exists"
+        assert op({"meta": {"null": "true"}})["operator"] == "is null"
+        assert op({"meta": {"notnull": "true"}})["operator"] == "is not null"
+
+    def test_simple_equality_and_multiple_filters(self):
+        f = self.p.parse({"filter": {"status": "published"}})["filters"][0]
+        assert f["operator"] == "=" and f["value"] == "published"
+        out = self.p.parse({"filter": {"price": {"gt": "10", "lt": "100"}}})
+        assert [f["field"] for f in out["filters"]] == ["price", "price"]
+
+    def test_value_coercions(self):
+        def val(cond):
+            return self.p.parse({"filter": cond})["filters"][0]["value"]
+
+        assert val({"active": {"eq": "true"}}) is True
+        assert val({"active": {"eq": "false"}}) is False
+        assert val({"deleted_at": {"eq": "null"}}) is None
+        assert val({"count": {"eq": "42"}}) == 42
+        assert val({"price": {"eq": "19.99"}}) == 19.99
+        assert val({"tag": {"eq": "php,golang,rust"}}) == \
+            ["php", "golang", "rust"]
+
+    def test_sort_fields_pagination(self):
+        out = self.p.parse({"sort": "-created_at,title:desc,name"})
+        assert out["sort"] == ("created_at", "desc")
+        assert out["sort_all"] == [("created_at", "desc"),
+                                   ("title", "desc"), ("name", "asc")]
+        out = self.p.parse({"fields": "title, body"})
+        assert out["result_fields"] == ["title", "body"]
+        out = self.p.parse({"fields": {"title": "t", "body": "b"}})
+        assert out["result_fields"] == ["title", "body"]
+        out = self.p.parse({"page": {"limit": "10", "offset": "20"}})
+        assert out["limit"] == 10 and out["offset"] == 20
+        out = self.p.parse({"page": {"number": "3", "size": "15"}})
+        assert out["limit"] == 15 and out["offset"] == 30
+        out = self.p.parse({"page": "2"})
+        assert out["limit"] == 20 and out["offset"] == 20
+
+    def test_boost_and_geo(self):
+        out = self.p.parse({"boost": {"title": "3.0", "content": "1.0"}})
+        assert out["field_weights"] == {"title": 3.0, "content": 1.0}
+        out = self.p.parse({"geo": {"near": {"lat": "37.7", "lng": "-122.4",
+                                             "radius": "5"}}})
+        assert out["geo_filters"]["near"]["radius_km"] == 5.0
+        out = self.p.parse(
+            "geo[within][north]=38&geo[within][south]=37"
+            "&geo[within][east]=-122&geo[within][west]=-123")
+        assert out["geo_filters"]["within"]["bounds"] == \
+            (37.0, 38.0, -123.0, -122.0)
+
+    def test_field_aliases(self):
+        p = URLQueryParser({"writer": "author"})
+        f = p.parse({"filter": {"writer": {"eq": "John"}}})["filters"][0]
+        assert f["field"] == "author"
