@@ -337,3 +337,71 @@ class TestURLParserReferenceVectors:
         p = URLQueryParser({"writer": "author"})
         f = p.parse({"filter": {"writer": {"eq": "John"}}})["filters"][0]
         assert f["field"] == "author"
+
+
+class TestFluentBuilderReferenceVectors:
+    """Vectors from the reference tests/DSL/FluentQueryTest.php, mapped
+    onto QueryBuilder.build() output."""
+
+    def test_query_and_search_override(self):
+        assert QueryBuilder().build()["query"] == ""
+        assert QueryBuilder().query("hello").build()["query"] == "hello"
+        assert QueryBuilder().query("a").search("b").build()["query"] == "b"
+
+    def test_where_forms(self):
+        b = QueryBuilder().where("status", "published")
+        assert b.build()["filters"] == [
+            {"field": "status", "operator": "=", "value": "published"}]
+        f = QueryBuilder().where("price", 100, ">").build()["filters"][0]
+        assert f["operator"] == ">" and f["value"] == 100
+        f = QueryBuilder().where_not("status", "deleted").build()["filters"][0]
+        assert f["operator"] == "!="
+        spec = (QueryBuilder().where("a", 1).where("b", 2)
+                .where("c", 3).build())
+        assert [f["field"] for f in spec["filters"]] == ["a", "b", "c"]
+
+    def test_where_collections_and_null(self):
+        f = QueryBuilder().where_in("status", ["a", "b"]).build()["filters"][0]
+        assert f["operator"] == "in" and f["value"] == ["a", "b"]
+        f = QueryBuilder().where_not_in("s", ["x"]).build()["filters"][0]
+        assert f["operator"] == "not in"
+        f = QueryBuilder().where_like("title", "%go%").build()["filters"][0]
+        assert f["operator"] == "like" and f["value"] == "%go%"
+        assert QueryBuilder().where_null("d").build()["filters"][0][
+            "operator"] == "is null"
+        assert QueryBuilder().where_not_null("d").build()["filters"][0][
+            "operator"] == "is not null"
+        f = QueryBuilder().where_between("p", 10, 100).build()["filters"][0]
+        assert f["operator"] == "between" and f["value"] == (10, 100)
+
+    def test_fields_order_pagination(self):
+        assert QueryBuilder().fields(["title", "body"]).build()[
+            "result_fields"] == ["title", "body"]
+        assert QueryBuilder().order_by("title").build()["sort"] == \
+            ("title", "asc")
+        assert QueryBuilder().order_by("price", "desc").build()["sort"] == \
+            ("price", "desc")
+        assert QueryBuilder().limit(5).build()["limit"] == 5
+        assert QueryBuilder().offset(10).build()["offset"] == 10
+        spec = QueryBuilder().page(3, 15).build()
+        assert spec["limit"] == 15 and spec["offset"] == 30
+        spec = QueryBuilder().page(2).build()
+        assert spec["limit"] == 20 and spec["offset"] == 20
+        assert QueryBuilder().page(1).build()["offset"] == 0
+
+    def test_fuzzy_and_highlight(self):
+        spec = QueryBuilder().fuzzy().build()
+        assert spec["fuzzy"] is True
+        assert QueryBuilder().fuzzy(False).build()["fuzzy"] is False
+        assert QueryBuilder().fuzzy(True, 0.6).build()["fuzziness"] == 0.6
+        assert QueryBuilder().highlight().build()["highlight"] is True
+        assert QueryBuilder().highlight(False).build()["highlight"] is False
+
+    def test_geo_chain(self):
+        spec = QueryBuilder().near_point(37.7, -122.4, 5.0).build()
+        assert spec["geo_filters"]["near"]["radius_km"] == 5.0
+        spec = QueryBuilder().within_bounds(38, 37, -122, -123).build()
+        assert spec["geo_filters"]["within"]["bounds"] == \
+            (37.0, 38.0, -123.0, -122.0)
+        spec = QueryBuilder().sort_by_distance(37.7, -122.4).build()
+        assert spec["geo_filters"]["sort_by_distance"] is True

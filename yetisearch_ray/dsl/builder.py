@@ -18,18 +18,53 @@ class QueryBuilder:
         self._query = text
         return self
 
+    # reference FluentQuery::search (:259) — overrides the initial text
+    search = query
+
     def filter(self, field: str, operator: str = "=", value=None) -> "QueryBuilder":
         self._filters.append({"field": field, "operator": operator, "value": value})
         return self
 
-    def where(self, field: str, value) -> "QueryBuilder":
-        return self.filter(field, "=", value)
+    def where(self, field: str, value, operator: str = "=") -> "QueryBuilder":
+        """Reference ``where($field, $value, $operator = '=')`` (:265)."""
+        return self.filter(field, operator, value)
+
+    def where_not(self, field: str, value) -> "QueryBuilder":
+        return self.filter(field, "!=", value)
 
     def where_in(self, field: str, values) -> "QueryBuilder":
         return self.filter(field, "in", list(values))
 
-    def between(self, field: str, lo, hi) -> "QueryBuilder":
+    def where_not_in(self, field: str, values) -> "QueryBuilder":
+        return self.filter(field, "not in", list(values))
+
+    def where_like(self, field: str, pattern: str) -> "QueryBuilder":
+        return self.filter(field, "like", pattern)
+
+    def where_null(self, field: str) -> "QueryBuilder":
+        return self.filter(field, "is null", None)
+
+    def where_not_null(self, field: str) -> "QueryBuilder":
+        return self.filter(field, "is not null", None)
+
+    def where_between(self, field: str, lo, hi) -> "QueryBuilder":
         return self.filter(field, "between", (lo, hi))
+
+    between = where_between
+
+    def fields(self, names) -> "QueryBuilder":
+        self._kwargs["result_fields"] = list(names)
+        return self
+
+    def order_by(self, field: str, direction: str = "asc") -> "QueryBuilder":
+        self._kwargs["sort"] = (field, direction)
+        return self
+
+    def page(self, page: int, per_page: int = 20) -> "QueryBuilder":
+        """Reference ``page($page, $perPage = 20)`` (:331)."""
+        self._kwargs["limit"] = int(per_page)
+        self._kwargs["offset"] = (max(1, int(page)) - 1) * int(per_page)
+        return self
 
     def language(self, lang: str) -> "QueryBuilder":
         self._kwargs["language"] = lang
@@ -39,9 +74,34 @@ class QueryBuilder:
         self._weights[field] = float(weight)
         return self
 
-    def fuzzy(self, on: bool = True, mode: str = "correction") -> "QueryBuilder":
+    def fuzzy(self, on: bool = True, fuzziness: float | None = None,
+              mode: str = "correction") -> "QueryBuilder":
         self._kwargs["fuzzy"] = on
         self._kwargs["fuzzy_mode"] = mode
+        if fuzziness is not None:
+            self._kwargs["fuzziness"] = float(fuzziness)
+        return self
+
+    def near_point(self, lat: float, lng: float,
+                   radius_km: float) -> "QueryBuilder":
+        self._kwargs.setdefault("geo_filters", {})["near"] = {
+            "lat": float(lat), "lng": float(lng),
+            "radius_km": float(radius_km)}
+        return self
+
+    def within_bounds(self, north: float, south: float, east: float,
+                      west: float) -> "QueryBuilder":
+        self._kwargs.setdefault("geo_filters", {})["within"] = {
+            "bounds": (float(south), float(north), float(west),
+                       float(east))}
+        return self
+
+    def sort_by_distance(self, lat: float, lng: float,
+                         direction: str = "asc") -> "QueryBuilder":
+        gf = self._kwargs.setdefault("geo_filters", {})
+        gf.setdefault("near", {}).setdefault("lat", float(lat))
+        gf["near"].setdefault("lng", float(lng))
+        gf["sort_by_distance"] = True
         return self
 
     def limit(self, n: int) -> "QueryBuilder":
@@ -84,4 +144,5 @@ class QueryBuilder:
             raise ValueError("no engine bound; pass one to execute()")
         spec = self.build()
         q = spec.pop("query")
+        spec.pop("fuzziness", None)  # engine-level knob, kept in build()
         return eng.search(q, **spec)
