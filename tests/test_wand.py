@@ -112,3 +112,28 @@ class TestEngineWand:
         a = np.array(r["score"].to_pylist())
         b = np.array(r2["score"].to_pylist())
         assert np.allclose(a, b, atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWandActorPool:
+    def test_pool_serves_wand_identical(self, built_index):
+        """Block-max WAND served from the stateful actor pool returns the
+        same results as the full-scan pool (north-star serving shape)."""
+        import ray.data as rd
+
+        from yetisearch_ray.search.engine import SearchActor
+
+        items = [{"qid": i, "query": q, "limit": 10}
+                 for i, q in enumerate(["parse", "buffer", "deadline",
+                                        "merge", "retry"])]
+
+        def run(defaults):
+            out = rd.from_items(items).map_batches(
+                SearchActor,
+                fn_constructor_kwargs={"index_dir": built_index,
+                                       "search_defaults": defaults},
+                batch_format="pyarrow", concurrency=1, batch_size=8,
+            ).to_pandas().sort_values(["qid", "result_rank"])
+            return list(zip(out.qid, out.doc_id, out.result_rank))
+
+        assert run({"use_wand": True}) == run({})

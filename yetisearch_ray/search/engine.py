@@ -1529,8 +1529,13 @@ class SearchActor:
     strings is served from that state.
     """
 
-    def __init__(self, index_dir: str, **engine_kwargs):
+    def __init__(self, index_dir: str, search_defaults: dict | None = None,
+                 **engine_kwargs):
         self.engine = SearchEngine(open_index(index_dir), **engine_kwargs)
+        # per-search defaults applied to every query this actor serves —
+        # e.g. {"use_wand": True} to serve eligible queries through the
+        # block-max WAND path from the actor pool
+        self.search_defaults = dict(search_defaults or {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, queries = batch["qid"].to_pylist(), batch["query"].to_pylist()
@@ -1540,7 +1545,7 @@ class SearchActor:
         )
         out_qid, out_doc, out_score, out_rank = [], [], [], []
         for qid, q, lim in zip(qids, queries, limits):
-            r = self.engine.search(q, limit=int(lim))
+            r = self.engine.search(q, limit=int(lim), **self.search_defaults)
             ids = r["doc_id"].to_pylist()
             scores = r["score"].to_pylist()
             out_qid.extend([qid] * len(ids))
