@@ -260,3 +260,19 @@ class TestTokenizerPathParity:
         assert rows.tolist() == a[1].tolist()
         assert pos.tolist() == a[2].tolist()
         assert cnt.tolist() == a[3].tolist()
+
+
+class TestStemmerTotality:
+    """Byte-level stemmers must be total over arbitrary unicode."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_stemmers_never_crash(self, w):
+        from yetisearch_ray.functions.stemmer import (stem_de, stem_en,
+                                                      stem_es, stem_fr)
+
+        for fn in (stem_en, stem_fr, stem_de, stem_es):
+            out = fn(w)
+            assert isinstance(out, str)

@@ -95,7 +95,7 @@ terms_st = st.lists(st.sampled_from(VOCAB + ["absent", "qqq"]),
                     min_size=1, max_size=3)
 
 
-@settings(max_examples=50, deadline=None,
+@settings(max_examples=int(__import__("os").environ.get("FTS5_PROP_EXAMPLES", "50")), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(terms=terms_st,
        mode=st.sampled_from(["smart", "and", "or", "phrase"]),
