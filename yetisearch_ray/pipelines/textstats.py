@@ -29,12 +29,31 @@ _LANG_ORDER = ("en", "fr", "de", "es")
 _EN_STOP = STOPWORDS["en"]
 
 
+# GPT-2-style pretokenizer shape, restricted to ASCII classes so the
+# Python `re` count and the DuckDB RE2 oracle count are identical:
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+_BPE_RE = None
+
+
 def token_counts(ds, *, text_col="text", id_col="doc_id"):
-    """(id, n_tokens) — whitespace/alnum tokens (ASCII corpora: == words)."""
+    """(id, n_tokens, n_subwords) — whitespace word count plus a BPE-ish
+    pretokenizer count (the cheap budget proxy an LLM-data pipeline
+    tracks before real tokenization)."""
+    import re as _re
+
+    global _BPE_RE
+    if _BPE_RE is None:
+        _BPE_RE = _re.compile(BPE_ISH_PATTERN)
 
     def fn(t: pa.Table) -> pa.Table:
-        counts = [len((s or "").split()) for s in t[text_col].to_pylist()]
-        return pa.table({id_col: t[id_col], "n_tokens": pa.array(counts, pa.int64())})
+        texts = t[text_col].to_pylist()
+        counts = [len((s or "").split()) for s in texts]
+        sub = [len(_BPE_RE.findall(s or "")) for s in texts]
+        return pa.table({id_col: t[id_col],
+                         "n_tokens": pa.array(counts, pa.int64()),
+                         "n_subwords": pa.array(sub, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
