@@ -362,10 +362,8 @@ ORDER BY jaccard DESC, sh.doc_id ASC LIMIT {k}"""
 
 TOKENS_EXPR = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
-# same ASCII-restricted BPE-ish pretokenizer pattern as
-# pipelines.textstats.BPE_ISH_PATTERN (RE2-compatible)
-_BPE_ISH_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\s A-Za-z0-9]+"
-
+# n_subwords uses the same ASCII-restricted BPE-ish pretokenizer pattern
+# as pipelines.textstats.BPE_ISH_PATTERN (RE2-compatible)
 TOKEN_COUNTS_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, len({TOKENS_EXPR})::BIGINT AS n_tokens,
        len(regexp_extract_all(text,
