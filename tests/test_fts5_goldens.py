@@ -207,3 +207,42 @@ class TestUnicode61TokenizerParity:
                 "SELECT term FROM v ORDER BY offset").fetchall()]
             got = tokenize(text)
             assert got == want, (text, got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDriverCorpusFts5Golden:
+    """The documents-table engine behind the driver's fts_* entries,
+    pinned directly against real FTS5 (same raw source/text columns)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from yetisearch_ray.pipelines.fts_documents import get_engine
+
+        sf = "/root/testdata/sf0.001"
+        eng = get_engine(sf)
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "source", "text"]
+                          ).sort_by("doc_id")
+        db = sqlite3.connect(":memory:")
+        db.execute("CREATE VIRTUAL TABLE fts USING fts5"
+                   "(id UNINDEXED, source, text, tokenize='unicode61')")
+        db.executemany("INSERT INTO fts(id, source, text) VALUES (?,?,?)",
+                       zip(t["doc_id"].to_pylist(),
+                           t["source"].to_pylist(),
+                           t["text"].to_pylist()))
+        yield eng, db
+        db.close()
+
+    def test_driver_query_classes(self, pair):
+        eng, db = pair
+        cases = [
+            ("merge", "merge", {}),
+            ("hash merge", "hash AND merge", {"mode": "and"}),
+            ("vector stream", "vector OR stream", {"mode": "or"}),
+            ("hash value",
+             '"hash value" OR NEAR(hash value, 10) OR hash OR value', {}),
+        ]
+        for q, match, kw in cases:
+            got = engine_topk(eng, q, k=20, **kw)
+            want = fts5_topk(db, match, k=20)
+            assert_rank_identical(got, want, ctx=(q, kw))
