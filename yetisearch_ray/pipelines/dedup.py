@@ -54,7 +54,10 @@ def _default_join_partitions(requested: int | None = None) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, min(64, cpus // 2))
+    # capped low: every hash join spins num_partitions aggregator actors,
+    # and this module's joins move small key/pair tables — fewer, larger
+    # partitions win until the tables stop fitting an aggregator
+    return max(2, min(8, cpus // 2))
 
 
 def _md5_batch(texts) -> list[str]:
