@@ -116,6 +116,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann.ivf_search(out, _query_vec(sf_dir), k=10,
                               nprobe=None).to_pandas()
 
+    def _ann_multi_query(sf_dir, vec_ids=(1, 2, 3)):
+        import numpy as np
+
+        qm = np.stack([np.asarray(_query_vec(sf_dir, vec_id=v))
+                       for v in vec_ids])
+        df = ann.cosine_topk_batch(_emb(sf_dir), qm, k=10).to_pandas()
+        df["qid"] = df["qid"].astype("int64")
+        df["vec_id"] = df["vec_id"].astype("int64")
+        return df
+
     def _query_vec(sf_dir, vec_id=1):
         import pyarrow.parquet as pq
 
@@ -246,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(
             _emb(sf), _query_vec(sf), k=10).to_pandas(),           # rows-only
         "ann_ivf_partitioned": lambda sf: _ivf_partitioned(sf),
+        "ann_multi_query": lambda sf: _ann_multi_query(sf),
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),
@@ -358,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_partitioned": oracles.ann_topk_sql(query_vec_id=1, k=10),
+        "ann_multi_query": oracles.ann_multi_query_sql((1, 2, 3), k=10),
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
         # events / stream-shaped
         "ev_tumbling_window": oracles.TUMBLING_WINDOW_SQL,

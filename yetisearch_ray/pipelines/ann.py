@@ -75,6 +75,58 @@ def cosine_topk(ds, query_vec, *, k=10, vec_col="embedding", id_col="vec_id",
     return scored.sort(["cosine", id_col], descending=[True, False]).limit(k)
 
 
+def cosine_topk_batch(ds, query_matrix, *, k=10, vec_col="embedding",
+                      id_col="vec_id", round_to=6):
+    """Exact top-k for MANY queries at once: one GEMM per batch against
+    the BROADCAST query matrix (``ray.put`` once, read per task), local
+    per-query top-k prune, then a tiny (qid, cosine) global sort.
+
+    Output: (qid, vec_id, cosine) best-first within each qid.
+    """
+    import ray
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qn)
+    nq = qn.shape[0]
+
+    def score(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_vectors(t, vec_col))
+        sims = m @ qm.T                      # (batch, nq)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_c = [], [], []
+        for j in range(nq):
+            col = sims[:, j]
+            if col.size > k:
+                part = np.argpartition(-col, k)[: k * 2]
+            else:
+                part = np.arange(col.size)
+            out_q.append(np.full(part.size, j, dtype=np.int64))
+            out_id.append(ids[part])
+            out_c.append(np.round(col[part], round_to))
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def topk_group(t: pa.Table) -> pa.Table:
+        c = t["cosine"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -c))[:k]
+        return pa.table({"qid": t["qid"].take(pa.array(order)),
+                         id_col: pa.array(ids[order]),
+                         "cosine": pa.array(c[order], pa.float64())})
+
+    return (scored.groupby("qid")
+            .map_groups(topk_group, batch_format="pyarrow")
+            .sort(["qid", "cosine", id_col],
+                  descending=[False, True, False]))
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10,
                seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd k-means on a sample (driver-side, small)."""

@@ -435,6 +435,23 @@ FROM embeddings e, q
 ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
 
 
+def ann_multi_query_sql(query_vec_ids, k: int = 10, round_to: int = 6) -> str:
+    """Multi-query brute-force top-k: per query id, the k best cosines."""
+    parts = []
+    for qid, vid in enumerate(query_vec_ids):
+        parts.append(f"""
+SELECT {qid} AS qid, vec_id, cosine FROM (
+  WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id = {vid})
+  SELECT e.vec_id::BIGINT AS vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+               {round_to}) AS cosine
+  FROM embeddings e, q
+  ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+) q{qid}""")
+    return " UNION ALL ".join(parts)
+
+
 def near_dup_pairs_sql(threshold: float = 0.95, round_to: int = 6) -> str:
     return f"""
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
