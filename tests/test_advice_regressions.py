@@ -93,3 +93,64 @@ class TestAdviceRegressions:
         after = pq.read_table(os.path.join(idx2, "docs"),
                               columns=["doc_id", "sha256"]).sort_by("doc_id")
         assert before.equals(after)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRound2Regressions:
+    """Pins the round-2 review findings."""
+
+    def test_near_arm_with_exclude_terms(self, built_index):
+        """Smart scoring with exclude terms: NEAR-qualified docs removed
+        from the match set must not crash or credit other docs."""
+        eng = SearchEngine(open_index(built_index), cache_ttl=0.0)
+        base = eng.search("parse buffer", limit=1000, normalize=False)
+        r = eng.search("parse buffer", limit=1000, normalize=False,
+                       exclude_terms=["return"])
+        kept = set(r["doc_id"].to_pylist())
+        assert kept and kept <= set(base["doc_id"].to_pylist())
+        # scores of surviving docs are unchanged by the exclusion
+        base_scores = dict(zip(base["doc_id"].to_pylist(),
+                               base["score"].to_pylist()))
+        for d, s in zip(r["doc_id"].to_pylist(), r["score"].to_pylist()):
+            assert abs(s - base_scores[d]) < 1e-9
+
+    def test_url_parser_output_is_pure_search_kwargs(self, built_index):
+        from yetisearch_ray.dsl import URLQueryParser
+
+        eng = SearchEngine(open_index(built_index), cache_ttl=0.0)
+        kw = URLQueryParser().parse("q=return&sort=path&limit=5")
+        q = kw.pop("query")
+        r = eng.search(q, **kw)  # must not raise on unknown kwargs
+        assert r.num_rows > 0
+
+    def test_url_parser_numeric_list_coercion(self):
+        from yetisearch_ray.dsl import URLQueryParser
+
+        f = URLQueryParser().parse(
+            "q=x&filter[price][between]=10,20")["filters"][0]
+        assert f["value"] == [10, 20]
+
+    def test_builder_sort_by_distance_executes(self, geo_like_engine):
+        from yetisearch_ray.dsl import QueryBuilder
+
+        r = (QueryBuilder(geo_like_engine)
+             .query("alpha")
+             .sort_by_distance(37.7749, -122.4194)
+             .execute())
+        assert r.num_rows >= 1  # no KeyError on missing radius
+
+
+@pytest.fixture(scope="module")
+def geo_like_engine(ray_session, tmp_path_factory):
+    from yetisearch_ray.facade import YetiSearchRay
+
+    ys = YetiSearchRay(str(tmp_path_factory.mktemp("geoqb")))
+    ys.create_index("g", fields=["title"],
+                    store_columns=["title", "lat", "lng"])
+    ys.index_batch("g", [
+        {"doc_id": 1, "content": {"title": "alpha near"},
+         "lat": 37.7749, "lng": -122.4194},
+        {"doc_id": 2, "content": {"title": "alpha far"},
+         "lat": 37.9, "lng": -122.2},
+    ])
+    return ys.engine("g", cache_ttl=0.0)

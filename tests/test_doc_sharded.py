@@ -66,3 +66,18 @@ class TestDocShardedServing:
         page = sharded.search("return", limit=5, offset=5, normalize=False)
         assert page["doc_id"].to_pylist() == \
             full["doc_id"].to_pylist()[5:10]
+
+    def test_min_score_order_of_operations(self, pair):
+        """min_score applies AFTER page truncation, exactly like the
+        single-index engine (can return fewer than limit rows)."""
+        local, sharded = pair
+        probe = local.search("return", limit=20, normalize=False)
+        scores = probe["score"].to_pylist()
+        assert len(scores) >= 10
+        thr = (scores[5] + scores[6]) / 2  # cuts inside the page
+        a = local.search("return", limit=10, normalize=False,
+                         min_score=thr)
+        b = sharded.search("return", limit=10, normalize=False,
+                           min_score=thr)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a.num_rows < 10  # filtering shrank the page for both

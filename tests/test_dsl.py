@@ -308,8 +308,7 @@ class TestURLParserReferenceVectors:
     def test_sort_fields_pagination(self):
         out = self.p.parse({"sort": "-created_at,title:desc,name"})
         assert out["sort"] == ("created_at", "desc")
-        assert out["sort_all"] == [("created_at", "desc"),
-                                   ("title", "desc"), ("name", "asc")]
+        assert "sort_all" not in out  # output stays a pure search() kwargs dict
         out = self.p.parse({"fields": "title, body"})
         assert out["result_fields"] == ["title", "body"]
         out = self.p.parse({"fields": {"title": "t", "body": "b"}})

@@ -99,8 +99,12 @@ class QueryBuilder:
     def sort_by_distance(self, lat: float, lng: float,
                          direction: str = "asc") -> "QueryBuilder":
         gf = self._kwargs.setdefault("geo_filters", {})
-        gf.setdefault("near", {}).setdefault("lat", float(lat))
-        gf["near"].setdefault("lng", float(lng))
+        near = gf.setdefault("near", {})
+        near.setdefault("lat", float(lat))
+        near.setdefault("lng", float(lng))
+        # sort-only chains need a radius for the engine's near filter;
+        # half the Earth's circumference keeps every doc in range
+        near.setdefault("radius_km", 20037.5)
         gf["sort_by_distance"] = True
         return self
 

@@ -2,7 +2,7 @@
 (``src/DSL/QueryParser.php:1-552``): the SQL-ish grammar
 
     free text author = "John" AND price > -10 status IN [a, b]
-    FIELDS title, body SORT -created_at PAGE 2,10
+    FIELDS title, body SORT created_at PAGE 2,10
 
 Documented quirks reproduced on purpose (pinned by the reference's own
 ``tests/DSL/QueryParserDetailedTest.php``):
@@ -13,9 +13,14 @@ Documented quirks reproduced on purpose (pinned by the reference's own
   numbers tokenize as ``number`` and cast to int/float.
 - Grouped/parenthesized conditions flatten into the filter list.
 - ``=?`` (equals-or-null) is preserved; ``LIKE``/``IN``/``NOT IN``
-  lowercase; ``-`` before a value negates the operator.
+  lowercase.
 - ``PAGE n,size`` computes limit/offset; bare defaults are limit 20 /
   offset 0 (the reference SearchQuery defaults).
+- a bare ``-`` (``SORT -field``, value negation) never survives the
+  reference's tokenizer either — PHP's preg_match_all drops unmatched
+  characters, so descending SORT and operator negation are dead grammar
+  in BOTH implementations; use ``field:desc``-style sorting via the URL
+  parser or the fluent builder instead.
 """
 
 from __future__ import annotations

@@ -30,24 +30,32 @@ _OPS = {"eq": "=", "eqor": "=?", "neq": "!=", "ne": "!=", "gt": ">",
 
 
 def _parse_value(v):
-    """Reference ``parseValue`` (:263-289)."""
+    """Reference ``parseValue`` (:263-289).  Deviation: elements of a
+    comma list are ALSO coerced (bool/null/numeric) — the reference hands
+    strings to SQLite, whose loose typing coerces at compare time, while
+    this engine's typed numpy filters need real numbers for
+    in/not-in/between on numeric columns."""
     if isinstance(v, str):
         if "," in v:
-            return [x.strip() for x in v.split(",")]
-        if v == "true":
-            return True
-        if v == "false":
-            return False
-        if v == "null":
-            return None
-        try:
-            return int(v)
-        except ValueError:
-            try:
-                return float(v)
-            except ValueError:
-                return v
+            return [_parse_scalar(x.strip()) for x in v.split(",")]
+        return _parse_scalar(v)
     return v
+
+
+def _parse_scalar(v: str):
+    if v == "true":
+        return True
+    if v == "false":
+        return False
+    if v == "null":
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
 
 
 def _qs_to_params(query_string: str) -> dict:
@@ -62,9 +70,11 @@ def _qs_to_params(query_string: str) -> dict:
         keys = [root] + re.findall(r"\[([\w.]*)\]", rest)
         node = params
         for kk in keys[:-1]:
-            node = node.setdefault(kk, {})
-            if not isinstance(node, dict):  # scalar collision; overwrite
-                node = {}
+            child = node.get(kk)
+            if not isinstance(child, dict):  # scalar collision: replace,
+                child = {}                   # as PHP parse_str does
+                node[kk] = child
+            node = child
         node[keys[-1]] = v
     return params
 
@@ -109,8 +119,10 @@ class URLQueryParser:
                 else:
                     pairs.append((f, "asc"))
             if pairs:
+                # engine supports one sort column; secondary sorts are
+                # dropped (the output must stay a pure search() kwargs
+                # dict)
                 out["sort"] = pairs[0]
-                out["sort_all"] = pairs
 
         fields = params.get("fields")
         if isinstance(fields, str) and fields:
@@ -167,7 +179,14 @@ class URLQueryParser:
                                            float(within["north"]),
                                            float(within["west"]),
                                            float(within["east"]))}
-            if isinstance(geo.get("sort"), dict):
+            gsort = geo.get("sort")
+            if isinstance(gsort, dict):
+                if "near" not in gf and {"lat", "lng"} <= set(gsort):
+                    # sort-only: the engine's geo path needs a near
+                    # filter; full-earth radius keeps every doc in range
+                    gf["near"] = {"lat": float(gsort["lat"]),
+                                  "lng": float(gsort["lng"]),
+                                  "radius_km": 20037.5}
                 gf["sort_by_distance"] = True
             if gf:
                 out["geo_filters"] = gf

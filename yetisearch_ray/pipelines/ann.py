@@ -243,6 +243,10 @@ def ivf_search(out_dir, query_vec, *, k=10, nprobe=None, round_to=6):
         if os.path.isdir(d):
             probe_files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
     vec_col, id_col = meta["vec_col"], meta["id_col"]
+    if not probe_files:  # every probed bucket was empty/unwritten
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     ds = rd.read_parquet(probe_files, columns=[id_col, vec_col])
 
     def score(t: pa.Table) -> pa.Table:

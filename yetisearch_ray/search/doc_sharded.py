@@ -52,8 +52,7 @@ class DocShardActor:
 
     def topk(self, query: str, *, k: int, mode: str, prefix_last: bool,
              stats_override: dict, field_weights: dict | None,
-             filters, language: str | None,
-             min_score: float) -> tuple[np.ndarray, np.ndarray]:
+             filters, language: str | None) -> tuple[np.ndarray, np.ndarray]:
         eng = self.engine
         cq = compile_query(query, eng.analyzer, mode=mode,
                            prefix_last=prefix_last)
@@ -66,9 +65,9 @@ class DocShardActor:
         if doc_ids.size:
             keep = eng._apply_filters(doc_ids, filters, language)
             doc_ids, rank = doc_ids[keep], rank[keep]
-        if min_score > 0 and doc_ids.size:
-            keep = np.abs(rank) >= min_score
-            doc_ids, rank = doc_ids[keep], rank[keep]
+        # NOTE: min_score is NOT applied here — the single-index engine
+        # filters AFTER truncating to the page, so the coordinator must
+        # do the same on the merged ranking for exact parity.
         order = np.lexsort((doc_ids, rank))[:k]
         return doc_ids[order], rank[order]
 
@@ -129,7 +128,7 @@ class DocShardedEngine:
             a.topk.remote(query, k=k, mode=mode, prefix_last=prefix_last,
                           stats_override=stats_override,
                           field_weights=field_weights, filters=filters,
-                          language=language, min_score=min_score)
+                          language=language)
             for a in self._actors
         ])
         doc_ids = np.concatenate([p[0] for p in parts]) \
@@ -138,6 +137,13 @@ class DocShardedEngine:
             if parts else np.empty(0, np.float64)
         order = np.lexsort((doc_ids, rank))
         doc_ids, rank = doc_ids[order], rank[order]
+        # single-index order of operations: truncate to the page window,
+        # THEN apply min_score (can return fewer than `limit` rows)
+        doc_ids = doc_ids[:offset + limit]
+        rank = rank[:offset + limit]
+        if min_score > 0 and doc_ids.size:
+            keep = np.abs(rank) >= min_score
+            doc_ids, rank = doc_ids[keep], rank[keep]
         doc_ids = doc_ids[offset:offset + limit]
         score = np.abs(rank[offset:offset + limit])
         if normalize and score.size:

@@ -597,8 +597,14 @@ class SearchEngine:
                 if not sel.any():
                     continue
                 docs = (keys[sel] >> SHIFT)
+                # NEAR-qualifying docs may have been REMOVED from `match`
+                # (exclude terms): keep only true members, or searchsorted
+                # indexes out of bounds / credits the wrong doc
                 mi = np.searchsorted(match, docs)
-                np.add.at(out[j], mi, w)
+                mi = np.clip(mi, 0, max(match.size - 1, 0))
+                present = match[mi] == docs
+                if present.any():
+                    np.add.at(out[j], mi[present], w)
         return out
 
     # ---------------- scoring -----------------------------------------
