@@ -161,61 +161,70 @@ class MinHasher:
         return v.min(axis=1)
 
 
+_SIGNER_CACHE: dict = {}
+
+
+def _signer_state(num_perm: int, seed: int, rows_per_band: int):
+    """Once-per-worker-process MinHash state (hasher + band mixers).
+
+    Construction is deterministic and cheap (a couple of seeded rng
+    draws), so a process-level cache gives the once-per-worker setup an
+    actor pool would — without reserving actor slots that contend with
+    the shuffle stages sharing the plan (measured: a 2-actor pool added
+    1–2 s startup at bench scale and capped signing parallelism)."""
+    key = (num_perm, seed, rows_per_band)
+    st = _SIGNER_CACHE.get(key)
+    if st is None:
+        mh = MinHasher(num_perm, seed)
+        rng = np.random.default_rng(seed + 1)
+        # per-row mixing multipliers for band hashing (odd → bijective)
+        mix = rng.integers(1, 2**63, rows_per_band, dtype=np.uint64) | np.uint64(1)
+        st = _SIGNER_CACHE[key] = (mh, mix)
+    return st
+
+
 def minhash_lsh_candidates(ds, *, text_col="text", id_col="doc_id",
                            num_perm=64, bands=16, shingle_n=3, seed=42,
                            concurrency=None):
     """Emit LSH candidate buckets: (band, band_hash) groups with >1 doc.
 
-    map_batches (signature per doc, vectorized hashing) →
-    explode to (band, band_hash, id) rows → groupby (the only shuffle —
-    tuples, not documents) → buckets with ≥2 members.
+    map_batches (signature per doc, vectorized hashing; hasher state is
+    process-cached, see ``_signer_state``) → explode to
+    (band, band_hash, id) rows → groupby (the only shuffle — tuples,
+    not documents) → buckets with ≥2 members.
 
-    ``concurrency`` (actor pool size) scales with the cluster by default
-    but must leave CPUs free for the read and shuffle stages — a pool
-    that reserves every core deadlocks the streaming executor on small
-    clusters.
+    ``concurrency`` caps the signing tasks; default None lets the
+    streaming executor scale them with free CPUs.
     """
-    if concurrency is None:
-        # 2 actors by default: signature compute is vectorized and cheap
-        # relative to pool startup at small scale; large corpora should
-        # pass an explicit pool size (~cpus/2).  An autoscaling (min,max)
-        # tuple measured 1.6x SLOWER here at bench scale (ramp latency).
-        concurrency = 2
     rows_per_band = num_perm // bands
 
-    class Signer:
-        def __init__(self):
-            self.mh = MinHasher(num_perm, seed)
-            rng = np.random.default_rng(seed + 1)
-            # per-row mixing multipliers for band hashing (odd → bijective)
-            self.mix = rng.integers(1, 2**63, rows_per_band, dtype=np.uint64) | np.uint64(1)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            hashes, sh_counts = _shingle_hashes_batch(t[text_col].to_pylist(), shingle_n)
-            ndocs = ids.size
-            sigs = np.full((ndocs, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
-            starts = np.cumsum(sh_counts) - sh_counts
-            nonempty = np.flatnonzero(sh_counts > 0)
-            # chunk docs so the (perm × shingle) matrix stays small
-            for lo in range(0, nonempty.size, 128):
-                sel = nonempty[lo : lo + 128]
-                span_lo = starts[sel[0]]
-                span_hi = starts[sel[-1]] + sh_counts[sel[-1]]
-                h = hashes[span_lo:span_hi] % _MERSENNE
-                v = (self.mh.a[:, None] * h[None, :] + self.mh.b[:, None]) % np.uint64(_MERSENNE)
-                local_starts = (starts[sel] - span_lo).astype(np.int64)
-                mins = np.minimum.reduceat(v, local_starts, axis=1)
-                sigs[sel] = mins.T
-            # band hashes: mix the rows of each band (vectorized)
-            band_sigs = sigs.reshape(ndocs, bands, rows_per_band)
-            bh = (band_sigs * self.mix[None, None, :]).sum(axis=2, dtype=np.uint64)
-            bh ^= bh >> np.uint64(33)
-            return pa.table({
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), ndocs)),
-                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
-                id_col: pa.array(np.repeat(ids, bands)),
-            })
+    def sign(t: pa.Table) -> pa.Table:
+        mh, mix = _signer_state(num_perm, seed, rows_per_band)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hashes, sh_counts = _shingle_hashes_batch(t[text_col].to_pylist(), shingle_n)
+        ndocs = ids.size
+        sigs = np.full((ndocs, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+        starts = np.cumsum(sh_counts) - sh_counts
+        nonempty = np.flatnonzero(sh_counts > 0)
+        # chunk docs so the (perm × shingle) matrix stays small
+        for lo in range(0, nonempty.size, 128):
+            sel = nonempty[lo : lo + 128]
+            span_lo = starts[sel[0]]
+            span_hi = starts[sel[-1]] + sh_counts[sel[-1]]
+            h = hashes[span_lo:span_hi] % _MERSENNE
+            v = (mh.a[:, None] * h[None, :] + mh.b[:, None]) % np.uint64(_MERSENNE)
+            local_starts = (starts[sel] - span_lo).astype(np.int64)
+            mins = np.minimum.reduceat(v, local_starts, axis=1)
+            sigs[sel] = mins.T
+        # band hashes: mix the rows of each band (vectorized)
+        band_sigs = sigs.reshape(ndocs, bands, rows_per_band)
+        bh = (band_sigs * mix[None, None, :]).sum(axis=2, dtype=np.uint64)
+        bh ^= bh >> np.uint64(33)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), ndocs)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            id_col: pa.array(np.repeat(ids, bands)),
+        })
 
     def bucket(t: pa.Table) -> pa.Table:
         if t.num_rows < 2:
@@ -229,7 +238,8 @@ def minhash_lsh_candidates(ds, *, text_col="text", id_col="doc_id",
             "members": pa.array([ids], pa.list_(pa.int64())),
         })
 
-    sigs = ds.map_batches(Signer, batch_format="pyarrow", concurrency=concurrency)
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        sign, batch_format="pyarrow", concurrency=concurrency)
     return sigs.groupby(["band", "band_hash"]).map_groups(bucket, batch_format="pyarrow")
 
 
@@ -237,30 +247,41 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                         bands=16, shingle_n=3, threshold=0.7, seed=42,
                         num_partitions=None, max_bucket=1000):
     """Candidate pairs from LSH buckets, verified with EXACT (string)
-    shingle Jaccard — fully distributed.
+    shingle Jaccard — fully distributed, join-free.
 
     Pipeline (no driver-side materialization of pairs or texts):
-      buckets → pair rows (capped per bucket) → groupby dedupe
-      → candidate ids → SEMI-JOIN docs → per-doc shingle strings
-      → two hash joins attach each side's shingles to its pairs
-      → vectorized-per-row exact Jaccard, threshold filter.
+      buckets → pair rows (capped per bucket) → per-member "pair-side"
+      rows tagged with the member id as the shuffle key → UNION with
+      per-doc shingle rows (same key space) → groupby(key) attaches
+      each doc's shingle string to its pair sides → groupby(pair)
+      computes exact Jaccard, dedupes multi-band repeats, thresholds.
 
-    Shuffles move only (id_a, id_b) tuples and the CANDIDATE docs'
-    shingle lists, never full documents or the whole corpus.  Buckets
-    larger than ``max_bucket`` members are truncated (the pairs beyond
-    the cap are dropped and the count is reported via print → Ray log;
-    a bucket that big means near-identical boilerplate where any
-    survivor policy is equivalent).
+    Two sort-shuffles replace the previous semi-join + two hash joins:
+    Ray's hash join spins ``num_partitions`` aggregator ACTORS per join,
+    and three pools stacked in one streaming plan starve each other on
+    small clusters (measured 52 s → ~6 s at bench scale).  Shuffles
+    move only (key, id_a, id_b) tuples and per-doc shingle strings —
+    the same volume the semi-join moved (it hash-partitioned the full
+    doc table anyway), never full documents twice.  Buckets larger than
+    ``max_bucket`` members are truncated (the pairs beyond the cap are
+    dropped and the count is reported via print → Ray log; a bucket
+    that big means near-identical boilerplate where any survivor policy
+    is equivalent).
     """
     import itertools
 
-    num_partitions = _default_join_partitions(num_partitions)
+    ds = ds.select_columns([id_col, text_col])
     buckets = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                      num_perm=num_perm, bands=bands,
                                      shingle_n=shingle_n, seed=seed)
 
-    def to_pairs(t: pa.Table) -> pa.Table:
-        ra, rb = [], []
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    def to_pair_sides(t: pa.Table) -> pa.Table:
+        """Each bucket pair (a,b) → two rows keyed by its member ids."""
+        ks, ra, rb = [], [], []
         members_col = (t["members"].to_pylist()
                        if "members" in t.column_names else [])
         for members in members_col:
@@ -269,84 +290,92 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                       f"{len(members)} -> {max_bucket} members")
                 members = members[:max_bucket]
             for x, y in itertools.combinations(members, 2):
-                ra.append(min(x, y))
-                rb.append(max(x, y))
-        return pa.table({"id_a": pa.array(ra, pa.int64()),
-                         "id_b": pa.array(rb, pa.int64())})
+                a, b = (x, y) if x <= y else (y, x)
+                ks.append(a); ra.append(a); rb.append(b)
+                ks.append(b); ra.append(a); rb.append(b)
+        n = len(ks)
+        return pa.table({"key": pa.array(ks, pa.int64()),
+                         "id_a": pa.array(ra, pa.int64()),
+                         "id_b": pa.array(rb, pa.int64()),
+                         "sh": pa.array([None] * n, pa.string())})
 
-    def first_row(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
-
-    pairs = (buckets.map_batches(to_pairs, batch_format="pyarrow")
-             .groupby(["id_a", "id_b"])
-             .map_groups(first_row, batch_format="pyarrow"))
-
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-    # materialize: tuples only, reused three times below; repartition
-    # coalesces empty schema-less groupby blocks ahead of the joins
-    pairs = _join_ready(pairs, num_partitions).materialize()
-    if pairs.count() == 0:
-        return empty
-
-    def both_sides(t: pa.Table) -> pa.Table:
-        if "id_a" not in t.column_names:
-            return pa.table({"cid": pa.array([], pa.int64())})
-        ids = np.concatenate([t["id_a"].to_numpy(zero_copy_only=False),
-                              t["id_b"].to_numpy(zero_copy_only=False)])
-        return pa.table({"cid": pa.array(np.unique(ids), pa.int64())})
-
-    cands = pairs.map_batches(both_sides, batch_format="pyarrow")
-    cand_docs = ds.join(cands, "left_semi", num_partitions,
-                        on=(id_col,), right_on=("cid",))
-
-    # shingle sets ride the joins as a single \x1f-delimited string —
-    # Arrow's hash join rejects list-typed non-key fields
+    # shingle sets ride the shuffle as a single \x1f-delimited string
+    # (list columns don't survive the groupby sort path zero-copy)
     def shingle_rows(t: pa.Table) -> pa.Table:
         if text_col not in t.column_names:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
                              "sh": pa.array([], pa.string())})
         shs = ["\x1f".join(sorted(_word_shingles((txt or "").split(),
                                                  shingle_n)))
                for txt in t[text_col].to_pylist()]
-        return pa.table({id_col: t[id_col],
+        n = t.num_rows
+        return pa.table({"key": t[id_col].cast(pa.int64()),
+                         "id_a": pa.array([None] * n, pa.int64()),
+                         "id_b": pa.array([None] * n, pa.int64()),
                          "sh": pa.array(shs, pa.string())})
 
-    shingles = _join_ready(
-        cand_docs.map_batches(shingle_rows, batch_format="pyarrow"),
-        num_partitions)
-    joined = pairs.join(shingles, "inner", num_partitions,
-                        on=("id_a",), right_on=(id_col,),
-                        right_suffix="_a")
-    # join output also carries empty schema-less partitions — coalesce
-    # before feeding it to the second join
-    joined = _join_ready(joined, num_partitions)
-    joined = joined.join(shingles, "inner", num_partitions,
-                         on=("id_b",), right_on=(id_col,),
-                         right_suffix="_b")
+    pair_sides = buckets.map_batches(to_pair_sides, batch_format="pyarrow")
+    sh_rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def attach(t: pa.Table) -> pa.Table:
+        """Group = one doc id: its shingle row + its pair-side rows."""
+        out = {"key": [], "id_a": [], "id_b": [], "sh": []}
+        if "key" not in t.column_names:
+            return pa.table({k: pa.array(v, pa.int64() if k != "sh"
+                                         else pa.string())
+                             for k, v in out.items()})
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        doc_sh = None
+        for i in np.flatnonzero(pd.isna(ia)):
+            doc_sh = t["sh"][int(i)].as_py()
+            break
+        pair_idx = np.flatnonzero(~pd.isna(ia))
+        if doc_sh is None or pair_idx.size == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        sub = t.take(pair_idx)
+        return pa.table({"key": sub["key"],
+                         "id_a": sub["id_a"],
+                         "id_b": sub["id_b"],
+                         "sh": pa.array([doc_sh] * len(pair_idx),
+                                        pa.string())})
+
+    attached = (pair_sides.union(sh_rows)
+                .groupby("key")
+                .map_groups(attach, batch_format="pyarrow"))
 
     def verify(t: pa.Table) -> pa.Table:
-        if "id_a" not in t.column_names:
+        """Group = one (id_a, id_b) pair; rows carry each side's
+        shingles (multi-band repeats collapse here for free)."""
+        if "id_a" not in t.column_names or t.num_rows == 0:
             return empty
-        sh_cols = [c for c in t.column_names if c.startswith("sh")]
-        sa_col, sb_col = sorted(sh_cols)[:2]  # sh/sh_a then sh_b
-        ra, rb, rj = [], [], []
+        a = int(t["id_a"][0].as_py())
+        b = int(t["id_b"][0].as_py())
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        va = vb = None
         for i in range(t.num_rows):
-            va, vb = t[sa_col][i].as_py(), t[sb_col][i].as_py()
-            sa = set(va.split("\x1f")) if va else set()
-            sb = set(vb.split("\x1f")) if vb else set()
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 0.0
-            if j >= threshold:
-                ra.append(t["id_a"][i].as_py())
-                rb.append(t["id_b"][i].as_py())
-                rj.append(round(j, 6))
-        return pa.table({"id_a": pa.array(ra, pa.int64()),
-                         "id_b": pa.array(rb, pa.int64()),
-                         "jaccard": pa.array(rj, pa.float64())})
+            if keys[i] == a and va is None:
+                va = t["sh"][i].as_py()
+            elif keys[i] == b and vb is None:
+                vb = t["sh"][i].as_py()
+        if va is None or vb is None:  # a side's doc row was missing
+            return empty
+        sa = set(va.split("\x1f")) if va else set()
+        sb = set(vb.split("\x1f")) if vb else set()
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j < threshold:
+            return empty
+        return pa.table({"id_a": pa.array([a], pa.int64()),
+                         "id_b": pa.array([b], pa.int64()),
+                         "jaccard": pa.array([round(j, 6)], pa.float64())})
 
-    out = joined.map_batches(verify, batch_format="pyarrow")
+    out = (attached.groupby(["id_a", "id_b"])
+           .map_groups(verify, batch_format="pyarrow"))
     res = out.sort(["id_a", "id_b"]).to_pandas()
     if res.empty:
         return empty
