@@ -234,7 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": lambda sf: dedup.minhash_dedup_pairs(
             _docs(sf), threshold=0.5).to_pandas(),                 # rows-only
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
-            _docs(sf)).to_pandas(),                                # rows-only
+            _docs(sf)).to_pandas(),
         # --- fuzzy conformance (reference benchmarks/benchmark.php:211-327;
         #     rows-only: per-case found flags over the deterministic movie
         #     corpus; pass bars asserted in tests/test_fuzzy_bench.py) ---
@@ -360,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_exact_rows": oracles.DEDUP_EXACT_ROWS_SQL,
         "dedup_jaccard_topk": oracles.jaccard_topk_sql(query_doc_id=0, k=10),
+        "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),

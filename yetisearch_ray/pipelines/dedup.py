@@ -387,10 +387,24 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
 # ------------------------------------------------------------------ simhash
 
 
+def _md5_u64_tokens(tokens: np.ndarray) -> np.ndarray:
+    """64-bit token hash equal to DuckDB's ``md5_number_lower(tok)``:
+    the LOWER 8 bytes of the md5 digest, little-endian (verified against
+    DuckDB 1.0) — this is what makes SimHash SQL-oracle-checkable."""
+    out = np.empty(tokens.size, np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = int.from_bytes(
+            hashlib.md5(t.encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
 def simhash_signatures(ds, *, text_col="text", id_col="doc_id"):
-    """64-bit SimHash per doc (sign-sum of tf-weighted token hashes) —
-    fully vectorized: one siphash pass over all tokens of the batch, bit
-    expansion in doc-chunks, per-doc reduceat accumulation."""
+    """64-bit SimHash per doc (sign-sum of tf-weighted token hashes).
+
+    Token hashing is md5-based so DuckDB can replicate the exact
+    signature (``oracles.simhash_pairs_sql``); md5 runs once per UNIQUE
+    token of the batch (the vocabulary is much smaller than the token
+    stream), bit expansion and per-doc accumulation stay vectorized."""
 
     _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
@@ -402,7 +416,8 @@ def simhash_signatures(ds, *, text_col="text", id_col="doc_id"):
         flat = np.array([w for tl in token_lists for w in tl], dtype=object)
         sigs = np.zeros(len(texts), dtype=np.uint64)
         if flat.size:
-            hs = _hash_obj_array(flat).astype(np.uint64)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            hs = _md5_u64_tokens(uniq)[inv]
             starts = np.cumsum(counts) - counts
             nonempty = np.flatnonzero(counts > 0)
             for lo in range(0, nonempty.size, 256):

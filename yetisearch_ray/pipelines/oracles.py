@@ -336,6 +336,46 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 ) WHERE doc_id = _surv"""
 
 
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Brute-force SimHash near-pair oracle.
+
+    Replicates ``dedup.simhash_signatures`` exactly: whitespace tokens,
+    ``md5_number_lower`` per token (= Python md5 digest[8:16]
+    little-endian), tf-weighted sign-sum per bit, bit set iff sum > 0.
+    The Ray operator's 4x16-bit banding has 100% recall for Hamming <=3
+    (3 differing bits can touch at most 3 of 4 blocks, so one block
+    always matches), so the banded pipeline must equal this exhaustive
+    O(N^2) pair scan."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, tok),
+bits AS (
+  SELECT doc_id, r.i,
+         SUM(CASE WHEN (md5_number_lower(tok) >> r.i) & 1 = 1
+                  THEN c ELSE -c END) AS s
+  FROM tc CROSS JOIN range(64) r(i)
+  GROUP BY doc_id, r.i
+),
+sig0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS sh
+  FROM bits GROUP BY doc_id
+),
+sig AS (  -- docs with zero tokens never reach bits; their signature is 0
+  SELECT d.doc_id, COALESCE(s0.sh, 0::UBIGINT) AS sh
+  FROM documents d LEFT JOIN sig0 s0 USING (doc_id)
+)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
 def jaccard_topk_sql(query_doc_id: int = 0, n: int = 3, k: int = 10,
                      round_to: int = 6) -> str:
     shingle = (
