@@ -120,6 +120,15 @@ class TestFts5RankIdentity:
                 engine_topk(self.eng, f'"{q}"'),
                 fts5_topk(self.db, f'"{q}"'), ctx=q)
 
+    def test_not_exclusion(self):
+        """FTS5 ``a NOT b``: b filters the doc set, contributes no tf."""
+        for inc, exc in [("parse", "buffer"), ("retry", "deadline"),
+                         ("merge", "stream")]:
+            assert_rank_identical(
+                engine_topk(self.eng, inc, exclude_terms=[exc]),
+                fts5_topk(self.db, f"{inc} NOT {exc}"),
+                ctx=f"{inc} NOT {exc}")
+
     def test_smart_two_terms(self):
         """Full smart expression incl. the NEAR scoring arm."""
         for t1, t2 in [("parse", "buffer"), ("retry", "backoff"),

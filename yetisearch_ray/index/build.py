@@ -78,37 +78,94 @@ def term_partition(terms, num_partitions: int,
 
 def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
                      top_k: int | None = None, split_df_ratio: float = 0.5,
-                     split_ways: int = 4):
+                     split_ways: int = 4, id_column: str = "doc_id"):
     """df-sketch pre-pass → explicit balanced placement of the Zipf head.
 
-    Takes a UNIFORM random sample of ``sample_docs`` docs (seeded —
-    deterministic), counts per-term df, takes the top ``top_k`` (default
-    4×P) and greedily bin-packs them across partitions by descending df
+    Takes a UNIFORM deterministic sample of ~``sample_docs`` docs (rows
+    whose seeded doc_id hash falls under the sampling threshold — the
+    same rows regardless of corpus order, block boundaries or cluster
+    size), counts per-term df, takes the top ``top_k`` (default 4×P)
+    and greedily bin-packs them across partitions by descending df
     (least-loaded-first), so no partition receives several ultra-hot
     code keywords by hash accident.
 
-    A prefix sample (``ds.limit``) would mis-sketch any corpus whose
-    order correlates with content — on a sorted 100 TB corpus a term hot
-    only in the tail would never be seen.  The uniform sample costs one
-    extra counting pass over the input, which is noise next to the full
-    tokenization pass that follows.
+    A prefix sample (``ds.limit`` — and equally ``random_sample`` +
+    ``limit``, whose limit keeps the FIRST sampled rows) would
+    mis-sketch any corpus whose order correlates with content — on a
+    sorted 100 TB corpus a term hot only in the tail would never be
+    seen.  The hash filter needs the corpus row count for its rate;
+    ``read_parquet_with_doc_ids`` advertises it from the parquet
+    footers (``_ys_row_count``) so the common path adds NO extra pass,
+    and per-sample-row tokenization + df counting runs distributed
+    (``map_batches``) with only small (term, df) partials reaching the
+    driver.
     """
     top_k = top_k or cfg.num_partitions * 4
-    n_total = ds.count()
-    if n_total <= sample_docs:
-        sample = ds
+    from ..analysis.tokenizer import tokenize_batch
+
+    fields_cols = [col for _, col in cfg.fields]
+    n_total = getattr(ds, "_ys_row_count", None)
+    rg_tasks = getattr(ds, "_ys_tasks", None)
+    if n_total is None:
+        n_total = ds.count()
+    if rg_tasks and n_total > sample_docs:
+        # parquet path: read ONLY a seeded subset of row groups (projected
+        # to the indexed field columns), then thin rows by doc_id hash —
+        # the sketch's IO is O(sample), not O(corpus).  Row-group choice
+        # is cluster sampling; spreading it over >=8 groups (when the
+        # corpus has them) keeps any single group's topical bias bounded,
+        # and the within-group hash thinning is uniform.
+        import pyarrow.parquet as _pq
+        import ray.data as rd
+
+        rng = np.random.default_rng(42)
+        order = rng.permutation(len(rg_tasks))
+        target_rows = sample_docs * 8
+        chosen: list = []
+        rows = 0
+        for i in order:
+            chosen.append(rg_tasks[int(i)])
+            rows += int(rg_tasks[int(i)]["nrows"])
+            if rows >= target_rows and len(chosen) >= min(8, len(rg_tasks)):
+                break
+        frac = min(1.0, sample_docs / max(1, rows))
+        thresh = np.uint64(int(frac * (1 << 32)))
+        read_cols = list(dict.fromkeys(fields_cols))
+
+        def read_sampled(b: pa.Table) -> pa.Table:
+            f = b["file"][0].as_py()
+            rg = b["rg"][0].as_py()
+            off = b["offset"][0].as_py()
+            t = _pq.ParquetFile(f).read_row_group(rg, columns=read_cols)
+            ids = np.arange(off, off + t.num_rows, dtype=np.uint64)
+            h = pd.util.hash_array(ids) % np.uint64(1 << 32)
+            return t.filter(pa.array(h < thresh))
+
+        sample = rd.from_items(chosen).map_batches(
+            read_sampled, batch_size=1, batch_format="pyarrow")
+    elif n_total > sample_docs:
+        # generic input: one full pass, but only a hash-thinned uniform
+        # subset of rows is tokenized
+        thresh = np.uint64(int((sample_docs / n_total) * (1 << 32)))
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = pd.util.hash_array(ids) % np.uint64(1 << 32)
+            return t.filter(pa.array(h < thresh))
+
+        if id_column in (ds.columns() or []):
+            sample = ds.map_batches(keep, batch_format="pyarrow")
+        else:  # no stable id to hash on — seeded row sample instead
+            sample = ds.random_sample(min(1.0, sample_docs / n_total), seed=42)
     else:
-        frac = min(1.0, (sample_docs * 1.25) / n_total)
-        sample = ds.random_sample(frac, seed=42).limit(sample_docs)
-    from ..analysis.tokenizer import tokenize_batch, tokenize_batch_dict
+        sample = ds
+    _ROWS_KEY = "\x00__sampled_rows__"  # rides the partials; never a token
 
-    import collections
-
-    df_counts: collections.Counter = collections.Counter()
-    row_base = 0
-    for batch in sample.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        for _, col in cfg.fields:
-            texts = batch[col].to_pylist()
+    def df_partial(t: pa.Table) -> pa.Table:
+        terms: list = [_ROWS_KEY]
+        dfs: list = [t.num_rows]
+        for col in fields_cols:
+            texts = t[col].to_pylist()
             tokens, rows, _, _ = tokenize_batch(texts)
             if not tokens:
                 continue
@@ -118,11 +175,26 @@ def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
             uk = np.unique(keys)
             cnt = np.bincount((uk // (len(texts) + 1)).astype(np.int64),
                               minlength=len(uniq))
-            for i in np.flatnonzero(cnt):
-                df_counts[uniq[i]] += int(cnt[i])
-        row_base += batch.num_rows
-    n_sampled = max(1, row_base)
-    hot = df_counts.most_common(top_k)
+            nz = np.flatnonzero(cnt)
+            terms.extend(uniq[nz].tolist())
+            dfs.extend(cnt[nz].tolist())
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(dfs, pa.int64())})
+
+    partials = [b for b in sample.map_batches(
+        df_partial, batch_size=1024, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow")]
+    merged = (pa.concat_tables(partials).group_by("term")
+              .aggregate([("df", "sum")]) if partials else
+              pa.table({"term": pa.array([], pa.string()),
+                        "df_sum": pa.array([], pa.int64())}))
+    tdf = merged.to_pandas()
+    rows_mask = tdf["term"] == _ROWS_KEY
+    n_sampled = max(1, int(tdf.loc[rows_mask, "df_sum"].sum()))
+    tdf = tdf[~rows_mask]
+    # deterministic head: df desc, then term asc breaks ties
+    tdf = tdf.sort_values(["df_sum", "term"], ascending=[False, True])
+    hot = list(zip(tdf["term"].head(top_k), tdf["df_sum"].head(top_k)))
     loads = np.zeros(cfg.num_partitions, dtype=np.int64)
     hot_map: dict[str, int] = {}
     split_map: dict[str, list[int]] = {}

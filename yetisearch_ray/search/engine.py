@@ -455,14 +455,31 @@ class SearchEngine:
             # doc_id must fit the high 32 bits — guard so a pathological
             # id can never silently corrupt keys into false matches.
             SHIFT = np.uint64(32)
+            # prune to the doc intersection before expanding occurrences —
+            # an adjacency run needs every term in the doc, so non-shared
+            # docs can never contribute (hot-term phrases shrink a lot)
+            common = plists[0].doc_ids
+            for p in plists[1:]:
+                common = common[np.isin(common, p.doc_ids,
+                                        assume_unique=True)]
+            if common.size == 0:
+                continue
+            prune = common.size < 0.8 * min(p.doc_ids.size for p in plists)
             keys = []
             for p in plists:
                 if p.doc_ids.size and int(p.doc_ids[-1]) >= (1 << 32):
                     raise ValueError(
                         "phrase matching requires doc_id < 2^32 per shard "
                         f"(got {int(p.doc_ids[-1])}); re-shard the index")
-                docs_exp = np.repeat(p.doc_ids, p.tfs.astype(np.int64))
-                keys.append((docs_exp << SHIFT) | p.positions.astype(np.uint64))
+                tfs64 = p.tfs.astype(np.int64)
+                if prune:
+                    mask = np.isin(p.doc_ids, common, assume_unique=True)
+                    docs_exp = np.repeat(p.doc_ids[mask], tfs64[mask])
+                    pos = p.positions[np.repeat(mask, tfs64)]
+                else:
+                    docs_exp = np.repeat(p.doc_ids, tfs64)
+                    pos = p.positions
+                keys.append((docs_exp << SHIFT) | pos.astype(np.uint64))
             occ = keys[0]
             for j in range(1, len(phrase.terms)):
                 occ = occ[np.isin(occ + np.uint64(j), keys[j], assume_unique=True)]
@@ -555,6 +572,24 @@ class SearchEngine:
                 if int(p.doc_ids[-1]) >= (1 << 32):
                     raise ValueError(
                         "NEAR matching requires doc_id < 2^32 per shard")
+            # Candidate pruning BEFORE occurrence expansion: a qualifying
+            # window needs every member term in the same doc+field, and
+            # only docs still in ``match`` can receive tf — so restrict
+            # each posting to the doc intersection ∩ match first.  For
+            # hot-term pairs this shrinks the occurrence sort from the
+            # UNION of all postings to the (much smaller) co-occurrence
+            # set (measured ~3× on two-hot-term smart queries).
+            common = plists[0].doc_ids
+            for p in plists[1:]:
+                common = common[np.isin(common, p.doc_ids,
+                                        assume_unique=True)]
+            if match.size:
+                common = common[np.isin(common, match, assume_unique=True)]
+            if common.size == 0:
+                continue
+            # masking pays only when it actually shrinks the expansion —
+            # for hot-term pairs that co-occur everywhere, skip it
+            prune = common.size < 0.8 * min(p.doc_ids.size for p in plists)
             # Global vectorized windowing over ALL docs at once: pack
             # every occurrence as key = doc<<32 | pos (sorted).  A window
             # ending at occurrence h starts at lo(h) = first key >=
@@ -566,9 +601,16 @@ class SearchEngine:
             # per-doc Python loop.
             keys_list, lbl_list = [], []
             for j, p in enumerate(plists):
-                docs_exp = np.repeat(p.doc_ids, p.tfs.astype(np.int64))
+                tfs64 = p.tfs.astype(np.int64)
+                if prune:
+                    mask = np.isin(p.doc_ids, common, assume_unique=True)
+                    docs_exp = np.repeat(p.doc_ids[mask], tfs64[mask])
+                    pos = p.positions[np.repeat(mask, tfs64)]
+                else:
+                    docs_exp = np.repeat(p.doc_ids, tfs64)
+                    pos = p.positions
                 keys_list.append((docs_exp << SHIFT)
-                                 | p.positions.astype(np.uint64))
+                                 | pos.astype(np.uint64))
                 lbl_list.append(np.full(keys_list[-1].size, j, dtype=np.int8))
             keys = np.concatenate(keys_list)
             lbl = np.concatenate(lbl_list)

@@ -67,7 +67,14 @@ def read_parquet_with_doc_ids(path: str, *, columns: list[str] | None = None,
 
     # batch_size=1: one task per row group → blocks sized by row groups,
     # read parallelism = row-group count
-    return rd.from_items(tasks).map_batches(read_task, batch_size=1, batch_format="pyarrow")
+    out = rd.from_items(tasks).map_batches(read_task, batch_size=1, batch_format="pyarrow")
+    # total row count and the row-group task list are already known from
+    # the footers — advertise both so downstream passes (hot-term sketch)
+    # can size their sampling rate without a counting execution and read
+    # only sampled row groups instead of the whole corpus
+    out._ys_row_count = offset
+    out._ys_tasks = tasks
+    return out
 
 
 def assign_doc_ids_by_sort(ds, sort_keys: list[str], id_column: str = "doc_id"):
