@@ -45,14 +45,14 @@ def _print_table(t, limit=50):
 def cmd_index_build(args):
     _init_ray()
     from .index.build import IndexConfig, build_index
-    from .sources.parquet_source import read_parquet_with_doc_ids
+    from .sources.text_sources import read_any_with_doc_ids
 
     fields = [(f, f) for f in args.fields.split(",")]
     store = args.store.split(",") if args.store else [c for _, c in fields]
     cfg = IndexConfig(fields=fields, language_column=args.lang_column,
                       store_columns=store, num_partitions=args.partitions,
                       content_hash_column=args.hash_column)
-    ds = read_parquet_with_doc_ids(args.input)
+    ds = read_any_with_doc_ids(args.input)  # parquet / jsonl / csv
     man = build_index(ds, args.index, cfg, resume=args.resume,
                       append=args.append, input_fingerprint=args.input)
     print(json.dumps({"status": man.data["status"], "stats": man.stats}))
