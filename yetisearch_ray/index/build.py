@@ -44,6 +44,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import time
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
@@ -623,12 +624,15 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
         split_map = man.data.get("split_terms") or None
     else:
         man = Manifest.new(index_dir, cfg.as_dict(), input_fingerprint)
+        t_sk = time.perf_counter()
         if balance_hot_terms:
             hot_map, split_map = sketch_hot_terms(ds, cfg)
         else:
             hot_map, split_map = None, None
+        sketch_sec = time.perf_counter() - t_sk
         man.data["hot_terms"] = hot_map or {}
         man.data["split_terms"] = split_map or {}
+        man.data.setdefault("metrics", {})["sketch_sec"] = round(sketch_sec, 3)
         man.save()
 
     # ---- single ingest pass: docstore side-writes + term-partitioned
@@ -653,6 +657,7 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
     except Exception:
         total_cpus = 8
     seg_cpus = 2 if total_cpus >= 16 else 1
+    t_ex = time.perf_counter()
     metrics = (
         emitted.groupby("part")
         .map_groups(_build_segment(index_dir, cfg.positions, gen),
@@ -664,6 +669,11 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
             "n_docs": int(m["n_docs"]), "sum_dl": int(m["sum_dl"]),
             "input_fingerprint": input_fingerprint,
         })
+    # phase wall-times ride the manifest (north-rule metrics; `iter_rows`
+    # above drains the whole ingest+shuffle execution, so this span IS
+    # the tokenize→exchange→segment-write pipeline)
+    mx = man.data.setdefault("metrics", {})
+    mx[f"exchange_sec_gen{gen}"] = round(time.perf_counter() - t_ex, 3)
     # stats over ALL partitions (including ones committed in a prior run)
     n_docs = sum(p.get("n_docs", 0) for p in man.data["partitions"].values())
     total_dl = sum(p.get("sum_dl", 0) for p in man.data["partitions"].values())
