@@ -58,7 +58,7 @@ def _dir_bytes(d: str) -> int:
 def _build_once_in_this_session(corpus_dir: str, idx_dir: str) -> tuple[float, int]:
     """One timed build in the CURRENT (fresh, pre-warmed) Ray session."""
     from yetisearch_ray.index.build import IndexConfig, build_index
-    from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+    from yetisearch_ray.sources.text_sources import read_any_with_doc_ids
 
     cfg = IndexConfig(
         fields=[("path", "path"), ("content", "content")],
@@ -71,7 +71,7 @@ def _build_once_in_this_session(corpus_dir: str, idx_dir: str) -> tuple[float, i
         shutil.rmtree(idx_dir)
     os.sync()  # flush pending writeback so it doesn't stall this run
     t0 = time.perf_counter()
-    man = build_index(read_parquet_with_doc_ids(corpus_dir), idx_dir, cfg,
+    man = build_index(read_any_with_doc_ids(corpus_dir), idx_dir, cfg,
                       input_fingerprint=corpus_dir)
     return time.perf_counter() - t0, int(man.stats["n_docs"])
 
@@ -265,11 +265,23 @@ def build_single(corpus_dir: str, idx_dir: str) -> None:
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    pq.read_table(corpus_dir)  # warm page cache
+    try:
+        pq.read_table(corpus_dir)  # warm page cache (parquet corpora)
+    except Exception:  # jsonl/csv corpus: read bytes instead
+        for root, _, fs in os.walk(corpus_dir):
+            for f in fs:
+                with open(os.path.join(root, f), "rb") as fh:
+                    fh.read()
     rd.range(NUM_CPUS * 1000).map_batches(lambda b: b).count()  # warm workers
     dt, n_docs = _build_once_in_this_session(corpus_dir, idx_dir)
     ray.shutdown()
-    print(json.dumps({"build_sec": round(dt, 3), "n_docs": n_docs}))
+    try:  # phase breakdown from the manifest (sketch vs exchange)
+        with open(os.path.join(idx_dir, "manifest.json")) as f:
+            phases = json.load(f).get("metrics", {})
+    except Exception:
+        phases = {}
+    print(json.dumps({"build_sec": round(dt, 3), "n_docs": n_docs,
+                      "phases": phases}))
 
 
 def run_once() -> dict:
