@@ -252,6 +252,22 @@ def bench_fuzzy_rates() -> dict:
             "fuzzy_typo_pass": round(r["fuzzy"], 3)}
 
 
+def _warm_session(corpus_dir: str) -> None:
+    """Warm the corpus page cache and the Ray worker pool so timed runs
+    measure compute + shuffle, not cold disk or worker spawn."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    try:
+        pq.read_table(corpus_dir)  # parquet corpora
+    except Exception:  # jsonl/csv corpus: read bytes instead
+        for root, _, fs in os.walk(corpus_dir):
+            for f in fs:
+                with open(os.path.join(root, f), "rb") as fh:
+                    fh.read()
+    rd.range(NUM_CPUS * 1000).map_batches(lambda b: b).count()
+
+
 def build_single(corpus_dir: str, idx_dir: str) -> None:
     """Child entry (--build-single): fresh session, warm pool, one timed
     build, one JSON line."""
@@ -262,17 +278,7 @@ def build_single(corpus_dir: str, idx_dir: str) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    try:
-        pq.read_table(corpus_dir)  # warm page cache (parquet corpora)
-    except Exception:  # jsonl/csv corpus: read bytes instead
-        for root, _, fs in os.walk(corpus_dir):
-            for f in fs:
-                with open(os.path.join(root, f), "rb") as fh:
-                    fh.read()
-    rd.range(NUM_CPUS * 1000).map_batches(lambda b: b).count()  # warm workers
+    _warm_session(corpus_dir)
     dt, n_docs = _build_once_in_this_session(corpus_dir, idx_dir)
     ray.shutdown()
     try:  # phase breakdown from the manifest (sketch vs exchange)
@@ -306,11 +312,7 @@ def run_once() -> dict:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
-        import pyarrow.parquet as pq
-        import ray.data as rd
-
-        pq.read_table(corpus)
-        rd.range(NUM_CPUS * 1000).map_batches(lambda b: b).count()
+        _warm_session(corpus)
         qstats = bench_queries(idx_dir)
         shstats = bench_sharded_queries(idx_dir)
         t_pool = bench_query_pool(idx_dir)
@@ -379,8 +381,8 @@ def run_scaling(pairs=None) -> dict:
     runs = int(os.environ.get("GRAFT_SCALE_RUNS", "2"))
     best: dict[int, float] = {}
     n_docs = SCALE_DOCS
-    for _ in range(runs):
-        for n in levels:
+    for ri in range(runs):
+        for li, n in enumerate(levels):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-single",
@@ -391,7 +393,8 @@ def run_scaling(pairs=None) -> dict:
             r = json.loads(out.strip().splitlines()[-1])
             n_docs = int(r["n_docs"])
             best[n] = min(best.get(n, float("inf")), r["build_sec"])
-            time.sleep(10)
+            if not (ri == runs - 1 and li == len(levels) - 1):
+                time.sleep(10)  # settle BETWEEN children only
 
     pair_out = {}
     for lo, hi in pairs:

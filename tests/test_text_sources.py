@@ -74,6 +74,30 @@ class TestTextSources:
         assert tj["content"].to_pylist() == tc["content"].to_pylist()
         assert tj["doc_id"].to_pylist() == tc["doc_id"].to_pylist()
 
+    def test_csv_schema_pinned_across_shards(self, tmp_path):
+        """A shard whose column values all look numeric must not come
+        back with a different inferred type than its siblings."""
+        from yetisearch_ray.sources import read_csv_with_doc_ids
+
+        d = tmp_path / "cs"
+        d.mkdir()
+        _write_csv([{"doc_id_src": i, "content": f"text {i}"}
+                    for i in range(5)], str(d / "a.csv"))
+        _write_csv([{"doc_id_src": i, "content": str(1000 + i)}  # all digits
+                    for i in range(5)], str(d / "b.csv"))
+        t = pa.concat_tables(list(read_csv_with_doc_ids(str(d))
+                                  .iter_batches(batch_format="pyarrow")))
+        assert t.schema.field("content").type == pa.string()
+        assert t.num_rows == 10
+
+    def test_json_array_clear_error(self, tmp_path):
+        from yetisearch_ray.sources import read_jsonl_with_doc_ids
+
+        p = tmp_path / "arr.json"
+        p.write_text(json.dumps(ROWS[:3]))  # JSON array, not NDJSON
+        with pytest.raises(ValueError, match="NEWLINE-DELIMITED"):
+            read_jsonl_with_doc_ids(str(p))
+
     def test_any_dispatch_and_index_parity(self, tmp_path):
         """Indexes built from jsonl and parquet shards of the SAME rows
         answer queries identically."""

@@ -82,13 +82,18 @@ def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
                      split_ways: int = 4, id_column: str = "doc_id"):
     """df-sketch pre-pass → explicit balanced placement of the Zipf head.
 
-    Takes a UNIFORM deterministic sample of ~``sample_docs`` docs (rows
-    whose seeded doc_id hash falls under the sampling threshold — the
-    same rows regardless of corpus order, block boundaries or cluster
-    size), counts per-term df, takes the top ``top_k`` (default 4×P)
-    and greedily bin-packs them across partitions by descending df
+    Takes a deterministic sample of ~``sample_docs`` docs, counts
+    per-term df, takes the top ``top_k`` (default 4×P) and greedily
+    bin-packs them across partitions by descending df
     (least-loaded-first), so no partition receives several ultra-hot
-    code keywords by hash accident.
+    code keywords by hash accident.  Sampling is seeded and
+    reproducible for a GIVEN corpus layout; the parquet fast path picks
+    row groups first (cluster sampling — re-sharding the same bytes can
+    pick different groups and thus different hot terms), then thins
+    rows uniformly by doc_id hash, so the within-layout sample is
+    independent of corpus order, block boundaries and cluster size.
+    Placement is persisted in the manifest per build, so reads are
+    always self-consistent regardless.
 
     A prefix sample (``ds.limit`` — and equally ``random_sample`` +
     ``limit``, whose limit keeps the FIRST sampled rows) would

@@ -247,29 +247,32 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                         bands=16, shingle_n=3, threshold=0.7, seed=42,
                         num_partitions=None, max_bucket=1000):
     """Candidate pairs from LSH buckets, verified with EXACT (string)
-    shingle Jaccard — fully distributed, join-free.
+    shingle Jaccard — fully distributed, single-join.
 
     Pipeline (no driver-side materialization of pairs or texts):
-      buckets → pair rows (capped per bucket) → per-member "pair-side"
-      rows tagged with the member id as the shuffle key → UNION with
-      per-doc shingle rows (same key space) → groupby(key) attaches
-      each doc's shingle string to its pair sides → groupby(pair)
-      computes exact Jaccard, dedupes multi-band repeats, thresholds.
+      buckets → pair tuples (capped per bucket) → groupby dedupes
+      multi-band repeats (tuples only) → SEMI-JOIN restricts the corpus
+      to candidate docs → per-candidate shingle strings → pair-side
+      rows keyed by member id UNION candidate shingle rows →
+      groupby(key) attaches each doc's shingles to its pair sides →
+      groupby(pair) computes exact Jaccard, thresholds.
 
-    Two sort-shuffles replace the previous semi-join + two hash joins:
-    Ray's hash join spins ``num_partitions`` aggregator ACTORS per join,
-    and three pools stacked in one streaming plan starve each other on
-    small clusters (measured 52 s → ~6 s at bench scale).  Shuffles
-    move only (key, id_a, id_b) tuples and per-doc shingle strings —
-    the same volume the semi-join moved (it hash-partitioned the full
-    doc table anyway), never full documents twice.  Buckets larger than
-    ``max_bucket`` members are truncated (the pairs beyond the cap are
-    dropped and the count is reported via print → Ray log; a bucket
-    that big means near-identical boilerplate where any survivor policy
-    is equivalent).
+    Why this shape: the original version chained THREE hash joins, and
+    each Ray join spins ``num_partitions`` aggregator ACTORS — three
+    pools stacked in one streaming plan starve each other on small
+    clusters (measured 52 s at bench scale).  The attach step is now a
+    sort-groupby over tagged rows (no join), pairs are deduped BEFORE
+    shingles attach (one shingle copy per pair side, not one per band
+    hit), and only CANDIDATE docs are shingled and shuffled — the one
+    remaining semi-join runs in its own bounded execution.  Bench scale:
+    ~8 s.  Buckets larger than ``max_bucket`` members are truncated
+    (the pairs beyond the cap are dropped and the count is reported via
+    print → Ray log; a bucket that big means near-identical boilerplate
+    where any survivor policy is equivalent).
     """
     import itertools
 
+    num_partitions = _default_join_partitions(num_partitions)
     ds = ds.select_columns([id_col, text_col])
     buckets = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                      num_perm=num_perm, bands=bands,
@@ -279,9 +282,8 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
 
-    def to_pair_sides(t: pa.Table) -> pa.Table:
-        """Each bucket pair (a,b) → two rows keyed by its member ids."""
-        ks, ra, rb = [], [], []
+    def to_pairs(t: pa.Table) -> pa.Table:
+        ra, rb = [], []
         members_col = (t["members"].to_pylist()
                        if "members" in t.column_names else [])
         for members in members_col:
@@ -290,14 +292,51 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                       f"{len(members)} -> {max_bucket} members")
                 members = members[:max_bucket]
             for x, y in itertools.combinations(members, 2):
-                a, b = (x, y) if x <= y else (y, x)
-                ks.append(a); ra.append(a); rb.append(b)
-                ks.append(b); ra.append(a); rb.append(b)
-        n = len(ks)
+                ra.append(min(x, y))
+                rb.append(max(x, y))
+        return pa.table({"id_a": pa.array(ra, pa.int64()),
+                         "id_b": pa.array(rb, pa.int64())})
+
+    def first_row(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
+
+    # tuples only: dedupe multi-band repeats, coalesce empty groupby
+    # blocks, and bound the plan with a materialize (reused twice below)
+    pairs = _join_ready(
+        buckets.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"]).map_groups(first_row,
+                                              batch_format="pyarrow"),
+        num_partitions).materialize()
+    if pairs.count() == 0:
+        return empty
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        if "id_a" not in t.column_names:
+            return pa.table({"cid": pa.array([], pa.int64())})
+        ids = np.concatenate([t["id_a"].to_numpy(zero_copy_only=False),
+                              t["id_b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"cid": pa.array(np.unique(ids), pa.int64())})
+
+    cands = pairs.map_batches(both_sides, batch_format="pyarrow")
+    cand_docs = ds.join(cands, "left_semi", num_partitions,
+                        on=(id_col,), right_on=("cid",))
+
+    def to_pair_sides(t: pa.Table) -> pa.Table:
+        """Each deduped pair (a,b) → two rows keyed by its member ids."""
+        if "id_a" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        ks = np.concatenate([a, b])
+        ra = np.concatenate([a, a])
+        rb = np.concatenate([b, b])
         return pa.table({"key": pa.array(ks, pa.int64()),
                          "id_a": pa.array(ra, pa.int64()),
                          "id_b": pa.array(rb, pa.int64()),
-                         "sh": pa.array([None] * n, pa.string())})
+                         "sh": pa.array([None] * ks.size, pa.string())})
 
     # shingle sets ride the shuffle as a single \x1f-delimited string
     # (list columns don't survive the groupby sort path zero-copy)
@@ -316,8 +355,8 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                          "id_b": pa.array([None] * n, pa.int64()),
                          "sh": pa.array(shs, pa.string())})
 
-    pair_sides = buckets.map_batches(to_pair_sides, batch_format="pyarrow")
-    sh_rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    pair_sides = pairs.map_batches(to_pair_sides, batch_format="pyarrow")
+    sh_rows = cand_docs.map_batches(shingle_rows, batch_format="pyarrow")
 
     def attach(t: pa.Table) -> pa.Table:
         """Group = one doc id: its shingle row + its pair-side rows."""
@@ -349,8 +388,8 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                 .map_groups(attach, batch_format="pyarrow"))
 
     def verify(t: pa.Table) -> pa.Table:
-        """Group = one (id_a, id_b) pair; rows carry each side's
-        shingles (multi-band repeats collapse here for free)."""
+        """Group = one (id_a, id_b) pair; its two attached rows carry
+        the sides' shingle strings."""
         if "id_a" not in t.column_names or t.num_rows == 0:
             return empty
         a = int(t["id_a"][0].as_py())

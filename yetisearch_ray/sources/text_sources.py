@@ -38,28 +38,48 @@ def _list_files_ext(path: str, exts: tuple[str, ...]) -> list[str]:
     return files
 
 
-def _jsonl_table(f: str) -> pa.Table:
+def _jsonl_table(f: str, schema: pa.Schema | None = None) -> pa.Table:
     from pyarrow import json as pa_json
 
-    return pa_json.read_json(f)
+    opts = (pa_json.ParseOptions(explicit_schema=schema)
+            if schema is not None else None)
+    try:
+        return pa_json.read_json(f, parse_options=opts)
+    except pa.ArrowInvalid as e:
+        raise ValueError(
+            f"{f}: expected NEWLINE-DELIMITED JSON (one object per line); "
+            f"JSON-array documents are not supported ({e})") from e
 
 
-def _csv_table(f: str) -> pa.Table:
+def _csv_table(f: str, schema: pa.Schema | None = None) -> pa.Table:
     from pyarrow import csv as pa_csv
 
-    return pa_csv.read_csv(f)
+    conv = None
+    if schema is not None:
+        conv = pa_csv.ConvertOptions(
+            column_types={fld.name: fld.type for fld in schema})
+    return pa_csv.read_csv(f, convert_options=conv)
 
 
 def _offset_read(files: list[str], parse, id_column: str):
-    """Count rows per file (distributed), then offset-id read per file."""
+    """Count rows per file (distributed), then offset-id read per file.
+
+    The FIRST file's inferred schema is pinned and passed to every other
+    file's parse: per-file type inference would otherwise let a shard
+    whose column happens to look all-numeric come back with a different
+    schema and poison the dataset downstream."""
     import ray
     import ray.data as rd
 
+    first = parse(files[0])
+    schema = first.schema
+
     @ray.remote
     def _count(f: str) -> int:
-        return parse(f).num_rows
+        return parse(f, schema).num_rows
 
-    counts = ray.get([_count.remote(f) for f in files])
+    counts = [first.num_rows] + ray.get(
+        [_count.remote(f) for f in files[1:]])
     tasks = []
     offset = 0
     for f, n in zip(files, counts):
@@ -69,7 +89,7 @@ def _offset_read(files: list[str], parse, id_column: str):
     def read_task(b: pa.Table) -> pa.Table:
         f = b["file"][0].as_py()
         off = b["offset"][0].as_py()
-        t = parse(f)
+        t = parse(f, schema)
         ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64),
                        pa.uint64())
         return t.append_column(id_column, ids)
@@ -109,7 +129,7 @@ def read_any_with_doc_ids(path: str, *, id_column: str = "doc_id"):
                 if os.path.splitext(f)[1]}
         if ".parquet" in exts:
             probe = "x.parquet"
-        elif exts & {".jsonl", ".ndjson", ".json"}:
+        elif exts & {".jsonl", ".ndjson"}:
             probe = "x.jsonl"
         elif ".csv" in exts:
             probe = "x.csv"
@@ -118,8 +138,14 @@ def read_any_with_doc_ids(path: str, *, id_column: str = "doc_id"):
         from .parquet_source import read_parquet_with_doc_ids
 
         return read_parquet_with_doc_ids(path, id_column=id_column)
-    if low.endswith((".jsonl", ".ndjson", ".json")):
+    if low.endswith((".jsonl", ".ndjson")):
         return read_jsonl_with_doc_ids(path, id_column=id_column)
     if low.endswith(".csv"):
         return read_csv_with_doc_ids(path, id_column=id_column)
-    raise ValueError(f"cannot infer source format for {path}")
+    # plain .json is deliberately NOT auto-dispatched: pyarrow's reader
+    # only parses newline-delimited JSON, and a JSON-array document
+    # would die with an opaque parse error inside a Ray task — call
+    # read_jsonl_with_doc_ids explicitly if the .json files are NDJSON
+    raise ValueError(
+        f"cannot infer source format for {path} "
+        "(auto-dispatch supports .parquet / .jsonl / .ndjson / .csv)")
