@@ -89,3 +89,55 @@ class TestFacade:
                        with_docs=True)
         titles = set(r["title"].to_pylist())
         assert titles == {"Skywalker", "Skyrim Guide", "Skylark"}
+
+    def test_update_document_replaces(self, ys):
+        """update = tombstone old id + fresh id with new content
+        (reference updateDocument; doc_id-native contract)."""
+        ys.create_index("upd", fields=["title", "content"])
+        ys.index_batch("upd", self.DOCS)
+        old_id = ys.last_assigned_ids[0]  # "Rocket Propulsion"
+        new_id = ys.update_document("upd", old_id, {
+            "content": {"title": "Rocket Science",
+                        "content": "orbital mechanics basics"}})
+        assert new_id != old_id
+        r = ys.search("upd", "orbital", with_docs=True)
+        assert "Rocket Science" in set(r["title"].to_pylist())
+        # old content no longer findable under the old id
+        r2 = ys.search("upd", "propulsion")
+        assert old_id not in set(r2["doc_id"].to_pylist())
+        assert ys.count_documents("upd") == 3
+
+    def test_delete_by_id_prefix_and_rebuild(self, ys):
+        ys.create_index("pfx", fields=["title", "content"],
+                        store_columns=["title", "content"])
+        ys.index_batch("pfx", self.DOCS)
+        n = ys.delete_by_id_prefix("pfx", "title", "Rocket")
+        assert n == 1
+        assert ys.count_documents("pfx") == 2
+        out = ys.rebuild("pfx")
+        assert isinstance(out, dict)
+        assert ys.search("pfx", "cooking").num_rows > 0
+
+    def test_cache_ops_and_warmup(self, ys):
+        ys.create_index("c", fields=["title", "content"])
+        ys.index_batch("c", self.DOCS)
+        eng = ys.engine("c", cache_ttl=300.0)
+        timings = ys.warm_up_cache("c", ["rocket", "water"])
+        assert set(timings) == {"rocket", "water"}
+        ys.search("c", "rocket")  # hit
+        st = ys.cache_stats("c")
+        assert st["hits"] >= 1 and st["entries"] >= 1
+        ys.clear_cache("c")
+        assert ys.cache_stats("c")["entries"] == 0
+
+    def test_list_indices_and_query_builder(self, ys):
+        ys.create_index("qa", fields=["title", "content"])
+        ys.index_batch("qa", self.DOCS)
+        assert "qa" in ys.list_indices()
+        r = ys.query("qa").query("rocket").limit(2).execute()
+        assert r.num_rows > 0
+
+    def test_index_document_single(self, ys):
+        ys.create_index("one", fields=["title", "content"])
+        assert ys.index_document("one", self.DOCS[0]) == 1
+        assert ys.count_documents("one") == 1

@@ -27,6 +27,7 @@ class YetiSearchRay:
         self._engines: dict[str, Any] = {}
         self._configs: dict[str, Any] = {}
         self.default_config = default_config or {}
+        self.last_assigned_ids: list[int] = []
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -151,6 +152,7 @@ class YetiSearchRay:
         build_index(ds, idx_dir, cfg, append=append, balance_hot_terms=False,
                     input_fingerprint=f"facade:{len(docs)}")
         self._engines.pop(name, None)
+        self.last_assigned_ids = [int(i) for i in t[cfg.id_column].to_pylist()]
         return t.num_rows
 
     index = index_batch  # single-doc convenience: pass a 1-element list
@@ -187,3 +189,88 @@ class YetiSearchRay:
 
         return SearchEngine.search_multiple(
             {n: self.engine(n) for n in names}, query, **kwargs)
+
+    multi_search = search_multiple  # reference multiSearch alias
+
+    # --------------------------------------------- reference API parity
+    # (thin wrappers over existing machinery; src/YetiSearch.php lines
+    #  cited per method)
+    def index_document(self, name: str, doc: dict) -> int:
+        """Single-document ingest (indexDocument, :245-256)."""
+        return self.index_batch(name, [doc])
+
+    def update_document(self, name: str, doc_id: int, doc: dict) -> int:
+        """updateDocument / update (:277-297).  The reference upserts in
+        place because SQLite replaces rows; segments here are immutable,
+        so update = tombstone the old doc_id + append the new content
+        under a FRESH doc_id (returned).  External identity, if any,
+        lives in a stored column (doc_id-native contract, SURVEY §2.1);
+        ``optimize`` physically drops the tombstoned copy."""
+        self.delete(name, [doc_id])
+        d = dict(doc)
+        d.pop("doc_id", None)  # a fresh id is assigned on append
+        self.index_batch(name, [d])
+        return self.last_assigned_ids[0]
+
+    def delete_by_id_prefix(self, name: str, column: str, prefix: str) -> int:
+        """deleteByIdPrefix (:377-394) — the reference prefixes its
+        string external ids; doc_ids here are dense integers, so the
+        prefix applies to a stored STRING column (e.g. ``path``)."""
+        from .index.manage import delete_by_prefix
+
+        n = delete_by_prefix(self._dir(name), column, prefix)
+        self._engines.pop(name, None)
+        return n
+
+    def rebuild(self, name: str) -> dict:
+        """rebuildFts (:396-406): repopulate postings from the docstore."""
+        from .index.manage import rebuild_index
+
+        out = rebuild_index(self._dir(name))
+        self._engines.pop(name, None)
+        return out
+
+    def count_documents(self, name: str) -> int:
+        """Live document count (countDocuments, :331-343):
+        manifest n_docs minus tombstones."""
+        from .index.manage import tombstones
+        from .index.manifest import Manifest
+
+        man = Manifest.load(self._dir(name))
+        return int(man.stats.get("n_docs", 0)) - len(tombstones(self._dir(name)))
+
+    def list_indices(self) -> list[str]:
+        """Named indexes under the root (listIndices, :672-676)."""
+        from .index.manifest import Manifest
+
+        return sorted(
+            d for d in os.listdir(self.root)
+            if Manifest.exists(self._dir(d)))
+
+    # ------------------------------------------------------ cache ops
+    # (getCacheStats / clearCache / warmUpCache, :423-471)
+    def cache_stats(self, name: str) -> dict:
+        return self.engine(name).cache_stats()
+
+    def clear_cache(self, name: str) -> None:
+        self.engine(name).clear_cache()
+
+    def warm_up_cache(self, name: str, popular_queries: list[str]) -> dict:
+        """Run each query once so its result is cached; returns
+        per-query wall seconds (the reference returns timings too)."""
+        import time
+
+        eng = self.engine(name)
+        out = {}
+        for q in popular_queries:
+            t0 = time.perf_counter()
+            eng.search(q)
+            out[q] = round(time.perf_counter() - t0, 6)
+        return out
+
+    def query(self, name: str):
+        """Fluent query builder bound to this index (query/execute,
+        :504-670) — ``ys.query("idx").query("x").limit(5).execute()``."""
+        from .dsl.builder import QueryBuilder
+
+        return QueryBuilder(self.engine(name))

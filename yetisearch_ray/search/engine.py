@@ -368,6 +368,8 @@ class SearchEngine:
         self._cache_ttl = cache_ttl
         self._result_cache: OrderedDict = OrderedDict()
         self._cache_max = 1000
+        self._cache_hits = 0
+        self._cache_misses = 0
 
     @property
     def fuzzy_matcher(self):
@@ -910,8 +912,10 @@ class SearchEngine:
                 expiry, table = hit
                 if _time.time() < expiry:
                     self._result_cache.move_to_end(cache_key)
+                    self._cache_hits += 1
                     return table
                 del self._result_cache[cache_key]
+            self._cache_misses += 1
         weights = self._field_weight_vector(field_weights or self.default_weights)
         orig_terms: list[str] = []
         if merge_tokens and not fuzzy:
@@ -1497,6 +1501,19 @@ class SearchEngine:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids = doc_ids[keep]
         return int(doc_ids.size)
+
+    # ---------------- result-cache introspection ----------------------
+    # (reference getCacheStats/clearCache/warmUpCache,
+    #  src/YetiSearch.php:423-471)
+    def cache_stats(self) -> dict:
+        return {"entries": len(self._result_cache),
+                "hits": self._cache_hits, "misses": self._cache_misses,
+                "ttl": self._cache_ttl, "max_entries": self._cache_max}
+
+    def clear_cache(self) -> None:
+        self._result_cache.clear()
+        self._cache_hits = 0
+        self._cache_misses = 0
 
     def _empty_result(self, with_docs: bool) -> pa.Table:
         return pa.table({"doc_id": pa.array([], pa.uint64()),
