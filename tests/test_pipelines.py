@@ -233,3 +233,32 @@ class TestMultimodal:
         a = DecodeStage(feature_dim=4)._decode_one(b"hello")
         b = DecodeStage(feature_dim=4)._decode_one(b"hello")
         assert np.array_equal(a, b)
+
+
+class TestBatchSearchSink:
+    def test_batch_search_to_parquet(self, ray_session, tmp_path):
+        """Queries Dataset -> SearchActor pool -> partitioned parquet."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.index import IndexConfig, build_index
+        from yetisearch_ray.pipelines.fts_documents import batch_search_to_parquet
+
+        rows = [{"doc_id": i, "path": f"f{i}.py",
+                 "content": f"alpha beta{'' if i % 2 else ' gamma'} delta{i}"}
+                for i in range(50)]
+        idx = str(tmp_path / "idx")
+        cfg = IndexConfig(fields=[("path", "path"), ("content", "content")],
+                          store_columns=["path", "content"], num_partitions=4)
+        build_index(rd.from_items(rows), idx, cfg)
+        qds = rd.from_items([{"qid": i, "query": q, "limit": 5}
+                             for i, q in enumerate(["alpha", "gamma", "beta"])])
+        out = str(tmp_path / "results")
+        batch_search_to_parquet(idx, qds, out, concurrency=1, batch_size=4)
+        t = pq.read_table(out)
+        assert set(t.column_names) == {"qid", "doc_id", "score", "result_rank"}
+        got = t.to_pandas()
+        assert set(got["qid"]) == {0, 1, 2}
+        # 'gamma' occurs only in even docs
+        gdocs = set(got[got["qid"] == 1]["doc_id"])
+        assert gdocs and all(d % 2 == 0 for d in gdocs)

@@ -267,3 +267,31 @@ def actor_pool_search(sf_dir: str, queries=("merge", "vector", "window"),
     df["qid"] = df["qid"].astype("int64")
     df["result_rank"] = df["result_rank"].astype("int64")
     return df[["qid", "doc_id", "result_rank"]]
+
+
+def batch_search_to_parquet(index_dir: str, queries_ds, out_dir: str, *,
+                            concurrency: int = 4, batch_size: int = 64,
+                            search_defaults: dict | None = None,
+                            **engine_kwargs) -> str:
+    """Bulk query serving as a SINK: a Dataset of queries streams through
+    the SearchActor pool and results land as partitioned parquet.
+
+    The consumer shape for offline evaluation / relevance-set generation
+    at scale: output is one file per result block (never one giant
+    file), so a failed run re-submits only the missing query shards and
+    downstream readers stream the directory.  Columns: (qid, doc_id,
+    score, result_rank).
+    """
+    from ..search.engine import SearchActor
+
+    out = queries_ds.map_batches(
+        SearchActor,
+        fn_constructor_kwargs={"index_dir": index_dir,
+                               "search_defaults": search_defaults,
+                               **engine_kwargs},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    out.write_parquet(out_dir)
+    return out_dir
