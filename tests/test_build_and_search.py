@@ -253,3 +253,50 @@ class TestEngineFeatures:
         build_index(ds, built_index, cfg, resume=True, input_fingerprint="tiny300")
         for f in seg_files:
             assert os.path.getmtime(f) == mtimes[f], "committed segment rewritten"
+
+    def test_resume_completes_partial_crash(self, ray_session, tmp_path):
+        """A build that died after committing only SOME partitions must,
+        on resume, produce an index identical to a clean build — the
+        skip-filter recomputes exactly the missing partitions."""
+        import glob as _glob
+
+        import ray.data as rd
+
+        from yetisearch_ray.index.build import IndexConfig, build_index
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        rows = [{"doc_id": i, "path": f"f{i}.py",
+                 "content": f"alpha beta{i % 5} gamma delta{i}"}
+                for i in range(120)]
+
+        def cfg():
+            return IndexConfig(fields=[("path", "path"),
+                                       ("content", "content")],
+                               store_columns=["path", "content"],
+                               num_partitions=8)
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        build_index(rd.from_items(rows), a, cfg())
+        build_index(rd.from_items(rows), b, cfg())
+        # simulate the crash: half the partitions lose their manifest
+        # entry AND their segment files (as if never committed)
+        man = Manifest.load(b)
+        victims = sorted(man.data["partitions"])[:4]
+        for k in victims:
+            part = int(k.split(":")[1])
+            man.data["partitions"].pop(k)
+            for d in ("postings", "doclens"):
+                for f in _glob.glob(os.path.join(
+                        b, d, f"part={part:05d}-*.parquet")):
+                    os.remove(f)
+        man.data["status"] = "building"
+        man.save()
+        build_index(rd.from_items(rows), b, cfg(), resume=True)
+        ea = SearchEngine(open_index(a), cache_ttl=0.0)
+        eb = SearchEngine(open_index(b), cache_ttl=0.0)
+        for q in ["alpha", "beta2", "gamma delta7", '"gamma delta7"']:
+            ra = ea.search(q, limit=20, normalize=False).to_pandas()
+            rb = eb.search(q, limit=20, normalize=False).to_pandas()
+            assert (ra[["doc_id", "score"]].values.tolist()
+                    == rb[["doc_id", "score"]].values.tolist()), q
+        assert (Manifest.load(b).stats == Manifest.load(a).stats)
