@@ -1189,6 +1189,14 @@ class SearchEngine:
         if not terms:
             return CompiledQuery(mode="and"), []
         if fuzzy_mode == "correction":
+            # corrected tokens compose as an implicit-AND expression
+            # (:549-562 — "Multiple terms - search for all of them
+            # (implicit AND in FTS5)"); the reference's own PHPUnit
+            # (EnhancedFuzzySearchTest::testMultipleTypoCorrection) pins
+            # this: an uncorrectable token DOES veto the query (0 rows),
+            # which is also why the benchmark's "Teh Matrix" case fails
+            # under trigram (teh→the is below the trigram threshold) —
+            # parity, not a bug
             corrected: list[str] = []
             for t in terms:
                 c = fm.find_best_correction(t)
