@@ -122,6 +122,21 @@ def cmd_suggest(args):
     _print_table(eng.suggest(args.query))
 
 
+def cmd_batch_search(args):
+    _init_ray()
+    from .pipelines.fts_documents import batch_search_to_parquet
+    from .sources.text_sources import read_any_with_doc_ids
+
+    qds = read_any_with_doc_ids(args.queries).drop_columns(["doc_id"])
+    out = batch_search_to_parquet(args.index, qds, args.out,
+                                  concurrency=args.concurrency,
+                                  batch_size=args.batch_size)
+    import pyarrow.parquet as pq_
+
+    n = pq_.read_table(out, columns=["qid"]).num_rows
+    print(json.dumps({"out": out, "result_rows": n}))
+
+
 def cmd_stats(args):
     from .index.manage import index_stats
 
@@ -203,6 +218,17 @@ def main(argv=None):
             s.add_argument("--sharded", type=int, default=0, metavar="N",
                            help="serve via N term-partition shard actors")
         s.set_defaults(fn=fn)
+
+    s = sub.add_parser("batch-search",
+                       help="stream a query table through the SearchActor "
+                            "pool, write results as partitioned parquet")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True,
+                   help="parquet/jsonl/csv with columns qid, query[, limit]")
+    s.add_argument("--out", required=True)
+    s.add_argument("--concurrency", type=int, default=4)
+    s.add_argument("--batch-size", type=int, default=64)
+    s.set_defaults(fn=cmd_batch_search)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
