@@ -121,3 +121,25 @@ class TestTextSources:
             res[name] = list(zip(r["doc_id"].to_pylist(),
                                  r["score"].to_pylist()))
         assert res["jsonl"] == res["parquet"]
+
+    def test_csv_quoted_newlines_and_unicode(self, tmp_path):
+        """Embedded newlines inside quoted CSV fields and non-ASCII
+        content must not desync the counting parse from the read parse
+        (both use the same pyarrow parser)."""
+        from yetisearch_ray.sources import read_csv_with_doc_ids
+
+        rows = [
+            {"path": "a.py", "content": "line one\nline two été"},
+            {"path": "b.py", "content": 'quote " inside, and 中文'},
+            {"path": "c.py", "content": "plain"},
+        ]
+        d = tmp_path / "csvnl"
+        d.mkdir()
+        _write_csv(rows, str(d / "a.csv"))
+        t = pa.concat_tables(list(read_csv_with_doc_ids(str(d))
+                                  .iter_batches(batch_format="pyarrow")))
+        assert t.num_rows == 3
+        assert sorted(t["doc_id"].to_pylist()) == [0, 1, 2]
+        srt = t.sort_by("doc_id")
+        assert srt["content"][0].as_py() == "line one\nline two été"
+        assert "中文" in srt["content"][1].as_py()
