@@ -274,3 +274,13 @@ class YetiSearchRay:
         from .dsl.builder import QueryBuilder
 
         return QueryBuilder(self.engine(name))
+
+    # reference method-name aliases (YetiSearch.php)
+    get_search_engine = engine            # getSearchEngine (:486)
+    generate_suggestions = suggest        # generateSuggestions (:473)
+    drop_index = drop                     # dropIndex (:141)
+    rebuild_fts = rebuild                 # rebuildFts (:396)
+
+    def close(self) -> None:
+        """No connections to close (:678) — releases cached engines."""
+        self._engines.clear()
