@@ -197,6 +197,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _code_result(sf_dir, "parse buffer", mode="or")
 
     return {
+        # --- relational / facet shapes (cheapest entries first so a
+        #     driver-side tail timeout can't drop their rows — the r2
+        #     correctness run lost `rel_multi_union`, then last) ---
+        "rel_multi_union": relational.multi_index_union,
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_customers": relational.top_customers,
+        "rel_facet_counts": lambda sf: relational.facet_counts(sf),
+        "rel_filter_matrix": relational.filter_matrix,
         # --- full-text search over documents (reference query classes) ---
         "fts_term_topk": lambda sf: ftsd.term_topk(sf),
         "fts_and_topk": lambda sf: ftsd.and_topk(sf),
@@ -265,12 +273,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding_window": events.sliding_window,
         "ev_session_windows": events.session_windows,
         "ev_asof_join": events.asof_join_orders,
-        # --- relational / facet shapes ---
-        "rel_pricing_summary": relational.pricing_summary,
-        "rel_top_customers": relational.top_customers,
-        "rel_facet_counts": lambda sf: relational.facet_counts(sf),
-        "rel_filter_matrix": relational.filter_matrix,
-        "rel_multi_union": relational.multi_index_union,
     }
 
 

@@ -120,6 +120,21 @@ class TestFts5RankIdentity:
                 engine_topk(self.eng, f'"{q}"'),
                 fts5_topk(self.db, f'"{q}"'), ctx=q)
 
+    def test_explicit_near(self):
+        """Explicit NEAR(t1 … tn, N) query mode: NEAR-restricted match
+        set + window-filtered member tf (mode="near", vectorized via
+        the same kernel as the smart NEAR arm — _near_docs)."""
+        cases = [(["parse", "buffer"], 10), (["retry", "backoff"], 10),
+                 (["merge", "stream"], 4), (["parse", "buffer"], 2),
+                 (["parse", "stream", "buffer"], 10),
+                 (["read", "write"], 0)]
+        for terms, dist in cases:
+            m = f"NEAR({' '.join(terms)}, {dist})"
+            assert_rank_identical(
+                engine_topk(self.eng, " ".join(terms), mode="near",
+                            k=30, near_distance=dist),
+                fts5_topk(self.db, m, k=30), ctx=m)
+
     def test_not_exclusion(self):
         """FTS5 ``a NOT b``: b filters the doc set, contributes no tf."""
         for inc, exc in [("parse", "buffer"), ("retry", "deadline"),

@@ -317,18 +317,26 @@ def _pair_table_from_blocks(ids_i, m_i, ids_j, m_j, threshold, round_to,
 
 
 def embedding_near_dup_pairs(ds, *, threshold=0.95, vec_col="embedding",
-                             id_col="vec_id", round_to=6, method="exact",
+                             id_col="vec_id", round_to=6, method="auto",
                              num_blocks=None, n_clusters=16, nprobe=2,
-                             sample_size=2048, seed=42):
+                             sample_size=2048, seed=42,
+                             exact_max_rows=200_000):
     """All pairs with cosine ≥ threshold.
+
+    ``method="auto"`` (default): exact while the O(N²) GEMM is cheap
+    (N ≤ ``exact_max_rows``), IVF above it — an exact all-pairs over a
+    100 TB corpus is never the right default, and the caller shouldn't
+    have to know that.
 
     ``method="exact"``: distributed block-pair GEMM.  The dataset is
     normalized into B Arrow blocks held in the OBJECT STORE (never on
     the driver), and one Ray task per block pair (i ≤ j) computes its
     GEMM slab and emits qualifying pairs.  O(N²) compute is inherent to
-    an exact all-pairs operator, but it is spread over B(B+1)/2 tasks
-    with O(N) driver memory (pairs output only).  Raw Ray tasks are used
-    because the Dataset API cannot express a self-cross-join.
+    an exact all-pairs operator, but it is spread over B(B+1)/2 tasks;
+    the per-pair output tables stay in the object store and are handed
+    to ``ray.data.from_arrow_refs`` — the driver holds only refs, never
+    the pair slabs.  Raw Ray tasks are used because the Dataset API
+    cannot express a self-cross-join.
 
     ``method="ivf"``: the 100 TB scale path — assign every vector to its
     ``nprobe`` nearest centroids (deterministic k-means on a bounded
@@ -339,6 +347,11 @@ def embedding_near_dup_pairs(ds, *, threshold=0.95, vec_col="embedding",
     shared buckets is a keyed groupby.
     """
     import ray
+
+    n = None
+    if method == "auto":
+        n = ds.count()
+        method = "exact" if n <= exact_max_rows else "ivf"
 
     if method == "ivf":
         return _near_dup_pairs_ivf(ds, threshold=threshold, vec_col=vec_col,
@@ -352,7 +365,8 @@ def embedding_near_dup_pairs(ds, *, threshold=0.95, vec_col="embedding",
                          "v": pa.array(list(m), pa.list_(pa.float64()))})
 
     if num_blocks is None:
-        n = ds.count()
+        if n is None:
+            n = ds.count()
         num_blocks = max(1, int(np.ceil(n / 4096)))
     blocks = ds.map_batches(prep, batch_format="pyarrow") \
                .repartition(num_blocks)
@@ -377,13 +391,14 @@ def embedding_near_dup_pairs(ds, *, threshold=0.95, vec_col="embedding",
     for i in range(len(refs)):
         for j in range(i, len(refs)):
             futs.append(pair_task.remote(refs[i], refs[j], i == j))
-    tables = [t for t in ray.get(futs) if t.num_rows]
-    if not tables:
+    if not futs:
         return ray.data.from_arrow(pa.table(
             {"id_a": pa.array([], pa.int64()),
              "id_b": pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64())}))
-    return ray.data.from_arrow(pa.concat_tables(tables))
+    # pair slabs stay in the object store; the driver keeps refs only —
+    # downstream consumers stream them (write_parquet / iter_batches)
+    return ray.data.from_arrow_refs(futs)
 
 
 def _near_dup_pairs_ivf(ds, *, threshold, vec_col, id_col, round_to,

@@ -285,7 +285,8 @@ class CompiledQuery:
 
 
 def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
-                  prefix_last: bool = False) -> CompiledQuery:
+                  prefix_last: bool = False,
+                  near_distance: int = 10) -> CompiledQuery:
     query = query.strip()
     explicit_phrase = len(query) >= 2 and query[0] == '"' and query[-1] == '"'
     if explicit_phrase:
@@ -312,6 +313,15 @@ def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
     # append synonym arms to cq.phrases only, which must not leak into the
     # required conjuncts (aliasing here once made synonyms shrink AND-mode
     # match sets and double-score OR arms).
+    if mode == "near":
+        # explicit FTS5 NEAR(t1 … tn, N) query: match set = docs with a
+        # qualifying window (single column, span <= N+1); members are
+        # scored ONCE each, with window-filtered tf (_near_filtered_tfs).
+        # `phrases` carries the dedup'd singles for highlight/suggest
+        # bookkeeping only — _score skips them in near mode.
+        phs = [P([t]) for t in dict.fromkeys(terms)]
+        return CompiledQuery(mode="near", phrases=list(phs), any_of=[],
+                             near_terms=terms, near_distance=near_distance)
     if mode == "and":
         phs = [P([t]) for t in dict.fromkeys(terms)]
         return CompiledQuery(mode="and", phrases=list(phs), required=list(phs))
@@ -501,50 +511,32 @@ class SearchEngine:
     # start of the last" <= N.
     def _near_docs(self, terms: list[str], distance: int) -> np.ndarray:
         """doc_ids where all terms occur within a qualifying NEAR window
-        in some single field — NEAR(t1 … tn, N) match set."""
+        in some single field — NEAR(t1 … tn, N) match set.
+
+        Thin wrapper over the vectorized global-windowing kernel
+        (_near_filtered_tfs): a doc has a qualifying window iff any of
+        its term instances survive window filtering (tf > 0).  One NEAR
+        implementation, no per-doc Python loop."""
         per_term = [self._term_postings(t) for t in terms]
-        hits: set[int] = set()
-        for fid in range(self.index.nfields):
-            plists = [pt.get(fid) for pt in per_term]
-            if any(p is None or p.doc_ids.size == 0 or p.positions is None for p in plists):
-                continue
-            common = plists[0].doc_ids
-            for p in plists[1:]:
-                common = common[np.isin(common, p.doc_ids)]
-            if common.size == 0:
-                continue
-            maps = []
-            for p in plists:
-                maps.append({int(d): arr for d, arr in p.pos_slices()})
-            for d in common.tolist():
-                arrs = [m[d].astype(np.int64) for m in maps]
-                # minimal window containing one position from each list
-                mins = min(int(a.min()) for a in arrs)
-                maxs = max(int(a.max()) for a in arrs)
-                if maxs - mins <= distance + 1:
-                    hits.add(d)
-                    continue
-                # sliding check: merge all positions and scan
-                merged = np.sort(np.concatenate(arrs))
-                lbl = np.concatenate([np.full(a.size, i) for i, a in enumerate(arrs)])
-                order = np.argsort(np.concatenate(arrs), kind="stable")
-                lbl = lbl[order]
-                lo = 0
-                count = np.zeros(len(arrs), dtype=np.int64)
-                nz = 0
-                for hi in range(merged.size):
-                    count[lbl[hi]] += 1
-                    if count[lbl[hi]] == 1:
-                        nz += 1
-                    while merged[hi] - merged[lo] > distance + 1:
-                        count[lbl[lo]] -= 1
-                        if count[lbl[lo]] == 0:
-                            nz -= 1
-                        lo += 1
-                    if nz == len(arrs):
-                        hits.add(d)
-                        break
-        return np.asarray(sorted(hits), dtype=np.uint64)
+
+        def docs_any(posts) -> np.ndarray:
+            arrs = [p.doc_ids for p in posts.values()]
+            if not arrs:
+                return np.empty(0, np.uint64)
+            return np.unique(np.concatenate(arrs))
+
+        cand = docs_any(per_term[0])
+        for pt in per_term[1:]:
+            other = docs_any(pt)
+            cand = cand[np.isin(cand, other, assume_unique=True)]
+            if cand.size == 0:
+                return cand
+        ones = np.ones(self.index.nfields, dtype=np.float64)
+        tfs = self._near_filtered_tfs(terms, distance, cand, ones)
+        total = np.zeros(cand.size, dtype=np.float64)
+        for tfw in tfs:
+            total += tfw
+        return cand[total > 0.0]
 
     def _near_filtered_tfs(self, terms: list[str], distance: int,
                            match: np.ndarray,
@@ -704,7 +696,9 @@ class SearchEngine:
                 return np.empty(0, np.uint64)
             return np.unique(np.concatenate(arrs))
 
-        if cq.mode in ("and", "phrase") or cq.required:
+        if cq.mode == "near" and cq.near_terms and len(cq.near_terms) > 1:
+            match = self._near_docs(cq.near_terms, cq.near_distance)
+        elif cq.mode in ("and", "phrase") or cq.required:
             if cq.mode == "and":
                 # Intersect ONLY over the required conjuncts — synonym
                 # expansion appends extra scoring phrases to cq.phrases
@@ -769,8 +763,9 @@ class SearchEngine:
             score_contrib = term_idf * (tfw * (K1 + 1.0)) / denom
             np.add(score, np.where(tfw > 0, score_contrib, 0.0), out=score)
 
-        for ph, posts in zip(cq.phrases, phrase_posts):
-            add_phrase(posts, key=self._arm_key(ph))
+        if cq.mode != "near":  # near mode: phrases are bookkeeping only
+            for ph, posts in zip(cq.phrases, phrase_posts):
+                add_phrase(posts, key=self._arm_key(ph))
         # NEAR-arm contribution (smart mode only): FTS5's bm25() scores
         # every phrase in the expression, so the member terms of
         # NEAR(t1..tn, 10) count AGAIN, with tf restricted to instances
@@ -778,7 +773,7 @@ class SearchEngine:
         # standalone df (xQueryPhrase counts unconstrained phrase rows).
         # Verified rank- and score-identical to real SQLite FTS5 in
         # tests/test_fts5_goldens.py.
-        if (cq.mode == "smart" and cq.near_terms
+        if (cq.mode in ("smart", "near") and cq.near_terms
                 and len(cq.near_terms) > 1 and match.size):
             near_tfs = self._near_filtered_tfs(
                 cq.near_terms, cq.near_distance, match, weights)
@@ -889,6 +884,7 @@ class SearchEngine:
         use_wand: bool = False,
         result_fields=None,
         enable_suggestions: bool = False,
+        near_distance: int = 10,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -903,7 +899,7 @@ class SearchEngine:
                          fuzzy_mode, tuple(exclude_terms or ()), post_rescore, use_wand,
                          tuple(result_fields or ()),
                          repr(sort), repr(geo_filters), distance_weight,
-                         merge_tokens, enable_suggestions,
+                         merge_tokens, enable_suggestions, near_distance,
                          self.index.manifest.data.get("tombstone_version", 0))
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -924,7 +920,8 @@ class SearchEngine:
             cq, orig_terms = self._compile_fuzzy(query, fuzzy_mode)
         else:
             cq = compile_query(query, self.analyzer, mode=mode,
-                               prefix_last=prefix_last)
+                               prefix_last=prefix_last,
+                               near_distance=near_distance)
         if exclude_terms:
             for x in exclude_terms:
                 g = self.analyzer.match_terms(x)
