@@ -133,6 +133,13 @@ class YetiSearchRay:
 
     def index_batch(self, name: str, docs: list[dict]) -> int:
         """Add documents (append generation). Returns docs indexed."""
+        return len(self._append_docs(name, docs))
+
+    def _append_docs(self, name: str, docs: list[dict]) -> list[int]:
+        """Append ``docs`` and return the assigned doc_ids (local value,
+        not shared instance state — interleaved callers each get their
+        own ids; ``last_assigned_ids`` is kept only as a convenience
+        mirror for the reference's getLastInsertId-style introspection)."""
         import ray.data as rd
 
         from .index.build import build_index
@@ -152,8 +159,9 @@ class YetiSearchRay:
         build_index(ds, idx_dir, cfg, append=append, balance_hot_terms=False,
                     input_fingerprint=f"facade:{len(docs)}")
         self._engines.pop(name, None)
-        self.last_assigned_ids = [int(i) for i in t[cfg.id_column].to_pylist()]
-        return t.num_rows
+        ids = [int(i) for i in t[cfg.id_column].to_pylist()]
+        self.last_assigned_ids = ids
+        return ids
 
     index = index_batch  # single-doc convenience: pass a 1-element list
 
@@ -202,15 +210,48 @@ class YetiSearchRay:
     def update_document(self, name: str, doc_id: int, doc: dict) -> int:
         """updateDocument / update (:277-297).  The reference upserts in
         place because SQLite replaces rows; segments here are immutable,
-        so update = tombstone the old doc_id + append the new content
-        under a FRESH doc_id (returned).  External identity, if any,
-        lives in a stored column (doc_id-native contract, SURVEY §2.1);
-        ``optimize`` physically drops the tombstoned copy."""
-        self.delete(name, [doc_id])
+        so update = append the new content under a FRESH doc_id
+        (returned) + tombstone the old doc_id.  External identity, if
+        any, lives in a stored column (doc_id-native contract, SURVEY
+        §2.1); ``optimize`` physically drops the tombstoned copy.
+
+        The doc_id must name a LIVE document (KeyError otherwise,
+        matching the reference contract) — tombstoning an id that never
+        existed would both append a duplicate and permanently undercount
+        count_documents.  The append happens BEFORE the tombstone so a
+        failed append leaves the old document intact (atomic from the
+        reader's perspective: never a window with neither version)."""
+        from .index.manifest import Manifest
+
+        doc_id = int(doc_id)
+        idx_dir = self._dir(name)
+        if not Manifest.exists(idx_dir):
+            raise KeyError(f"index {name!r} does not exist")
+        man = Manifest.load(idx_dir)
+        if doc_id in set(man.data.get("tombstones", [])) or \
+                not self._doc_exists(idx_dir, man, doc_id):
+            raise KeyError(
+                f"doc_id {doc_id} is not a live document in {name!r}")
         d = dict(doc)
         d.pop("doc_id", None)  # a fresh id is assigned on append
-        self.index_batch(name, [d])
-        return self.last_assigned_ids[0]
+        new_id = self._append_docs(name, [d])[0]
+        self.delete(name, [doc_id])
+        return new_id
+
+    @staticmethod
+    def _doc_exists(idx_dir: str, man, doc_id: int) -> bool:
+        """Point-lookup the docstore for one id (row-group stats prune
+        the parquet scan; only the id column is read)."""
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        docs_dir = os.path.join(idx_dir, "docs")
+        id_col = man.config["id_column"]
+        t = pq.read_table(docs_dir, columns=[id_col],
+                          filters=[(id_col, "=", doc_id)])
+        return t.num_rows > 0
 
     def delete_by_id_prefix(self, name: str, column: str, prefix: str) -> int:
         """deleteByIdPrefix (:377-394) — the reference prefixes its

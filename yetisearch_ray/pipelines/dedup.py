@@ -105,6 +105,20 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------------------------ shingles
 
+# RE2's \s class is [\t\n\f\r ] (ASCII only) — the DuckDB oracles split
+# with string_split_regex(text, '\s+').  Python str.split() splits on
+# UNICODE whitespace (NBSP, U+2028, ...), so a corpus containing any
+# non-ASCII whitespace would make operator and oracle disagree.  All
+# dedup tokenization goes through this one helper so both sides always
+# see identical tokens.
+import re as _re
+
+_WS_RE = _re.compile(r"[\t\n\f\r ]+")
+
+
+def _ws_tokens(s: str | None) -> list[str]:
+    return [t for t in _WS_RE.split(s or "") if t]
+
 
 def _word_shingles(tokens: list[str], n: int = 3) -> set[str]:
     # docs shorter than n tokens have NO shingles (matches the SQL oracle's
@@ -123,7 +137,7 @@ def _shingle_hashes_batch(texts, n: int = 3):
     """Vectorized per-batch shingling: returns (flat shingle hashes uint64,
     per-doc counts int64).  Shingles are word n-grams; hashing is pandas'
     deterministic siphash — no per-shingle Python loop."""
-    token_lists = [(t or "").split() for t in texts]
+    token_lists = [_ws_tokens(t) for t in texts]
     counts = np.array([len(tl) for tl in token_lists], dtype=np.int64)
     flat = np.array([w for tl in token_lists for w in tl], dtype=object)
     if flat.size == 0:
@@ -346,7 +360,7 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                              "id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "sh": pa.array([], pa.string())})
-        shs = ["\x1f".join(sorted(_word_shingles((txt or "").split(),
+        shs = ["\x1f".join(sorted(_word_shingles(_ws_tokens(txt),
                                                  shingle_n)))
                for txt in t[text_col].to_pylist()]
         n = t.num_rows
@@ -450,7 +464,7 @@ def simhash_signatures(ds, *, text_col="text", id_col="doc_id"):
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col]
         texts = t[text_col].to_pylist()
-        token_lists = [(s or "").split() for s in texts]
+        token_lists = [_ws_tokens(s) for s in texts]
         counts = np.array([len(tl) for tl in token_lists], dtype=np.int64)
         flat = np.array([w for tl in token_lists for w in tl], dtype=object)
         sigs = np.zeros(len(texts), dtype=np.uint64)
@@ -538,14 +552,14 @@ def ngram_jaccard_vs_query(ds, query_text: str, *, text_col="text",
     """Top-k docs by word-n-gram Jaccard similarity to a query text —
     SQL-oracle-checkable (DuckDB list ops).  Broadcast the query shingles,
     score per batch, global top-k."""
-    q = sorted(_word_shingles(query_text.split(), shingle_n))
+    q = sorted(_word_shingles(_ws_tokens(query_text), shingle_n))
     qset = set(q)
 
     def score(t: pa.Table) -> pa.Table:
         ids = t[id_col]
         sims = np.empty(t.num_rows, dtype=np.float64)
         for i, text in enumerate(t[text_col].to_pylist()):
-            s = _word_shingles((text or "").split(), shingle_n)
+            s = _word_shingles(_ws_tokens(text), shingle_n)
             union = len(s | qset)
             sims[i] = (len(s & qset) / union) if union else 0.0
         return pa.table({id_col: ids, "jaccard": pa.array(np.round(sims, 6), pa.float64())})

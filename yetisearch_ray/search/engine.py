@@ -1622,8 +1622,10 @@ class SearchActor:
             out_doc.extend(ids)
             out_score.extend(scores)
             out_rank.extend(range(1, len(ids) + 1))
+        # qid typed explicitly: an all-empty batch would otherwise emit a
+        # null-typed column → mixed block schemas in batch_search sinks
         return pa.table({
-            "qid": pa.array(out_qid),
+            "qid": pa.array(out_qid, pa.int64()),
             "doc_id": pa.array(out_doc, pa.uint64()),
             "score": pa.array(out_score, pa.float64()),
             "result_rank": pa.array(out_rank, pa.int32()),

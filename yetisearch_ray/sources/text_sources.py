@@ -41,7 +41,12 @@ def _list_files_ext(path: str, exts: tuple[str, ...]) -> list[str]:
 def _jsonl_table(f: str, schema: pa.Schema | None = None) -> pa.Table:
     from pyarrow import json as pa_json
 
-    opts = (pa_json.ParseOptions(explicit_schema=schema)
+    # unexpected_field_behavior="ignore": with the default "infer",
+    # pyarrow APPENDS any extra field a later shard has even when
+    # explicit_schema is set, re-introducing the mixed-block-schema
+    # poisoning _offset_read pins the first shard's schema to prevent.
+    opts = (pa_json.ParseOptions(explicit_schema=schema,
+                                 unexpected_field_behavior="ignore")
             if schema is not None else None)
     try:
         return pa_json.read_json(f, parse_options=opts)
