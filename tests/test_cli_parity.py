@@ -1,0 +1,102 @@
+"""Reference CLI parity commands added in round 3
+(``bin/yetisearch:34-66``): create-index, knn, facets-distance,
+debug:query (here ``debug-query``), plus the SearchEngine.explain
+plan introspection they surface."""
+import json
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExplain:
+    def test_smart_plan_has_arms_and_partitions(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        plan = eng.explain("parse buffer")
+        assert plan["mode"] == "smart"
+        kinds = {a["kind"] for a in plan["arms"]}
+        assert kinds == {"phrase", "term"}
+        for a in plan["arms"]:
+            assert a["partitions"], "every arm reads at least one partition"
+        term_dfs = {tuple(a["terms"]): a["df"] for a in plan["arms"]}
+        assert term_dfs[("parse",)] > 0
+        assert plan["stats"]["n_docs"] == 300
+        assert plan["execution_path"] == "scan"
+
+    def test_wand_path_and_fuzzy_rewrite(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        p = eng.explain("parse buffer", mode="or", use_wand=True)
+        assert p["wand_eligible"] and p["execution_path"] == "wand"
+        f = eng.explain("parze", fuzzy=True)
+        assert "parse" in f["fuzzy"]["corrected_terms"]
+        assert f["fuzzy"]["original_terms"] == ["parze"]
+
+    def test_near_plan(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        p = eng.explain("parse buffer", mode="near", near_distance=4)
+        assert p["near"] == {"terms": ["parse", "buffer"], "distance": 4}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCliCommands:
+    def test_create_index_then_search_empty(self, tmp_path, capsys):
+        from yetisearch_ray.cli import main
+
+        idx = str(tmp_path / "empty_idx")
+        main(["create-index", "--index", idx, "--fields", "title,content"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["status"] == "committed"
+        main(["search", "--index", idx, "anything"])
+        assert "Empty DataFrame" in capsys.readouterr().out
+        with pytest.raises(FileExistsError):
+            main(["create-index", "--index", idx])
+
+    def test_debug_query_cli(self, built_index, capsys):
+        from yetisearch_ray.cli import main
+
+        main(["debug-query", "--index", built_index, "parse buffer"])
+        plan = json.loads(capsys.readouterr().out)
+        assert plan["mode"] == "smart"
+        assert any(a["kind"] == "term" and a["df"] > 0 for a in plan["arms"])
+
+    @pytest.fixture()
+    def geo_index(self, tmp_path):
+        from yetisearch_ray.facade import YetiSearchRay
+
+        ys = YetiSearchRay(str(tmp_path / "geo"))
+        ys.create_index("g", fields=["title"],
+                        store_columns=["title", "lat", "lng"])
+        ys.index_batch("g", [
+            {"content": {"title": "alpha near"},
+             "lat": 37.7749, "lng": -122.4194},
+            {"content": {"title": "alpha mid"}, "lat": 37.80, "lng": -122.41},
+            {"content": {"title": "alpha far"}, "lat": 38.5, "lng": -121.5},
+        ])
+        return ys._dir("g")
+
+    def test_knn_cli_orders_by_distance(self, geo_index, capsys):
+        from yetisearch_ray.cli import main
+
+        main(["knn", "--index", geo_index, "--lat", "37.7749",
+              "--lng", "-122.4194", "--k", "2", "--units", "km",
+              "--max-distance", "50"])
+        out = capsys.readouterr().out
+        lines = [ln.split() for ln in out.strip().splitlines()[1:]]
+        dists = [float(ln[1]) for ln in lines]
+        assert dists == sorted(dists)
+        assert len(dists) == 2 and dists[-1] <= 50.0
+
+    def test_facets_distance_cli_buckets(self, geo_index, capsys):
+        from yetisearch_ray.cli import main
+
+        main(["facets-distance", "--index", geo_index, "--lat", "37.7749",
+              "--lng", "-122.4194", "--ranges", "1,10,200", "--units", "km"])
+        out = capsys.readouterr().out
+        counts = [int(ln.split()[-1])
+                  for ln in out.strip().splitlines()[1:]]
+        assert counts == [1, 2, 3]

@@ -7,6 +7,10 @@
     search-dsl    --index DIR 'term field:value -excluded "a phrase"'
     search-url    --index DIR 'q=...&filter[lang]=python&limit=5'
     suggest       --index DIR QUERY
+    create-index  --index DIR [--fields title,content]  (empty committed index)
+    knn           --index DIR --lat .. --lng .. [--k 5] [--units m|km|mi]
+    facets-distance --index DIR --lat .. --lng .. --ranges 1,5,10
+    debug-query   --index DIR QUERY   (compiled plan + per-arm df + I/O plan)
     stats         --index DIR [--by lang]
     optimize      --index DIR
     verify        --index DIR     (manifest + segment integrity check)
@@ -137,6 +141,61 @@ def cmd_batch_search(args):
     print(json.dumps({"out": out, "result_rows": n}))
 
 
+def cmd_create_index(args):
+    """Create a committed EMPTY index (reference create-index,
+    ``bin/yetisearch:81-90``) — searches return 0 rows until a build
+    appends into it."""
+    from .index.build import IndexConfig
+    from .index.manage import create_empty_index
+
+    fields = [(f, f) for f in args.fields.split(",")]
+    store = args.store.split(",") if args.store else [c for _, c in fields]
+    cfg = IndexConfig(fields=fields, language_column=args.lang_column,
+                      store_columns=store, num_partitions=args.partitions,
+                      content_hash_column=args.hash_column)
+    man = create_empty_index(args.index, cfg)
+    print(json.dumps({"status": man.data["status"], "index": args.index,
+                      "fields": [f for f, _ in fields]}))
+
+
+_UNITS_TO_KM = {"m": 0.001, "km": 1.0, "mi": 1.609344}
+
+
+def _to_km(v: float, units: str) -> float:
+    return float(v) * _UNITS_TO_KM[units]
+
+
+def cmd_knn(args):
+    """Geo k-NN fast path (reference knn, ``bin/yetisearch:188-199``)."""
+    eng = _engine(args)
+    center = {"lat": args.lat, "lng": args.lng,
+              "lat_column": args.lat_column, "lng_column": args.lng_column}
+    if args.max_distance is not None:
+        center["max_distance_km"] = _to_km(args.max_distance, args.units)
+    _print_table(eng.knn(center, k=args.k))
+
+
+def cmd_facets_distance(args):
+    """Distance-bucket facets (reference facets-distance,
+    ``bin/yetisearch:200-218``) — empty query buckets ALL live docs."""
+    eng = _engine(args)
+    center = {"lat": args.lat, "lng": args.lng,
+              "lat_column": args.lat_column, "lng_column": args.lng_column}
+    ranges_km = [_to_km(float(r), args.units)
+                 for r in args.ranges.split(",")]
+    _print_table(eng.distance_facets(args.query, center, ranges_km))
+
+
+def cmd_debug_query(args):
+    """Query-plan introspection (reference debug:query,
+    ``bin/yetisearch:137-155``): compiled arms, per-arm df, posting
+    partitions read, fuzzy rewrite, execution path."""
+    eng = _engine(args)
+    print(json.dumps(eng.explain(args.query, mode=args.mode,
+                                 fuzzy=args.fuzzy,
+                                 use_wand=args.wand), indent=1))
+
+
 def cmd_stats(args):
     from .index.manage import index_stats
 
@@ -229,6 +288,50 @@ def main(argv=None):
     s.add_argument("--concurrency", type=int, default=4)
     s.add_argument("--batch-size", type=int, default=64)
     s.set_defaults(fn=cmd_batch_search)
+
+    s = sub.add_parser("create-index",
+                       help="create a committed empty index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--fields", default="title,content")
+    s.add_argument("--store", default="")
+    s.add_argument("--lang-column", default=None)
+    s.add_argument("--hash-column", default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.set_defaults(fn=cmd_create_index)
+
+    s = sub.add_parser("knn", help="nearest k docs by haversine distance")
+    s.add_argument("--index", required=True)
+    s.add_argument("--lat", type=float, required=True)
+    s.add_argument("--lng", type=float, required=True)
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--units", choices=("m", "km", "mi"), default="m")
+    s.add_argument("--max-distance", type=float, default=None)
+    s.add_argument("--lat-column", default="lat")
+    s.add_argument("--lng-column", default="lng")
+    s.set_defaults(fn=cmd_knn, sharded=0)
+
+    s = sub.add_parser("facets-distance",
+                       help="match counts per radius bucket around a point")
+    s.add_argument("--index", required=True)
+    s.add_argument("--lat", type=float, required=True)
+    s.add_argument("--lng", type=float, required=True)
+    s.add_argument("--ranges", required=True,
+                   help="comma-separated radii, e.g. 1,5,10")
+    s.add_argument("--units", choices=("m", "km", "mi"), default="m")
+    s.add_argument("--query", default="",
+                   help="optional text query (default: all docs)")
+    s.add_argument("--lat-column", default="lat")
+    s.add_argument("--lng-column", default="lng")
+    s.set_defaults(fn=cmd_facets_distance, sharded=0)
+
+    s = sub.add_parser("debug-query",
+                       help="print the compiled query plan (debug:query)")
+    s.add_argument("--index", required=True)
+    s.add_argument("query")
+    s.add_argument("--mode", default="smart")
+    s.add_argument("--fuzzy", action="store_true")
+    s.add_argument("--wand", action="store_true")
+    s.set_defaults(fn=cmd_debug_query, sharded=0)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)

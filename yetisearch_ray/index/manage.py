@@ -32,6 +32,35 @@ from .manifest import Manifest
 from .postings import decode_postings, encode_postings
 
 
+# ---------------------------------------------------------------- create
+
+
+def create_empty_index(index_dir: str, cfg) -> "Manifest":
+    """Create a committed EMPTY index (reference CLI ``create-index``,
+    ``bin/yetisearch:81-90`` — createIndex writes the empty table
+    schema).  Searches return 0 rows; later builds append into it
+    (``build_index(..., append=True)`` / facade ``index_batch``).
+
+    Writes the manifest plus a zero-row doclens file with the
+    append-compatible schema so readers that eagerly load doc lengths
+    see a well-typed empty table rather than a missing directory."""
+    if Manifest.exists(index_dir):
+        raise FileExistsError(f"index already exists at {index_dir}")
+    dl_dir = os.path.join(index_dir, "doclens")
+    os.makedirs(dl_dir, exist_ok=True)
+    os.makedirs(os.path.join(index_dir, "docs"), exist_ok=True)
+    os.makedirs(os.path.join(index_dir, "postings"), exist_ok=True)
+    empty_dl = pa.table({"doc_id": pa.array([], pa.uint64()),
+                         "dl": pa.array([], pa.int64())})
+    pq.write_table(empty_dl, os.path.join(dl_dir, "part=empty-g000.parquet"),
+                   compression="zstd")
+    man = Manifest.new(index_dir, cfg.as_dict(), input_fingerprint="empty")
+    man.data["stats"] = {"n_docs": 0, "total_dl": 0, "avgdl": 0.0}
+    man.data["status"] = "committed"
+    man.save()
+    return man
+
+
 # ---------------------------------------------------------------- deletes
 
 

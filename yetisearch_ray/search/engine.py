@@ -1419,8 +1419,15 @@ class SearchEngine:
         radius threshold around a center point."""
         from ..functions.geo import haversine_km
 
-        r = self.search(query, limit=candidates, normalize=False, **kwargs)
-        ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if query.strip() in ("", "*"):
+            # geo-only facets (reference CLI facets-distance passes query
+            # '', bin/yetisearch:200-218): bucket ALL live docs
+            ids = self.index.meta(self.index.id_column).astype(np.uint64)
+            if self.index.tombstones.size:
+                ids = ids[~np.isin(ids, self.index.tombstones)]
+        else:
+            r = self.search(query, limit=candidates, normalize=False, **kwargs)
+            ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         lats = self.index.meta_for(center.get("lat_column", "lat"), ids)
         lngs = self.index.meta_for(center.get("lng_column", "lng"), ids)
         d = haversine_km(lats.astype(np.float64), lngs.astype(np.float64),
@@ -1506,6 +1513,66 @@ class SearchEngine:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids = doc_ids[keep]
         return int(doc_ids.size)
+
+    def explain(self, query: str, *, mode: str = "smart",
+                fuzzy: bool = False, fuzzy_mode: str = "correction",
+                prefix_last: bool = False, near_distance: int = 10,
+                **search_kwargs) -> dict:
+        """Query plan introspection — the analog of the reference CLI's
+        ``debug:query`` (``bin/yetisearch:137-155``), which prints the
+        generated SQL + bind params + EXPLAIN QUERY PLAN.  There is no
+        SQL here; the equivalent artifacts are the compiled query (arms,
+        mode, NEAR params), the fuzzy rewrite if any, per-arm document
+        frequencies, the posting PARTITIONS each term reads (the I/O
+        plan), and which execution path serves it (WAND vs full scan)."""
+        orig_terms: list[str] = []
+        if fuzzy:
+            cq, orig_terms = self._compile_fuzzy(query, fuzzy_mode)
+        else:
+            cq = compile_query(query, self.analyzer, mode=mode,
+                               prefix_last=prefix_last,
+                               near_distance=near_distance)
+        arms = []
+        dfs = self.arm_dfs(cq)
+        for ph in cq.phrases:
+            terms = list(ph.terms)
+            arms.append({
+                "terms": terms,
+                "prefix": bool(ph.prefix),
+                "kind": ("phrase" if len(terms) > 1 else "term"),
+                "required": any(p is ph for p in cq.required),
+                "df": dfs.get(self._arm_key(ph), 0),
+                "partitions": sorted({p for t in terms
+                                      for p in self.index._term_parts(t)}),
+            })
+        wand_ok = self._wand_eligible(
+            cq, fuzzy=fuzzy, filters=search_kwargs.get("filters"),
+            language=search_kwargs.get("language"),
+            geo_filters=search_kwargs.get("geo_filters"),
+            unique_by_route=search_kwargs.get("unique_by_route", False),
+            min_score=search_kwargs.get("min_score", 0.0),
+            sort=search_kwargs.get("sort"),
+            post_rescore=search_kwargs.get("post_rescore", False))
+        plan = {
+            "query": query,
+            "mode": cq.mode,
+            "arms": arms,
+            "exclude": [list(p.terms) for p in cq.exclude],
+            "stats": {"n_docs": self.index.n_docs,
+                      "avgdl": self.index.avgdl,
+                      "tombstones": int(self.index.tombstones.size)},
+            "execution_path": ("wand" if wand_ok and
+                               search_kwargs.get("use_wand") else "scan"),
+            "wand_eligible": wand_ok,
+        }
+        if cq.near_terms:
+            plan["near"] = {"terms": list(cq.near_terms),
+                            "distance": cq.near_distance}
+        if fuzzy:
+            plan["fuzzy"] = {"original_terms": orig_terms,
+                             "corrected_terms":
+                                 [t for ph in cq.phrases for t in ph.terms]}
+        return plan
 
     # ---------------- result-cache introspection ----------------------
     # (reference getCacheStats/clearCache/warmUpCache,
