@@ -172,6 +172,19 @@ class YetiSearchRay:
         key = name
         eng = self._engines.get(key)
         if eng is None:
+            # config hook 'persistent_cache': true (or a dict of
+            # QueryCache options) attaches on-disk query + fuzzy-term
+            # caches that survive the process (reference stores both in
+            # SQLite / a JSON side-file; yetisearch_ray.state)
+            pc_cfg = self.default_config.get("persistent_cache")
+            if pc_cfg and "persistent_cache" not in kwargs:
+                from .state import FuzzyTermCache, PersistentQueryCache
+
+                opts = pc_cfg if isinstance(pc_cfg, dict) else {}
+                kwargs["persistent_cache"] = PersistentQueryCache(
+                    os.path.join(self.root, "_query_cache.db"), **opts)
+                kwargs["persistent_fuzzy_cache"] = FuzzyTermCache(
+                    name, self.root)
             eng = SearchEngine(open_index(self._dir(name)), **kwargs)
             self._engines[key] = eng
         return eng
@@ -323,5 +336,13 @@ class YetiSearchRay:
     rebuild_fts = rebuild                 # rebuildFts (:396)
 
     def close(self) -> None:
-        """No connections to close (:678) — releases cached engines."""
+        """Flush persistent cache tiers and release cached engines
+        (reference ``close()`` :678 saves the fuzzy cache file)."""
+        for eng in self._engines.values():
+            fz = getattr(eng, "_fuzzy", None)
+            if fz is not None and getattr(fz, "_persistent", None) is not None:
+                fz._persistent.save()
+            pq = getattr(eng, "_persistent", None)
+            if pq is not None:
+                pq.close()
         self._engines.clear()

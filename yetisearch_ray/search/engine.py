@@ -365,7 +365,9 @@ class SearchEngine:
                  max_indexed_terms: int = 20000,
                  min_term_frequency: int = 2,
                  min_part_frequency: int = 5,
-                 cache_ttl: float = 300.0):
+                 cache_ttl: float = 300.0,
+                 persistent_cache=None,
+                 persistent_fuzzy_cache=None):
         self.index = index
         self.analyzer = analyzer or StandardAnalyzer(language=language)
         self.default_weights = field_weights
@@ -380,6 +382,14 @@ class SearchEngine:
         self._cache_max = 1000
         self._cache_hits = 0
         self._cache_misses = 0
+        # optional cross-process tiers (yetisearch_ray.state): a SQLite
+        # query-result cache and a JSON fuzzy-term cache, both keyed on
+        # the index mutation version so writes invalidate (reference
+        # QueryCache.php / FuzzyTermCache.php)
+        self._persistent = persistent_cache
+        self._persistent_fuzzy = persistent_fuzzy_cache
+        self._index_name = os.path.basename(
+            os.path.normpath(index.index_dir)) or "default"
 
     @property
     def fuzzy_matcher(self):
@@ -393,6 +403,7 @@ class SearchEngine:
                 self.index.dictionary(limit=limit, min_df=min_df),
                 algorithm=self.fuzzy_algorithm, fuzziness=self.fuzziness,
                 min_part_frequency=min_part,
+                persistent_cache=self._persistent_fuzzy,
             )
         return self._fuzzy
 
@@ -912,6 +923,18 @@ class SearchEngine:
                     return table
                 del self._result_cache[cache_key]
             self._cache_misses += 1
+            if self._persistent is not None:
+                # cross-process tier: the version is already the last
+                # element of cache_key, so a mutated index never hits
+                import time as _time
+
+                pt = self._persistent.get(
+                    self._index_name, {"key": repr(cache_key)},
+                    version=cache_key[-1])
+                if pt is not None:
+                    self._result_cache[cache_key] = (
+                        _time.time() + self._cache_ttl, pt)
+                    return pt
         weights = self._field_weight_vector(field_weights or self.default_weights)
         orig_terms: list[str] = []
         if merge_tokens and not fuzzy:
@@ -1077,6 +1100,10 @@ class SearchEngine:
             self._result_cache[cache_key] = (_time.time() + self._cache_ttl, out)
             if len(self._result_cache) > self._cache_max:
                 self._result_cache.popitem(last=False)
+            if self._persistent is not None:
+                self._persistent.set(
+                    self._index_name, {"key": repr(cache_key)}, out,
+                    ttl=int(self._cache_ttl), version=cache_key[-1])
         return out
 
     def _merge_adjacent_tokens(self, query: str) -> str:

@@ -71,7 +71,8 @@ class FuzzyMatcher:
                  max_variations: int = 10,
                  total_max_variations: int = 30,
                  cache_size: int = 10000,
-                 min_part_frequency: int = 5):
+                 min_part_frequency: int = 5,
+                 persistent_cache=None):
         # term -> df; coerce to plain int (numpy uint64 values overflow
         # under unary negation in sort keys)
         self.dict = {t: int(f) for t, f in dictionary.items()}
@@ -85,6 +86,12 @@ class FuzzyMatcher:
         self.min_part_frequency = min_part_frequency
         self._cache: OrderedDict[tuple, list] = OrderedDict()
         self._cache_max = cache_size
+        # optional on-disk term->variations tier (state.FuzzyTermCache,
+        # reference FuzzyTermCache.php) consulted for the matcher's
+        # configured algorithm/limit only — the reference keys the file
+        # by bare term, so override calls bypass it
+        self._persistent = persistent_cache
+        self._persist_pending = 0
         # length buckets for candidate prefiltering
         self._by_len: dict[int, list[str]] = {}
         for t in dictionary:
@@ -157,6 +164,25 @@ class FuzzyMatcher:
             out.sort(key=lambda x: (-x[1], -x[2], x[0]))
             return [c for c, _, _ in out[:limit]]
 
+        default_call = (algo == self.algorithm
+                        and limit == self.max_variations)
+        if self._persistent is not None and default_call:
+            hit = self._cache.get(key)
+            if hit is not None:
+                self._cache.move_to_end(key)
+                return hit
+            disk = self._persistent.get(term)
+            if disk is None:
+                disk = compute()
+                self._persistent.set(term, disk)
+                self._persist_pending += 1
+                if self._persist_pending >= 32:
+                    self._persistent.save()
+                    self._persist_pending = 0
+            self._cache[key] = disk
+            if len(self._cache) > self._cache_max:
+                self._cache.popitem(last=False)
+            return disk
         return self._cached(key, compute)
 
     # ------------------------------------------------------------------
@@ -238,6 +264,24 @@ class FuzzyMatcher:
         low = term.lower()
         if len(low) <= 3:  # reference skips short terms (:1710)
             return None
+        # cross-process tier: corrections stored under a "corr:" key
+        # namespace beside bare-term variation lists (FuzzyTermCache is
+        # the reference's "fuzzy term mappings" file — corrections are
+        # the hot mapping on this engine's default fuzzy path)
+        if self._persistent is not None:
+            disk = self._persistent.get("corr:" + low)
+            if disk is not None:
+                return disk[0] if disk else None
+            out = self._find_best_correction(low)
+            self._persistent.set("corr:" + low, [out] if out else [])
+            self._persist_pending += 1
+            if self._persist_pending >= 32:
+                self._persistent.save()
+                self._persist_pending = 0
+            return out
+        return self._find_best_correction(low)
+
+    def _find_best_correction(self, low: str) -> str | None:
         # 1. common-typo table (quickPhoneticCorrection :1715)
         fixed = _COMMON_TYPOS.get(low)
         if fixed and fixed in self.dict:
