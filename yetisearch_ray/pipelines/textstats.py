@@ -58,34 +58,64 @@ def token_counts(ds, *, text_col="text", id_col="doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _split_tokens(col: pa.ChunkedArray):
+    """Whitespace-tokenize a string column with Arrow kernels; returns
+    (flat token StringArray, int64 doc offsets into it).  Matches Python
+    ``str.split()``: any Unicode whitespace, empties elided."""
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(col, "").combine_chunks()
+    splits = pc.utf8_split_whitespace(arr)
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    values = splits.flatten()
+    offs = np.asarray(splits.offsets, dtype=np.int64)
+    return arr, values, offs - offs[0]
+
+
+def _seg_sum(flat: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-document sums of a flat per-token array (cumsum trick — safe
+    for empty documents, unlike ``np.add.reduceat``)."""
+    cs = np.concatenate([[0], np.cumsum(flat, dtype=np.int64)])
+    return cs[offs[1:]] - cs[offs[:-1]]
+
+
 def quality_scores(ds, *, text_col="text", id_col="doc_id"):
     """Pretraining-style quality features + a composite score.
 
     n_tokens, n_chars, stopword_ratio (en), mean_token_len, and
     quality = round(min(1, n_tokens/100) * (1 - stopword_ratio) , 6).
+    Tokenization, length and stopword membership are Arrow/numpy
+    kernels; only the final 6-digit rounding is Python (``round`` is the
+    oracle's exact semantics — DuckDB agrees with it value-for-value,
+    and the driver hash compare needs bit-identical floats).
     """
+    import pyarrow.compute as pc
+
+    stop_set = pa.array(sorted(_EN_STOP), pa.string())
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t[id_col]
-        n_tok, n_chr, stop_r, mean_len, score = [], [], [], [], []
-        for s in t[text_col].to_pylist():
-            toks = (s or "").split()
-            n = len(toks)
-            n_tok.append(n)
-            n_chr.append(len(s or ""))
-            sw = sum(1 for w in toks if w in _EN_STOP)
-            sr = (sw / n) if n else 0.0
-            stop_r.append(round(sr, 6))
-            ml = (sum(len(w) for w in toks) / n) if n else 0.0
-            mean_len.append(round(ml, 6))
-            score.append(round(min(1.0, n / 100.0) * (1.0 - sr), 6))
+        arr, values, offs = _split_tokens(t[text_col])
+        n_tok = np.diff(offs)
+        n_chr = np.asarray(pc.utf8_length(arr), dtype=np.int64)
+        is_stop = np.asarray(pc.is_in(values, value_set=stop_set))
+        sw = _seg_sum(is_stop.astype(np.int64), offs)
+        tok_len = np.asarray(pc.utf8_length(values), dtype=np.int64)
+        char_sum = _seg_sum(tok_len, offs)
+        nz = np.maximum(n_tok, 1)
+        sr = np.where(n_tok > 0, sw / nz, 0.0)
+        ml = np.where(n_tok > 0, char_sum / nz, 0.0)
+        q = np.minimum(1.0, n_tok / 100.0) * (1.0 - sr)
         return pa.table({
-            id_col: ids,
+            id_col: t[id_col],
             "n_tokens": pa.array(n_tok, pa.int64()),
             "n_chars": pa.array(n_chr, pa.int64()),
-            "stopword_ratio": pa.array(stop_r, pa.float64()),
-            "mean_token_len": pa.array(mean_len, pa.float64()),
-            "quality": pa.array(score, pa.float64()),
+            "stopword_ratio": pa.array([round(x, 6) for x in sr.tolist()],
+                                       pa.float64()),
+            "mean_token_len": pa.array([round(x, 6) for x in ml.tolist()],
+                                       pa.float64()),
+            "quality": pa.array([round(x, 6) for x in q.tolist()],
+                                pa.float64()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -93,20 +123,28 @@ def quality_scores(ds, *, text_col="text", id_col="doc_id"):
 
 def language_id(ds, *, text_col="text", id_col="doc_id"):
     """Predicted language by stopword-marker hits; ties broken by the
-    fixed order en > fr > de > es; zero hits → 'und'."""
-    marker_sets = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+    fixed order en > fr > de > es; zero hits → 'und'.  One ``is_in``
+    per language over the flat token array + segmented sums; argmax
+    keeps the first (order-priority) maximum, matching the scalar
+    strictly-greater loop."""
+    import pyarrow.compute as pc
+
+    marker_arrs = {lang: pa.array(list(ws), pa.string())
+                   for lang, ws in LANG_MARKERS.items()}
 
     def fn(t: pa.Table) -> pa.Table:
-        preds = []
-        for s in t[text_col].to_pylist():
-            toks = (s or "").split()
-            best_lang, best_n = "und", 0
-            for lang in _LANG_ORDER:
-                n = sum(1 for w in toks if w in marker_sets[lang])
-                if n > best_n:
-                    best_lang, best_n = lang, n
-            preds.append(best_lang)
-        return pa.table({id_col: t[id_col], "pred_lang": pa.array(preds, pa.string())})
+        _, values, offs = _split_tokens(t[text_col])
+        counts = np.stack([
+            _seg_sum(np.asarray(
+                pc.is_in(values, value_set=marker_arrs[lang])
+            ).astype(np.int64), offs)
+            for lang in _LANG_ORDER
+        ])  # (4, ndocs)
+        best = np.argmax(counts, axis=0)
+        langs = np.array(_LANG_ORDER, dtype=object)
+        preds = np.where(counts.max(axis=0) > 0, langs[best], "und")
+        return pa.table({id_col: t[id_col],
+                         "pred_lang": pa.array(preds.tolist(), pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
