@@ -66,6 +66,32 @@ class TestDedup:
         assert {(0, 1)} == set(zip(pairs.id_a, pairs.id_b))
         assert pairs.hamming.tolist() == [0]
 
+    def test_pair_parquet_sinks(self, ray_session, tmp_path):
+        """Sink variants stream pair tables to parquet without a driver
+        collect and agree with the collecting variants."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import (
+            minhash_dedup_pairs, minhash_dedup_pairs_to_parquet,
+            simhash_near_pairs, simhash_near_pairs_to_parquet)
+
+        rows = [{"doc_id": 0, "text": "the same exact document body here ok"},
+                {"doc_id": 1, "text": "the same exact document body here ok"},
+                {"doc_id": 2, "text": "completely unrelated other content"}]
+        ds = rd.from_items(rows)
+        d1 = str(tmp_path / "mh")
+        minhash_dedup_pairs_to_parquet(ds, d1, threshold=0.5)
+        got = pq.read_table(d1).to_pandas().sort_values(["id_a", "id_b"])
+        want = minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+        assert got[["id_a", "id_b"]].values.tolist() == \
+            want[["id_a", "id_b"]].values.tolist()
+        d2 = str(tmp_path / "sh")
+        simhash_near_pairs_to_parquet(ds, d2)
+        got2 = pq.read_table(d2).to_pandas()
+        want2 = simhash_near_pairs(ds).to_pandas()
+        assert set(zip(got2.id_a, got2.id_b)) == set(zip(want2.id_a, want2.id_b))
+
     def test_jaccard_query_self_is_top(self, docs_ds):
         import pyarrow.parquet as pq
 
@@ -103,6 +129,29 @@ class TestTextstats:
 
         df = rolling_fingerprint(docs_ds).to_pandas()
         assert df.fingerprints.map(len).min() >= 1
+
+    def test_token_counts_oracle_parity_edge_cases(self):
+        """Vectorized counts must equal the DuckDB oracle (both RE2) on
+        empties, whitespace-only, leading/trailing space, NBSP, unicode."""
+        import duckdb
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import token_counts
+
+        cases = ["", "  ", "a b", " a  b ", "a\u00a0b", "x\n\ny",
+                 "héllo wörld!", "a'll b's 123 ...", "l1\u2028l2"]
+        rows = [{"doc_id": i, "text": s} for i, s in enumerate(cases)]
+        got = (token_counts(rd.from_items(rows)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", pa.table({
+            "doc_id": pa.array(range(len(cases)), pa.int64()),
+            "text": pa.array(cases, pa.string())}))
+        from yetisearch_ray.pipelines.oracles import TOKEN_COUNTS_SQL
+        want = (con.execute(TOKEN_COUNTS_SQL).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.n_tokens.tolist() == want.n_tokens.tolist()
+        assert got.n_subwords.tolist() == want.n_subwords.tolist()
 
 
 class TestAnn:

@@ -259,7 +259,8 @@ def minhash_lsh_candidates(ds, *, text_col="text", id_col="doc_id",
 
 def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
                         bands=16, shingle_n=3, threshold=0.7, seed=42,
-                        num_partitions=None, max_bucket=1000):
+                        num_partitions=None, max_bucket=1000,
+                        as_dataset=False):
     """Candidate pairs from LSH buckets, verified with EXACT (string)
     shingle Jaccard — fully distributed, single-join.
 
@@ -429,12 +430,27 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
 
     out = (attached.groupby(["id_a", "id_b"])
            .map_groups(verify, batch_format="pyarrow"))
-    res = out.sort(["id_a", "id_b"]).to_pandas()
+    sorted_pairs = out.sort(["id_a", "id_b"])
+    if as_dataset:
+        # 100 TB contract: the pair table never lands on the driver —
+        # consume with write_parquet / iter_batches downstream
+        return sorted_pairs
+    res = sorted_pairs.to_pandas()
     if res.empty:
         return empty
     return pa.table({"id_a": pa.array(res["id_a"], pa.int64()),
                      "id_b": pa.array(res["id_b"], pa.int64()),
                      "jaccard": pa.array(res["jaccard"], pa.float64())})
+
+
+def minhash_dedup_pairs_to_parquet(ds, out_dir: str, **kwargs):
+    """Sink variant: stream the verified pair table straight to
+    partitioned parquet (one file per output block) without ever
+    collecting it on the driver — the honest contract when the pair
+    table itself is large (boilerplate-heavy corpora)."""
+    pairs = minhash_dedup_pairs(ds, as_dataset=True, **kwargs)
+    pairs.write_parquet(out_dir)
+    return out_dir
 
 
 # ------------------------------------------------------------------ simhash
@@ -488,7 +504,8 @@ def simhash_signatures(ds, *, text_col="text", id_col="doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
+def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3,
+                       as_dataset=False):
     """Near-dup pairs by SimHash: 4-block banding (Hamming ≤3 ⇒ one 16-bit
     block equal) → groupby block value → verify Hamming distance."""
     sigs = simhash_signatures(ds, text_col=text_col, id_col=id_col)
@@ -540,8 +557,19 @@ def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3):
 
     ded = out.groupby(["id_a", "id_b"]).map_groups(first_row,
                                                    batch_format="pyarrow")
-    pdf = ded.sort(["id_a", "id_b"]).to_pandas()
+    sorted_pairs = ded.sort(["id_a", "id_b"])
+    if as_dataset:
+        return sorted_pairs
+    pdf = sorted_pairs.to_pandas()
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def simhash_near_pairs_to_parquet(ds, out_dir: str, **kwargs):
+    """Sink variant of :func:`simhash_near_pairs` — pairs stream to
+    partitioned parquet, nothing lands on the driver."""
+    pairs = simhash_near_pairs(ds, as_dataset=True, **kwargs)
+    pairs.write_parquet(out_dir)
+    return out_dir
 
 
 # ------------------------------------------------------------------ jaccard search

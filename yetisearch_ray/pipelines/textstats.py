@@ -34,26 +34,27 @@ _EN_STOP = STOPWORDS["en"]
 # contraction suffixes, space-prefixed letter runs, digit runs,
 # punctuation runs.
 BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
-_BPE_RE = None
 
 
 def token_counts(ds, *, text_col="text", id_col="doc_id"):
     """(id, n_tokens, n_subwords) — whitespace word count plus a BPE-ish
     pretokenizer count (the cheap budget proxy an LLM-data pipeline
     tracks before real tokenization)."""
-    import re as _re
-
-    global _BPE_RE
-    if _BPE_RE is None:
-        _BPE_RE = _re.compile(BPE_ISH_PATTERN)
+    import pyarrow.compute as pc
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        counts = [len((s or "").split()) for s in texts]
-        sub = [len(_BPE_RE.findall(s or "")) for s in texts]
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        # Token = run of non-whitespace, RE2 semantics (\s is ASCII
+        # [\t\n\f\r\v ]) — identical to the DuckDB oracle's
+        # string_split_regex(text,'\s+') + non-empty filter.  Both
+        # engines are RE2, so NBSP/U+2028 corpora agree too.
+        n_tok = pc.count_substring_regex(arr, pattern=r"\S+")
+        # Non-overlapping matches of the BPE-ish alternation, again
+        # RE2-on-RE2 with the oracle's regexp_extract_all.
+        sub = pc.count_substring_regex(arr, pattern=BPE_ISH_PATTERN)
         return pa.table({id_col: t[id_col],
-                         "n_tokens": pa.array(counts, pa.int64()),
-                         "n_subwords": pa.array(sub, pa.int64())})
+                         "n_tokens": pc.cast(n_tok, pa.int64()),
+                         "n_subwords": pc.cast(sub, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
