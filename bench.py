@@ -47,6 +47,26 @@ QUERY_SET = [
 ]
 
 
+def _host_probe() -> float:
+    """First-touch memory-bandwidth probe (BASELINE.md host-variance
+    note): seconds to populate a 400 MB arange.  <1 s = healthy host;
+    5–50 s = degraded paging window, in which absolute timings measure
+    the host, not the code.  Recorded in every output so each bench
+    artifact carries its own validity evidence."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.arange(50_000_000, dtype=np.uint64)
+    return round(time.perf_counter() - t0, 3)
+
+
+# --scaling persists its result here (with the probe values from that
+# window) so the default bench can embed the last healthy-window scaling
+# evidence and the driver's BENCH_r{N}.json is self-contained.
+SCALING_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALING.json")
+
+
 def _dir_bytes(d: str) -> int:
     total = 0
     for root, _, files in os.walk(d):
@@ -297,6 +317,7 @@ def build_single(corpus_dir: str, idx_dir: str) -> None:
 
 
 def run_once() -> dict:
+    probe_start = _host_probe()
     from yetisearch_ray.sources.corpus import corpus_path, generate_code_corpus
 
     if os.environ.get("GRAFT_BENCH_CORPUS_DOCS"):
@@ -341,8 +362,16 @@ def run_once() -> dict:
             "build_docs_per_sec": round(n_docs / t_build, 1),
             "index_bytes": _dir_bytes(idx_dir),
             "postings_bytes": _dir_bytes(os.path.join(idx_dir, "postings")),
+            "host_probe_sec": {"start": probe_start, "end": _host_probe()},
         },
     }
+    # embed the last recorded --scaling result (with ITS probe values)
+    # so this single JSON line carries the two-parallelism evidence too
+    try:
+        with open(SCALING_FILE) as f:
+            out["extras"]["scaling"] = json.load(f)
+    except Exception:
+        pass
     if not build_only:
         out["queries"].update({
             "query_p50": round(qstats["p50"], 5),
@@ -366,6 +395,7 @@ def run_scaling(pairs=None) -> dict:
     and 8->32 pairs (the single node's memory bandwidth saturates around
     16 concurrent segment tasks, so 4->16 is the faithful node-scaling
     proxy while 8->32 documents the saturation honestly)."""
+    probe_start = _host_probe()
     if pairs is None:
         lo = int(os.environ.get("GRAFT_SCALE_LO", "0"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", "0"))
@@ -413,14 +443,23 @@ def run_scaling(pairs=None) -> dict:
             "scaling_efficiency": round(eff, 3),
         }
     headline = pair_out[f"{pairs[0][0]}->{pairs[0][1]}"]["scaling_efficiency"]
-    return {
+    out = {
         "metric": "index-build scaling efficiency (N vs 4N parallelism)",
         "value": headline,
         "unit": "efficiency",
         "sf": SF_DIR,
+        "n_docs": n_docs,
         "pairs": pair_out,
         "scaling_efficiency": headline,
+        "host_probe_sec": {"start": probe_start, "end": _host_probe()},
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    try:  # persist for run_once to embed (see SCALING_FILE)
+        with open(SCALING_FILE, "w") as f:
+            json.dump(out, f, indent=1)
+    except Exception:
+        pass
+    return out
 
 
 if __name__ == "__main__":
