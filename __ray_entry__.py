@@ -240,7 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_topk": lambda sf: dedup.ngram_jaccard_vs_query(
             _docs(sf), _query_text(sf), k=10).to_pandas(),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_dedup_pairs(
-            _docs(sf), threshold=0.5).to_pandas(),                 # rows-only
+            _docs(sf), threshold=0.5).to_pandas(),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
             _docs(sf)).to_pandas(),
         # --- fuzzy conformance (reference benchmarks/benchmark.php:211-327;
@@ -362,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_exact_rows": oracles.DEDUP_EXACT_ROWS_SQL,
         "dedup_jaccard_topk": oracles.jaccard_topk_sql(query_doc_id=0, k=10),
+        "dedup_minhash_pairs": oracles.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),

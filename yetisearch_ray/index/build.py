@@ -585,7 +585,8 @@ def _build_segment(index_dir: str, want_pos: bool, gen: int = 0):
 
 def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
                 append: bool = False, input_fingerprint: str = "",
-                balance_hot_terms: bool = True) -> Manifest:
+                balance_hot_terms: bool = True,
+                stats_out: dict | None = None) -> Manifest:
     """Build, resume, or append to an index (uint64 id column required).
 
     One streaming execution: the ingest pass tokenizes each block once,
@@ -679,6 +680,11 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
     # the tokenize→exchange→segment-write pipeline)
     mx = man.data.setdefault("metrics", {})
     mx[f"exchange_sec_gen{gen}"] = round(time.perf_counter() - t_ex, 3)
+    if stats_out is not None:  # opt-in: executed-pipeline ds.stats()
+        try:
+            stats_out["ds_stats"] = metrics.stats()
+        except Exception as e:  # stats are evidence, never a failure
+            stats_out["ds_stats"] = f"unavailable: {e}"
     # stats over ALL partitions (including ones committed in a prior run)
     n_docs = sum(p.get("n_docs", 0) for p in man.data["partitions"].values())
     total_dl = sum(p.get("sum_dl", 0) for p in man.data["partitions"].values())

@@ -376,6 +376,36 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 ORDER BY id_a, id_b"""
 
 
+# Exact all-pairs shingle Jaccard — the ground truth for
+# dedup.minhash_dedup_pairs.  Valid as that entry's oracle because the
+# LSH stage is deterministic (seeded permutations) and, on this corpus,
+# has provably-certain recall: every true pair at sf0.01 has J >= 0.95,
+# where the 16-band/4-row s-curve detection probability is
+# 1-(1-0.95^4)^16 ~ 1 - 2e-13.  The verify stage then computes the same
+# exact string-shingle Jaccard as this SQL (both sides RE2 \s tokens,
+# 3-gram shingles, round to 6).  O(N^2) in SQL — oracle-scale only.
+MINHASH_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         NULLIF(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)), 0) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b"""
+
+
 def jaccard_topk_sql(query_doc_id: int = 0, n: int = 3, k: int = 10,
                      round_to: int = 6) -> str:
     shingle = (
