@@ -229,18 +229,44 @@ class IndexReader:
 
     def dictionary(self, limit: int = 20000, min_df: int = 2) -> dict[str, int]:
         """Top-``limit`` terms by summed df — the fuzzy candidate source
-        (reference ``max_indexed_terms``/``min_term_frequency``)."""
+        (reference ``max_indexed_terms``/``min_term_frequency``).
+
+        Memory-bounded: a term's rows all live in ONE partition (hash
+        placement; manifest-listed split terms are the exception), so
+        the exact global top-k is the merge of per-partition top-k
+        lists.  Peak residency is O(largest partition dictionary +
+        P x limit) — never the corpus-wide dictionary, which at cluster
+        scale is billions of terms."""
+        import glob as _glob
+        import pandas as pd
+
         post_dir = os.path.join(self.index_dir, "postings")
         if not os.path.isdir(post_dir):
             return {}
-        dataset = pads.dataset(post_dir, format="parquet")
-        t = dataset.to_table(columns=["term", "df"])
-        import pandas as pd
-
-        s = pd.Series(t["df"].to_numpy(zero_copy_only=False),
-                      index=t["term"].to_pylist()).groupby(level=0).sum()
-        s = s[s >= min_df].sort_values(ascending=False)
-        return dict(s.head(limit))
+        by_part: dict[str, list[str]] = {}
+        for f in sorted(_glob.glob(os.path.join(post_dir, "part=*.parquet"))):
+            key = os.path.basename(f).split(".")[0].split("-")[0]  # part=NNNNN
+            by_part.setdefault(key, []).append(f)
+        split_terms = set(self.manifest.data.get("split_terms") or {})
+        cands: list[pd.Series] = []
+        for files in by_part.values():
+            t = pa.concat_tables(
+                pq.read_table(f, columns=["term", "df"]) for f in files)
+            s = pd.Series(t["df"].to_numpy(zero_copy_only=False),
+                          index=t["term"].to_pylist()).groupby(level=0).sum()
+            top = s.sort_values(ascending=False, kind="stable").head(limit)
+            if split_terms:  # a split term's local share must always
+                # reach the merge — its global df is summed across parts
+                extra = s.index.intersection(split_terms).difference(top.index)
+                if len(extra):
+                    top = pd.concat([top, s[extra]])
+            cands.append(top)
+        if not cands:
+            return {}
+        merged = pd.concat(cands).groupby(level=0).sum()
+        merged = merged[merged >= min_df]
+        out = merged.sort_values(ascending=False, kind="stable").head(limit)
+        return dict(out)
 
     # ---------------- docstore gather ---------------------------------
     def docs(self, doc_ids, columns=None) -> pa.Table:
