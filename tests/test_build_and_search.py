@@ -118,6 +118,31 @@ class TestBuild:
             ).fetchone()[0]
             assert got == want, term
 
+    def test_dictionary_bounded_merge_is_exact(self, built_index):
+        """The per-partition top-k merge in IndexReader.dictionary()
+        must equal the naive whole-dictionary scan — including
+        doc-salted SPLIT terms, whose df shards live in several
+        partitions and must be re-summed across them."""
+        import pandas as pd
+        import pyarrow.dataset as pads
+
+        idx = open_index(built_index)
+        assert idx.manifest.data.get("split_terms"), \
+            "fixture no longer exercises the split-term path"
+        got = idx.dictionary(limit=100, min_df=2)
+        t = pads.dataset(os.path.join(built_index, "postings"),
+                         format="parquet").to_table(columns=["term", "df"])
+        s = pd.Series(t["df"].to_numpy(zero_copy_only=False),
+                      index=t["term"].to_pylist()).groupby(level=0).sum()
+        s = s[s >= 2].sort_values(ascending=False, kind="stable")
+        want = dict(s.head(100))
+        assert set(got) == set(want)
+        assert all(got[k] == want[k] for k in got)
+        # split terms must be present with their full cross-partition df
+        for st_ in idx.manifest.data["split_terms"]:
+            if st_ in want:
+                assert got[st_] == want[st_]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRankIdentity:
