@@ -83,6 +83,7 @@ class IndexReader:
         self._cache_max = cache_terms
         self._docs_dir = os.path.join(index_dir, "docs")
         self._doc_meta: dict[str, np.ndarray] | None = None
+        self._meta_dense = False
         self._docs_ds = None
 
     # ---------------- doc metadata (lazy resident arrays) --------------
@@ -102,10 +103,17 @@ class IndexReader:
         dl_dir = os.path.join(self.index_dir, "doclens")
         dt = pq.read_table(dl_dir, columns=["doc_id", "dl"])
         dt = dt.take(pc.sort_indices(dt["doc_id"]))
+        ids = dt["doc_id"].to_numpy(zero_copy_only=False)
         self._doc_meta = {
-            self.id_column: dt["doc_id"].to_numpy(zero_copy_only=False),
+            self.id_column: ids,
             "dl_total": dt["dl"].to_numpy(zero_copy_only=False),
         }
+        # Fresh builds assign doc_ids densely (0..N-1), making id->row a
+        # direct index — ~10x cheaper than searchsorted on the hot
+        # scoring path.  Appends/deletes break density; then we fall
+        # back to the sorted lookup.
+        self._meta_dense = bool(
+            ids.size and ids[0] == 0 and int(ids[-1]) == ids.size - 1)
 
     def _load_col(self, col: str):
         if col in self._doc_meta:
@@ -139,13 +147,18 @@ class IndexReader:
         return self._doc_meta[col]
 
     def meta_for(self, col: str, doc_ids: np.ndarray) -> np.ndarray:
-        """Values of a metadata column for given doc_ids (sorted lookup)."""
+        """Values of a metadata column for given doc_ids (dense direct
+        index when doc_ids are 0..N-1, else sorted lookup)."""
         self._load_meta()
         if col != "dl_total":
             self._load_col(col)
         ids = self._doc_meta[self.id_column]
-        idx = np.searchsorted(ids, doc_ids)
-        idx = np.clip(idx, 0, ids.size - 1)
+        if self._meta_dense:
+            idx = np.minimum(doc_ids.astype(np.intp, copy=False),
+                             ids.size - 1)
+        else:
+            idx = np.searchsorted(ids, doc_ids)
+            idx = np.clip(idx, 0, ids.size - 1)
         return self._doc_meta[col][idx]
 
     def dl_total_for(self, doc_ids: np.ndarray) -> np.ndarray:
