@@ -262,7 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: ann.ivf_topk(
             _emb(sf), _query_vec(sf), k=10, n_clusters=8, nprobe=None).to_pandas(),
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(
-            _emb(sf), _query_vec(sf), k=10).to_pandas(),           # rows-only
+            _emb(sf), _query_vec(sf), k=10).to_pandas(),
         "ann_ivf_partitioned": lambda sf: _ivf_partitioned(sf),
         "ann_multi_query": lambda sf: _ann_multi_query(sf),
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
@@ -373,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_partitioned": oracles.ann_topk_sql(query_vec_id=1, k=10),
+        "ann_lsh_topk": oracles.lsh_topk_sql(query_vec_id=1, k=10),
         "ann_multi_query": oracles.ann_multi_query_sql((1, 2, 3), k=10),
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
         # events / stream-shaped

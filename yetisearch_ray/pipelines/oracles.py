@@ -522,6 +522,41 @@ SELECT {qid} AS qid, vec_id, cosine FROM (
     return " UNION ALL ".join(parts)
 
 
+def lsh_topk_sql(query_vec_id: int = 1, k: int = 10, n_planes: int = 12,
+                 dim: int = 64, seed: int = 42, round_to: int = 6) -> str:
+    """Ground truth for ann.lsh_bucket_topk: regenerate the SAME seeded
+    hyperplanes (np.random.default_rng(seed).standard_normal) and inline
+    them as DOUBLE[] literals, replicate the sign-agreement filter
+    (agree >= n_planes-2, the multi-probe-ish bucket) in SQL, then rank
+    the surviving vectors by exact cosine.  Valid as an oracle because
+    every stage of the operator is deterministic; float64 repr()
+    round-trips exactly, so both sides hash identical planes."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    rows = ", ".join(
+        "(" + str(pid) + ", [" + ", ".join(repr(float(x)) for x in pv)
+        + "]::DOUBLE[])"
+        for pid, pv in enumerate(planes)
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {query_vec_id}),
+planes(pid, pv) AS (VALUES {rows}),
+agree AS (
+  SELECT e.vec_id, count(*) FILTER (
+           (list_inner_product(e.embedding::DOUBLE[], p.pv) > 0)
+           = (list_inner_product(q.qv, p.pv) > 0)) AS n_agree
+  FROM embeddings e, planes p, q GROUP BY e.vec_id
+)
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+             {round_to}) AS cosine
+FROM embeddings e JOIN agree USING (vec_id), q
+WHERE agree.n_agree >= {n_planes - 2}
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
 def near_dup_pairs_sql(threshold: float = 0.95, round_to: int = 6) -> str:
     return f"""
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
