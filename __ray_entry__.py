@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)).to_pandas(),
         "dedup_jaccard_topk": lambda sf: dedup.ngram_jaccard_vs_query(
             _docs(sf), _query_text(sf), k=10).to_pandas(),
+        "dedup_decontaminate": lambda sf: dedup.ngram_decontaminate(
+            _docs(sf), [_query_text(sf, 0), _query_text(sf, 1)]).to_pandas(),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_dedup_pairs(
             _docs(sf), threshold=0.5).to_pandas(),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
@@ -362,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.DEDUP_EXACT_SQL,
         "dedup_exact_rows": oracles.DEDUP_EXACT_ROWS_SQL,
         "dedup_jaccard_topk": oracles.jaccard_topk_sql(query_doc_id=0, k=10),
+        "dedup_decontaminate": oracles.decontaminate_sql((0, 1)),
         "dedup_minhash_pairs": oracles.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,

@@ -66,6 +66,29 @@ class TestDedup:
         assert {(0, 1)} == set(zip(pairs.id_a, pairs.id_b))
         assert pairs.hamming.tolist() == [0]
 
+    def test_decontaminate_planted(self, ray_session):
+        """Docs sharing a 3-gram with the benchmark set are flagged with
+        the exact distinct-shared-shingle count; clean docs are not."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import ngram_decontaminate
+
+        bench = ["the quick brown fox jumps over the lazy dog"]
+        rows = [
+            {"doc_id": 0, "text": "totally unrelated words here now"},
+            # shares exactly the shingles of 'quick brown fox jumps'
+            {"doc_id": 1, "text": "a quick brown fox jumps away"},
+            {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 3, "text": "short"},  # < n tokens -> no shingles
+        ]
+        df = (ngram_decontaminate(rd.from_items(rows), bench)
+              .to_pandas().set_index("doc_id"))
+        assert df.loc[0, "contaminated"] == 0
+        assert df.loc[1, "contaminated"] == 1
+        assert df.loc[1, "n_hits"] == 2   # 'quick brown fox', 'brown fox jumps'
+        assert df.loc[2, "n_hits"] == 7   # all 7 benchmark shingles
+        assert df.loc[3, "contaminated"] == 0
+
     def test_pair_parquet_sinks(self, ray_session, tmp_path):
         """Sink variants stream pair tables to parquet without a driver
         collect and agree with the collecting variants."""

@@ -575,6 +575,61 @@ def simhash_near_pairs_to_parquet(ds, out_dir: str, **kwargs):
 # ------------------------------------------------------------------ jaccard search
 
 
+def ngram_decontaminate(ds, benchmark_texts, *, text_col="text",
+                        id_col="doc_id", shingle_n=3):
+    """Benchmark decontamination — flag documents sharing any word
+    n-gram with a benchmark/eval set (the standard pre-training hygiene
+    pass before an eval suite can be trusted).
+
+    Scale shape: the benchmark's DISTINCT shingle hashes are broadcast
+    once (``ray.put`` — a uint64 array, ~8 MB per million n-grams, read
+    zero-copy by every task); each batch computes its docs' distinct
+    shingle hashes vectorized (pandas siphash, no per-shingle loop) and
+    counts membership with one ``np.isin``.  64-bit hashing makes a
+    false hit ~1e-12 per (doc-shingle, benchmark) universe and is
+    deterministic, so corpus+benchmark either matches the string-exact
+    SQL oracle or not — verified at oracle scale.
+
+    Returns (id, n_hits, contaminated[0/1]) sorted by id, where n_hits
+    counts distinct shared n-grams.
+    """
+    import ray
+
+    bench_sets = [
+        sorted(_word_shingles(_ws_tokens(t), shingle_n))
+        for t in benchmark_texts
+    ]
+    flat = np.array([s for bs in bench_sets for s in bs], dtype=object)
+    bench = (np.unique(_hash_obj_array(flat).astype(np.uint64))
+             if flat.size else np.empty(0, np.uint64))
+    bench_ref = ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        hashes, sh_counts = _shingle_hashes_batch(
+            t[text_col].to_pylist(), shingle_n)
+        doc_idx = np.repeat(np.arange(t.num_rows), sh_counts)
+        # distinct (doc, shingle) pairs so n_hits counts DISTINCT shared
+        # n-grams, matching the oracle's list_distinct semantics
+        order = np.lexsort((hashes, doc_idx))
+        d_s, h_s = doc_idx[order], hashes[order]
+        keep = np.ones(d_s.size, dtype=bool)
+        if d_s.size > 1:
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_u, h_u = d_s[keep], h_s[keep]
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        if h_u.size and b.size:
+            m = np.isin(h_u, b)
+            np.add.at(hits, d_u[m], 1)
+        return pa.table({
+            id_col: t[id_col],
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort(id_col)
+
+
 def ngram_jaccard_vs_query(ds, query_text: str, *, text_col="text",
                            id_col="doc_id", shingle_n=3, k=10):
     """Top-k docs by word-n-gram Jaccard similarity to a query text —

@@ -406,6 +406,33 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
 FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b"""
 
 
+def decontaminate_sql(benchmark_doc_ids=(0, 1)) -> str:
+    """Ground truth for dedup.ngram_decontaminate with the benchmark set
+    taken from the given documents: distinct-3-gram intersection counts
+    against the union of the benchmark docs' shingles (string-exact —
+    the operator's 64-bit hash path must agree or a collision exists)."""
+    ids = ", ".join(str(int(i)) for i in benchmark_doc_ids)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS shingles
+  FROM toks
+),
+bench AS (
+  SELECT list_distinct(flatten(list(shingles))) AS bs
+  FROM sh WHERE doc_id IN ({ids})
+)
+SELECT s.doc_id::BIGINT AS doc_id,
+       len(list_intersect(s.shingles, b.bs))::BIGINT AS n_hits,
+       (len(list_intersect(s.shingles, b.bs)) > 0)::BIGINT AS contaminated
+FROM sh s, bench b
+ORDER BY doc_id"""
+
+
 def jaccard_topk_sql(query_doc_id: int = 0, n: int = 3, k: int = 10,
                      round_to: int = 6) -> str:
     shingle = (
