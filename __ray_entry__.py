@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": lambda sf: textstats.quality_scores(_docs(sf)).to_pandas(),
         "text_lang_id": lambda sf: textstats.language_id(_docs(sf)).to_pandas(),
         "text_fingerprints": lambda sf: textstats.fingerprints(_docs(sf)).to_pandas(),
+        "text_repetition": lambda sf: textstats.repetition_stats(
+            _docs(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
@@ -371,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),
         "text_fingerprints": oracles.FINGERPRINT_SQL,
+        "text_repetition": oracles.REPETITION_SQL,
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),

@@ -153,6 +153,25 @@ class TestTextstats:
         df = rolling_fingerprint(docs_ds).to_pandas()
         assert df.fingerprints.map(len).min() >= 1
 
+    def test_repetition_stats_planted(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import repetition_stats
+
+        rows = [
+            {"doc_id": 0, "text": "a b c\na b c\nunique line"},   # 1/3 dup lines
+            {"doc_id": 1, "text": "x y x y x y"},                 # grams: 5 total, 2 distinct
+            {"doc_id": 2, "text": "all distinct words here"},
+            {"doc_id": 3, "text": ""},
+        ]
+        df = (repetition_stats(rd.from_items(rows)).to_pandas()
+              .set_index("doc_id"))
+        assert abs(df.loc[0, "dup_line_frac"] - 1 / 3) < 1e-6
+        assert abs(df.loc[1, "dup_ngram_frac"] - 3 / 5) < 1e-6
+        assert df.loc[2, "dup_line_frac"] == 0.0
+        assert df.loc[2, "dup_ngram_frac"] == 0.0
+        assert df.loc[3, "dup_line_frac"] == 0.0 and df.loc[3, "dup_ngram_frac"] == 0.0
+
     def test_token_counts_oracle_parity_edge_cases(self):
         """Vectorized counts must equal the DuckDB oracle (both RE2) on
         empties, whitespace-only, leading/trailing space, NBSP, unicode."""

@@ -469,6 +469,27 @@ SELECT doc_id::BIGINT AS doc_id, len({TOKENS_EXPR})::BIGINT AS n_tokens,
 FROM documents"""
 
 
+REPETITION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         {TOKENS_EXPR} AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [toks[i] || chr(31) || toks[i+1] for i in range(1, len(toks))] AS grams
+  FROM t
+)
+SELECT t.doc_id::BIGINT AS doc_id,
+       round(CASE WHEN len(t.lines) = 0 THEN 0.0
+             ELSE (len(t.lines) - len(list_distinct(t.lines)))::DOUBLE
+                  / len(t.lines) END, 6) AS dup_line_frac,
+       round(CASE WHEN len(g.grams) = 0 THEN 0.0
+             ELSE (len(g.grams) - len(list_distinct(g.grams)))::DOUBLE
+                  / len(g.grams) END, 6) AS dup_ngram_frac
+FROM t JOIN g USING (doc_id)"""
+
+
 def quality_sql(stopwords) -> str:
     sw = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(stopwords))
     return f"""

@@ -150,6 +150,56 @@ def language_id(ds, *, text_col="text", id_col="doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_stats(ds, *, text_col="text", id_col="doc_id"):
+    """Gopher-style repetition signals (Rae et al. 2021, App. A1.1):
+    per-doc fraction of duplicate lines and fraction of duplicate word
+    2-grams — the classic boilerplate/spam filters a pretraining
+    pipeline gates on.  Vectorized pandas (explode + drop_duplicates,
+    C-speed); tokens use RE2 \\s semantics so the DuckDB oracle agrees
+    exactly.  Returns (id, dup_line_frac, dup_ngram_frac), round-6."""
+    import pandas as pd
+
+    import re as _re
+
+    ws_re = _re.compile(r"[\t\n\f\r ]+")
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t[text_col].to_pylist()).fillna("")
+        # ---- duplicate lines (split on \n, empties count, like SQL
+        # string_split(text, chr(10)))
+        lines = texts.str.split("\n")
+        n_lines = lines.str.len().to_numpy()
+        ex = lines.explode()
+        n_distinct = (ex.reset_index().drop_duplicates()
+                      .groupby("index").size()
+                      .reindex(range(len(texts)), fill_value=0).to_numpy())
+        with np.errstate(invalid="ignore"):
+            dup_line = np.where(n_lines > 0,
+                                (n_lines - n_distinct) / np.maximum(n_lines, 1),
+                                0.0)
+        # ---- duplicate word 2-grams (RE2 \s tokens, non-empty)
+        toks = texts.map(lambda s: [w for w in ws_re.split(s) if w])
+        n_tok = toks.str.len().to_numpy()
+        total = np.maximum(n_tok - 1, 0)
+        ex_t = toks.explode()
+        s = ex_t.astype(object)
+        nxt = s.groupby(level=0).shift(-1)
+        grams = (s + "\x1f" + nxt).dropna()
+        gd = (grams.reset_index().drop_duplicates()
+              .groupby("index").size()
+              .reindex(range(len(texts)), fill_value=0).to_numpy())
+        with np.errstate(invalid="ignore"):
+            dup_gram = np.where(total > 0,
+                                (total - gd) / np.maximum(total, 1), 0.0)
+        return pa.table({
+            id_col: t[id_col],
+            "dup_line_frac": pa.array(np.round(dup_line, 6), pa.float64()),
+            "dup_ngram_frac": pa.array(np.round(dup_gram, 6), pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprints(ds, *, text_col="text", id_col="doc_id"):
     """Stable document fingerprint: md5 of the whitespace-normalized
     token stream (SQL oracle: md5(array_to_string(...)))."""
