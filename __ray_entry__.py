@@ -93,7 +93,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from yetisearch_ray.pipelines import ann, dedup, events, relational, textstats
+    from yetisearch_ray.pipelines import (ann, curation, dedup, events,
+                                          relational, textstats)
 
     def _docs(sf_dir):
         import ray.data as rd
@@ -258,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": lambda sf: textstats.fingerprints(_docs(sf)).to_pandas(),
         "text_repetition": lambda sf: textstats.repetition_stats(
             _docs(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "cur_source_quota": lambda sf: curation.quota_per_group(
+            _docs(sf), group_col="source", n=5).to_pandas(),
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
@@ -374,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),
         "text_fingerprints": oracles.FINGERPRINT_SQL,
         "text_repetition": oracles.REPETITION_SQL,
+        "cur_source_quota": oracles.QUOTA_SQL,
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),

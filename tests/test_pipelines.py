@@ -196,6 +196,24 @@ class TestTextstats:
         assert got.n_subwords.tolist() == want.n_subwords.tolist()
 
 
+class TestCuration:
+    def test_quota_per_group(self, ray_session):
+        """First-n-per-group by id, with a hot group exceeding the cap;
+        shuffle volume is bounded by the quota via map-side partials."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.curation import quota_per_group
+
+        rows = [{"doc_id": i, "source": "hot"} for i in range(50)]
+        rows += [{"doc_id": 100 + i, "source": f"s{i}"} for i in range(4)]
+        df = quota_per_group(rd.from_items(rows), group_col="source",
+                             n=3).to_pandas()
+        hot = df[df.source == "hot"].doc_id.tolist()
+        assert hot == [0, 1, 2]
+        assert len(df) == 3 + 4  # 3 from hot, all 4 singletons
+        assert df.doc_id.tolist() == sorted(df.doc_id.tolist())
+
+
 class TestAnn:
     def test_self_similarity_is_top(self, emb_ds):
         import pyarrow.parquet as pq

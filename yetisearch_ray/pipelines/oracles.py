@@ -536,6 +536,14 @@ WITH t AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents)
 SELECT doc_id::BIGINT AS doc_id, {case} AS pred_lang FROM t"""
 
 
+# Ground truth for curation.quota_per_group (domain caps)
+QUOTA_SQL = """
+SELECT doc_id::BIGINT AS doc_id, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5
+ORDER BY doc_id"""
+
+
 FINGERPRINT_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id,
        md5(array_to_string({TOKENS_EXPR}, ' ')) AS fingerprint
