@@ -26,8 +26,10 @@ def quota_per_group(ds, *, group_col: str = "source", n: int = 5,
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.select([id_col, group_col]).to_pandas()
+        # dropna=False: a NULL group is still one partition, matching
+        # SQL's PARTITION BY semantics
         df = (df.sort_values([group_col, id_col], kind="stable")
-              .groupby(group_col, sort=False).head(n))
+              .groupby(group_col, sort=False, dropna=False).head(n))
         return pa.Table.from_pandas(df, preserve_index=False)\
             .replace_schema_metadata(None)
 
