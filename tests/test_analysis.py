@@ -113,6 +113,30 @@ class TestAnalyzer:
         t2 = a2.analyze_full('<a href="#">link</a>')
         assert "href" in t2
 
+    def test_extract_keywords_golden(self):
+        """Pins the exact keyword ranking + scores (tf x earliness x
+        length boosts over analyzed+stemmed tokens, reference
+        StandardAnalyzer.php:136-165 semantics) so the text_keywords
+        driver entry can't silently regress."""
+        a = StandardAnalyzer()
+        text = ("Parsing parsers parse the buffer. The buffer holds "
+                "tokens; tokenization tokenizes tokens quickly.")
+        got = [(k, round(s, 6)) for k, s in a.extract_keywords(text, limit=6)]
+        assert got == [
+            ("token", 6.136364), ("pars", 3.6), ("buffer", 3.545455),
+            ("parser", 1.890909), ("hold", 1.527273), ("quick", 1.306818),
+        ]
+
+    def test_extract_keywords_boost_semantics(self):
+        """Earliness boost: equal-tf terms rank by first position; tf
+        dominates position."""
+        a = StandardAnalyzer()
+        got = a.extract_keywords("alpha beta alpha", limit=3)
+        assert [k for k, _ in got] == ["alpha", "beta"]
+        assert got[0][1] == 3.75 and got[1][1] == 1.6
+        # stopwords never surface
+        assert all(k not in a.stopwords for k, _ in got)
+
 
 class TestStemmer:
     def test_known_stems(self):
