@@ -196,6 +196,24 @@ class TestTextstats:
         assert got.n_subwords.tolist() == want.n_subwords.tolist()
 
 
+class TestRelationalJoin:
+    def test_order_revenue_join_matches_duckdb(self, ray_session):
+        """Native Dataset.join (hash, both sides shuffled) vs DuckDB."""
+        import duckdb
+
+        from yetisearch_ray.pipelines.oracles import ORDER_REVENUE_SQL
+        from yetisearch_ray.pipelines.relational import order_revenue_topk
+
+        got = order_revenue_topk(SF, k=10)
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        want = con.execute(ORDER_REVENUE_SQL).fetchdf()
+        assert got.l_orderkey.tolist() == want.l_orderkey.tolist()
+        assert got.revenue.tolist() == want.revenue.tolist()
+
+
 class TestCuration:
     def test_quota_per_group(self, ray_session):
         """First-n-per-group by id, with a hot group exceeding the cap;

@@ -659,6 +659,15 @@ SELECT * FROM (
   UNION ALL SELECT 'like_prefix', count(*) FROM orders WHERE o_orderpriority LIKE '1-%'
 ) ORDER BY op"""
 
+# Ground truth for relational.order_revenue_topk (big-big hash join)
+ORDER_REVENUE_SQL = """
+SELECT l.l_orderkey::BIGINT AS l_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+
 MULTI_UNION_SQL = """
 SELECT doc_id::BIGINT AS doc_id, n_chars::DOUBLE AS score,
        CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0

@@ -51,6 +51,37 @@ def pricing_summary(sf_dir: str):
     return pdf
 
 
+def order_revenue_topk(sf_dir: str, k: int = 10, num_partitions: int = 8):
+    """Big-big equi-join: per-order revenue (lineitem groupby-sum with a
+    map-side-combined shuffle) hash-joined to orders via Ray Data's
+    native ``Dataset.join`` — both sides shuffle by key, no broadcast,
+    the shape a 100 TB fact⋈fact join takes.  Top-k by revenue."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    per_order = (li.map_batches(derive, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev", alias_name="revenue")))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = per_order.join(orders, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("l_orderkey",), right_on=("o_orderkey",))
+    pdf = joined.to_pandas()
+    pdf["revenue"] = pdf["revenue"].round(4)
+    pdf = (pdf.sort_values(["revenue", "l_orderkey"],
+                           ascending=[False, True]).head(k))
+    return pdf.reset_index(drop=True)[["l_orderkey", "o_orderpriority", "revenue"]]
+
+
 def top_customers(sf_dir: str, k: int = 10):
     """orders ⋈ customer (broadcast small side) → top-k by total spend."""
     import ray
