@@ -197,6 +197,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_code_bm25(sf_dir):
         return _code_result(sf_dir, "parse buffer", mode="or")
 
+
+    def _mm_wav_stats(sf_dir):
+        import numpy as np
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.multimodal import (decode_wav_features,
+                                                         to_wav_payloads)
+
+        ids = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"]).limit(64)
+        wavs = to_wav_payloads(ids, seconds=0.1, rate=8000)
+        df = decode_wav_features(wavs, n_windows=4).to_pandas()
+        df["rms_mean"] = df.rms_windows.map(lambda a: float(np.round(np.mean(a), 6)))
+        out = df[["doc_id", "sample_rate", "n_channels", "duration_sec", "rms_mean"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     return {
         # --- relational / facet shapes (cheapest entries first so a
         #     driver-side tail timeout can't drop their rows — the r2
@@ -262,6 +278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "cur_source_quota": lambda sf: curation.quota_per_group(
             _docs(sf), group_col="source", n=5).to_pandas(),
+        # real stdlib-wave audio decode over synthesized payloads
+        # (rows-only: binary codec path; analytic RMS pinned in pytest)
+        "mm_wav_stats": _mm_wav_stats,
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---

@@ -307,6 +307,24 @@ class TestAnn:
 
 
 class TestMultimodal:
+    def test_wav_decode_real_codec(self, ray_session):
+        """The audio leg is a REAL stdlib-wave decoder: sample rate,
+        duration and windowed RMS must match the analytic sine values."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.multimodal import (
+            decode_wav_features, to_wav_payloads)
+
+        rows = [{"doc_id": i} for i in range(12)]
+        wavs = to_wav_payloads(rd.from_items(rows), seconds=0.25, rate=8000)
+        df = decode_wav_features(wavs, n_windows=4).to_pandas()
+        assert (df.sample_rate == 8000).all()
+        assert (df.n_channels == 1).all()
+        assert np.allclose(df.duration_sec, 0.25)
+        # sine at amplitude 0.5 -> RMS ~ 0.5/sqrt(2) in every window
+        rms = np.stack(df.rms_windows.to_numpy())
+        assert np.allclose(rms, 0.5 * 32767 / 32768 / np.sqrt(2), atol=5e-3)
+
     def test_binary_payload_plumbing(self, docs_ds):
         from yetisearch_ray.pipelines.multimodal import (
             decode_features,
