@@ -75,10 +75,17 @@ def order_revenue_topk(sf_dir: str, k: int = 10, num_partitions: int = 8):
     joined = per_order.join(orders, join_type="inner",
                             num_partitions=num_partitions,
                             on=("l_orderkey",), right_on=("o_orderkey",))
-    pdf = joined.to_pandas()
-    pdf["revenue"] = pdf["revenue"].round(4)
-    pdf = (pdf.sort_values(["revenue", "l_orderkey"],
-                           ascending=[False, True]).head(k))
+
+    def round_rev(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("revenue"), "revenue",
+                            pc.round(t["revenue"], ndigits=4))
+
+    # top-k via distributed sort+limit — only k rows ever reach the
+    # driver, never the full per-order table
+    top = (joined.map_batches(round_rev, batch_format="pyarrow")
+           .sort(["revenue", "l_orderkey"], descending=[True, False])
+           .limit(k))
+    pdf = top.to_pandas()
     return pdf.reset_index(drop=True)[["l_orderkey", "o_orderpriority", "revenue"]]
 
 
