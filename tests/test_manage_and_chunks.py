@@ -181,6 +181,27 @@ class TestManagement:
         assert victim not in eng2.search("return", limit=1000,
                                          normalize=False)["doc_id"].to_pylist()
 
+    def test_meta_lookup_non_dense_after_optimize(self, small_index):
+        """Delete + optimize leaves gaps in the doc_id space, so the
+        dense direct-index fast path must disable itself and the sorted
+        fallback must return exactly the doclens parquet values."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        eng = SearchEngine(open_index(small_index))
+        victim = eng.search("return", limit=1, normalize=False)["doc_id"][0].as_py()
+        delete_docs(small_index, [victim])
+        optimize_index(small_index)
+        rd = open_index(small_index)
+        rd._load_meta()
+        assert rd._meta_dense is False  # gap at `victim`
+        dl = pq.read_table(os.path.join(small_index, "doclens"),
+                           columns=["doc_id", "dl"]).to_pandas()
+        truth = dict(zip(dl.doc_id, dl.dl))
+        probe = np.array(sorted(truth)[:50], dtype=np.uint64)
+        got = rd.dl_total_for(probe)
+        assert got.tolist() == [truth[d] for d in probe.tolist()]
+
     def test_stats_by_language(self, small_index):
         st = index_stats(small_index, by="lang")
         assert sum(st["by_lang"].values()) == st["n_docs"]
