@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real stdlib-wave audio decode over synthesized payloads
         # (rows-only: binary codec path; analytic RMS pinned in pytest)
         "mm_wav_stats": _mm_wav_stats,
+        "cur_pack_bins": lambda sf: curation.pack_token_bins(
+            textstats.token_counts(_docs(sf)), budget=2048).to_pandas(),
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
@@ -398,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": oracles.FINGERPRINT_SQL,
         "text_repetition": oracles.REPETITION_SQL,
         "cur_source_quota": oracles.QUOTA_SQL,
+        "cur_pack_bins": oracles.PACK_BINS_SQL,
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),

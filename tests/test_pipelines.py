@@ -196,6 +196,24 @@ class TestTextstats:
         assert got.n_subwords.tolist() == want.n_subwords.tolist()
 
 
+class TestPacking:
+    def test_pack_token_bins_prefix_sum(self, ray_session):
+        """bin = floor(prefix-sum-before / budget), independent of Ray
+        block/range boundaries (range_size smaller than the doc count
+        forces the cross-range offset path)."""
+        import ray.data as rd
+
+        rows = [{"doc_id": i, "n_tokens": 100} for i in range(20)]
+        from yetisearch_ray.pipelines.curation import pack_token_bins
+
+        got = pack_token_bins(rd.from_items(rows), budget=250,
+                              range_size=4).to_pandas()
+        # prefix sums 0,100,...,1900 -> bins 0,0,0,1,1,2,2,(2),3...
+        want = [(i * 100) // 250 for i in range(20)]
+        assert got.bin_id.tolist() == want
+        assert got.doc_id.tolist() == list(range(20))
+
+
 class TestRelationalJoin:
     def test_order_revenue_join_matches_duckdb(self, ray_session):
         """Native Dataset.join (hash, both sides shuffled) vs DuckDB."""

@@ -15,6 +15,55 @@ import pandas as pd
 import pyarrow as pa
 
 
+def pack_token_bins(ds, *, budget: int = 2048, id_col: str = "doc_id",
+                    tok_col: str = "n_tokens", range_size: int = 4096):
+    """Greedy contiguous sequence packing: assign each doc (ordered by
+    id) to token bin ``floor(prefix_sum_before / budget)`` — the sample
+    packing step that turns a curated corpus into ~budget-token training
+    sequences.
+
+    Distributed prefix sum, two passes over fixed ID RANGES (not Ray
+    blocks, so the result is independent of block boundaries):
+    pass 1 computes per-range token sums (one tiny row per
+    ``range_size`` ids — the only driver-side table, N/range_size rows;
+    raise range_size at scale), whose cumsum gives each range's global
+    offset, broadcast via ``ray.put``; pass 2 is a per-range
+    ``map_groups`` local cumsum + offset.  Returns (id, bin_id) sorted
+    by id; SQL equivalent is a window prefix sum.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        rng = (t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+               // range_size)
+        return t.append_column("_rng", pa.array(rng, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    sums = (tagged.groupby("_rng").aggregate(Sum(tok_col, alias_name="s"))
+            .to_pandas().sort_values("_rng"))
+    offsets = dict(zip(sums["_rng"].astype(int),
+                       (sums["s"].cumsum() - sums["s"]).astype(int)))
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bin_id": pa.array([], pa.int64())})
+        off = ray.get(off_ref)[int(t["_rng"][0].as_py())]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        toks = t[tok_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        csum_before = np.cumsum(toks[order]) - toks[order]
+        bins = (off + csum_before) // budget
+        return pa.table({id_col: pa.array(ids[order].astype(np.int64), pa.int64()),
+                         "bin_id": pa.array(bins, pa.int64())})
+
+    out = tagged.groupby("_rng").map_groups(assign, batch_format="pyarrow")
+    return out.sort(id_col)
+
+
 def quota_per_group(ds, *, group_col: str = "source", n: int = 5,
                     id_col: str = "doc_id"):
     """Keep the first ``n`` rows per group (ordered by ``id_col``) —

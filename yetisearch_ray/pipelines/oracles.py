@@ -536,6 +536,19 @@ WITH t AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents)
 SELECT doc_id::BIGINT AS doc_id, {case} AS pred_lang FROM t"""
 
 
+# Ground truth for curation.pack_token_bins (sequence packing): bin =
+# floor(prefix-sum-of-tokens-before-this-doc / budget), docs ordered by id
+PACK_BINS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({TOKENS_EXPR})::BIGINT AS n FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (COALESCE(sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) // 2048)::BIGINT AS bin_id
+FROM t ORDER BY doc_id"""
+
+
 # Ground truth for curation.quota_per_group (domain caps)
 QUOTA_SQL = """
 SELECT doc_id::BIGINT AS doc_id, source
