@@ -1,17 +1,15 @@
-"""Corpus-curation operators: per-group quotas (domain caps).
+"""Corpus-curation operators: per-group quotas (domain caps) and
+sequence packing (token-bin assignment).
 
-A pretraining mix caps how many documents any one source/domain may
-contribute.  The scale shape matters: naively `groupby(source)` pulls
-every row of a hot domain into one task.  Instead each batch emits at
-most ``n`` candidate rows per group it contains (map-side partial), so
-the shuffle moves O(n x groups-per-batch) rows — bounded by the quota,
-not by the domain size — and the final per-group selection runs over
-those candidates only.
+Scale shapes are the point here: quotas bound the shuffle by the quota
+(map-side partial top-n per group), not by the hot domain's size; the
+packing prefix sum runs over fixed ID ranges so the only driver-side
+table is one row per range and results never depend on Ray block
+boundaries.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 
