@@ -81,6 +81,18 @@ class TestUpdateDocumentContract:
         assert tombstones(ys._dir("b")) == before
         assert ys.count_documents("b") == 2
 
+    def test_update_on_empty_index_raises_keyerror(self, tmp_path):
+        """An index with no documents yet (right after create_index)
+        must raise the documented KeyError, not ArrowInvalid from
+        projecting a column on an empty docstore directory."""
+        from yetisearch_ray.facade import YetiSearchRay
+
+        ys = YetiSearchRay(str(tmp_path / "empty_upd"))
+        ys.create_index("b", fields=["title", "content"])
+        with pytest.raises(KeyError):
+            ys.update_document("b", 0, {"content": {"title": "X",
+                                                    "content": "y"}})
+
     def test_update_replaces_and_returns_fresh_id(self, ys):
         old = ys.last_assigned_ids[0]
         new_id = ys.update_document(

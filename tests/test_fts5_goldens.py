@@ -135,6 +135,17 @@ class TestFts5RankIdentity:
                             k=30, near_distance=dist),
                 fts5_topk(self.db, m, k=30), ctx=m)
 
+    def test_near_single_phrase_scores_like_plain_term(self):
+        """FTS5 scores a one-phrase NEAR() like a plain term query —
+        the degenerate group must still carry BM25 scores (it once
+        returned every match at score 0)."""
+        for t in ["parse", "stream", "merge"]:
+            assert_rank_identical(
+                engine_topk(self.eng, t, mode="near", k=30,
+                            near_distance=10),
+                fts5_topk(self.db, f"NEAR({t}, 10)", k=30),
+                ctx=f"NEAR({t})")
+
     def test_not_exclusion(self):
         """FTS5 ``a NOT b``: b filters the doc set, contributes no tf."""
         for inc, exc in [("parse", "buffer"), ("retry", "deadline"),

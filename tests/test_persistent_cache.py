@@ -181,3 +181,35 @@ class TestEngineIntegration:
         fm = ys2.engine("b").fuzzy_matcher
         assert fm._persistent is not None
         ys2.close()
+
+    def test_append_invalidates_disk_tier(self, tmp_path):
+        """Appends must invalidate too (regression: the cache key was
+        tombstone_version, bumped only on delete, so a cross-process
+        cache served pre-append results for up to TTL)."""
+        root = str(tmp_path / "ix")
+        ys = self._mk(root)
+        ys.create_index("b", fields=["title", "content"])
+        ys.index_batch("b", self.DOCS)
+        r1 = ys.search("b", "rocket", limit=10, normalize=False)
+        n1 = r1.num_rows
+        ys.index_batch("b", [{"content": {"title": "Rocket redux",
+                                          "content": "rocket rocket"}}])
+        ys.close()
+        ys2 = self._mk(root)
+        r2 = ys2.search("b", "rocket", limit=10, normalize=False)
+        assert r2.num_rows == n1 + 1  # fresh result, not the cached one
+        ys2.close()
+
+    def test_mutation_pop_flushes_fuzzy_tier(self, tmp_path):
+        """Releasing an engine on index mutation must flush pending
+        fuzzy-cache entries (a bare pop lost up to 31 of them)."""
+        root = str(tmp_path / "ix")
+        ys = self._mk(root)
+        ys.create_index("b", fields=["title", "content"])
+        ys.index_batch("b", self.DOCS)
+        ys.search("b", "roket", fuzzy=True, normalize=False)
+        # mutation releases the engine — pending entries must hit disk
+        ys.index_batch("b", [{"content": {"title": "x", "content": "y z"}}])
+        f = FuzzyTermCache("b", root)
+        assert len(f) >= 1
+        ys.close()

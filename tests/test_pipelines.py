@@ -153,6 +153,25 @@ class TestTextstats:
         df = rolling_fingerprint(docs_ds).to_pandas()
         assert df.fingerprints.map(len).min() >= 1
 
+    def test_quality_scores_whitespace_edges(self, ray_session):
+        """Trailing newline / empty / whitespace-only texts: n_tokens
+        and means must match Python str.split() exactly (the Arrow
+        split keeps empty tokens unless re-filtered — regression)."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import quality_scores
+
+        cases = ["hello world\n", "", "  ", " the and of a b ", "one"]
+        rows = [{"doc_id": i, "text": s} for i, s in enumerate(cases)]
+        df = (quality_scores(rd.from_items(rows)).to_pandas()
+              .set_index("doc_id"))
+        for i, s in enumerate(cases):
+            toks = s.split()
+            assert df.loc[i, "n_tokens"] == len(toks), s
+            want_ml = (round(sum(map(len, toks)) / len(toks), 6)
+                       if toks else 0.0)
+            assert df.loc[i, "mean_token_len"] == want_ml, s
+
     def test_repetition_stats_planted(self, ray_session):
         import ray.data as rd
 
@@ -233,6 +252,22 @@ class TestRelationalJoin:
 
 
 class TestCuration:
+    def test_quota_null_group_is_one_partition(self, ray_session):
+        """SQL PARTITION BY parity: NULL groups form one partition and
+        must not crash Ray's sort-based groupby (None vs str compare)."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.curation import quota_per_group
+
+        rows = [{"doc_id": 0, "source": None}, {"doc_id": 1, "source": "a"},
+                {"doc_id": 2, "source": None}, {"doc_id": 3, "source": "a"},
+                {"doc_id": 4, "source": None}, {"doc_id": 5, "source": "b"}]
+        df = quota_per_group(rd.from_items(rows), group_col="source",
+                             n=2).to_pandas()
+        assert df.doc_id.tolist() == [0, 1, 2, 3, 5]
+        assert df[df.doc_id.isin([0, 2])].source.isna().all()
+        assert "_gkey" not in df.columns
+
     def test_quota_per_group(self, ray_session):
         """First-n-per-group by id, with a hot group exceeding the cap;
         shuffle volume is bounded by the quota via map-side partials."""

@@ -60,19 +60,19 @@ class YetiSearchRay:
         from .index.manage import drop_index
 
         drop_index(self._dir(name))
-        self._engines.pop(name, None)
+        self._release_engine(name)
 
     def clear(self, name: str) -> None:
         from .index.manage import clear_index
 
         clear_index(self._dir(name))
-        self._engines.pop(name, None)
+        self._release_engine(name)
 
     def optimize(self, name: str) -> dict:
         from .index.manage import optimize_index
 
         out = optimize_index(self._dir(name))
-        self._engines.pop(name, None)
+        self._release_engine(name)
         return out
 
     def stats(self, name: str, by: str | None = None) -> dict:
@@ -158,7 +158,7 @@ class YetiSearchRay:
         ds = rd.from_arrow(t)
         build_index(ds, idx_dir, cfg, append=append, balance_hot_terms=False,
                     input_fingerprint=f"facade:{len(docs)}")
-        self._engines.pop(name, None)
+        self._release_engine(name)
         ids = [int(i) for i in t[cfg.id_column].to_pylist()]
         self.last_assigned_ids = ids
         return ids
@@ -202,7 +202,7 @@ class YetiSearchRay:
         from .index.manage import delete_docs
 
         n = delete_docs(self._dir(name), doc_ids)
-        self._engines.pop(name, None)
+        self._release_engine(name)
         return n
 
     def search_multiple(self, names: list[str], query: str, **kwargs) -> pa.Table:
@@ -262,8 +262,14 @@ class YetiSearchRay:
 
         docs_dir = os.path.join(idx_dir, "docs")
         id_col = man.config["id_column"]
-        t = pq.read_table(docs_dir, columns=[id_col],
-                          filters=[(id_col, "=", doc_id)])
+        try:
+            t = pq.read_table(docs_dir, columns=[id_col],
+                              filters=[(id_col, "=", doc_id)])
+        except Exception:
+            # empty docstore dir (e.g. right after create_index) has no
+            # schema to project against — no docs means "not found",
+            # so update_document raises the documented KeyError
+            return False
         return t.num_rows > 0
 
     def delete_by_id_prefix(self, name: str, column: str, prefix: str) -> int:
@@ -273,7 +279,7 @@ class YetiSearchRay:
         from .index.manage import delete_by_prefix
 
         n = delete_by_prefix(self._dir(name), column, prefix)
-        self._engines.pop(name, None)
+        self._release_engine(name)
         return n
 
     def rebuild(self, name: str) -> dict:
@@ -281,7 +287,7 @@ class YetiSearchRay:
         from .index.manage import rebuild_index
 
         out = rebuild_index(self._dir(name))
-        self._engines.pop(name, None)
+        self._release_engine(name)
         return out
 
     def count_documents(self, name: str) -> int:
@@ -335,14 +341,28 @@ class YetiSearchRay:
     drop_index = drop                     # dropIndex (:141)
     rebuild_fts = rebuild                 # rebuildFts (:396)
 
+    def _release_engine(self, name: str) -> None:
+        """Drop a cached engine AFTER flushing its persistent tiers —
+        a bare pop() loses pending fuzzy-cache entries and leaks the
+        query cache's SQLite connection."""
+        eng = self._engines.pop(name, None)
+        if eng is None:
+            return
+        fz = getattr(eng, "_fuzzy", None)
+        if fz is not None and getattr(fz, "_persistent", None) is not None:
+            try:
+                fz._persistent.save()
+            except Exception:
+                pass
+        pq_cache = getattr(eng, "_persistent", None)
+        if pq_cache is not None:
+            try:
+                pq_cache.close()
+            except Exception:
+                pass
+
     def close(self) -> None:
         """Flush persistent cache tiers and release cached engines
         (reference ``close()`` :678 saves the fuzzy cache file)."""
-        for eng in self._engines.values():
-            fz = getattr(eng, "_fuzzy", None)
-            if fz is not None and getattr(fz, "_persistent", None) is not None:
-                fz._persistent.save()
-            pq = getattr(eng, "_persistent", None)
-            if pq is not None:
-                pq.close()
-        self._engines.clear()
+        for name in list(self._engines):
+            self._release_engine(name)

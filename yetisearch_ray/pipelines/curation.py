@@ -71,20 +71,25 @@ def quota_per_group(ds, *, group_col: str = "source", n: int = 5,
     ORDER BY id) <= n``.  Returns (id, group) sorted by id.
     """
 
+    # Ray's sort-based groupby cannot compare None with str, so NULL
+    # groups ride a non-null sentinel key (kept out of the output);
+    # SQL's PARTITION BY treats NULLs as one partition, and so does this.
+    _NULL_KEY = "\x00<null-group>"
+
     def partial(t: pa.Table) -> pa.Table:
         df = t.select([id_col, group_col]).to_pandas()
-        # dropna=False: a NULL group is still one partition, matching
-        # SQL's PARTITION BY semantics
-        df = (df.sort_values([group_col, id_col], kind="stable")
-              .groupby(group_col, sort=False, dropna=False).head(n))
+        df["_gkey"] = df[group_col].fillna(_NULL_KEY)
+        df = (df.sort_values(["_gkey", id_col], kind="stable")
+              .groupby("_gkey", sort=False).head(n))
         return pa.Table.from_pandas(df, preserve_index=False)\
             .replace_schema_metadata(None)
 
     def final(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(id_col, kind="stable").head(n)
+        df = (t.to_pandas().drop(columns=["_gkey"])
+              .sort_values(id_col, kind="stable").head(n))
         return pa.Table.from_pandas(df, preserve_index=False)\
             .replace_schema_metadata(None)
 
     cands = ds.map_batches(partial, batch_format="pyarrow")
-    kept = cands.groupby(group_col).map_groups(final, batch_format="pyarrow")
+    kept = cands.groupby("_gkey").map_groups(final, batch_format="pyarrow")
     return kept.sort(id_col)

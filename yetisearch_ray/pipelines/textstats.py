@@ -45,7 +45,7 @@ def token_counts(ds, *, text_col="text", id_col="doc_id"):
     def fn(t: pa.Table) -> pa.Table:
         arr = pc.fill_null(t[text_col], "").combine_chunks()
         # Token = run of non-whitespace, RE2 semantics (\s is ASCII
-        # [\t\n\f\r\v ]) — identical to the DuckDB oracle's
+        # [\t\n\f\r ]) — identical to the DuckDB oracle's
         # string_split_regex(text,'\s+') + non-empty filter.  Both
         # engines are RE2, so NBSP/U+2028 corpora agree too.
         n_tok = pc.count_substring_regex(arr, pattern=r"\S+")
@@ -62,7 +62,13 @@ def token_counts(ds, *, text_col="text", id_col="doc_id"):
 def _split_tokens(col: pa.ChunkedArray):
     """Whitespace-tokenize a string column with Arrow kernels; returns
     (flat token StringArray, int64 doc offsets into it).  Matches Python
-    ``str.split()``: any Unicode whitespace, empties elided."""
+    ``str.split()``: any Unicode whitespace, empties elided.
+
+    utf8_split_whitespace keeps empty strings for leading/trailing
+    whitespace (and yields [''] for an empty input), so the flat array
+    is re-filtered to non-empty tokens and the offsets rebuilt from the
+    per-doc surviving counts — otherwise n_tokens/ratios are wrong for
+    any text with a trailing newline."""
     import pyarrow.compute as pc
 
     arr = pc.fill_null(col, "").combine_chunks()
@@ -71,7 +77,12 @@ def _split_tokens(col: pa.ChunkedArray):
         splits = splits.combine_chunks()
     values = splits.flatten()
     offs = np.asarray(splits.offsets, dtype=np.int64)
-    return arr, values, offs - offs[0]
+    offs = offs - offs[0]
+    nonempty = np.asarray(pc.not_equal(values, "")).astype(np.int64)
+    keep_counts = _seg_sum(nonempty, offs)
+    values = values.filter(pa.array(nonempty.astype(bool)))
+    new_offs = np.concatenate([[0], np.cumsum(keep_counts, dtype=np.int64)])
+    return arr, values, new_offs
 
 
 def _seg_sum(flat: np.ndarray, offs: np.ndarray) -> np.ndarray:
@@ -159,9 +170,7 @@ def repetition_stats(ds, *, text_col="text", id_col="doc_id"):
     exactly.  Returns (id, dup_line_frac, dup_ngram_frac), round-6."""
     import pandas as pd
 
-    import re as _re
-
-    ws_re = _re.compile(r"[\t\n\f\r ]+")
+    from .dedup import _WS_RE as ws_re  # ONE RE2-parity tokenizer source
 
     def fn(t: pa.Table) -> pa.Table:
         texts = pd.Series(t[text_col].to_pylist()).fillna("")

@@ -79,6 +79,24 @@ class IndexReader:
         self.tombstones = np.array(
             sorted(self.manifest.data.get("tombstones", [])), dtype=np.uint64
         )
+        # Content-derived mutation version: ANY committed change —
+        # append (new partitions/stats), delete (tombstones), optimize/
+        # rebuild/clear (partition set) — yields a new value, so every
+        # cache tier keyed on it (query cache, persistent query cache,
+        # fuzzy term/correction cache) invalidates without coordination.
+        # tombstone_version alone missed appends/rebuilds.
+        import hashlib as _hashlib
+        import json as _json
+
+        md = self.manifest.data
+        state = _json.dumps({
+            "parts": sorted((k, v.get("bytes", 0), v.get("rows", 0))
+                            for k, v in (md.get("partitions") or {}).items()),
+            "tombv": md.get("tombstone_version", 0),
+            "ntomb": len(md.get("tombstones", [])),
+            "stats": md.get("stats"),
+        }, sort_keys=True, default=str)
+        self.mutation_version = _hashlib.md5(state.encode()).hexdigest()[:16]
         self._cache: OrderedDict[str, dict[int, Posting]] = OrderedDict()
         self._cache_max = cache_terms
         self._docs_dir = os.path.join(index_dir, "docs")
@@ -443,6 +461,7 @@ class SearchEngine:
                 algorithm=self.fuzzy_algorithm, fuzziness=self.fuzziness,
                 min_part_frequency=min_part,
                 persistent_cache=self._persistent_fuzzy,
+                version=self.index.mutation_version,
             )
         return self._fuzzy
 
@@ -813,7 +832,12 @@ class SearchEngine:
             score_contrib = term_idf * (tfw * (K1 + 1.0)) / denom
             np.add(score, np.where(tfw > 0, score_contrib, 0.0), out=score)
 
-        if cq.mode != "near":  # near mode: phrases are bookkeeping only
+        # near mode: phrases are bookkeeping only — EXCEPT when the NEAR
+        # group degenerates to a single member, where FTS5 scores
+        # NEAR(term) exactly like a plain term query (the NEAR-arm
+        # contribution below requires >1 members and would otherwise
+        # leave every match at score 0)
+        if cq.mode != "near" or len(cq.near_terms or []) <= 1:
             for ph, posts in zip(cq.phrases, phrase_posts):
                 add_phrase(posts, key=self._arm_key(ph))
         # NEAR-arm contribution (smart mode only): FTS5's bm25() scores
@@ -950,7 +974,7 @@ class SearchEngine:
                          tuple(result_fields or ()),
                          repr(sort), repr(geo_filters), distance_weight,
                          merge_tokens, enable_suggestions, near_distance,
-                         self.index.manifest.data.get("tombstone_version", 0))
+                         self.index.mutation_version)
             hit = self._result_cache.get(cache_key)
             if hit is not None:
                 import time as _time

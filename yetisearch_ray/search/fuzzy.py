@@ -72,7 +72,8 @@ class FuzzyMatcher:
                  total_max_variations: int = 30,
                  cache_size: int = 10000,
                  min_part_frequency: int = 5,
-                 persistent_cache=None):
+                 persistent_cache=None,
+                 version: str = ""):
         # term -> df; coerce to plain int (numpy uint64 values overflow
         # under unary negation in sort keys)
         self.dict = {t: int(f) for t, f in dictionary.items()}
@@ -91,6 +92,11 @@ class FuzzyMatcher:
         # configured algorithm/limit only — the reference keys the file
         # by bare term, so override calls bypass it
         self._persistent = persistent_cache
+        # index mutation version namespaces every persistent key: the
+        # dictionary these variations/corrections were computed against
+        # changes whenever the index does, and an unversioned entry
+        # would be served forever (stale corrections to vanished terms)
+        self.version = version
         self._persist_pending = 0
         # length buckets for candidate prefiltering
         self._by_len: dict[int, list[str]] = {}
@@ -171,10 +177,11 @@ class FuzzyMatcher:
             if hit is not None:
                 self._cache.move_to_end(key)
                 return hit
-            disk = self._persistent.get(term)
+            pkey = f"{self.version}:{term}"
+            disk = self._persistent.get(pkey)
             if disk is None:
                 disk = compute()
-                self._persistent.set(term, disk)
+                self._persistent.set(pkey, disk)
                 self._persist_pending += 1
                 if self._persist_pending >= 32:
                     self._persistent.save()
@@ -269,11 +276,12 @@ class FuzzyMatcher:
         # the reference's "fuzzy term mappings" file — corrections are
         # the hot mapping on this engine's default fuzzy path)
         if self._persistent is not None:
-            disk = self._persistent.get("corr:" + low)
+            ckey = f"corr:{self.version}:{low}"
+            disk = self._persistent.get(ckey)
             if disk is not None:
                 return disk[0] if disk else None
             out = self._find_best_correction(low)
-            self._persistent.set("corr:" + low, [out] if out else [])
+            self._persistent.set(ckey, [out] if out else [])
             self._persist_pending += 1
             if self._persist_pending >= 32:
                 self._persistent.save()
