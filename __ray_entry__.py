@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), [_query_text(sf, 0), _query_text(sf, 1)]).to_pandas(),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_dedup_pairs(
             _docs(sf), threshold=0.5).to_pandas(),
+        "dedup_minhash_clusters": lambda sf: dedup.minhash_dedup_clusters(
+            _docs(sf), threshold=0.5).to_pandas(),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
             _docs(sf)).to_pandas(),
         # --- fuzzy conformance (reference benchmarks/benchmark.php:211-327;
@@ -278,6 +280,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "cur_source_quota": lambda sf: curation.quota_per_group(
             _docs(sf), group_col="source", n=5).to_pandas(),
+        # PII entries run over a deterministically seeded corpus (the
+        # synthetic text is digit-free) — the oracle seeds identically
+        "cur_pii_scan": lambda sf: curation.pii_scan(
+            curation.seed_pii_column(_docs(sf))).to_pandas(),
+        "cur_pii_redact": lambda sf: curation.pii_redact(
+            curation.seed_pii_column(_docs(sf))).to_pandas(),
+        "cur_hash_split": lambda sf: curation.hash_split(_docs(sf)).to_pandas(),
         # real stdlib-wave audio decode over synthesized payloads
         # (rows-only: binary codec path; analytic RMS pinned in pytest)
         "mm_wav_stats": _mm_wav_stats,
@@ -351,6 +360,7 @@ def _code_engine(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     code = oracles.code_corpus_cte(_CODE_GLOB_001)
+    from yetisearch_ray.pipelines.curation import PII_PATTERNS
     from yetisearch_ray.pipelines.textstats import LANG_MARKERS, _LANG_ORDER
 
     return {
@@ -393,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_topk": oracles.jaccard_topk_sql(query_doc_id=0, k=10),
         "dedup_decontaminate": oracles.decontaminate_sql((0, 1)),
         "dedup_minhash_pairs": oracles.MINHASH_PAIRS_SQL,
+        "dedup_minhash_clusters": oracles.MINHASH_CLUSTERS_SQL,
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
@@ -401,6 +412,9 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": oracles.REPETITION_SQL,
         "cur_source_quota": oracles.QUOTA_SQL,
         "cur_pack_bins": oracles.PACK_BINS_SQL,
+        "cur_pii_scan": oracles.pii_scan_sql(PII_PATTERNS),
+        "cur_pii_redact": oracles.pii_redact_sql(PII_PATTERNS),
+        "cur_hash_split": oracles.hash_split_sql(),
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),

@@ -1,16 +1,19 @@
-"""Corpus-curation operators: per-group quotas (domain caps) and
-sequence packing (token-bin assignment).
+"""Corpus-curation operators: per-group quotas (domain caps), sequence
+packing (token-bin assignment), PII scanning/redaction, and
+deterministic hash splits.
 
 Scale shapes are the point here: quotas bound the shuffle by the quota
 (map-side partial top-n per group), not by the hot domain's size; the
 packing prefix sum runs over fixed ID ranges so the only driver-side
 table is one row per range and results never depend on Ray block
-boundaries.
+boundaries; PII scan/redact and hash-split are embarrassingly parallel
+``map_batches`` with zero shuffle.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def pack_token_bins(ds, *, budget: int = 2048, id_col: str = "doc_id",
@@ -93,3 +96,132 @@ def quota_per_group(ds, *, group_col: str = "source", n: int = 5,
     cands = ds.map_batches(partial, batch_format="pyarrow")
     kept = cands.groupby("_gkey").map_groups(final, batch_format="pyarrow")
     return kept.sort(id_col)
+
+
+# ------------------------------------------------------------------ PII
+#
+# RE2 patterns shared verbatim by the Arrow kernels AND the DuckDB
+# oracles (both engines are RE2-based, so non-overlapping leftmost
+# match counts and global replacement agree exactly).  Kept simple on
+# purpose: the point is the distributed scan/redact plumbing; a
+# production deployment swaps in its own pattern registry.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}",
+}
+
+
+def seed_pii_column(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministically append synthetic PII to a fraction of docs
+    (keyed on ``id_col`` residues) so PII operators have non-trivial
+    ground truth over the digit-free synthetic corpus.  The identical
+    injection is expressible in SQL (string concat on the same
+    residues), which is what makes the PII entries oracle-checkable.
+    Test/benchmark seeding only — not part of the production pipeline.
+    """
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        txt = t[text_col].to_pylist()
+        out = []
+        for i, s in zip(ids, txt):
+            s = s or ""
+            i = int(i)
+            if i % 7 == 0:
+                s += f" contact{i}@example.com"
+            if i % 11 == 0:
+                s += f" host 10.{i % 200}.0.{i % 250}"
+            if i % 13 == 0:
+                s += f" call +1-555-{100 + i % 900}-{1000 + i % 9000}"
+            out.append(s)
+        return t.set_column(t.column_names.index(text_col), text_col,
+                            pa.array(out, pa.string()))
+
+    return ds.map_batches(seed, batch_format="pyarrow")
+
+
+def pii_scan(ds, *, text_col: str = "text", id_col: str = "doc_id",
+             patterns: dict | None = None):
+    """Per-doc PII match counts — one ``pc.count_substring_regex``
+    (RE2, vectorized, zero-copy Arrow) per pattern, no shuffle.
+    Returns (id, n_<kind>..., has_pii) sorted by id.
+    """
+    pats = patterns or PII_PATTERNS
+
+    def scan(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col]}
+        total = None
+        for kind, pat in pats.items():
+            n = pc.count_substring_regex(t[text_col], pat)
+            n = n.cast(pa.int64())
+            cols[f"n_{kind}"] = n
+            total = n if total is None else pc.add(total, n)
+        cols["has_pii"] = pc.cast(pc.greater(total, 0), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort(id_col)
+
+
+def pii_redact(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               patterns: dict | None = None):
+    """Global PII redaction: each pattern's matches replaced with
+    ``[<KIND>]`` via ``pc.replace_substring_regex`` (RE2 global
+    replace).  Returns (id, text_redacted, redacted_md5) sorted by id —
+    the md5 column lets an oracle pin the full redacted text without
+    shipping it through the compare."""
+    import hashlib
+
+    pats = patterns or PII_PATTERNS
+
+    def redact(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        for kind, pat in pats.items():
+            s = pc.replace_substring_regex(s, pat, f"[{kind.upper()}]")
+        md5s = [hashlib.md5((v or "").encode("utf-8")).hexdigest()
+                for v in s.to_pylist()]
+        return pa.table({id_col: t[id_col], "text_redacted": s,
+                         "redacted_md5": pa.array(md5s, pa.string())})
+
+    return ds.map_batches(redact, batch_format="pyarrow").sort(id_col)
+
+
+# ----------------------------------------------------------- hash split
+
+
+def hash_split(ds, *, id_col: str = "doc_id",
+               fractions: tuple = (0.8, 0.1, 0.1),
+               names: tuple = ("train", "val", "test"),
+               buckets: int = 1000):
+    """Deterministic train/val/test assignment: bucket =
+    ``md5_u64(str(id)) % buckets`` (the repo's DuckDB-replicable
+    ``md5_number_lower`` idiom, see dedup._md5_u64_tokens), split by
+    cumulative fraction thresholds.  Stable across runs, machines and
+    block boundaries — the property random_shuffle-based splits lack.
+    Zero shuffle; returns (id, bucket, split) sorted by id.
+    """
+    import numpy as np
+
+    from .dedup import _md5_u64_tokens
+
+    edges = []
+    acc = 0.0
+    for f in fractions:
+        acc += f
+        edges.append(int(round(acc * buckets)))
+    edges[-1] = buckets  # close rounding gaps
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (_md5_u64_tokens(np.array([str(int(i)) for i in ids],
+                                      dtype=object)) % buckets).astype(np.int64)
+        split = np.empty(b.size, dtype=object)
+        lo = 0
+        for name, hi in zip(names, edges):
+            split[(b >= lo) & (b < hi)] = name
+            lo = hi
+        return pa.table({id_col: t[id_col],
+                         "bucket": pa.array(b, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort(id_col)

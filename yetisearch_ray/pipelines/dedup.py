@@ -649,3 +649,110 @@ def ngram_jaccard_vs_query(ds, query_text: str, *, text_col="text",
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["jaccard", id_col], descending=[True, False]).limit(k)
+
+
+# -------------------------------------------------- dedup clusters (CC)
+
+
+def connected_components(pairs, *, id_a="id_a", id_b="id_b",
+                         driver_threshold: int = 200_000,
+                         num_partitions: int | None = None,
+                         max_rounds: int = 64):
+    """Near-duplicate CLUSTERS from a verified pair table: connected
+    components over the pair graph, labeled by the component's minimum
+    doc id (the canonical survivor).  Returns a Dataset of
+    (doc_id, cluster_id) for every doc appearing in a pair, sorted by
+    doc_id; docs absent from the output are singletons (survivors by
+    definition), so the keep-set is ``singletons ∪ {doc_id ==
+    cluster_id}``.
+
+    Two paths, same answer (equality pinned by test):
+
+    * pair tables below ``driver_threshold`` rows — the common dedup
+      case, since verified pairs are output-bounded — are solved with
+      driver-side union-find (O(E α(E)); this is the standard move in
+      production dedup pipelines once edges fit in one process).
+    * larger tables run DISTRIBUTED min-label propagation: symmetric
+      edges with self-loops, then per round ``labels' = min over
+      in-neighbors' labels`` via one hash join + one groupby-min.
+      Labels only decrease, so the label SUM is a strictly decreasing
+      fixpoint detector costing O(1) driver bytes per round.  Rounds =
+      component diameter — small for near-dup clusters, which are
+      dense by construction (every member pair-verified against the
+      shared boilerplate); ``max_rounds`` guards pathological chains.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    if not isinstance(pairs, pd.DataFrame):
+        # count() + to_pandas() would otherwise re-execute the (possibly
+        # expensive) upstream pair pipeline; the pair table is output-
+        # bounded, so pinning its blocks once is cheap
+        pairs = pairs.materialize()
+    n_pairs = len(pairs) if isinstance(pairs, pd.DataFrame) else pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "cluster_id": pa.array([], pa.int64())}))
+
+    if n_pairs < driver_threshold:
+        df = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(df[id_a].astype(int), df[id_b].astype(int)):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(set(df[id_a].astype(int)) | set(df[id_b].astype(int)))
+        out = pa.table({
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array([find(n) for n in nodes], pa.int64())})
+        return rd.from_arrow(out)
+
+    num_partitions = _default_join_partitions(num_partitions)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[id_a].combine_chunks().cast(pa.int64())
+        b = t[id_b].combine_chunks().cast(pa.int64())
+        # symmetric edges + self-loops (a,a), (b,b)
+        src = pa.concat_arrays([a, b, a, b])
+        dst = pa.concat_arrays([b, a, a, b])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = (pairs.map_batches(sym, batch_format="pyarrow")
+             .select_columns(["src", "dst"]).materialize())
+    labels = (edges.groupby("src").aggregate(Min("dst", alias_name="lbl"))
+              .rename_columns({"src": "node"}).materialize())
+    prev = None
+    for _ in range(max_rounds):
+        cur = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        if prev is not None and cur == prev:
+            break
+        prev = cur
+        joined = edges.join(labels, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("dst",), right_on=("node",))
+        labels = (joined.groupby("src")
+                  .aggregate(Min("lbl", alias_name="lbl"))
+                  .rename_columns({"src": "node"}).materialize())
+    return (labels.rename_columns({"node": "doc_id", "lbl": "cluster_id"})
+            .sort("doc_id"))
+
+
+def minhash_dedup_clusters(ds, **kwargs):
+    """MinHash-verified pairs → connected components → (doc_id,
+    cluster_id) canonical-survivor clusters.  ``kwargs`` pass through to
+    :func:`minhash_dedup_pairs` (threshold, bands, seed, ...)."""
+    cc_kw = {k: kwargs.pop(k) for k in
+             ("driver_threshold", "num_partitions", "max_rounds")
+             if k in kwargs}
+    pairs = minhash_dedup_pairs(ds, as_dataset=True, **kwargs)
+    return connected_components(pairs, **cc_kw)

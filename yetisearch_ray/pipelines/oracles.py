@@ -384,8 +384,7 @@ ORDER BY id_a, id_b"""
 # 1-(1-0.95^4)^16 ~ 1 - 2e-13.  The verify stage then computes the same
 # exact string-shingle Jaccard as this SQL (both sides RE2 \s tokens,
 # 3-gram shingles, round to 6).  O(N^2) in SQL — oracle-scale only.
-MINHASH_PAIRS_SQL = r"""
-WITH toks AS (
+_MINHASH_PAIRS_CTES = r"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
   FROM documents
 ),
@@ -400,10 +399,31 @@ pairs AS (
          NULLIF(len(a.shingles) + len(b.shingles)
                 - len(list_intersect(a.shingles, b.shingles)), 0) AS j
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-)
+)"""
+
+MINHASH_PAIRS_SQL = rf"""
+WITH {_MINHASH_PAIRS_CTES}
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
        round(j, 6) AS jaccard
 FROM pairs WHERE j >= 0.5 ORDER BY id_a, id_b"""
+
+# Connected components over the same exact-Jaccard pair graph:
+# transitive closure via a recursive CTE (UNION dedupes the frontier),
+# component label = min reachable id — the ground truth for
+# dedup.connected_components / minhash_dedup_clusters.  O(N^2·paths) in
+# SQL — oracle-scale only.
+MINHASH_CLUSTERS_SQL = rf"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pr AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a
+)
+SELECT id::BIGINT AS doc_id, MIN(r)::BIGINT AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id"""
 
 
 def decontaminate_sql(benchmark_doc_ids=(0, 1)) -> str:
@@ -748,3 +768,68 @@ SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
                 -1)::BIGINT AS o_orderkey
 FROM events e ORDER BY event_id"""
+
+
+# -------------------------------------------------------- PII / splits
+
+# The seeding expression mirrors curation.seed_pii_column exactly
+# (same residues, same integer formatting — DuckDB's || on BIGINT and
+# Python str() both render plain decimal).
+_PII_SEED_EXPR = """text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call +1-555-' || (100 + doc_id % 900) || '-'
+                 || (1000 + doc_id % 9000) ELSE '' END"""
+
+
+def pii_scan_sql(patterns: dict) -> str:
+    """Ground truth for curation.pii_scan over the seeded corpus: both
+    sides count non-overlapping RE2 matches of the SAME pattern strings
+    (pyarrow count_substring_regex vs DuckDB regexp_extract_all)."""
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{kind}"
+        for kind, pat in patterns.items())
+    total = " + ".join(f"n_{kind}" for kind in patterns)
+    return f"""
+WITH seeded AS (SELECT doc_id, {_PII_SEED_EXPR} AS text FROM documents),
+counted AS (SELECT doc_id, {counts} FROM seeded)
+SELECT *, ({total} > 0)::BIGINT AS has_pii FROM counted ORDER BY doc_id"""
+
+
+def pii_redact_sql(patterns: dict) -> str:
+    """Ground truth for curation.pii_redact: chained global RE2
+    replaces in the same pattern order, full redacted text + md5."""
+    expr = "text"
+    for kind, pat in patterns.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+WITH seeded AS (SELECT doc_id, {_PII_SEED_EXPR} AS text FROM documents)
+SELECT doc_id, {expr} AS text_redacted, md5({expr}) AS redacted_md5
+FROM seeded ORDER BY doc_id"""
+
+
+def hash_split_sql(fractions=(0.8, 0.1, 0.1),
+                   names=("train", "val", "test"),
+                   buckets: int = 1000) -> str:
+    """Ground truth for curation.hash_split: DuckDB md5_number_lower =
+    the repo's md5 digest[8:16] little-endian idiom."""
+    edges, acc = [], 0.0
+    for f in fractions:
+        acc += f
+        edges.append(int(round(acc * buckets)))
+    edges[-1] = buckets
+    case, lo = "CASE", 0
+    for name, hi in zip(names, edges):
+        case += f" WHEN bucket < {hi} THEN '{name}'"
+        lo = hi
+    case += " END"
+    return f"""
+SELECT doc_id, bucket, {case} AS split FROM (
+  SELECT doc_id,
+         (md5_number_lower(doc_id::VARCHAR) % {buckets})::BIGINT AS bucket
+  FROM documents
+) ORDER BY doc_id"""
