@@ -265,6 +265,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.5).to_pandas(),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
             _docs(sf)).to_pandas(),
+        # line-level boilerplate scrub over the CODE corpus (real newlines)
+        "dedup_line_dedup": lambda sf: dedup.line_dedup(
+            __import__("yetisearch_ray.sources.parquet_source",
+                       fromlist=["read_parquet_with_doc_ids"])
+            .read_parquet_with_doc_ids(_code_corpus(sf), columns=["content"]),
+            text_col="content", min_docs=2).to_pandas(),
         # --- fuzzy conformance (reference benchmarks/benchmark.php:211-327;
         #     rows-only: per-case found flags over the deterministic movie
         #     corpus; pass bars asserted in tests/test_fuzzy_bench.py) ---
@@ -404,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": oracles.decontaminate_sql((0, 1)),
         "dedup_minhash_pairs": oracles.MINHASH_PAIRS_SQL,
         "dedup_minhash_clusters": oracles.MINHASH_CLUSTERS_SQL,
+        "dedup_line_dedup": oracles.line_dedup_sql(_CODE_GLOB_001, min_docs=2),
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),

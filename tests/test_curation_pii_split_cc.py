@@ -102,3 +102,21 @@ def test_minhash_clusters_match_sql_closure(docs, con):
     # every cluster label is a member of its own cluster (canonical min)
     labels = set(got.cluster_id)
     assert labels <= set(got.doc_id)
+
+
+def test_line_dedup_matches_duckdb(ray_session):
+    from yetisearch_ray.sources.corpus import corpus_path
+    from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+    glob_path = corpus_path(SF) + "/*.parquet" if not corpus_path(SF).endswith(
+        ".parquet") else corpus_path(SF)
+    ds = read_parquet_with_doc_ids(corpus_path(SF), columns=["content"])
+    got = dedup.line_dedup(ds, text_col="content", min_docs=2).to_pandas()
+    want = duckdb.connect().execute(
+        oracles.line_dedup_sql(glob_path, min_docs=2)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    # the scrub must actually fire on this corpus (shared boilerplate
+    # lines exist) without degenerating to whole-doc deletion
+    assert got.n_dropped.sum() > 0
+    assert (got.n_dropped < got.n_lines).all()

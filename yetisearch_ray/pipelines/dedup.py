@@ -756,3 +756,70 @@ def minhash_dedup_clusters(ds, **kwargs):
              if k in kwargs}
     pairs = minhash_dedup_pairs(ds, as_dataset=True, **kwargs)
     return connected_components(pairs, **cc_kw)
+
+
+# --------------------------------------------------------- line dedup
+
+
+def line_dedup(ds, *, text_col="text", id_col="doc_id", min_docs=2,
+               sep="\n"):
+    """RefinedWeb-style LINE-level deduplication: drop every line that
+    appears (exactly) in at least ``min_docs`` DISTINCT documents — the
+    boilerplate scrub (headers, license banners, nav chrome) run before
+    doc-level dedup in pre-training pipelines.
+
+    Shape: pass 1 emits per-doc DISTINCT 64-bit line hashes with a
+    map-side partial count, so the groupby shuffles (hash, partial_n)
+    rows — bounded by distinct lines per batch, never total line
+    occurrences.  The ``>= min_docs`` survivors are the HOT set — by
+    construction the rare cross-doc boilerplate, orders of magnitude
+    smaller than the corpus — broadcast once via ``ray.put``.  Pass 2
+    rebuilds each doc dropping hot lines; no other shuffle.  Line
+    hashing is the DuckDB-replicable ``md5_number_lower`` idiom, so the
+    whole operator is SQL-oracle-checkable.
+
+    Returns (id, n_lines, n_dropped, clean_md5) sorted by id —
+    ``clean_md5`` pins the full rebuilt text.
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        agg: dict[int, int] = {}
+        for s in t[text_col].to_pylist():
+            for h in {int.from_bytes(
+                    hashlib.md5(ln.encode("utf-8")).digest()[8:16], "little")
+                    for ln in (s or "").split(sep)}:
+                agg[h] = agg.get(h, 0) + 1
+        return pa.table({"h": pa.array(list(agg.keys()), pa.uint64()),
+                         "n": pa.array(list(agg.values()), pa.int64())})
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="n_docs")))
+    hot_tbl = counts.filter(
+        expr=f"n_docs >= {int(min_docs)}").select_columns(["h"]).to_pandas()
+    hot = frozenset(int(v) for v in hot_tbl["h"])
+    hot_ref = ray.put(hot)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        hset = ray.get(hot_ref)
+        ids, n_lines, n_dropped, md5s = [], [], [], []
+        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            lines = (s or "").split(sep)
+            kept = [ln for ln in lines if int.from_bytes(
+                hashlib.md5(ln.encode("utf-8")).digest()[8:16], "little")
+                not in hset]
+            ids.append(int(i))
+            n_lines.append(len(lines))
+            n_dropped.append(len(lines) - len(kept))
+            md5s.append(hashlib.md5(sep.join(kept).encode("utf-8")).hexdigest())
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_lines": pa.array(n_lines, pa.int64()),
+                         "n_dropped": pa.array(n_dropped, pa.int64()),
+                         "clean_md5": pa.array(md5s, pa.string())})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(rebuild, batch_format="pyarrow").sort(id_col))

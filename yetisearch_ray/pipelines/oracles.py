@@ -833,3 +833,44 @@ SELECT doc_id, bucket, {case} AS split FROM (
          (md5_number_lower(doc_id::VARCHAR) % {buckets})::BIGINT AS bucket
   FROM documents
 ) ORDER BY doc_id"""
+
+
+def line_dedup_sql(parquet_glob: str, min_docs: int = 2) -> str:
+    """Ground truth for dedup.line_dedup over the code corpus: a line is
+    HOT iff it occurs in >= min_docs distinct docs; docs are rebuilt
+    without hot lines.  Hot membership goes through md5_number_lower on
+    both sides, so operator and oracle agree bit-for-bit (or a 64-bit
+    md5 collision exists)."""
+    corpus = (
+        'SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id, '
+        f"content FROM read_parquet('{parquet_glob}')")
+    return f"""
+WITH corpus AS ({corpus}),
+ls AS (SELECT doc_id, string_split(content, chr(10)) AS arr FROM corpus),
+lines AS (
+  SELECT doc_id,
+         unnest([{{'idx': i, 'line': arr[i]}}
+                 for i in range(1, len(arr) + 1)], recursive := true)
+  FROM ls
+),
+hot AS (
+  SELECT md5_number_lower(line) AS h
+  FROM (SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line)
+  WHERE c >= {int(min_docs)}
+),
+kept AS (
+  SELECT doc_id, idx, line FROM lines
+  WHERE md5_number_lower(line) NOT IN (SELECT h FROM hot)
+),
+counts AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id::BIGINT AS doc_id,
+       counts.n_lines::BIGINT AS n_lines,
+       (counts.n_lines - COALESCE(agg.n_kept, 0))::BIGINT AS n_dropped,
+       COALESCE(agg.clean_md5, md5('')) AS clean_md5
+FROM corpus c JOIN counts USING (doc_id) LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id"""
