@@ -293,6 +293,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_pii_redact": lambda sf: curation.pii_redact(
             curation.seed_pii_column(_docs(sf))).to_pandas(),
         "cur_hash_split": lambda sf: curation.hash_split(_docs(sf)).to_pandas(),
+        # composed flagship: lang filter -> quality gate -> exact dedup
+        # -> near-dup cluster survivors, all in one streaming pipeline
+        "cur_full_pipeline": lambda sf: curation.curate_corpus(
+            _docs(sf), lang="en", min_quality=0.3,
+            minhash_threshold=0.5).to_pandas(),
         # real stdlib-wave audio decode over synthesized payloads
         # (rows-only: binary codec path; analytic RMS pinned in pytest)
         "mm_wav_stats": _mm_wav_stats,
@@ -422,6 +427,8 @@ def oracle_sql() -> dict[str, str]:
         "cur_pii_scan": oracles.pii_scan_sql(PII_PATTERNS),
         "cur_pii_redact": oracles.pii_redact_sql(PII_PATTERNS),
         "cur_hash_split": oracles.hash_split_sql(),
+        "cur_full_pipeline": oracles.curate_corpus_sql(
+            STOPWORDS["en"], lang="en", min_quality=0.3, threshold=0.5),
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),

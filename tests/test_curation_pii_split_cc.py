@@ -120,3 +120,21 @@ def test_line_dedup_matches_duckdb(ray_session):
     # lines exist) without degenerating to whole-doc deletion
     assert got.n_dropped.sum() > 0
     assert (got.n_dropped < got.n_lines).all()
+
+
+def test_curate_corpus_matches_composed_sql(docs, con):
+    from yetisearch_ray.analysis.stopwords import STOPWORDS
+
+    got = curation.curate_corpus(
+        docs, lang="en", min_quality=0.3, minhash_threshold=0.5).to_pandas()
+    want = con.execute(oracles.curate_corpus_sql(
+        STOPWORDS["en"], lang="en", min_quality=0.3,
+        threshold=0.5)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    # each stage must have bitten: lang filter, dedup, and cluster drop
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_en = con.execute(
+        "SELECT count(*) FROM documents WHERE lang = 'en'").fetchone()[0]
+    assert len(got) < n_en < n_docs
+    assert (got.lang == "en").all()

@@ -225,3 +225,59 @@ def hash_split(ds, *, id_col: str = "doc_id",
                          "split": pa.array(split, pa.string())})
 
     return ds.map_batches(assign, batch_format="pyarrow").sort(id_col)
+
+
+# ------------------------------------------------------ composed pipeline
+
+
+def curate_corpus(ds, *, lang: str | None = "en", min_quality: float = 0.3,
+                  minhash_threshold: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id", num_partitions: int | None = None):
+    """The composed curation pipeline a pre-training corpus runs
+    end-to-end: language filter → quality gate → exact-dedup survivors
+    → near-dup (MinHash) cluster survivors.  Returns the surviving full
+    rows sorted by id.
+
+    Composition of the individually-oracled operators, with the scale
+    shapes they already carry: the lang filter is a pushdown-friendly
+    predicate, the quality gate is a vectorized scan + id semi-join,
+    exact dedup shuffles (hash, id) pairs only, and the near-dup pass
+    broadcasts just the LOSER id set (bounded by the verified pair
+    table, not the corpus).  One materialize pins the deduped set so
+    the cluster pass and the final filter don't recompute it.
+    """
+    import ray
+
+    from . import dedup as dd
+    from .textstats import quality_scores
+
+    if lang is not None:
+        ds = ds.filter(expr=f"lang == '{lang}'")
+    keep = (quality_scores(ds, text_col=text_col, id_col=id_col)
+            .filter(expr=f"quality >= {min_quality}")
+            .select_columns([id_col]))
+    nparts = dd._default_join_partitions(num_partitions)
+    gated = ds.join(dd._join_ready(keep, nparts), "left_semi", nparts,
+                    on=(id_col,))
+    deduped = dd.exact_dedup_rows(gated, text_col=text_col, id_col=id_col,
+                                  num_partitions=nparts).materialize()
+    clusters = dd.minhash_dedup_clusters(
+        deduped, threshold=minhash_threshold,
+        text_col=text_col, id_col=id_col)
+
+    def losers(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+                .select(["doc_id"]))
+
+    loser_ids = frozenset(
+        int(v) for v in clusters.map_batches(losers, batch_format="pyarrow")
+        .to_pandas()["doc_id"])
+    ref = ray.put(loser_ids)
+
+    def drop(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        mask = pa.array([int(v) not in bad
+                         for v in t[id_col].to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    return deduped.map_batches(drop, batch_format="pyarrow").sort(id_col)

@@ -384,9 +384,13 @@ ORDER BY id_a, id_b"""
 # 1-(1-0.95^4)^16 ~ 1 - 2e-13.  The verify stage then computes the same
 # exact string-shingle Jaccard as this SQL (both sides RE2 \s tokens,
 # 3-gram shingles, round to 6).  O(N^2) in SQL — oracle-scale only.
-_MINHASH_PAIRS_CTES = r"""toks AS (
+def _minhash_pairs_ctes(src: str = "documents") -> str:
+    """Shared CTE block computing exact all-pairs shingle Jaccard over
+    ``src`` — reused by the pairs, clusters, and composed-curation
+    oracles."""
+    return rf"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -400,6 +404,9 @@ pairs AS (
                 - len(list_intersect(a.shingles, b.shingles)), 0) AS j
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )"""
+
+
+_MINHASH_PAIRS_CTES = _minhash_pairs_ctes()
 
 MINHASH_PAIRS_SQL = rf"""
 WITH {_MINHASH_PAIRS_CTES}
@@ -873,4 +880,56 @@ SELECT c.doc_id::BIGINT AS doc_id,
        (counts.n_lines - COALESCE(agg.n_kept, 0))::BIGINT AS n_dropped,
        COALESCE(agg.clean_md5, md5('')) AS clean_md5
 FROM corpus c JOIN counts USING (doc_id) LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id"""
+
+
+def curate_corpus_sql(stopwords, *, lang: str = "en",
+                      min_quality: float = 0.3,
+                      threshold: float = 0.5) -> str:
+    """Ground truth for curation.curate_corpus — the composed pipeline:
+    lang filter → quality gate (same rounded formula as quality_sql) →
+    exact-dedup survivors (min doc_id per md5(text)) → near-dup cluster
+    survivors (component-min over the exact-Jaccard pair graph of the
+    surviving set)."""
+    sw = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(stopwords))
+    return f"""
+WITH RECURSIVE base AS (SELECT * FROM documents WHERE lang = '{lang}'),
+tq AS (SELECT doc_id, text, {TOKENS_EXPR} AS toks FROM base),
+feats AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(len(list_filter(toks, x -> x IN ({sw})))::DOUBLE
+                         / len(toks), 6)
+         END AS stopword_ratio
+  FROM tq
+),
+q AS (
+  SELECT doc_id,
+         round(least(1.0, n_tokens / 100.0) * (1.0 - stopword_ratio), 6)
+         AS quality
+  FROM feats
+),
+qf AS (
+  SELECT b.* FROM base b JOIN q USING (doc_id)
+  WHERE q.quality >= {min_quality}
+),
+ex AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS _s FROM qf
+  ) WHERE doc_id = _s
+),
+{_minhash_pairs_ctes("ex")},
+pr AS (SELECT id_a, id_b FROM pairs WHERE j >= {threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a
+),
+comp AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+SELECT doc_id::BIGINT AS doc_id, text, lang, source, n_chars
+FROM ex
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
 ORDER BY doc_id"""
