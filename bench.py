@@ -200,6 +200,20 @@ def bench_dedup() -> float:
     return time.perf_counter() - t0
 
 
+def bench_curate() -> tuple[float, int]:
+    """Composed curation flagship: lang filter -> quality gate -> exact
+    dedup -> near-dup cluster survivors over the documents table."""
+    import ray.data as rd
+
+    from yetisearch_ray.pipelines.curation import curate_corpus
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.perf_counter()
+    n = curate_corpus(ds, lang="en", min_quality=0.3,
+                      minhash_threshold=0.5).count()
+    return time.perf_counter() - t0, int(n)
+
+
 def bench_ann() -> float:
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -344,6 +358,7 @@ def run_once() -> dict:
         shstats = bench_sharded_queries(idx_dir)
         t_pool = bench_query_pool(idx_dir)
         t_dedup = bench_dedup()
+        t_curate, n_curated = bench_curate()
         t_ann = bench_ann()
         t_agg = bench_agg()
         gens = bench_generations(corpus, idx_dir)
@@ -379,6 +394,7 @@ def run_once() -> dict:
             "query_sharded_p50": round(shstats["p50"], 5),
             "query_pool_200": round(t_pool, 3),
             "dedup_minhash": round(t_dedup, 3),
+            "curate_pipeline": round(t_curate, 3),
             "ann_cosine": round(t_ann, 3),
             "agg_pricing": round(t_agg, 3),
             "append_gen2": gens["append_sec"],
@@ -386,6 +402,7 @@ def run_once() -> dict:
         })
         out["extras"].update(gens)
         out["extras"].update(fuzzy)
+        out["extras"]["curated_docs"] = n_curated
     return out
 
 
