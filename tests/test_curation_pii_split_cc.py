@@ -138,3 +138,29 @@ def test_curate_corpus_matches_composed_sql(docs, con):
         "SELECT count(*) FROM documents WHERE lang = 'en'").fetchone()[0]
     assert len(got) < n_en < n_docs
     assert (got.lang == "en").all()
+
+
+def test_connected_components_distributed_at_scale(ray_session):
+    """Distributed min-label propagation on a 6k-edge graph with mixed
+    shapes (cliques + diameter-8 chains) equals driver union-find."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    edges = []
+    base = 0
+    for _ in range(300):  # 300 cliques of 5 (complete)
+        ids = np.arange(base, base + 5)
+        edges += [(int(a), int(b)) for i, a in enumerate(ids)
+                  for b in ids[i + 1:]]
+        base += 5
+    for _ in range(300):  # 300 chains of 9 nodes (diameter 8)
+        ids = np.arange(base, base + 9)
+        edges += [(int(ids[i]), int(ids[i + 1])) for i in range(8)]
+        base += 9
+    perm = rng.permutation(len(edges))
+    ea = np.array([edges[i][0] for i in perm], np.int64)
+    eb = np.array([edges[i][1] for i in perm], np.int64)
+    pairs = rd.from_arrow(pa.table({"id_a": ea, "id_b": eb})).repartition(8)
+    out = dedup.connected_components(pairs, driver_threshold=0).to_pandas()
+    expected = _uf_expected(edges)
+    assert dict(zip(out.doc_id, out.cluster_id)) == expected
