@@ -212,6 +212,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _code_result(sf_dir, "parse buffer", mode="or")
 
 
+    def _mm_ppm_stats(sf_dir):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.multimodal import (decode_ppm_features,
+                                                         resize_ppm,
+                                                         to_ppm_payloads)
+
+        ids = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"]).limit(64)
+        imgs = to_ppm_payloads(ids, width=32, height=24)
+        # chain real stages: synth -> nearest-neighbor resize -> decode
+        df = decode_ppm_features(resize_ppm(imgs, target_w=8, target_h=8))\
+            .to_pandas()
+        out = df[["doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                  "brightness"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def _mm_wav_stats(sf_dir):
         import numpy as np
         import ray.data as rd
@@ -314,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real stdlib-wave audio decode over synthesized payloads
         # (rows-only: binary codec path; analytic RMS pinned in pytest)
         "mm_wav_stats": _mm_wav_stats,
+        # real numpy PPM image resize+decode (rows-only: binary codec
+        # path; analytic channel-mean goldens pinned in pytest)
+        "mm_ppm_stats": _mm_ppm_stats,
         "cur_pack_bins": lambda sf: curation.pack_token_bins(
             textstats.token_counts(_docs(sf)), budget=2048).to_pandas(),
         "text_keywords": lambda sf: textstats.extract_keywords(

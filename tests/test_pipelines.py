@@ -460,3 +460,57 @@ class TestBatchSearchSink:
         # 'gamma' occurs only in even docs
         gdocs = set(got[got["qid"] == 1]["doc_id"])
         assert gdocs and all(d % 2 == 0 for d in gdocs)
+
+
+class TestPpmImage:
+    def test_ppm_decode_analytic_means(self, ray_session):
+        """The image leg is a REAL P6 decoder: channel means must match
+        the synthesized gradients exactly."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.multimodal import (
+            decode_ppm_features, synth_ppm, _parse_ppm, to_ppm_payloads)
+
+        rows = [{"doc_id": i} for i in range(12)]
+        imgs = to_ppm_payloads(rd.from_items(rows), width=32, height=24)
+        df = decode_ppm_features(imgs).to_pandas().sort_values("doc_id")
+        assert (df.width == 32).all() and (df.height == 24).all()
+        for i in range(12):
+            img = _parse_ppm(synth_ppm(i, width=32, height=24))
+            want = img.reshape(-1, 3).mean(axis=0)
+            row = df[df.doc_id == i].iloc[0]
+            assert np.allclose([row.mean_r, row.mean_g, row.mean_b],
+                               np.round(want, 6))
+            # B channel is the id-keyed constant
+            assert row.mean_b == (i * 7) % 256
+
+    def test_ppm_parser_comments_and_tiny(self):
+        from yetisearch_ray.pipelines.multimodal import _parse_ppm
+
+        p = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+        img = _parse_ppm(p)
+        assert img.shape == (2, 2, 3)
+        assert img[1, 1].tolist() == [9, 10, 11]
+
+    def test_ppm_resize_chains_into_decode(self, ray_session):
+        """synth -> REAL nearest-neighbor resize -> decode chain; the
+        resized payload is itself a valid PPM with exact NN pixels."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.multimodal import (
+            _parse_ppm, decode_ppm_features, resize_ppm, synth_ppm,
+            to_ppm_payloads)
+
+        rows = [{"doc_id": i} for i in range(6)]
+        imgs = to_ppm_payloads(rd.from_items(rows), width=32, height=24)
+        small = resize_ppm(imgs, target_w=8, target_h=6)
+        df = decode_ppm_features(small).to_pandas().sort_values("doc_id")
+        assert (df.width == 8).all() and (df.height == 6).all()
+        # NN-downsample of the deterministic source, computed in numpy
+        src = _parse_ppm(synth_ppm(0, width=32, height=24))
+        yi = (np.arange(6) * 24) // 6
+        xi = (np.arange(8) * 32) // 8
+        want = src[yi[:, None], xi[None, :]].reshape(-1, 3).mean(axis=0)
+        row = df[df.doc_id == 0].iloc[0]
+        assert np.allclose([row.mean_r, row.mean_g, row.mean_b],
+                           np.round(want, 6))

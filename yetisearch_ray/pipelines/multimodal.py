@@ -277,3 +277,128 @@ def decode_wav_features(ds, *, n_windows=8, concurrency=2, batch_size=128):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ------------------------------------------------------------------ PPM image
+# Binary PPM (P6) needs no external codec — a two-line header + raw RGB
+# bytes — so the IMAGE leg gets a REAL decode/resize path here too
+# (compressed formats like JPEG/PNG stay behind the declared stubs
+# above).  synthesize → decode → features / resize, all end-to-end.
+
+
+def synth_ppm(doc_id: int, *, width: int = 32, height: int = 24) -> bytes:
+    """Deterministic P6 PPM: horizontal R gradient, vertical G gradient,
+    id-keyed constant B — analytic channel means for golden tests."""
+    x = np.linspace(0, 255, width).astype(np.uint8)
+    y = np.linspace(0, 255, height).astype(np.uint8)
+    r = np.broadcast_to(x, (height, width))
+    g = np.broadcast_to(y[:, None], (height, width))
+    b = np.full((height, width), (int(doc_id) * 7) % 256, np.uint8)
+    pix = np.stack([r, g, b], axis=-1)
+    return f"P6\n{width} {height}\n255\n".encode() + pix.tobytes()
+
+
+def to_ppm_payloads(ds, *, id_col="doc_id", width=32, height=24):
+    """Synthesize a deterministic PPM per row — the test-scale stand-in
+    for reading real image blobs; production layout (payload, media_type)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        payloads = [synth_ppm(int(i), width=width, height=height) for i in ids]
+        return pa.table({
+            id_col: t[id_col],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/x-portable-pixmap"] * t.num_rows,
+                                   pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def _parse_ppm(payload: bytes) -> np.ndarray:
+    """P6 parser (comments + arbitrary whitespace per the netpbm spec)
+    → (h, w, 3) uint8 array."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+class PpmDecodeStage:
+    """REAL image decode (pure numpy, netpbm P6): payload → (width,
+    height, mean_r, mean_g, mean_b, brightness).  Actor pool: one
+    instance per actor, decode per batch."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, means = [], [], []
+        for p in t["payload"].to_pylist():
+            img = _parse_ppm(p)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            means.append(img.reshape(-1, 3).mean(axis=0))
+        m = np.array(means, np.float64) if means else np.empty((0, 3))
+        out = t.select([c for c in t.column_names if c != "payload"])
+        out = out.append_column("width", pa.array(ws, pa.int32()))
+        out = out.append_column("height", pa.array(hs, pa.int32()))
+        for j, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            out = out.append_column(
+                name, pa.array(np.round(m[:, j], 6) if len(means) else [],
+                               pa.float64()))
+        bright = np.round(m.mean(axis=1), 6) if len(means) else []
+        return out.append_column("brightness", pa.array(bright, pa.float64()))
+
+
+def decode_ppm_features(ds, *, concurrency=2, batch_size=128):
+    """Actor-pool PPM decode: small batches (binary rows)."""
+    return ds.map_batches(PpmDecodeStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
+class PpmResizeStage:
+    """REAL nearest-neighbor image resize for P6 payloads (numpy index
+    grids) — emits a valid resized PPM payload, so stages chain:
+    synth → resize → decode."""
+
+    def __init__(self, *, target_w: int = 8, target_h: int = 8):
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def _resize_one(self, payload: bytes) -> bytes:
+        img = _parse_ppm(payload)
+        h, w, _ = img.shape
+        yi = (np.arange(self.target_h) * h) // self.target_h
+        xi = (np.arange(self.target_w) * w) // self.target_w
+        small = img[yi[:, None], xi[None, :]]
+        return (f"P6\n{self.target_w} {self.target_h}\n255\n".encode()
+                + small.tobytes())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        resized = [self._resize_one(p) for p in t["payload"].to_pylist()]
+        out = t.select([c for c in t.column_names if c != "payload"])
+        return out.append_column("payload", pa.array(resized, pa.binary()))
+
+
+def resize_ppm(ds, *, target_w=8, target_h=8, concurrency=2, batch_size=128):
+    """Actor-pool real PPM resize."""
+    return ds.map_batches(
+        PpmResizeStage,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
