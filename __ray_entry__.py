@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_pii_redact": lambda sf: curation.pii_redact(
             curation.seed_pii_column(_docs(sf))).to_pandas(),
         "cur_hash_split": lambda sf: curation.hash_split(_docs(sf)).to_pandas(),
+        "cur_stratified_sample": lambda sf: curation.stratified_sample(
+            _docs(sf), rates={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+            default_rate=0.25).to_pandas(),
         # composed flagship: lang filter -> quality gate -> exact dedup
         # -> near-dup cluster survivors, all in one streaming pipeline
         "cur_full_pipeline": lambda sf: curation.curate_corpus(
@@ -462,6 +465,8 @@ def oracle_sql() -> dict[str, str]:
         "cur_hash_split": oracles.hash_split_sql(),
         "cur_full_pipeline": oracles.curate_corpus_sql(
             STOPWORDS["en"], lang="en", min_quality=0.3, threshold=0.5),
+        "cur_stratified_sample": oracles.stratified_sample_sql(
+            {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.25),
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),

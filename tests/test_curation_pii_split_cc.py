@@ -164,3 +164,20 @@ def test_connected_components_distributed_at_scale(ray_session):
     out = dedup.connected_components(pairs, driver_threshold=0).to_pandas()
     expected = _uf_expected(edges)
     assert dict(zip(out.doc_id, out.cluster_id)) == expected
+
+
+def test_stratified_sample_matches_duckdb(docs, con):
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    got = curation.stratified_sample(
+        docs, rates=rates, default_rate=0.25).to_pandas()
+    want = con.execute(oracles.stratified_sample_sql(
+        rates, default_rate=0.25)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    per = got.source.value_counts()
+    assert per.get("src0", 0) > per.get("src1", 0)  # rate 1.0 beats 0.5
+    assert "src2" not in per  # rate 0.0 drops everything
+    # determinism: identical keep-set on rerun
+    again = curation.stratified_sample(
+        docs, rates=rates, default_rate=0.25).to_pandas()
+    pd.testing.assert_frame_equal(got, again)

@@ -281,3 +281,31 @@ def curate_corpus(ds, *, lang: str | None = "en", min_quality: float = 0.3,
         return t.filter(mask)
 
     return deduped.map_batches(drop, batch_format="pyarrow").sort(id_col)
+
+
+def stratified_sample(ds, *, rates: dict, default_rate: float = 1.0,
+                      group_col: str = "source", id_col: str = "doc_id",
+                      buckets: int = 10_000):
+    """Deterministic per-group Bernoulli sampling — the source-reweighting
+    step of corpus mixing: keep a row iff ``md5_u64(str(id)) % buckets <
+    rate(group) * buckets``.  Same md5 idiom as :func:`hash_split`, so
+    membership is stable across runs/machines/block boundaries and
+    SQL-oracle-checkable; zero shuffle (the rate table is a tiny closure
+    constant).  Returns surviving full rows sorted by id.
+    """
+    import numpy as np
+
+    from .dedup import _md5_u64_tokens
+
+    thresholds = {g: int(round(r * buckets)) for g, r in rates.items()}
+    default_thr = int(round(default_rate * buckets))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = _md5_u64_tokens(np.array([str(int(i)) for i in ids],
+                                     dtype=object)) % buckets
+        thr = np.array([thresholds.get(g, default_thr)
+                        for g in t[group_col].to_pylist()], np.int64)
+        return t.filter(pa.array(b < thr, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)

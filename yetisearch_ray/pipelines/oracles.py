@@ -933,3 +933,17 @@ SELECT doc_id::BIGINT AS doc_id, text, lang, source, n_chars
 FROM ex
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
 ORDER BY doc_id"""
+
+
+def stratified_sample_sql(rates: dict, default_rate: float = 1.0,
+                          group_col: str = "source",
+                          buckets: int = 10_000) -> str:
+    """Ground truth for curation.stratified_sample: same md5 bucket,
+    per-group CASE thresholds."""
+    case = "CASE " + " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(round(r * buckets))}"
+        for g, r in rates.items()) + f" ELSE {int(round(default_rate * buckets))} END"
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE (md5_number_lower(doc_id::VARCHAR) % {buckets}) < ({case})
+ORDER BY doc_id"""
