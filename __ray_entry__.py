@@ -349,6 +349,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(
             _emb(sf), _query_vec(sf), k=10).to_pandas(),
         "ann_ivf_partitioned": lambda sf: _ivf_partitioned(sf),
+        # PQ/ADC top-k (rows-only: quantization is approximate by design;
+        # recall-vs-exact bar pinned in tests/test_pipelines.py)
+        "ann_pq_topk": lambda sf: ann.pq_topk(
+            _emb(sf), _query_vec(sf), k=10, m=16, n_codes=64).to_pandas(),
         "ann_multi_query": lambda sf: _ann_multi_query(sf),
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),

@@ -514,3 +514,41 @@ class TestPpmImage:
         row = df[df.doc_id == 0].iloc[0]
         assert np.allclose([row.mean_r, row.mean_g, row.mean_b],
                            np.round(want, 6))
+
+
+class TestPQ:
+    def test_pq_adc_recall_vs_exact(self, ray_session):
+        """PQ/ADC top-10 must recover most of the exact cosine top-10
+        (m=16 subspaces, 64 codes, normalized inputs) and be fully
+        deterministic (seeded sample + seeded k-means)."""
+        import pyarrow.parquet as pq_
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines import ann
+
+        sf = "/root/testdata/sf0.01"
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        tbl = pq_.read_table(f"{sf}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        recalls = []
+        for qid in (1, 2, 3):
+            q = np.array(tbl["embedding"][qid].as_py())
+            exact = set(ann.cosine_topk(ds, q, k=10).to_pandas().vec_id)
+            approx = ann.pq_topk(ds, q, k=10, m=16, n_codes=64).to_pandas()
+            again = ann.pq_topk(ds, q, k=10, m=16, n_codes=64).to_pandas()
+            assert approx.vec_id.tolist() == again.vec_id.tolist()
+            recalls.append(len(exact & set(approx.vec_id)) / 10)
+        assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    def test_pq_encode_shapes(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines import ann
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        cb = ann.pq_train(ds, m=8, n_codes=16)
+        assert cb.shape[0] == 8 and cb.shape[1] == 16
+        codes = ann.pq_encode(ds, cb).to_pandas()
+        assert codes.codes.map(len).eq(8).all()
+        assert codes.codes.map(max).le(15).all()
