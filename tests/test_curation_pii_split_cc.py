@@ -181,3 +181,46 @@ def test_stratified_sample_matches_duckdb(docs, con):
     again = curation.stratified_sample(
         docs, rates=rates, default_rate=0.25).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_line_dedup_no_hot_lines(ray_session):
+    """min_docs above any line's doc count → nothing dropped, clean_md5
+    equals the original text's md5."""
+    import hashlib
+
+    rows = [{"doc_id": i, "text": f"unique line {i}\nsecond {i}"}
+            for i in range(6)]
+    ds = rd.from_items(rows)
+    out = dedup.line_dedup(ds, min_docs=99).to_pandas()
+    assert (out.n_dropped == 0).all()
+    for r, row in zip(rows, out.itertuples()):
+        assert row.clean_md5 == hashlib.md5(r["text"].encode()).hexdigest()
+
+
+def test_line_dedup_drops_shared_boilerplate(ray_session):
+    rows = [{"doc_id": i, "text": f"LICENSE HEADER\nbody {i}"}
+            for i in range(4)]
+    out = dedup.line_dedup(rd.from_items(rows), min_docs=2).to_pandas()
+    assert (out.n_dropped == 1).all()  # only the shared header goes
+    assert (out.n_lines == 2).all()
+
+
+def test_pii_scan_empty_and_null_text(ray_session):
+    ds = rd.from_items([{"doc_id": 0, "text": ""},
+                        {"doc_id": 1, "text": None},
+                        {"doc_id": 2, "text": "a@b.co and 1.2.3.4"}])
+    out = curation.pii_scan(ds).to_pandas()
+    assert out.has_pii.tolist() == [0, 0, 1]
+    assert out.n_email.tolist() == [0, 0, 1]
+    assert out.n_ipv4.tolist() == [0, 0, 1]
+
+
+def test_connected_components_empty_pairs(ray_session):
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    out_ds = dedup.connected_components(pairs)
+    assert out_ds.count() == 0
+    # schema survives on the Dataset (to_pandas drops columns on
+    # zero-block datasets — a Ray Data wart handled by _ensure_cols at
+    # the entry layer)
+    assert out_ds.schema().names == ["doc_id", "cluster_id"]

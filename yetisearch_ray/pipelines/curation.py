@@ -152,9 +152,11 @@ def pii_scan(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def scan(t: pa.Table) -> pa.Table:
         cols = {id_col: t[id_col]}
         total = None
+        # null-typed blocks (all-null text) need an explicit string cast
+        # before the regex kernel; null rows must scan as 0 matches
+        txt = pc.fill_null(t[text_col].cast(pa.string()), "")
         for kind, pat in pats.items():
-            n = pc.count_substring_regex(t[text_col], pat)
-            n = n.cast(pa.int64())
+            n = pc.count_substring_regex(txt, pat).cast(pa.int64())
             cols[f"n_{kind}"] = n
             total = n if total is None else pc.add(total, n)
         cols["has_pii"] = pc.cast(pc.greater(total, 0), pa.int64())
@@ -175,7 +177,7 @@ def pii_redact(ds, *, text_col: str = "text", id_col: str = "doc_id",
     pats = patterns or PII_PATTERNS
 
     def redact(t: pa.Table) -> pa.Table:
-        s = t[text_col]
+        s = pc.fill_null(t[text_col].cast(pa.string()), "")
         for kind, pat in pats.items():
             s = pc.replace_substring_regex(s, pat, f"[{kind.upper()}]")
         md5s = [hashlib.md5((v or "").encode("utf-8")).hexdigest()

@@ -786,14 +786,19 @@ def line_dedup(ds, *, text_col="text", id_col="doc_id", min_docs=2,
     import ray
     from ray.data.aggregate import Sum
 
+    # hashes ride as SIGNED int64 (the two's-complement view of the u64
+    # digest): Ray's aggregate path converts uint64 > 2^63 via pandas,
+    # which silently falls back to pickled-object columns
+    def _h64(ln: str) -> int:
+        return int.from_bytes(hashlib.md5(ln.encode("utf-8")).digest()[8:16],
+                              "little", signed=True)
+
     def partial_counts(t: pa.Table) -> pa.Table:
         agg: dict[int, int] = {}
         for s in t[text_col].to_pylist():
-            for h in {int.from_bytes(
-                    hashlib.md5(ln.encode("utf-8")).digest()[8:16], "little")
-                    for ln in (s or "").split(sep)}:
+            for h in {_h64(ln) for ln in (s or "").split(sep)}:
                 agg[h] = agg.get(h, 0) + 1
-        return pa.table({"h": pa.array(list(agg.keys()), pa.uint64()),
+        return pa.table({"h": pa.array(list(agg.keys()), pa.int64()),
                          "n": pa.array(list(agg.values()), pa.int64())})
 
     counts = (ds.select_columns([text_col])
@@ -801,7 +806,9 @@ def line_dedup(ds, *, text_col="text", id_col="doc_id", min_docs=2,
               .groupby("h").aggregate(Sum("n", alias_name="n_docs")))
     hot_tbl = counts.filter(
         expr=f"n_docs >= {int(min_docs)}").select_columns(["h"]).to_pandas()
-    hot = frozenset(int(v) for v in hot_tbl["h"])
+    # an all-cold corpus yields zero-row schema-less blocks → no "h" col
+    hot = frozenset(int(v) for v in hot_tbl["h"]) \
+        if "h" in hot_tbl.columns else frozenset()
     hot_ref = ray.put(hot)
 
     def rebuild(t: pa.Table) -> pa.Table:
@@ -809,9 +816,7 @@ def line_dedup(ds, *, text_col="text", id_col="doc_id", min_docs=2,
         ids, n_lines, n_dropped, md5s = [], [], [], []
         for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             lines = (s or "").split(sep)
-            kept = [ln for ln in lines if int.from_bytes(
-                hashlib.md5(ln.encode("utf-8")).digest()[8:16], "little")
-                not in hset]
+            kept = [ln for ln in lines if _h64(ln) not in hset]
             ids.append(int(i))
             n_lines.append(len(lines))
             n_dropped.append(len(lines) - len(kept))
