@@ -212,6 +212,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _code_result(sf_dir, "parse buffer", mode="or")
 
 
+    def _ann_ivfpq(sf_dir):
+        import os as _os
+        import shutil
+
+        from yetisearch_ray.pipelines import ann as _ann
+
+        out = f"/tmp/ys_ivfpq/{_os.path.basename(sf_dir)}"
+        if not _os.path.exists(_os.path.join(out, "ivfpq.json")):
+            shutil.rmtree(out, ignore_errors=True)
+            _ann.ivfpq_build(_emb(sf_dir), out, n_clusters=16, m=16,
+                             n_codes=64)
+        return _ann.ivfpq_search(out, _query_vec(sf_dir), k=10,
+                                 nprobe=None).to_pandas()
+
     def _mm_ppm_stats(sf_dir):
         import ray.data as rd
 
@@ -353,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall-vs-exact bar pinned in tests/test_pipelines.py)
         "ann_pq_topk": lambda sf: ann.pq_topk(
             _emb(sf), _query_vec(sf), k=10, m=16, n_codes=64).to_pandas(),
+        # IVF-PQ store: residual codes in centroid partitions, ADC scan
+        # of probed partitions only (rows-only: approximate by design;
+        # recall + pruning bars pinned in pytest)
+        "ann_ivfpq_topk": _ann_ivfpq,
         "ann_multi_query": lambda sf: _ann_multi_query(sf),
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),

@@ -552,3 +552,35 @@ class TestPQ:
         codes = ann.pq_encode(ds, cb).to_pandas()
         assert codes.codes.map(len).eq(8).all()
         assert codes.codes.map(max).le(15).all()
+
+    def test_ivfpq_store_recall_and_pruning(self, ray_session, tmp_path):
+        """IVF-PQ store: residual codes per centroid partition; probing
+        all partitions recovers plain-PQ recall, fewer probes trade
+        recall for reading fewer partitions."""
+        import pyarrow.parquet as pq_
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines import ann
+
+        sf = "/root/testdata/sf0.01"
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        out = str(tmp_path / "ivfpq")
+        meta = ann.ivfpq_build(ds, out, n_clusters=16, m=16, n_codes=64)
+        assert meta["n_clusters"] == 16
+        tbl = pq_.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        r_full, r_probe4 = [], []
+        for qid in (1, 2, 3):
+            q = np.array(tbl["embedding"][qid].as_py())
+            exact = set(ann.cosine_topk(ds, q, k=10).to_pandas().vec_id)
+            full = ann.ivfpq_search(out, q, k=10, nprobe=None).to_pandas()
+            p4 = ann.ivfpq_search(out, q, k=10, nprobe=4).to_pandas()
+            r_full.append(len(exact & set(full.vec_id)) / 10)
+            r_probe4.append(len(exact & set(p4.vec_id)) / 10)
+        assert sum(r_full) / 3 >= 0.6, r_full
+        assert sum(r_probe4) / 3 >= 0.4, r_probe4
+        assert sum(r_full) >= sum(r_probe4)
+        # determinism
+        q = np.array(tbl["embedding"][1].as_py())
+        a = ann.ivfpq_search(out, q, k=10, nprobe=4).to_pandas()
+        b = ann.ivfpq_search(out, q, k=10, nprobe=4).to_pandas()
+        assert a.vec_id.tolist() == b.vec_id.tolist()

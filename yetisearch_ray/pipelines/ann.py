@@ -533,3 +533,128 @@ def pq_topk(ds, query_vec, *, k=10, m=16, n_codes=64, vec_col="embedding",
 
     scored = codes.map_batches(score, batch_format="pyarrow")
     return scored.sort(["adc_dist", id_col]).limit(k)
+
+
+# ------------------------------------------------------------- IVF-PQ store
+
+
+def ivfpq_build(ds, out_dir, *, n_clusters=16, m=16, n_codes=64,
+                vec_col="embedding", id_col="vec_id", sample_size=2048,
+                seed=42) -> dict:
+    """IVF-PQ store — the canonical billion-scale vector layout (FAISS
+    IVFPQ shape): vectors are normalized, coarse-assigned to a centroid
+    partition, and stored as ``m`` uint8 codes of the RESIDUAL
+    ``x - centroid`` (residual PQ recovers most of the accuracy a raw-
+    vector PQ loses to coarse cell size).  Storage per vector: m bytes +
+    an id — raw vectors are never written.  Searches read only the
+    probed partitions (pruning at the read) and scan codes via LUT.
+    """
+    import json
+    import os
+
+    sample = _normalize(_fit_sample(ds, vec_col, sample_size, seed))
+    cents = kmeans_fit(sample, n_clusters, seed=seed)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    # PQ codebooks on sample residuals
+    a = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(1)
+    resid = sample - cents[a]
+    books = np.stack([
+        kmeans_fit(np.ascontiguousarray(resid[:, j * sub:(j + 1) * sub]),
+                   n_codes, seed=seed + j)
+        for j in range(m)])
+    import ray
+
+    cents_ref, books_ref = ray.put(cents), ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        cb = ray.get(books_ref)
+        x = _normalize(_batch_vectors(t, vec_col))
+        assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(1)
+        r = x - c[assign]
+        n = x.shape[0]
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            rs = r[:, j * sub:(j + 1) * sub]
+            d2 = ((rs ** 2).sum(1)[:, None] - 2.0 * (rs @ cb[j].T)
+                  + (cb[j] ** 2).sum(1)[None, :])
+            codes[:, j] = d2.argmin(axis=1)
+        offsets = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+        col = pa.ListArray.from_arrays(
+            offsets, pa.array(codes.reshape(-1), pa.uint8()))
+        return pa.table({id_col: t[id_col], "codes": col,
+                         "bucket": pa.array(assign.astype(np.int32))})
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "data"), partition_cols=["bucket"])
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    np.save(os.path.join(out_dir, "codebooks.npy"), books)
+    meta = {"n_clusters": int(n_clusters), "m": int(m),
+            "n_codes": int(n_codes), "dim": int(d), "id_col": id_col}
+    with open(os.path.join(out_dir, "ivfpq.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_search(out_dir, query_vec, *, k=10, nprobe=4, round_to=6):
+    """ADC search over the IVF-PQ store: per probed partition the LUT is
+    built against the query's residual to THAT centroid; only the
+    probed partitions' code files are read (columns pruned to id +
+    codes).  Returns (id, adc_dist) ascending — raw vectors are never
+    touched."""
+    import glob as _glob
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "ivfpq.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(out_dir, "centroids.npy"))
+    books = np.load(os.path.join(out_dir, "codebooks.npy"))
+    m, id_col = meta["m"], meta["id_col"]
+    sub = meta["dim"] // m
+    q = np.asarray(query_vec, np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    nprobe = meta["n_clusters"] if nprobe is None else min(
+        int(nprobe), meta["n_clusters"])
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))[:nprobe]
+    # one LUT per probed bucket: distances of (q - centroid_b) to codes
+    luts = {}
+    for b in order:
+        r = q - cents[b]
+        luts[int(b)] = np.stack(
+            [((books[j] - r[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
+             for j in range(m)])
+    luts_ref = ray.put(luts)
+
+    frames = []
+    for b in order:
+        d = os.path.join(out_dir, "data", f"bucket={int(b)}")
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            continue
+        part = rd.read_parquet(files, columns=[id_col, "codes"])
+
+        def score(t: pa.Table, _b=int(b)) -> pa.Table:
+            lu = ray.get(luts_ref)[_b]
+            flat = np.asarray(t["codes"].combine_chunks().flatten(), np.int64)
+            c = flat.reshape(-1, m)
+            dist = lu[np.arange(m)[None, :], c].sum(axis=1)
+            return pa.table({id_col: t[id_col],
+                             "adc_dist": pa.array(np.round(dist, round_to),
+                                                  pa.float64())})
+
+        frames.append(part.map_batches(score, batch_format="pyarrow"))
+    if not frames:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "adc_dist": pa.array([], pa.float64())}))
+    ds = frames[0]
+    if len(frames) > 1:
+        ds = ds.union(*frames[1:])
+    return ds.sort(["adc_dist", id_col]).limit(k)
