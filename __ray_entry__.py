@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_facet_counts": lambda sf: relational.facet_counts(sf),
         "rel_filter_matrix": relational.filter_matrix,
         "rel_order_revenue": lambda sf: relational.order_revenue_topk(sf, k=10),
+        "rel_shipping_priority": lambda sf: relational.shipping_priority_topk(
+            sf, k=10),
         # --- full-text search over documents (reference query classes) ---
         "fts_term_topk": lambda sf: ftsd.term_topk(sf),
         "fts_and_topk": lambda sf: ftsd.and_topk(sf),
@@ -509,4 +511,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_filter_matrix": oracles.FILTER_MATRIX_SQL,
         "rel_multi_union": oracles.MULTI_UNION_SQL,
         "rel_order_revenue": oracles.ORDER_REVENUE_SQL,
+        "rel_shipping_priority": oracles.shipping_priority_sql(),
     }

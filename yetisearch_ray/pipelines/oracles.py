@@ -947,3 +947,20 @@ def stratified_sample_sql(rates: dict, default_rate: float = 1.0,
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE (md5_number_lower(doc_id::VARCHAR) % {buckets}) < ({case})
 ORDER BY doc_id"""
+
+
+def shipping_priority_sql(segment: str = "BUILDING",
+                          cutoff: str = "1998-06-15", k: int = 10) -> str:
+    """Ground truth for relational.shipping_priority_topk (TPC-H Q3
+    shape)."""
+    return f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff}'
+  AND l_shipdate  > TIMESTAMP '{cutoff}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT {k}"""

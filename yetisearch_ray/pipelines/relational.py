@@ -192,3 +192,67 @@ def multi_index_union(sf_dir: str, k: int = 10):
     b = ds.map_batches(split_and_tag("idx_odd", False), batch_format="pyarrow")
     merged = a.union(b).sort(["score", "doc_id"], descending=[True, False]).limit(k)
     return merged.to_pandas()
+
+
+def shipping_priority_topk(sf_dir: str, *, segment: str = "BUILDING",
+                           cutoff: str = "1998-06-15", k: int = 10,
+                           num_partitions: int = 8):
+    """TPC-H Q3 shape — the canonical 3-way join a warehouse runs:
+    customer(filtered segment, broadcast keyset) ⋈ orders(date filter)
+    ⋈ lineitem(date filter, big-big ``Dataset.join``) → groupby revenue
+    → distributed top-k.  The customer side broadcasts because a
+    segment's keyset is small; orders⋈lineitem hash-shuffles both sides
+    (the fact⋈fact shape).  Only k rows reach the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr=f"c_mktsegment == '{segment}'")\
+        .select_columns(["c_custkey"]).to_pandas()
+    key_ref = ray.put(frozenset(int(v) for v in keys["c_custkey"]))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def keep_orders(t):
+        ks = ray.get(key_ref)
+        m1 = pc.less(t["o_orderdate"], cut)
+        m2 = pa.array([int(v) in ks
+                       for v in t["o_custkey"].to_pylist()], pa.bool_())
+        return t.filter(pc.and_(m1, m2)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def derive(t):
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    joined = (li.map_batches(derive, batch_format="pyarrow")
+              .join(orders.map_batches(keep_orders, batch_format="pyarrow"),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",)))
+    agg = (joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("rev", alias_name="revenue")))
+
+    def round_rev(t):
+        return t.set_column(t.column_names.index("revenue"), "revenue",
+                            pc.round(t["revenue"], ndigits=4))
+
+    top = (agg.map_batches(round_rev, batch_format="pyarrow")
+           .sort(["revenue", "l_orderkey"], descending=[True, False])
+           .limit(k))
+    pdf = top.to_pandas()
+    return pdf.reset_index(drop=True)[
+        ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
