@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_revenue": lambda sf: relational.order_revenue_topk(sf, k=10),
         "rel_shipping_priority": lambda sf: relational.shipping_priority_topk(
             sf, k=10),
+        "rel_star_join": lambda sf: relational.brand_nation_revenue(sf, k=20),
         # --- full-text search over documents (reference query classes) ---
         "fts_term_topk": lambda sf: ftsd.term_topk(sf),
         "fts_and_topk": lambda sf: ftsd.and_topk(sf),
@@ -512,4 +513,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_multi_union": oracles.MULTI_UNION_SQL,
         "rel_order_revenue": oracles.ORDER_REVENUE_SQL,
         "rel_shipping_priority": oracles.shipping_priority_sql(),
+        "rel_star_join": oracles.STAR_JOIN_SQL,
     }

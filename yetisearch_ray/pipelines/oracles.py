@@ -964,3 +964,14 @@ WHERE c_mktsegment = '{segment}'
   AND l_shipdate  > TIMESTAMP '{cutoff}'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT {k}"""
+
+
+STAR_JOIN_SQL = """
+SELECT p_brand, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY p_brand, n_name
+ORDER BY revenue DESC, p_brand, n_name LIMIT 20"""

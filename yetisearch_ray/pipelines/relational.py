@@ -256,3 +256,68 @@ def shipping_priority_topk(sf_dir: str, *, segment: str = "BUILDING",
     pdf = top.to_pandas()
     return pdf.reset_index(drop=True)[
         ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+
+
+def brand_nation_revenue(sf_dir: str, *, k: int = 20,
+                         num_partitions: int = 8):
+    """Star join — the warehouse staple: the lineitem FACT table joined
+    to three DIMENSIONS (part → brand, supplier → nation, nation →
+    name), every dimension broadcast once via ``ray.put`` (dim tables
+    are small by definition; no dim ever shuffles), revenue aggregated
+    by (brand, nation) with a map-side partial so the exchange moves
+    one row per (batch × group).  Top-k by revenue."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    brand_of = dict(zip(part["p_partkey"].to_pylist(),
+                        part["p_brand"].to_pylist()))
+    natkey_of = dict(zip(supp["s_suppkey"].to_pylist(),
+                         supp["s_nationkey"].to_pylist()))
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    dims_ref = ray.put((brand_of, natkey_of, name_of))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand_of, natkey_of, name_of = ray.get(dims_ref)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0),
+                                      t["l_discount"])).to_numpy()
+        agg: dict[tuple, float] = {}
+        pk = t["l_partkey"].to_pylist()
+        sk = t["l_suppkey"].to_pylist()
+        for i in range(t.num_rows):
+            key = (brand_of.get(pk[i]),
+                   name_of.get(natkey_of.get(sk[i])))
+            agg[key] = agg.get(key, 0.0) + float(rev[i])
+        ks = list(agg.keys())
+        return pa.table({
+            "p_brand": pa.array([a for a, _ in ks], pa.string()),
+            "n_name": pa.array([b for _, b in ks], pa.string()),
+            "rev": pa.array(list(agg.values()), pa.float64())})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby(["p_brand", "n_name"])
+           .aggregate(Sum("rev", alias_name="revenue")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("revenue"), "revenue",
+                            pc.round(t["revenue"], ndigits=4))
+
+    top = (agg.map_batches(finish, batch_format="pyarrow")
+           .sort(["revenue", "p_brand", "n_name"],
+                 descending=[True, False, False]).limit(k))
+    return top.to_pandas().reset_index(drop=True)[
+        ["p_brand", "n_name", "revenue"]]
