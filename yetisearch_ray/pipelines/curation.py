@@ -271,16 +271,17 @@ def curate_corpus(ds, *, lang: str | None = "en", min_quality: float = 0.3,
         return (t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
                 .select(["doc_id"]))
 
-    loser_ids = frozenset(
-        int(v) for v in clusters.map_batches(losers, batch_format="pyarrow")
-        .to_pandas()["doc_id"])
+    import numpy as np
+
+    loser_df = clusters.map_batches(losers, batch_format="pyarrow").to_pandas()
+    loser_ids = (np.sort(loser_df["doc_id"].to_numpy(np.int64))
+                 if len(loser_df) else np.empty(0, np.int64))
     ref = ray.put(loser_ids)
 
     def drop(t: pa.Table) -> pa.Table:
         bad = ray.get(ref)
-        mask = pa.array([int(v) not in bad
-                         for v in t[id_col].to_pylist()], pa.bool_())
-        return t.filter(mask)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, bad), pa.bool_()))
 
     return deduped.map_batches(drop, batch_format="pyarrow").sort(id_col)
 

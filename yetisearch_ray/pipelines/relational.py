@@ -215,7 +215,8 @@ def shipping_priority_topk(sf_dir: str, *, segment: str = "BUILDING",
                            columns=["c_custkey", "c_mktsegment"])
     keys = cust.filter(expr=f"c_mktsegment == '{segment}'")\
         .select_columns(["c_custkey"]).to_pandas()
-    key_ref = ray.put(frozenset(int(v) for v in keys["c_custkey"]))
+    # sorted array → np.isin takes the searchsorted fast path per batch
+    key_ref = ray.put(np.sort(keys["c_custkey"].to_numpy(np.int64)))
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -224,8 +225,8 @@ def shipping_priority_topk(sf_dir: str, *, segment: str = "BUILDING",
     def keep_orders(t):
         ks = ray.get(key_ref)
         m1 = pc.less(t["o_orderdate"], cut)
-        m2 = pa.array([int(v) in ks
-                       for v in t["o_custkey"].to_pylist()], pa.bool_())
+        m2 = pa.array(np.isin(
+            t["o_custkey"].to_numpy(zero_copy_only=False), ks), pa.bool_())
         return t.filter(pc.and_(m1, m2)).select(
             ["o_orderkey", "o_orderdate", "o_orderpriority"])
 
