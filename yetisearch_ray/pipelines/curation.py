@@ -259,8 +259,8 @@ def curate_corpus(ds, *, lang: str | None = "en", min_quality: float = 0.3,
             .filter(expr=f"quality >= {min_quality}")
             .select_columns([id_col]))
     nparts = dd._default_join_partitions(num_partitions)
-    gated = ds.join(dd._join_ready(keep, nparts), "left_semi", nparts,
-                    on=(id_col,))
+    gated = dd._strip_meta(ds).join(dd._join_ready(keep, nparts),
+                                    "left_semi", nparts, on=(id_col,))
     deduped = dd.exact_dedup_rows(gated, text_col=text_col, id_col=id_col,
                                   num_partitions=nparts).materialize()
     clusters = dd.minhash_dedup_clusters(

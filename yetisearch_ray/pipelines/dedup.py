@@ -64,6 +64,19 @@ def _md5_batch(texts) -> list[str]:
     return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
 
 
+def _strip_meta(ds):
+    """Drop schema-level metadata from every block (zero-copy).
+
+    Parquet written by pandas carries a ``b'pandas'`` schema-metadata
+    blob; pyarrow Schemas with metadata are UNHASHABLE, which defeats
+    Ray's schema deduplication in every downstream shuffle/join
+    aggregator (it logs "Failed to hash the schemas" per block and falls
+    back to O(blocks) schema unification).  Stripping once at the
+    pipeline entry keeps the exchange metadata-clean."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -98,6 +111,7 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     implementation collected the survivor set driver-side, O(N) driver
     memory at corpus scale)."""
     num_partitions = _default_join_partitions(num_partitions)
+    ds = _strip_meta(ds)
     surv = _join_ready(exact_dedup(ds, text_col, id_col)
                        .select_columns([id_col]), num_partitions)
     return ds.join(surv, "left_semi", num_partitions, on=(id_col,))
@@ -288,7 +302,7 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
     import itertools
 
     num_partitions = _default_join_partitions(num_partitions)
-    ds = ds.select_columns([id_col, text_col])
+    ds = _strip_meta(ds.select_columns([id_col, text_col]))
     buckets = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                      num_perm=num_perm, bands=bands,
                                      shingle_n=shingle_n, seed=seed)

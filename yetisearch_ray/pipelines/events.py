@@ -171,15 +171,21 @@ def asof_join_orders(sf_dir: str):
         uid = int(g["user_id"].iloc[0])
         mine = by_key.get(uid)
         g = g.sort_values("ts")
+        cols = ["event_id", "user_id", "ts", "o_orderdate", "o_orderkey"]
         if mine is None:
+            g["o_orderdate"] = pd.Series(pd.NaT, index=g.index,
+                                         dtype="datetime64[us]")
             g["o_orderkey"] = pd.array([pd.NA] * len(g), dtype="Int64")
-            g["o_orderdate"] = pd.NaT
-            return g
+            return g[cols]
         j = pd.merge_asof(g, mine[["o_orderdate", "o_orderkey"]],
                           left_on="ts", right_on="o_orderdate",
                           direction="backward")
         j["o_orderkey"] = j["o_orderkey"].astype("Int64")
-        return j
+        j["o_orderdate"] = j["o_orderdate"].astype("datetime64[us]")
+        # identical column order + dtypes on every branch: Ray unions the
+        # group outputs as blocks, and divergent layouts make mixed block
+        # schemas (streaming executor warns and falls back).
+        return j[cols]
 
     out = ds.groupby("user_id").map_groups(join_group, batch_format="pandas")
     pdf = out.to_pandas()

@@ -70,8 +70,11 @@ def order_revenue_topk(sf_dir: str, k: int = 10, num_partitions: int = 8):
     per_order = (li.map_batches(derive, batch_format="pyarrow")
                  .groupby("l_orderkey")
                  .aggregate(Sum("rev", alias_name="revenue")))
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_orderpriority"])
+    from .dedup import _strip_meta
+
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]))
     joined = per_order.join(orders, join_type="inner",
                             num_partitions=num_partitions,
                             on=("l_orderkey",), right_on=("o_orderkey",))
@@ -228,7 +231,8 @@ def shipping_priority_topk(sf_dir: str, *, segment: str = "BUILDING",
         m2 = pa.array(np.isin(
             t["o_custkey"].to_numpy(zero_copy_only=False), ks), pa.bool_())
         return t.filter(pc.and_(m1, m2)).select(
-            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .replace_schema_metadata(None)
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
