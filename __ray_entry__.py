@@ -96,8 +96,8 @@ _PAIRS_CACHE: dict = {}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from yetisearch_ray.pipelines import (ann, curation, dedup, events,
-                                          relational, textstats)
+    from yetisearch_ray.pipelines import (ann, cluster, curation, dedup,
+                                          events, relational, textstats)
 
     def _docs(sf_dir):
         import ray.data as rd
@@ -375,6 +375,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall + pruning bars pinned in pytest)
         "ann_ivfpq_topk": _ann_ivfpq,
         "ann_multi_query": lambda sf: _ann_multi_query(sf),
+        # distributed Lloyd k-means over the embedding column (rows-only:
+        # cluster contents are data-dependent; blob-recovery, NumPy-
+        # reference inertia parity and empty-cluster determinism pinned
+        # in tests/test_kmeans.py)
+        "emb_kmeans_sizes": lambda sf: cluster.kmeans_cluster_sizes(
+            _emb(sf), 8, iters=5).to_pandas(),
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),

@@ -1,0 +1,97 @@
+"""Distributed k-means (pipelines/cluster.py) vs a pure-NumPy Lloyd
+reference and planted ground truth."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from yetisearch_ray.pipelines.cluster import (
+    kmeans_assign,
+    kmeans_cluster_sizes,
+    kmeans_fit_distributed,
+)
+
+
+def _blobs(n_per=200, k=4, d=16, sep=30.0, seed=7):
+    """k well-separated Gaussian blobs; returns (matrix, labels)."""
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(k, d)) * sep
+    pts = np.concatenate(
+        [cents[i] + rng.normal(size=(n_per, d)) for i in range(k)])
+    labels = np.repeat(np.arange(k), n_per)
+    perm = rng.permutation(pts.shape[0])
+    return pts[perm], labels[perm]
+
+
+@pytest.fixture(scope="module")
+def blob_ds(ray_session):
+    pts, labels = _blobs()
+    t = pa.table({
+        "vec_id": pa.array(np.arange(pts.shape[0], dtype=np.int64)),
+        "embedding": pa.array([row for row in pts], pa.list_(pa.float64())),
+    })
+    return rd.from_arrow(t).repartition(8), pts, labels
+
+
+def test_recovers_planted_blobs(blob_ds):
+    ds, pts, labels = blob_ds
+    cents, info = kmeans_fit_distributed(ds, 4, iters=8, seed=3)
+    asg = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    got = asg["cluster_id"].to_numpy()
+    # cluster ids are arbitrary — require a bijection onto the planted
+    # labels (every planted blob maps to exactly one k-means cluster)
+    mapping = {}
+    for lab in range(4):
+        cids = np.unique(got[labels == lab])
+        assert cids.size == 1, f"blob {lab} split across clusters {cids}"
+        mapping[lab] = cids[0]
+    assert len(set(mapping.values())) == 4
+
+
+def test_matches_numpy_reference_inertia(blob_ds):
+    """Same data, same final partition ⇒ inertia equals a single-machine
+    Lloyd run to float tolerance (assignments are a bijection, so the
+    converged inertia is partition-determined)."""
+    ds, pts, labels = blob_ds
+    cents, info = kmeans_fit_distributed(ds, 4, iters=10, seed=3)
+    # reference: Lloyd from the CONVERGED centroids (one more step is a
+    # fixed point) — checks the distributed sums/counts are exact
+    d2 = ((pts * pts).sum(1)[:, None] - 2 * pts @ cents.T
+          + (cents * cents).sum(1)[None, :])
+    ref_inertia = float(np.maximum(d2.min(axis=1), 0).sum())
+    assert info["inertia"][-1] == pytest.approx(ref_inertia, rel=1e-9)
+
+
+def test_inertia_monotone_and_counts(blob_ds):
+    ds, pts, labels = blob_ds
+    cents, info = kmeans_fit_distributed(ds, 4, iters=6, seed=3)
+    ine = info["inertia"]
+    assert all(ine[i + 1] <= ine[i] + 1e-6 for i in range(len(ine) - 1))
+    assert int(info["counts"].sum()) == pts.shape[0]
+    assert cents.shape == (4, pts.shape[1])
+
+
+def test_empty_cluster_keeps_centroid(ray_session):
+    """k > distinct points: surplus centroids keep their previous
+    position (no NaN, deterministic)."""
+    pts = np.repeat(np.array([[0.0, 0.0], [10.0, 10.0]]), 50, axis=0)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(100, dtype=np.int64)),
+        "embedding": pa.array([row for row in pts], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+    cents, info = kmeans_fit_distributed(ds, 5, iters=4, seed=0)
+    assert not np.isnan(cents).any()
+    assert int(info["counts"].sum()) == 100
+    # exactly the two distinct locations get members
+    assert (info["counts"] > 0).sum() == 2
+
+
+def test_cluster_sizes_rollup(blob_ds):
+    ds, pts, labels = blob_ds
+    sizes = kmeans_cluster_sizes(ds, 4, iters=6, seed=3).to_pandas()
+    assert list(sizes.columns) == ["cluster_id", "n_vecs"]
+    assert sizes["n_vecs"].sum() == pts.shape[0]
+    # planted blobs are equal-sized
+    assert sorted(sizes["n_vecs"]) == [200, 200, 200, 200]

@@ -1,3 +1,4 @@
-from . import ann, dedup, multimodal, relational, textstats
+from . import ann, cluster, dedup, multimodal, relational, textstats
 
-__all__ = ["ann", "dedup", "multimodal", "relational", "textstats"]
+__all__ = ["ann", "cluster", "dedup", "multimodal", "relational",
+           "textstats"]
