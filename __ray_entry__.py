@@ -381,6 +381,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in tests/test_kmeans.py)
         "emb_kmeans_sizes": lambda sf: cluster.kmeans_cluster_sizes(
             _emb(sf), 8, iters=5).to_pandas(),
+        # SemDeDup: cluster-then-compare near-dup pairs (rows-only:
+        # recall depends on the k-means partition; 100%-recall-vs-exact
+        # on planted blobs + no-dup identity pinned in tests/test_kmeans.py)
+        "emb_semdedup_pairs": lambda sf: _ensure_cols(
+            cluster.semantic_near_dup_pairs(
+                _emb(sf), threshold=0.45, n_clusters=8, iters=5).to_pandas(),
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),

@@ -95,3 +95,81 @@ def test_cluster_sizes_rollup(blob_ds):
     assert sizes["n_vecs"].sum() == pts.shape[0]
     # planted blobs are equal-sized
     assert sorted(sizes["n_vecs"]) == [200, 200, 200, 200]
+
+
+# ------------------------------------------------------ SemDeDup
+
+
+@pytest.fixture(scope="module")
+def dup_ds(ray_session):
+    """Blobs + planted near-duplicates (tiny perturbations of members)."""
+    pts, labels = _blobs(n_per=100, k=4, d=16, sep=30.0, seed=11)
+    rng = np.random.default_rng(5)
+    dup_src = rng.choice(pts.shape[0], size=20, replace=False)
+    dups = pts[dup_src] + rng.normal(scale=1e-4, size=(20, 16))
+    allpts = np.concatenate([pts, dups])
+    ids = np.arange(allpts.shape[0], dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r for r in allpts], pa.list_(pa.float64())),
+    })
+    return rd.from_arrow(t).repartition(8), allpts, dup_src
+
+
+def test_semantic_pairs_match_exact(dup_ds):
+    """Same-blob near-dups land in the same k-means cluster (sep=30 ≫
+    perturbation), so SemDeDup recall vs the exact all-pairs operator is
+    100% here — and it must not invent pairs either."""
+    from yetisearch_ray.pipelines.ann import embedding_near_dup_pairs
+    from yetisearch_ray.pipelines.cluster import semantic_near_dup_pairs
+
+    ds, allpts, dup_src = dup_ds
+    exact = embedding_near_dup_pairs(ds, threshold=0.9999,
+                                     method="exact").to_pandas()
+    sem = semantic_near_dup_pairs(ds, threshold=0.9999, n_clusters=4,
+                                  iters=6, seed=3)
+    sem = sem.to_pandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    s = set(zip(sem["id_a"], sem["id_b"]))
+    assert len(e) >= 20          # every planted dup found by exact
+    assert s == e
+
+
+def test_semantic_dedup_rows_drop_higher_ids(dup_ds):
+    from yetisearch_ray.pipelines.cluster import (semantic_dedup_rows,
+                                                  semantic_near_dup_pairs)
+
+    ds, allpts, dup_src = dup_ds
+    pairs = semantic_near_dup_pairs(ds, threshold=0.9999, n_clusters=4,
+                                    iters=6, seed=3).to_pandas()
+    surv = semantic_dedup_rows(ds, threshold=0.9999, n_clusters=4,
+                               iters=6, seed=3).to_pandas()
+    dropped = set(pairs["id_b"])
+    assert set(surv["vec_id"]) == set(range(allpts.shape[0])) - dropped
+    # survivors keep the full row schema
+    assert "embedding" in surv.columns
+
+
+def test_semantic_dedup_no_dups_is_identity(ray_session):
+    """A corpus with no near-dup pair survives intact.  (Blob data
+    can't be used here: two same-blob points at sep=30 already have
+    cosine ≈ 1 − d/(2·sep²·d) ≈ 0.9994, and one seeded pair crosses
+    0.9999 by chance.)  Random directions in d=64 keep every pairwise
+    cosine far below threshold — verified for this seed."""
+    rng = np.random.default_rng(17)
+    pts = rng.normal(size=(300, 64))
+    m = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, 0.0)
+    assert sims.max() < 0.99  # the data really has no near-dups
+
+    from yetisearch_ray.pipelines.cluster import semantic_dedup_rows
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array([r for r in pts], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+    surv = semantic_dedup_rows(ds, threshold=0.9999, n_clusters=4,
+                               iters=4, seed=3).to_pandas()
+    assert len(surv) == 300

@@ -32,7 +32,8 @@ import pyarrow as pa
 
 from .ann import _batch_vectors, _fit_sample
 
-__all__ = ["kmeans_fit_distributed", "kmeans_assign", "kmeans_cluster_sizes"]
+__all__ = ["kmeans_fit_distributed", "kmeans_assign", "kmeans_cluster_sizes",
+           "semantic_near_dup_pairs", "semantic_dedup_rows"]
 
 
 def _kmeanspp_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
@@ -193,6 +194,115 @@ def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_near_dup_pairs(ds, *, threshold: float = 0.9,
+                            n_clusters: int = 16,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id", iters: int = 5,
+                            seed: int = 42, round_to: int = 6,
+                            as_dataset: bool = False):
+    """SemDeDup-style near-duplicate pairs: cluster first, compare
+    WITHIN clusters only (Abbas et al. 2023, arXiv:2303.09540).
+
+    The scale contract: the O(N²) GEMM of exact near-dup becomes k
+    independent O((N/k)²) GEMMs, each inside one ``map_groups`` group —
+    so ``n_clusters`` must be chosen so a cluster's vectors fit one
+    worker (k ≈ N·d·8 / worker_bytes).  Pairs split across clusters are
+    missed by design — that is SemDeDup's recall trade; the planted-dup
+    test pins recall vs the exact operator.
+
+    Output: (id_a, id_b, cosine), id_a < id_b, sorted.
+    """
+    import ray
+
+    cents, _ = kmeans_fit_distributed(ds, n_clusters, vec_col=vec_col,
+                                      iters=iters, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _batch_vectors(t, vec_col)
+        d2 = ((m * m).sum(axis=1)[:, None]
+              - 2.0 * (m @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return pa.table({
+            "cluster_id": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            id_col: t[id_col],
+            vec_col: t[vec_col],
+        })
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or id_col not in g.column_names:
+            return empty
+        from .ann import _normalize
+
+        m = _normalize(_batch_vectors(g, vec_col))
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ m.T
+        iu = np.triu_indices(ids.size, k=1)
+        hit = sims[iu] >= threshold
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "id_a": pa.array(lo), "id_b": pa.array(hi),
+            "cosine": pa.array(np.round(sims[iu][hit], round_to),
+                               pa.float64()),
+        })
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow")
+    pairs = (tagged.groupby("cluster_id")
+             .map_groups(cluster_pairs, batch_format="pyarrow")
+             .sort(["id_a", "id_b"]))
+    if as_dataset:
+        return pairs
+    pdf = pairs.to_pandas()
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def semantic_dedup_rows(ds, *, threshold: float = 0.9, n_clusters: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        iters: int = 5, seed: int = 42,
+                        num_partitions: int | None = None):
+    """Surviving rows after SemDeDup pruning: within every near-dup pair
+    the HIGHER id drops, so the survivor set is 'points with no lower-id
+    near-neighbor in their cluster' (the deterministic greedy SemDeDup
+    keeps; no randomness).
+
+    The drop set (bounded by the number of near-dup pairs, not the
+    corpus) is BROADCAST once via ``ray.put`` and each batch filters
+    with a vectorized sorted-array membership test — an anti-JOIN can't
+    be used because Arrow's hash join rejects ``list<double>`` non-key
+    columns, and re-gathering full rows after an ids-only join would
+    hit the same wall.  At extreme drop-set sizes, hash-partition both
+    sides by id and co-filter per bucket instead."""
+    import ray
+
+    pairs = semantic_near_dup_pairs(ds, threshold=threshold,
+                                    n_clusters=n_clusters, vec_col=vec_col,
+                                    id_col=id_col, iters=iters, seed=seed,
+                                    as_dataset=True)
+    pair_df = pairs.select_columns(["id_b"]).to_pandas()
+    # an empty Dataset loses its schema through to_pandas()
+    drop_ids = (np.unique(pair_df["id_b"].to_numpy(dtype=np.int64))
+                if "id_b" in pair_df.columns and len(pair_df)
+                else np.array([], dtype=np.int64))
+    drop_ref = ray.put(drop_ids)          # sorted (np.unique)
+
+    def keep(t: pa.Table) -> pa.Table:
+        drops = ray.get(drop_ref)
+        if drops.size == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(drops, ids), drops.size - 1)
+        return t.filter(pa.array(drops[pos] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def kmeans_cluster_sizes(ds, n_clusters: int, *, vec_col: str = "embedding",
