@@ -227,6 +227,18 @@ def bench_ann() -> float:
     return time.perf_counter() - t0
 
 
+def bench_kmeans() -> float:
+    """Distributed Lloyd fit (5 iterations) + assign + size rollup."""
+    import ray.data as rd
+
+    from yetisearch_ray.pipelines.cluster import kmeans_cluster_sizes
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    kmeans_cluster_sizes(ds, 8, iters=5).to_pandas()
+    return time.perf_counter() - t0
+
+
 def bench_agg() -> float:
     from yetisearch_ray.pipelines.relational import pricing_summary
 
@@ -360,6 +372,7 @@ def run_once() -> dict:
         t_dedup = bench_dedup()
         t_curate, n_curated = bench_curate()
         t_ann = bench_ann()
+        t_kmeans = bench_kmeans()
         t_agg = bench_agg()
         gens = bench_generations(corpus, idx_dir)
         fuzzy = bench_fuzzy_rates()
@@ -396,6 +409,7 @@ def run_once() -> dict:
             "dedup_minhash": round(t_dedup, 3),
             "curate_pipeline": round(t_curate, 3),
             "ann_cosine": round(t_ann, 3),
+            "kmeans_cluster": round(t_kmeans, 3),
             "agg_pricing": round(t_agg, 3),
             "append_gen2": gens["append_sec"],
             "optimize": gens["optimize_sec"],
