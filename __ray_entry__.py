@@ -312,6 +312,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _minhash_pairs_ds(sf)).to_pandas(),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
             _docs(sf)).to_pandas(),
+        # substring-level dedup signal (Lee et al. 2022, char-50-gram
+        # rolling hashes; hash-join back, no broadcast)
+        "dedup_substring_stats": lambda sf: dedup.substring_dup_stats(
+            _docs(sf)).to_pandas(),
         # line-level boilerplate scrub over the CODE corpus (real newlines)
         "dedup_line_dedup": lambda sf: dedup.line_dedup(
             __import__("yetisearch_ray.sources.parquet_source",
@@ -490,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": oracles.MINHASH_PAIRS_SQL,
         "dedup_minhash_clusters": oracles.MINHASH_CLUSTERS_SQL,
         "dedup_line_dedup": oracles.line_dedup_sql(_CODE_GLOB_001, min_docs=2),
+        "dedup_substring_stats": oracles.SUBSTRING_DUP_SQL,
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),

@@ -584,3 +584,55 @@ class TestPQ:
         a = ann.ivfpq_search(out, q, k=10, nprobe=4).to_pandas()
         b = ann.ivfpq_search(out, q, k=10, nprobe=4).to_pandas()
         assert a.vec_id.tolist() == b.vec_id.tolist()
+
+
+class TestSubstringDedup:
+    """substring_dup_stats: char-50-gram cross-doc duplication signal
+    (Lee et al. 2022 suffix-dedup approximation)."""
+
+    def test_matches_brute_force_on_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import substring_dup_stats
+
+        rng = np.random.default_rng(7)
+        alpha = np.array(list("abcdefghij "))
+        uniq = ["".join(rng.choice(alpha, 120)) for _ in range(8)]
+        boiler = "".join(rng.choice(alpha, 80))  # shared 80-char block
+        texts = ([u for u in uniq]
+                 + [boiler + uniq[0][:30], uniq[1][:20] + boiler]
+                 + ["tiny"])                       # < 50 chars -> 0 grams
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = (substring_dup_stats(rd.from_arrow(tbl), gram_len=50)
+               .to_pandas().set_index("doc_id"))
+
+        L = 50
+        from collections import Counter
+        per_doc = [Counter(t[i:i + L] for i in range(max(len(t) - L + 1, 0)))
+                   for t in texts]
+        df = Counter()
+        for c in per_doc:
+            df.update(set(c))
+        for d, (t, c) in enumerate(zip(texts, per_doc)):
+            n_grams = max(len(t) - L + 1, 0)
+            n_dup = sum(n for g, n in c.items() if df[g] >= 2)
+            assert got.loc[d, "n_grams"] == n_grams, d
+            assert got.loc[d, "n_dup_grams"] == n_dup, d
+            assert abs(got.loc[d, "dup_frac"]
+                       - round(n_dup / max(n_grams, 1), 6)) < 1e-9, d
+        # the planted boilerplate must actually fire
+        assert got.loc[8, "n_dup_grams"] > 0 and got.loc[9, "n_dup_grams"] > 0
+        assert got.loc[10, "n_grams"] == 0 and got.loc[10, "dup_frac"] == 0.0
+
+    def test_exact_dup_docs_are_fully_duplicated(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import substring_dup_stats
+
+        t = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 4
+        tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                        "text": pa.array([t, t], pa.string())})
+        got = substring_dup_stats(rd.from_arrow(tbl)).to_pandas()
+        assert (got["dup_frac"] == 1.0).all()
+        assert (got["n_dup_grams"] == got["n_grams"]).all()

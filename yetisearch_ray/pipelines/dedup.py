@@ -842,3 +842,135 @@ def line_dedup(ds, *, text_col="text", id_col="doc_id", min_docs=2,
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(rebuild, batch_format="pyarrow").sort(id_col))
+
+
+# ------------------------------------------------ substring-level dedup
+
+
+_FNV_B = np.uint64(1099511628211)          # FNV-1a prime; odd -> invertible
+_FNV_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _gram_hash_rows(texts: list[str], gram_len: int):
+    """Vectorized rolling-hash of every char ``gram_len``-gram of every
+    text: returns (doc_idx, hash_i64, positions) flat arrays with one
+    row per DISTINCT (doc, gram-hash) and ``positions`` = occurrence
+    count inside that doc.
+
+    O(total chars) flat computation, no per-window materialization:
+    texts are concatenated into one codepoint array and the polynomial
+    hash h_i = sum_k cp[i+k] * B^(L-1-k) (mod 2^64) is recovered from a
+    single prefix sum via the invertible-B trick —
+    h_i = B^(L-1+i) * (S[i+L] - S[i]) with S the prefix sum of
+    cp[j] * B^(-j).  Windows crossing a document boundary are masked
+    out, so no separator characters are needed.
+    """
+    lens = np.array([len(s) for s in texts], dtype=np.int64)
+    n = int(lens.sum())
+    L = gram_len
+    if n < L or len(texts) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"),
+                         dtype=np.uint32).astype(np.uint64)
+    # B^-j and B^j ladders (mod 2^64 via native uint64 wraparound)
+    binv_p = np.full(n, _FNV_BINV, dtype=np.uint64)
+    binv_p[0] = 1
+    np.cumprod(binv_p, out=binv_p)
+    b_p = np.full(n - L + 1, _FNV_B, dtype=np.uint64)
+    b_p[0] = 1
+    np.cumprod(b_p, out=b_p)
+    s = np.cumsum(flat * binv_p, dtype=np.uint64)
+    s_hi = s[L - 1:]                                  # S[i+L-1], i = 0..n-L
+    s_lo = np.concatenate(([np.uint64(0)], s[:n - L]))
+    bl1 = np.uint64(pow(1099511628211, L - 1, 1 << 64))
+    h = (s_hi - s_lo) * b_p * bl1
+    # a window starting at i is valid iff chars i and i+L-1 share a doc
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    valid = doc_of[:n - L + 1] == doc_of[L - 1:]
+    dfp = pd.DataFrame({"d": doc_of[:n - L + 1][valid],
+                        "h": h[valid].view(np.int64)})
+    g = dfp.groupby(["d", "h"], sort=False).size()
+    idx = g.index.to_frame(index=False)
+    return (idx["d"].to_numpy(), idx["h"].to_numpy(),
+            g.to_numpy().astype(np.int64))
+
+
+def substring_dup_stats(ds, *, text_col="text", id_col="doc_id",
+                        gram_len: int = 50, num_partitions: int | None = None):
+    """Cross-document SUBSTRING duplication stats — the signal behind
+    suffix-array dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022), approximated with char
+    ``gram_len``-gram rolling hashes: for each doc, how many of its
+    character n-gram positions also occur verbatim in at least one
+    OTHER document.
+
+    Shape (all Dataset ops, no driver materialization of grams):
+
+    1. one pass emits per-doc DISTINCT (hash, occurrence-count) rows —
+       bounded by corpus chars, shuffled hash-partitioned;
+    2. ``groupby(h).count() >= 2`` finds cross-doc hashes (rows are
+       distinct per doc, so row count = doc frequency);
+    3. an inner hash join back + ``groupby(doc).sum`` counts each doc's
+       duplicated positions;
+    4. totals ride a zero-filled union into ONE final groupby — no
+       left-outer join, no broadcast.
+
+    64-bit hashes stand in for the grams themselves (a gram never
+    leaves its worker); collision odds at 10^12 grams are ~3e-5 per
+    corpus and only perturb counts by ±1.  Returns
+    (id, n_grams, n_dup_grams, dup_frac round-6) sorted by id.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    L = int(gram_len)
+    num_partitions = _default_join_partitions(num_partitions)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [x or "" for x in t[text_col].to_pylist()]
+        d, h, c = _gram_hash_rows(texts, L)
+        return pa.table({id_col: pa.array(ids[d], pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    grams = (ds.select_columns([id_col, text_col])
+             .map_batches(gram_rows, batch_format="pyarrow").materialize())
+    hot = (grams.groupby("h").aggregate(Count(alias_name="n_docs"))
+           .filter(expr="n_docs >= 2").select_columns(["h"]))
+    dup = (_join_ready(grams, num_partitions)
+           .join(_join_ready(hot, num_partitions), join_type="inner",
+                 num_partitions=num_partitions, on=("h",))
+           .groupby(id_col).aggregate(Sum("c", alias_name="n_dup_grams")))
+
+    def totals(t: pa.Table) -> pa.Table:
+        lens = np.array([len(x or "") for x in t[text_col].to_pylist()],
+                        dtype=np.int64)
+        return pa.table({
+            id_col: t[id_col].combine_chunks().cast(pa.int64()),
+            "n_grams": pa.array(np.maximum(lens - L + 1, 0), pa.int64()),
+            "n_dup_grams": pa.array(np.zeros(len(t), np.int64), pa.int64())})
+
+    def dup_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col].combine_chunks().cast(pa.int64()),
+            "n_grams": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "n_dup_grams": t["n_dup_grams"].combine_chunks().cast(pa.int64())})
+
+    tot = (ds.select_columns([id_col, text_col])
+           .map_batches(totals, batch_format="pyarrow"))
+    merged = (tot.union(dup.map_batches(dup_side, batch_format="pyarrow"))
+              .groupby(id_col)
+              .aggregate(Sum("n_grams", alias_name="n_grams"),
+                         Sum("n_dup_grams", alias_name="n_dup_grams")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_dup_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = np.round(nd / np.maximum(ng, 1), 6)
+        return pa.table({id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                         "n_grams": pa.array(ng, pa.int64()),
+                         "n_dup_grams": pa.array(nd, pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort(id_col)

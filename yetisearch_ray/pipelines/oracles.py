@@ -975,3 +975,30 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation   ON n_nationkey = s_nationkey
 GROUP BY p_brand, n_name
 ORDER BY revenue DESC, p_brand, n_name LIMIT 20"""
+
+
+# Ground truth for dedup.substring_dup_stats: per-doc count of char
+# 50-gram positions whose gram occurs in >= 2 distinct docs.  The
+# operator compares 64-bit rolling hashes where the oracle compares the
+# grams themselves; they agree unless a 64-bit collision exists in the
+# corpus (odds ~n^2/2^65).
+SUBSTRING_DUP_SQL = """
+WITH g AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 50) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 49, 0))) AS i
+        FROM documents)
+),
+df AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+dup AS (SELECT g.doc_id, count(*) AS n_dup_grams
+        FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(u.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       round(coalesce(u.n_dup_grams, 0) * 1.0
+             / greatest(coalesce(t.n_grams, 0), 1), 6) AS dup_frac
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN dup u USING (doc_id)
+ORDER BY d.doc_id"""
