@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_facet_counts": lambda sf: relational.facet_counts(sf),
         "rel_filter_matrix": relational.filter_matrix,
         "rel_order_revenue": lambda sf: relational.order_revenue_topk(sf, k=10),
+        # per-group top-k via map-side combiner (no global sort)
+        "rel_group_topk": lambda sf: relational.grouped_topk(sf, k=5),
         "rel_shipping_priority": lambda sf: relational.shipping_priority_topk(
             sf, k=10),
         "rel_star_join": lambda sf: relational.brand_nation_revenue(sf, k=20),
@@ -530,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_filter_matrix": oracles.FILTER_MATRIX_SQL,
         "rel_multi_union": oracles.MULTI_UNION_SQL,
         "rel_order_revenue": oracles.ORDER_REVENUE_SQL,
+        "rel_group_topk": oracles.GROUP_TOPK_SQL,
         "rel_shipping_priority": oracles.shipping_priority_sql(),
         "rel_star_join": oracles.STAR_JOIN_SQL,
     }

@@ -1002,3 +1002,15 @@ FROM documents d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN dup u USING (doc_id)
 ORDER BY d.doc_id"""
+
+
+# Ground truth for relational.grouped_topk: per-source top-5 docs by
+# n_chars (ties -> ascending doc_id), the row_number-over-partition
+# shape the combiner pipeline reproduces without a global sort.
+GROUP_TOPK_SQL = """
+SELECT source, doc_id, n_chars,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS grp_rank
+FROM documents
+QUALIFY grp_rank <= 5
+ORDER BY source, grp_rank"""

@@ -12,6 +12,7 @@ groupby where it matters; the join broadcasts the small side
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -329,3 +330,39 @@ def brand_nation_revenue(sf_dir: str, *, k: int = 20,
                  descending=[True, False, False]).limit(k))
     return top.to_pandas().reset_index(drop=True)[
         ["p_brand", "n_name", "revenue"]]
+
+
+def grouped_topk(sf_dir: str, *, group_col: str = "source",
+                 order_col: str = "n_chars", id_col: str = "doc_id",
+                 k: int = 5):
+    """Distributed PER-GROUP top-k (the ``row_number() OVER (PARTITION
+    BY ...) <= k`` shape) without a global sort: a map-side combiner
+    keeps only each batch's per-group top-k (so the shuffle moves at
+    most k rows per group per batch), then ``groupby.map_groups``
+    finishes the per-group ranking.  Ties break on ascending id for a
+    deterministic, oracle-matchable order."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=[id_col, group_col, order_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([group_col, order_col, id_col],
+                                       ascending=[True, False, True])
+        out = pa.Table.from_pandas(df.groupby(group_col, sort=False).head(k),
+                                   preserve_index=False)
+        # pandas metadata makes block schemas unhashable in the shuffle
+        return out.replace_schema_metadata(None)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([order_col, id_col], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["grp_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col).map_groups(final, batch_format="pandas"))
+    pdf = out.to_pandas().sort_values([group_col, "grp_rank"])
+    pdf["grp_rank"] = pdf["grp_rank"].astype("int64")
+    return pdf.reset_index(drop=True)[[group_col, id_col, order_col,
+                                       "grp_rank"]]
