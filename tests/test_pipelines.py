@@ -636,3 +636,46 @@ class TestSubstringDedup:
         got = substring_dup_stats(rd.from_arrow(tbl)).to_pandas()
         assert (got["dup_frac"] == 1.0).all()
         assert (got["n_dup_grams"] == got["n_grams"]).all()
+
+
+class TestGroupedTopk:
+    def test_combiner_survives_multi_block_split(self, ray_session, tmp_path):
+        """Per-batch pruning must keep every global per-group winner even
+        when a group's rows are scattered across many blocks."""
+        import duckdb
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines.relational import grouped_topk
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 7}" for i in range(n)], pa.string()),
+            # heavy ties to stress the doc_id tie-break
+            "n_chars": pa.array(rng.integers(0, 40, n), pa.int64()),
+        })
+        import pyarrow.parquet as pq
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+        import unittest.mock as mock
+        real_read = rd.read_parquet
+
+        def chunked_read(path, **kw):
+            return real_read(path, override_num_blocks=16, **kw)
+
+        with mock.patch.object(rd, "read_parquet", side_effect=chunked_read):
+            got = grouped_topk(str(tmp_path), k=5)
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        want = con.execute("""
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS grp_rank
+            FROM documents QUALIFY grp_rank <= 5
+            ORDER BY source, grp_rank""").fetchdf()
+        want["grp_rank"] = want["grp_rank"].astype("int64")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want[got.columns], check_dtype=False)
