@@ -387,6 +387,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in tests/test_kmeans.py)
         "emb_kmeans_sizes": lambda sf: cluster.kmeans_cluster_sizes(
             _emb(sf), 8, iters=5).to_pandas(),
+        # distributed PCA (rows-only: eigendecomposition isn't SQL;
+        # 1e-7 component parity vs full-matrix NumPy pinned in
+        # tests/test_kmeans.py)
+        "emb_pca_coords": lambda sf: cluster.pca_coords(sf).to_pandas(),
         # SemDeDup: cluster-then-compare near-dup pairs (rows-only:
         # recall depends on the k-means partition; 100%-recall-vs-exact
         # on planted blobs + no-dup identity pinned in tests/test_kmeans.py)

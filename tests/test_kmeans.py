@@ -173,3 +173,57 @@ def test_semantic_dedup_no_dups_is_identity(ray_session):
     surv = semantic_dedup_rows(ds, threshold=0.9999, n_clusters=4,
                                iters=4, seed=3).to_pandas()
     assert len(surv) == 300
+
+
+class TestDistributedPCA:
+    def test_matches_numpy_full_matrix(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.cluster import (pca_fit_distributed,
+                                                      pca_project)
+
+        rng = np.random.default_rng(5)
+        # anisotropic gaussian so the spectrum has a clear order
+        d, n = 16, 4000
+        scales = np.linspace(4.0, 0.25, d)
+        basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+        X = (rng.normal(size=(n, d)) * scales) @ basis.T + rng.normal(size=d)
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row for row in X.astype(np.float32)],
+                                  pa.list_(pa.float32()))})
+        ds = rd.from_arrow(tbl).repartition(16)  # force multi-block partials
+
+        mean, comps, ev = pca_fit_distributed(ds, 4)
+        Xf = X.astype(np.float32).astype(np.float64)
+        C = np.cov(Xf, rowvar=False)
+        w, v = np.linalg.eigh(C)
+        order = np.argsort(w)[::-1][:4]
+        ref = v[:, order].T
+        for j in range(4):
+            if ref[j, np.argmax(np.abs(ref[j]))] < 0:
+                ref[j] = -ref[j]
+        assert np.abs(mean - Xf.mean(0)).max() < 1e-9
+        assert np.abs(ev - w[order]).max() < 1e-7
+        assert np.abs(comps - ref).max() < 1e-6
+        assert (np.diff(ev) <= 1e-12).all()  # descending spectrum
+
+        got = pca_project(ds, mean, comps).to_pandas()
+        Y = np.round((Xf - Xf.mean(0)) @ ref.T, 6)
+        assert len(got) == n
+        for j in range(4):
+            assert np.abs(got[f"pc{j}"].to_numpy() - Y[:, j]).max() < 1e-4
+
+    def test_sign_convention_deterministic(self, ray_session):
+        from yetisearch_ray.pipelines.cluster import pca_fit_distributed
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        X = rng.normal(size=(500, 8))
+        tbl = pa.table({"embedding": pa.array(
+            [r for r in X.astype(np.float32)], pa.list_(pa.float32()))})
+        _, c1, _ = pca_fit_distributed(rd.from_arrow(tbl), 3)
+        _, c2, _ = pca_fit_distributed(rd.from_arrow(tbl).repartition(8), 3)
+        assert np.abs(c1 - c2).max() < 1e-7
+        for j in range(3):
+            assert c1[j, np.argmax(np.abs(c1[j]))] > 0

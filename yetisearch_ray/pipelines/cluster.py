@@ -318,3 +318,109 @@ def kmeans_cluster_sizes(ds, n_clusters: int, *, vec_col: str = "embedding",
              .rename_columns({"count()": "n_vecs"})
              .sort("cluster_id"))
     return sizes
+
+
+# ----------------------------------------------------------------- PCA
+
+
+def pca_fit_distributed(ds, n_components: int = 4, *,
+                        vec_col: str = "embedding"):
+    """Distributed PCA over an embedding column: ONE streaming pass
+    accumulates per-block (count, sum, Gram = X^T X) partials — 8d²+16d
+    bytes per block regardless of block size — tree-combined through a
+    32-way salted groupby so the driver sums at most 32 rows, then a
+    d×d ``eigh`` finishes on the driver (d = embedding dim, tiny).
+
+    Component signs are fixed so each component's largest-|coordinate|
+    entry is positive, making the decomposition deterministic up to
+    distributed float-sum noise.  Returns ``(mean, components,
+    explained_variance)`` with components shaped (n_components, d),
+    variance ddof=1 to match ``np.cov``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_vectors(t, vec_col).astype(np.float64)
+        if m.shape[0] == 0:
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.float64())),
+                "g": pa.array([], pa.list_(pa.float64()))})
+        # salt the combine key by content so partials spread over the
+        # reducers without any driver coordination
+        salt = (int(m[0].view(np.uint64)[0]) & 31) if m.size else 0
+        return pa.table({
+            "part": pa.array([salt], pa.int64()),
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+            "g": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64()))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        n = int(np.sum(t["n"].to_numpy(zero_copy_only=False)))
+        sflat = t["s"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        d = sflat.size // t.num_rows
+        s = sflat.reshape(t.num_rows, d).sum(axis=0)
+        gflat = t["g"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        g = gflat.reshape(t.num_rows, d * d).sum(axis=0)
+        return pa.table({"part": t["part"].slice(0, 1),
+                         "n": pa.array([n], pa.int64()),
+                         "s": pa.array([s], pa.list_(pa.float64())),
+                         "g": pa.array([g], pa.list_(pa.float64()))})
+
+    comb = (ds.select_columns([vec_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(combine, batch_format="pyarrow")
+            .to_pandas())                                  # <= 32 rows
+    n = int(comb["n"].sum())
+    s = np.sum([np.asarray(r, np.float64) for r in comb["s"]], axis=0)
+    d = s.size
+    g = np.sum([np.asarray(r, np.float64) for r in comb["g"]],
+               axis=0).reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)                     # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T                              # (k, d)
+    ev = evals[order]
+    for j in range(comps.shape[0]):                        # sign fix
+        if comps[j, np.argmax(np.abs(comps[j]))] < 0:
+            comps[j] = -comps[j]
+    return mean, comps, ev
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray, *,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                round_to: int = 6):
+    """Project every vector onto broadcast principal components:
+    (id, pc0..pck-1 float64 round-``round_to``) sorted by id.  The
+    (mean, components) pair rides the object store once via
+    ``ray.put``; each batch is one small GEMM."""
+    import ray
+
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components, np.float64)))
+
+    def proj(t: pa.Table) -> pa.Table:
+        mu, c = ray.get(ref)
+        m = _batch_vectors(t, vec_col).astype(np.float64)
+        y = (m - mu) @ c.T
+        cols: dict = {id_col: t[id_col].combine_chunks().cast(pa.int64())}
+        for j in range(c.shape[0]):
+            cols[f"pc{j}"] = pa.array(np.round(y[:, j], round_to),
+                                      pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(proj, batch_format="pyarrow").sort(id_col)
+
+
+def pca_coords(sf_dir: str, *, n_components: int = 4, round_to: int = 6):
+    """Driver entry: fit PCA on the embeddings table and return every
+    vector's projected coordinates."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mean, comps, _ = pca_fit_distributed(ds, n_components)
+    return pca_project(ds, mean, comps, round_to=round_to)
