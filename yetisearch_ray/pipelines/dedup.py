@@ -943,13 +943,27 @@ def substring_dup_stats(ds, *, text_col="text", id_col="doc_id",
                  num_partitions=num_partitions, on=("h",))
            .groupby(id_col).aggregate(Sum("c", alias_name="n_dup_grams")))
 
-    def totals(t: pa.Table) -> pa.Table:
-        lens = np.array([len(x or "") for x in t[text_col].to_pylist()],
-                        dtype=np.int64)
+    # n_grams per doc = sum of c over its (doc, hash) rows (every window
+    # position lands in exactly one row), so totals come from the gram
+    # table itself — the TEXT column is scanned exactly once.  Docs too
+    # short for any window still need a row: an id-only projection (the
+    # cheap column) rides the union with zeros.
+    def gram_totals(t: pa.Table) -> pa.Table:
+        gb = pd.DataFrame({
+            "i": t[id_col].to_numpy(zero_copy_only=False),
+            "c": t["c"].to_numpy(zero_copy_only=False)}).groupby(
+                "i", sort=False)["c"].sum()
+        return pa.table({
+            id_col: pa.array(gb.index.to_numpy(), pa.int64()),
+            "n_grams": pa.array(gb.to_numpy().astype(np.int64), pa.int64()),
+            "n_dup_grams": pa.array(np.zeros(len(gb), np.int64), pa.int64())})
+
+    def id_zeros(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
         return pa.table({
             id_col: t[id_col].combine_chunks().cast(pa.int64()),
-            "n_grams": pa.array(np.maximum(lens - L + 1, 0), pa.int64()),
-            "n_dup_grams": pa.array(np.zeros(len(t), np.int64), pa.int64())})
+            "n_grams": pa.array(z, pa.int64()),
+            "n_dup_grams": pa.array(z, pa.int64())})
 
     def dup_side(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -957,9 +971,10 @@ def substring_dup_stats(ds, *, text_col="text", id_col="doc_id",
             "n_grams": pa.array(np.zeros(len(t), np.int64), pa.int64()),
             "n_dup_grams": t["n_dup_grams"].combine_chunks().cast(pa.int64())})
 
-    tot = (ds.select_columns([id_col, text_col])
-           .map_batches(totals, batch_format="pyarrow"))
-    merged = (tot.union(dup.map_batches(dup_side, batch_format="pyarrow"))
+    tot = grams.map_batches(gram_totals, batch_format="pyarrow")
+    ids = (ds.select_columns([id_col])
+           .map_batches(id_zeros, batch_format="pyarrow"))
+    merged = (tot.union(ids, dup.map_batches(dup_side, batch_format="pyarrow"))
               .groupby(id_col)
               .aggregate(Sum("n_grams", alias_name="n_grams"),
                          Sum("n_dup_grams", alias_name="n_dup_grams")))
