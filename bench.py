@@ -239,6 +239,15 @@ def bench_kmeans() -> float:
     return time.perf_counter() - t0
 
 
+def bench_pca() -> float:
+    """One-pass distributed PCA fit + full projection."""
+    from yetisearch_ray.pipelines.cluster import pca_coords
+
+    t0 = time.perf_counter()
+    pca_coords(SF_DIR).to_pandas()
+    return time.perf_counter() - t0
+
+
 def bench_agg() -> float:
     from yetisearch_ray.pipelines.relational import pricing_summary
 
@@ -373,6 +382,7 @@ def run_once() -> dict:
         t_curate, n_curated = bench_curate()
         t_ann = bench_ann()
         t_kmeans = bench_kmeans()
+        t_pca = bench_pca()
         t_agg = bench_agg()
         gens = bench_generations(corpus, idx_dir)
         fuzzy = bench_fuzzy_rates()
@@ -410,6 +420,7 @@ def run_once() -> dict:
             "curate_pipeline": round(t_curate, 3),
             "ann_cosine": round(t_ann, 3),
             "kmeans_cluster": round(t_kmeans, 3),
+            "pca_project": round(t_pca, 3),
             "agg_pricing": round(t_agg, 3),
             "append_gen2": gens["append_sec"],
             "optimize": gens["optimize_sec"],
