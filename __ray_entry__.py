@@ -97,7 +97,30 @@ _PAIRS_CACHE: dict = {}
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from yetisearch_ray.pipelines import (ann, cluster, curation, dedup,
-                                          events, relational, textstats)
+                                          events, relational, sketches,
+                                          textstats)
+
+    def _lineitem(sf_dir, columns):
+        import ray.data as rd
+
+        return rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=columns)
+
+    def q_quantiles(sf_dir):
+        return sketches.quantiles_disc(
+            _lineitem(sf_dir, ["l_extendedprice"]), "l_extendedprice",
+            qs=(0.5, 0.9, 0.99))
+
+    def q_distinct_parts(sf_dir):
+        n = sketches.distinct_count(_lineitem(sf_dir, ["l_partkey"]),
+                                    "l_partkey")
+        return pd.DataFrame({"n_distinct": pd.array([n], dtype="int64")})
+
+    def q_hll_distinct(sf_dir):
+        est, m = sketches.hll_distinct(_lineitem(sf_dir, ["l_partkey"]),
+                                       "l_partkey", p=12)
+        return pd.DataFrame({"n_distinct_est": [round(est, 2)],
+                             "registers": pd.array([m], dtype="int64")})
 
     def _docs(sf_dir):
         import ray.data as rd
@@ -273,6 +296,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipping_priority": lambda sf: relational.shipping_priority_topk(
             sf, k=10),
         "rel_star_join": lambda sf: relational.brand_nation_revenue(sf, k=20),
+        # distributed anti-join (NOT EXISTS shape), native left_anti
+        "rel_anti_join": lambda sf: relational.customers_without_orders(
+            sf, k=20),
+        # distributed selection: exact percentile_disc without a global sort
+        "agg_quantiles": q_quantiles,
+        # exact distributed COUNT(DISTINCT) + its HLL sketch counterpart
+        "agg_distinct_parts": q_distinct_parts,
+        "agg_hll_distinct": q_hll_distinct,               # rows-only
         # --- full-text search over documents (reference query classes) ---
         "fts_term_topk": lambda sf: ftsd.term_topk(sf),
         "fts_and_topk": lambda sf: ftsd.and_topk(sf),
@@ -539,4 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_group_topk": oracles.GROUP_TOPK_SQL,
         "rel_shipping_priority": oracles.shipping_priority_sql(),
         "rel_star_join": oracles.STAR_JOIN_SQL,
+        "rel_anti_join": oracles.ANTI_JOIN_SQL,
+        "agg_quantiles": oracles.QUANTILES_SQL,
+        "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
     }

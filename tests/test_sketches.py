@@ -1,0 +1,111 @@
+"""Tests for pipelines/sketches.py: exact distributed quantiles
+(histogram-refinement selection), HyperLogLog, exact distinct count."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from yetisearch_ray.pipelines import sketches
+
+
+def _ds_from_numpy(vals, col, n_blocks=8):
+    import ray.data as rd
+
+    t = pa.table({col: pa.array(vals)})
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+class TestQuantiles:
+    def test_matches_numpy_disc_semantics(self, ray_session):
+        rng = np.random.default_rng(7)
+        vals = rng.normal(100.0, 25.0, size=20_000)
+        ds = _ds_from_numpy(vals, "x")
+        qs = (0.1, 0.5, 0.9, 0.99)
+        out = sketches.quantiles_disc(ds, "x", qs=qs, bins=256,
+                                      max_candidates=500)
+        s = np.sort(vals)
+        n = s.size
+        for q, got in zip(out["q"], out["value"]):
+            r = max(1, int(math.ceil(q * n)))  # percentile_disc rank
+            assert got == pytest.approx(round(float(s[r - 1]), 4), abs=1e-9)
+
+    def test_heavy_duplicates_and_single_value(self, ray_session):
+        # massive ties: refinement bracket can never shrink below a point
+        vals = np.concatenate([np.full(5000, 3.5), np.full(5000, 7.25),
+                               np.array([0.0, 100.0])])
+        ds = _ds_from_numpy(vals, "x", n_blocks=4)
+        out = sketches.quantiles_disc(ds, "x", qs=(0.25, 0.75), bins=64,
+                                      max_candidates=100)
+        s = np.sort(vals)
+        for q, got in zip(out["q"], out["value"]):
+            r = max(1, int(math.ceil(q * s.size)))
+            assert got == round(float(s[r - 1]), 4)
+
+    def test_extremes(self, ray_session):
+        vals = np.arange(1000, dtype=np.float64)
+        ds = _ds_from_numpy(vals, "x", n_blocks=3)
+        out = sketches.quantiles_disc(ds, "x", qs=(0.0, 1.0), bins=32)
+        assert list(out["value"]) == [0.0, 999.0]
+
+
+class TestHLL:
+    def test_error_within_bound_ints(self, ray_session):
+        n_true = 5000
+        vals = np.repeat(np.arange(n_true, dtype=np.int64), 3)
+        ds = _ds_from_numpy(vals, "k", n_blocks=8)
+        est, m = sketches.hll_distinct(ds, "k", p=12)
+        sigma = 1.04 / math.sqrt(m)
+        assert abs(est - n_true) / n_true < 4 * sigma
+
+    def test_merge_invariance(self, ray_session):
+        # the same values split across different block counts must give
+        # the IDENTICAL estimate (registers merge by max = associative)
+        vals = np.arange(2000, dtype=np.int64)
+        e1, _ = sketches.hll_distinct(_ds_from_numpy(vals, "k", 2), "k")
+        e2, _ = sketches.hll_distinct(_ds_from_numpy(vals, "k", 16), "k")
+        assert e1 == pytest.approx(e2, rel=0)
+
+    def test_strings(self, ray_session):
+        vals = [f"user-{i % 800}" for i in range(4000)]
+        import ray.data as rd
+        ds = rd.from_arrow(pa.table({"s": pa.array(vals)})).repartition(4)
+        est, m = sketches.hll_distinct(ds, "s", p=12)
+        assert abs(est - 800) / 800 < 4 * (1.04 / math.sqrt(m))
+
+
+class TestDistinct:
+    def test_exact(self, ray_session):
+        vals = np.concatenate([np.arange(1234, dtype=np.int64)] * 5)
+        ds = _ds_from_numpy(vals, "k", n_blocks=8)
+        assert sketches.distinct_count(ds, "k") == 1234
+
+
+class TestAntiJoin:
+    def test_against_pandas(self, ray_session, tmp_path):
+        rng = np.random.default_rng(3)
+        cust = pd.DataFrame({
+            "c_custkey": np.arange(200, dtype=np.int64),
+            "c_name": [f"c{i}" for i in range(200)],
+            "c_acctbal": rng.uniform(0, 1000, 200).round(2),
+        })
+        orders = pd.DataFrame({
+            "o_custkey": rng.choice(150, size=600).astype(np.int64),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "3-MEDIUM"], size=600),
+        })
+        cust.to_parquet(tmp_path / "customer.parquet", index=False)
+        orders.to_parquet(tmp_path / "orders.parquet", index=False)
+
+        from yetisearch_ray.pipelines.relational import (
+            customers_without_orders)
+        got = customers_without_orders(str(tmp_path), k=500)
+
+        urgent = set(orders.loc[
+            orders.o_orderpriority == "1-URGENT", "o_custkey"])
+        want = (cust[~cust.c_custkey.isin(urgent)]
+                .sort_values("c_custkey").reset_index(drop=True))
+        assert list(got.c_custkey) == list(want.c_custkey)
+        assert list(got.c_name) == list(want.c_name)

@@ -1014,3 +1014,35 @@ SELECT source, doc_id, n_chars,
 FROM documents
 QUALIFY grp_rank <= 5
 ORDER BY source, grp_rank"""
+
+
+# Ground truth for relational.customers_without_orders: the NOT EXISTS
+# anti-join shape (first 20 custkeys with no orders).
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey LIMIT 20"""
+
+
+# Ground truth for sketches.quantiles_disc over lineitem.l_extendedprice:
+# ANSI percentile_disc (smallest v with cume_dist >= q), one row per q.
+QUANTILES_SQL = """
+SELECT q::DOUBLE AS q, round(value, 4) AS value FROM (
+  SELECT 0.5  AS q, percentile_disc(0.5 ) WITHIN GROUP
+         (ORDER BY l_extendedprice) AS value FROM lineitem
+  UNION ALL
+  SELECT 0.9  AS q, percentile_disc(0.9 ) WITHIN GROUP
+         (ORDER BY l_extendedprice) AS value FROM lineitem
+  UNION ALL
+  SELECT 0.99 AS q, percentile_disc(0.99) WITHIN GROUP
+         (ORDER BY l_extendedprice) AS value FROM lineitem
+) ORDER BY q"""
+
+
+# Ground truth for sketches.distinct_count (the HLL sketch's exact
+# companion): COUNT(DISTINCT l_partkey) over lineitem.
+DISTINCT_PARTS_SQL = """
+SELECT count(DISTINCT l_partkey)::BIGINT AS n_distinct FROM lineitem"""

@@ -332,6 +332,40 @@ def brand_nation_revenue(sf_dir: str, *, k: int = 20,
         ["p_brand", "n_name", "revenue"]]
 
 
+def customers_without_orders(sf_dir: str, *, k: int = 20,
+                             priority: str = "1-URGENT",
+                             num_partitions: int = 8):
+    """Distributed ANTI-join (the NOT EXISTS shape): customers with no
+    order of the given priority, via Ray Data's native ``left_anti``
+    join — both sides hash-shuffle by key, so neither side needs to fit
+    anywhere (the broadcast-keyset trick would cap the right side; this
+    does not).  The right side is filtered AT THE SCAN before the
+    shuffle.  Returns the first k by custkey, acctbal rounded for the
+    oracle."""
+    import ray.data as rd
+    from .dedup import _strip_meta
+
+    cust = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"]))
+    orders = _strip_meta(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+        .filter(expr=f"o_orderpriority == '{priority}'")
+        .select_columns(["o_custkey"]))
+    anti = cust.join(orders, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+    top = anti.sort("c_custkey").limit(k)
+    pdf = top.to_pandas().reset_index(drop=True)
+    if pdf.empty:
+        pdf = pd.DataFrame({"c_custkey": pd.array([], dtype="int64"),
+                            "c_name": pd.array([], dtype="string"),
+                            "c_acctbal": pd.array([], dtype="float64")})
+    pdf["c_acctbal"] = pdf["c_acctbal"].round(4)
+    return pdf[["c_custkey", "c_name", "c_acctbal"]]
+
+
 def grouped_topk(sf_dir: str, *, group_col: str = "source",
                  order_col: str = "n_chars", id_col: str = "doc_id",
                  k: int = 5):
