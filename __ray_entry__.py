@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed COUNT(DISTINCT) + its HLL sketch counterpart
         "agg_distinct_parts": q_distinct_parts,
         "agg_hll_distinct": q_hll_distinct,               # rows-only
+        # CCNet-style bigram-LM self-scoring (wordcount shuffle + 2 joins)
+        "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
         # --- full-text search over documents (reference query classes) ---
         "fts_term_topk": lambda sf: ftsd.term_topk(sf),
         "fts_and_topk": lambda sf: ftsd.and_topk(sf),
@@ -573,4 +575,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_anti_join": oracles.ANTI_JOIN_SQL,
         "agg_quantiles": oracles.QUANTILES_SQL,
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
+        "text_bigram_lm": oracles.BIGRAM_LM_SQL,
     }

@@ -109,3 +109,39 @@ class TestAntiJoin:
                 .sort_values("c_custkey").reset_index(drop=True))
         assert list(got.c_custkey) == list(want.c_custkey)
         assert list(got.c_name) == list(want.c_name)
+
+
+class TestBigramLM:
+    def test_matches_local_reference(self, ray_session, tmp_path):
+        import collections
+        import math as m
+
+        docs = ["the cat sat on the mat",
+                "the dog sat on the log",
+                "cat and dog and cat",
+                "single"]
+        pdf = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                            "text": docs})
+        pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines.textstats import bigram_lm_scores
+        ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+        got = bigram_lm_scores(ds, alpha=0.1, num_partitions=2)
+
+        # local reference
+        toks = [d.split() for d in docs]
+        cu = collections.Counter(w for tl in toks for w in tl)
+        cb = collections.Counter((tl[i], tl[i + 1])
+                                 for tl in toks for i in range(len(tl) - 1))
+        V = len(cu)
+        rows = []
+        for i, tl in enumerate(toks):
+            bs = [(tl[j], tl[j + 1]) for j in range(len(tl) - 1)]
+            if not bs:
+                continue  # docs with no bigram are excluded
+            lp = [m.log((cb[b] + 0.1) / (cu[b[0]] + 0.1 * V)) for b in bs]
+            rows.append((i, len(bs), round(sum(lp) / len(lp), 4)))
+        want = pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "avg_logp"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert 3 not in set(got.doc_id)  # the 1-token doc has no bigrams

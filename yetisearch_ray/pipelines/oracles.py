@@ -1046,3 +1046,30 @@ SELECT q::DOUBLE AS q, round(value, 4) AS value FROM (
 # companion): COUNT(DISTINCT l_partkey) over lineitem.
 DISTINCT_PARTS_SQL = """
 SELECT count(DISTINCT l_partkey)::BIGINT AS n_distinct FROM lineitem"""
+
+
+# Ground truth for textstats.bigram_lm_scores: add-0.1-smoothed bigram
+# LM self-scoring.  Tokens are RE2 \s+ splits (same TOKENS_EXPR
+# convention as the dedup/textstats oracles); P(w2|w1) = (c(w1w2)+a) /
+# (c(w1)+a*V) with c(w1) the corpus occurrence count and V the distinct
+# unigram count.  chr(31) joins bigram keys exactly like the operator.
+BIGRAM_LM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks[i] AS w1,
+         toks[i] || chr(31) || toks[i + 1] AS big
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS r(i)
+),
+cb AS (SELECT big, count(*) AS cb FROM b GROUP BY big),
+cu AS (SELECT w1, count(*) AS cu
+       FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+v AS (SELECT count(*) AS v FROM cu),
+s AS (
+  SELECT b.doc_id,
+         ln((cb.cb + 0.1) / (cu.cu + 0.1 * v.v)) AS lp
+  FROM b JOIN cb USING (big) JOIN cu USING (w1), v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(lp), 4) AS avg_logp
+FROM s GROUP BY doc_id ORDER BY doc_id"""

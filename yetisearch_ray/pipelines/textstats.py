@@ -272,3 +272,99 @@ def extract_keywords(ds, *, text_col="text", id_col="doc_id", limit=5):
                              "keywords": pa.array(kws, pa.list_(pa.string()))})
 
     return ds.map_batches(KeywordStage, batch_format="pyarrow", concurrency=2)
+
+
+def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
+                     alpha=0.1, num_partitions=8, round_to=4):
+    """CCNet-style n-gram language-model quality scoring, fully
+    distributed: score every document by its mean bigram log-probability
+    under an add-alpha-smoothed bigram LM **fit on the corpus itself**
+    (the standard self-perplexity signal a pretraining pipeline uses to
+    rank text quality; Wenzek et al. 2020 use a KenLM 5-gram — this is
+    the same shape with n=2 so the oracle stays exact).
+
+    Scale design — NO count table is ever broadcast or collected:
+
+    - one pass explodes docs into (doc_id, w1, bigram) rows,
+    - bigram and unigram counts are map-side-combined then keyed
+      groupby-sums (the classic wordcount shuffle),
+    - scoring is two big-big hash joins (``Dataset.join``): exploded
+      bigrams ⋈ bigram counts on the bigram key, then ⋈ unigram counts
+      on w1 — both sides shuffle by key, nothing lands anywhere whole,
+    - the per-doc mean reduces with a final groupby(doc_id).
+
+    P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V) with c(w1) the
+    corpus occurrence count and V the distinct-unigram count.  Returns
+    (doc_id, n_bigrams, avg_logp) for docs with >= 1 bigram.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from .dedup import _strip_meta, _ws_tokens
+
+    base = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col], text_col:
+                            pc.fill_null(t[text_col], "")}),
+        batch_format="pyarrow")
+
+    def explode_bigrams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tls = [_ws_tokens(s) for s in t[text_col].to_pylist()]
+        n_bi = np.array([max(len(tl) - 1, 0) for tl in tls], np.int64)
+        w1 = np.array([w for tl in tls for w in tl[:-1]], object)
+        w2 = np.array([w for tl in tls for w in tl[1:]], object)
+        if w1.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "big": pa.array([], pa.string())})
+        big = np.char.add(np.char.add(w1.astype(str), "\x1f"),
+                          w2.astype(str))
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_bi)),
+            "w1": pa.array(w1, pa.string()),
+            "big": pa.array(big, pa.string()),
+        })
+
+    bigrams = base.map_batches(explode_bigrams, batch_format="pyarrow")
+
+    def _counts(src, key_fn, key_name):
+        """Map-side combine (per-batch value_counts) then keyed sum."""
+        def partial(t: pa.Table) -> pa.Table:
+            vals = key_fn(t)
+            if len(vals) == 0:
+                return pa.table({key_name: pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            vc = pd.Series(vals).value_counts()
+            return pa.table({key_name: pa.array(vc.index, pa.string()),
+                             "c": pa.array(vc.to_numpy(np.int64))})
+        return (src.map_batches(partial, batch_format="pyarrow")
+                .groupby(key_name).aggregate(Sum("c", alias_name="cnt")))
+
+    def uni_tokens(t: pa.Table):
+        return [w for s in t[text_col].to_pylist() for w in _ws_tokens(s)]
+
+    cb = _strip_meta(_counts(bigrams, lambda t: t["big"].to_pylist(), "big"))
+    cu = _strip_meta(_counts(base, uni_tokens, "w1")).materialize()
+    v = cu.count()  # distinct unigrams (cu already has one row per token)
+
+    joined = (_strip_meta(bigrams)
+              .join(cb, join_type="inner", num_partitions=num_partitions,
+                    on=("big",))
+              .join(cu.rename_columns({"cnt": "cu_cnt"}), join_type="inner",
+                    num_partitions=num_partitions, on=("w1",)))
+
+    def logp(t: pa.Table) -> pa.Table:
+        num = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        den = t["cu_cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log((num + alpha) / (den + alpha * v))
+        return pa.table({id_col: t[id_col], "lp": pa.array(lp)})
+
+    out = (joined.map_batches(logp, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Count(alias_name="n_bigrams"),
+                      Mean("lp", alias_name="avg_logp")))
+    pdf = out.to_pandas().sort_values(id_col).reset_index(drop=True)
+    pdf["n_bigrams"] = pdf["n_bigrams"].astype("int64")
+    pdf["avg_logp"] = pdf["avg_logp"].round(round_to)
+    return pdf[[id_col, "n_bigrams", "avg_logp"]]
