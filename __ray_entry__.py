@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_hll_distinct": q_hll_distinct,               # rows-only
         # CCNet-style bigram-LM self-scoring (wordcount shuffle + 2 joins)
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
+        # domain-mix rebalance to target proportions (Pile/DoReMi shape)
+        "cur_rebalance_mix": lambda sf: curation.rebalance_mix(
+            _docs(sf), targets={"src0": 0.5, "src1": 0.3, "src2": 0.2}
+        ).to_pandas(),
         # --- full-text search over documents (reference query classes) ---
         "fts_term_topk": lambda sf: ftsd.term_topk(sf),
         "fts_and_topk": lambda sf: ftsd.and_topk(sf),
@@ -576,4 +580,6 @@ def oracle_sql() -> dict[str, str]:
         "agg_quantiles": oracles.QUANTILES_SQL,
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
+        "cur_rebalance_mix": oracles.rebalance_mix_sql(
+            {"src0": 0.5, "src1": 0.3, "src2": 0.2}),
     }

@@ -183,6 +183,23 @@ def test_stratified_sample_matches_duckdb(docs, con):
     pd.testing.assert_frame_equal(got, again)
 
 
+def test_rebalance_mix_matches_duckdb(docs, con):
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    got = curation.rebalance_mix(docs, targets=targets).to_pandas()
+    want = con.execute(oracles.rebalance_mix_sql(targets)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    # groups not named in targets are dropped entirely
+    assert set(got.source) <= set(targets)
+    # achieved mix is within md5-bucket Bernoulli noise of the targets
+    frac = got.source.value_counts(normalize=True)
+    for g, p in targets.items():
+        assert abs(frac.get(g, 0.0) - p) < 0.15
+    # determinism: identical keep-set on rerun
+    again = curation.rebalance_mix(docs, targets=targets).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
 def test_line_dedup_no_hot_lines(ray_session):
     """min_docs above any line's doc count → nothing dropped, clean_md5
     equals the original text's md5."""

@@ -312,3 +312,42 @@ def stratified_sample(ds, *, rates: dict, default_rate: float = 1.0,
         return t.filter(pa.array(b < thr, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)
+
+
+def rebalance_mix(ds, *, targets: dict, group_col: str = "source",
+                  id_col: str = "doc_id", buckets: int = 10_000):
+    """Rebalance the corpus to TARGET source proportions (the domain-mix
+    step of pretraining data curation, cf. The Pile / DoReMi mixture
+    weights): measure per-group counts, find the largest feasible total
+    ``T = min_g(count_g / p_g)`` that achieves the exact mix without
+    upsampling, then keep each group at rate ``p_g * T / count_g`` via
+    the deterministic md5-bucket Bernoulli (same idiom as
+    :func:`hash_split` — stable across runs/machines/block splits and
+    SQL-replicable).  Groups absent from ``targets`` are dropped.
+
+    Phase 1 is a tiny groupby (one row per group reaches the driver);
+    phase 2 is a zero-shuffle vectorized scan filter.  Returns
+    surviving full rows sorted by id.
+    """
+    import numpy as np
+
+    from .dedup import _md5_u64_tokens
+
+    counts = {r[group_col]: int(r["count()"]) for r in
+              ds.groupby(group_col).count().take_all()}
+    # largest total that achieves the exact mix without upsampling
+    t_feasible = min(counts[g] / p for g, p in targets.items()
+                     if p > 0 and g in counts)
+    thresholds = {g: int(np.floor(p * t_feasible / counts[g]
+                                  * buckets + 0.5))
+                  for g, p in targets.items() if g in counts}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = _md5_u64_tokens(np.array([str(int(i)) for i in ids],
+                                     dtype=object)) % buckets
+        thr = np.array([thresholds.get(g, 0)
+                        for g in t[group_col].to_pylist()], np.int64)
+        return t.filter(pa.array(b < thr, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)

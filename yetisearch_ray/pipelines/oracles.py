@@ -1073,3 +1073,24 @@ s AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(lp), 4) AS avg_logp
 FROM s GROUP BY doc_id ORDER BY doc_id"""
+
+
+def rebalance_mix_sql(targets: dict, group_col: str = "source",
+                      buckets: int = 10_000) -> str:
+    """Ground truth for curation.rebalance_mix: recompute group counts,
+    the feasible total T = min(cnt/p), and the per-group md5-bucket
+    thresholds floor(p*T/cnt*buckets + 0.5) — the same IEEE expression
+    order as the operator, so thresholds agree bit-for-bit."""
+    vals = ", ".join(f"('{g}', {p!r})" for g, p in targets.items())
+    return f"""
+WITH tgt(g, p) AS (VALUES {vals}),
+counts AS (SELECT {group_col} AS g, count(*)::DOUBLE AS cnt
+           FROM documents GROUP BY {group_col}),
+t AS (SELECT min(cnt / p) AS t FROM counts JOIN tgt USING (g) WHERE p > 0),
+thr AS (SELECT g,
+               CAST(floor(p * t.t / cnt * {buckets} + 0.5) AS BIGINT) AS thr
+        FROM counts JOIN tgt USING (g), t)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN thr ON thr.g = d.{group_col}
+WHERE (md5_number_lower(d.doc_id::VARCHAR) % {buckets}) < thr.thr
+ORDER BY d.doc_id"""
