@@ -306,6 +306,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_hll_distinct": q_hll_distinct,               # rows-only
         # CCNet-style bigram-LM self-scoring (wordcount shuffle + 2 joins)
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
+        # distributed TF-IDF top-terms (df shuffle + term join + topk combiner)
+        "text_tfidf_topk": lambda sf: textstats.tfidf_topk(_docs(sf), k=5),
+        # C4 line-cleaning rules (Raffel et al. 2020 §2.2) over the
+        # deterministically line-seeded corpus (same idiom as cur_pii_*)
+        "cur_c4_clean": lambda sf: curation.c4_line_clean(
+            curation.seed_lines_column(_docs(sf))).to_pandas(),
+        # Gopher quality-rule matrix (Rae et al. 2021 App. A1.1);
+        # min_required=1 because the synthetic corpus holds only one of
+        # the paper's eight required words
+        "cur_gopher_rules": lambda sf: curation.gopher_rules(
+            _docs(sf), min_required=1).to_pandas(),
         # domain-mix rebalance to target proportions (Pile/DoReMi shape)
         "cur_rebalance_mix": lambda sf: curation.rebalance_mix(
             _docs(sf), targets={"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -580,6 +591,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_quantiles": oracles.QUANTILES_SQL,
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
+        "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,
+        "cur_c4_clean": oracles.C4_LINE_CLEAN_SQL,
+        "cur_gopher_rules": oracles.gopher_rules_sql(1),
         "cur_rebalance_mix": oracles.rebalance_mix_sql(
             {"src0": 0.5, "src1": 0.3, "src2": 0.2}),
     }

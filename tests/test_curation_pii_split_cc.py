@@ -200,6 +200,85 @@ def test_rebalance_mix_matches_duckdb(docs, con):
     pd.testing.assert_frame_equal(got, again)
 
 
+def test_gopher_rules_matches_duckdb(docs, con):
+    got = curation.gopher_rules(docs, min_required=1).to_pandas()
+    want = con.execute(oracles.gopher_rules_sql(1)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    # non-degenerate ground truth on this corpus
+    assert 0 < got.gopher_pass.sum() < len(got)
+    assert 0 < got.ok_words.sum() < len(got)
+
+
+def test_gopher_rules_planted_failures(ray_session):
+    """Constructed docs exercise every rule branch the synthetic corpus
+    can't (bullets, ellipses, symbols, non-alpha words, paper's
+    2-required-words default)."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "it must be of service to all that have come with us ") * 4
+    rows = [
+        {"doc_id": 0, "text": base},                          # passes all
+        {"doc_id": 1, "text": "too short to pass."},          # n_words < 50
+        {"doc_id": 2, "text": base + " ###### ## # # # # # # # # # #"
+                              " # # # # # # # # # # # # #"},  # symbols
+        {"doc_id": 3, "text": "\n".join("- bullet item" for _ in range(10))
+                              + "\n" + base},                 # bullet ratio
+        {"doc_id": 4, "text": "\n".join(f"line {i} trails off..."
+                                        for i in range(10))}, # ellipsis
+        {"doc_id": 5, "text": ("0101 1010 0110 " * 40)},      # alpha ratio
+        {"doc_id": 6, "text": ("zzz qqq xxx vvv www " * 20)}, # no required
+    ]
+    out = curation.gopher_rules(
+        rd.from_items(rows)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "gopher_pass"])
+    assert not out.loc[1, "ok_words"]
+    assert not out.loc[2, "ok_symbol"]
+    assert not out.loc[3, "ok_bullet"]
+    assert not out.loc[4, "ok_ellipsis"]
+    assert not out.loc[5, "ok_alpha"]
+    assert not out.loc[6, "ok_required"] and out.loc[6, "n_required_words"] == 0
+    assert out.loc[0, "n_required_words"] >= 2
+
+
+def test_c4_line_clean_matches_duckdb(docs, con):
+    got = curation.c4_line_clean(
+        curation.seed_lines_column(docs)).to_pandas()
+    want = con.execute(oracles.C4_LINE_CLEAN_SQL).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    assert 0 < got.doc_keep.sum() < len(got)
+    assert got.n_kept.nunique() > 2  # seeding produced varied line mixes
+
+
+def test_c4_line_clean_semantics(ray_session):
+    """Hand-built doc pins each C4 rule: terminal punct, 5-word floor,
+    javascript line, lorem-ipsum page drop, brace page drop."""
+    import hashlib
+
+    keep1 = "This line is long enough and ends with a period."
+    keep2 = "Another retained line also ends with terminal punctuation!"
+    keep3 = 'A third line ends with a quotation mark"'
+    rows = [
+        {"doc_id": 0, "text": "\n".join([
+            keep1, "short one.", "no terminal punctuation here at all",
+            "this JavaScript line is dropped despite ending well.",
+            keep2, keep3])},
+        {"doc_id": 1, "text": "\n".join([keep1, keep2, keep3,
+                                         "but Lorem Ipsum kills the page."])},
+        {"doc_id": 2, "text": "\n".join([keep1, keep2, keep3,
+                                         "brace { kills the page."])},
+        {"doc_id": 3, "text": "\n".join([keep1, keep2])},  # < 3 kept lines
+    ]
+    out = curation.c4_line_clean(
+        rd.from_items(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_kept"] == 3 and bool(out.loc[0, "doc_keep"])
+    expect = hashlib.md5("\n".join([keep1, keep2, keep3]).encode()).hexdigest()
+    assert out.loc[0, "clean_md5"] == expect
+    assert not out.loc[1, "doc_keep"]  # lorem ipsum
+    assert not out.loc[2, "doc_keep"]  # curly brace
+    assert not out.loc[3, "doc_keep"]  # fewer than 3 retained lines
+
+
 def test_line_dedup_no_hot_lines(ray_session):
     """min_docs above any line's doc count → nothing dropped, clean_md5
     equals the original text's md5."""

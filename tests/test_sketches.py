@@ -145,3 +145,55 @@ class TestBigramLM:
         want = pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "avg_logp"])
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert 3 not in set(got.doc_id)  # the 1-token doc has no bigrams
+
+
+class TestTfidfTopk:
+    def test_matches_local_reference_and_duckdb(self, ray_session, tmp_path):
+        import collections
+        import math as m
+
+        import duckdb
+
+        docs = ["the cat sat on the mat",
+                "the dog sat on the log log log",
+                "cat and dog and cat plus a rare xylophone",
+                "mat mat mat dog"]
+        pdf = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                            "text": docs})
+        pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines import oracles
+        from yetisearch_ray.pipelines.textstats import tfidf_topk
+        ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+        got = tfidf_topk(ds, k=3, num_partitions=2)
+
+        # local reference
+        toks = [d.split() for d in docs]
+        n = float(len(docs))
+        df = collections.Counter(w for tl in toks for w in set(tl))
+        rows = []
+        for i, tl in enumerate(toks):
+            tf = collections.Counter(tl)
+            scored = sorted(((round(c * m.log(n / df[w]), 6), w, c)
+                             for w, c in tf.items()),
+                            key=lambda x: (-x[0], x[1]))[:3]
+            rows += [(i, w, c, s, r + 1)
+                     for r, (s, w, c) in enumerate(scored)]
+        want = pd.DataFrame(rows, columns=["doc_id", "term", "tf",
+                                           "tfidf", "term_rank"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        # and the SQL oracle at k=5 over the real corpus slice
+        sf = "/root/testdata/sf0.001"
+        ds2 = rd.read_parquet(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"])
+        got2 = tfidf_topk(ds2, k=5)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want2 = con.execute(oracles.TFIDF_TOPK_SQL).fetchdf()
+        pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+        # rare term beats hot terms within its doc
+        top_doc2 = got2[got2.doc_id == got2.doc_id.iloc[0]]
+        assert (top_doc2.tfidf.values[:-1] >= top_doc2.tfidf.values[1:]).all()

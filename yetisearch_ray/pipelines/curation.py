@@ -351,3 +351,244 @@ def rebalance_mix(ds, *, targets: dict, group_col: str = "source",
         return t.filter(pa.array(b < thr, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)
+
+
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Appendix A1.1 quality heuristics) — fixed so the SQL
+# oracle can embed identical values.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that",
+                         "have", "with")
+GOPHER_MIN_REQUIRED = 2
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+
+
+def gopher_rules(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 min_required: int = GOPHER_MIN_REQUIRED):
+    """Gopher quality-filter rules (Rae et al. 2021 App. A1.1) as one
+    vectorized zero-shuffle scan: per-doc word count bounds, mean word
+    length bounds, symbol-to-word ratio ('#' and '...'), fraction of
+    words containing an alphabetic character, presence of >= 2 required
+    English stopwords, and bullet/ellipsis line-ratio caps.  Returns the
+    measured features plus per-rule booleans and the overall
+    ``gopher_pass``.
+
+    Everything is Arrow/numpy kernels over RE2-compatible ASCII-\\s+
+    tokens and chr(10) lines, so the DuckDB oracle
+    (:data:`oracles.GOPHER_RULES_SQL`) reproduces every intermediate
+    bit-for-bit (ratios are IEEE divisions compared raw — no rounding
+    enters the rule outcomes).
+    """
+    import numpy as np
+
+    from .textstats import _seg_sum
+
+    req_set = pa.array(sorted(GOPHER_REQUIRED_WORDS), pa.string())
+
+    def _split(col, pattern):
+        arr = pc.fill_null(col, "").combine_chunks()
+        parts = pc.split_pattern_regex(arr, pattern=pattern)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        values = parts.flatten()
+        offs = np.asarray(parts.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        return arr, values, offs
+
+    def fn(t: pa.Table) -> pa.Table:
+        # --- words: RE2 \s+ split, empties elided (re-segment like
+        # textstats._split_tokens)
+        arr, words, offs = _split(t[text_col], r"\s+")
+        nonempty = np.asarray(pc.not_equal(words, "")).astype(np.int64)
+        n_words = _seg_sum(nonempty, offs)
+        words = words.filter(pa.array(nonempty.astype(bool)))
+        offs = np.concatenate([[0], np.cumsum(n_words, dtype=np.int64)])
+
+        wl = np.asarray(pc.utf8_length(words), dtype=np.int64)
+        char_sum = _seg_sum(wl, offs)
+        nz = np.maximum(n_words, 1)
+        mean_len = np.where(n_words > 0, char_sum / nz, 0.0)
+
+        has_alpha = np.asarray(
+            pc.match_substring_regex(words, "[a-zA-Z]")).astype(np.int64)
+        alpha_ratio = np.where(n_words > 0, _seg_sum(has_alpha, offs) / nz,
+                               0.0)
+
+        lower = pc.utf8_lower(words)
+        is_req = np.asarray(pc.is_in(lower, value_set=req_set))
+        req_idx = np.asarray(
+            pc.index_in(lower, value_set=req_set).fill_null(-1),
+            dtype=np.int64)
+        # distinct required words per doc: scatter per-doc bitmask
+        doc_of = np.repeat(np.arange(len(n_words)), n_words)
+        masks = np.zeros(len(n_words), np.int64)
+        hit = is_req & (req_idx >= 0)
+        np.bitwise_or.at(masks, doc_of[hit], np.int64(1) << req_idx[hit])
+        n_required = np.array([bin(m).count("1") for m in masks.tolist()],
+                              np.int64)
+
+        # symbols: non-overlapping '#' and '...' occurrences in raw text
+        n_hash = np.asarray(pc.count_substring(arr, "#"), dtype=np.int64)
+        n_ell = np.asarray(pc.count_substring_regex(arr, r"\.\.\."),
+                           dtype=np.int64)
+        symbol_ratio = np.where(n_words > 0, (n_hash + n_ell) / nz, 0.0)
+
+        # --- lines: chr(10) split, keep empties (both engines agree)
+        _, lines, loffs = _split(t[text_col], r"\n")
+        n_lines = np.diff(loffs)
+        lnz = np.maximum(n_lines, 1)
+        is_bullet = np.asarray(
+            pc.match_substring_regex(lines, r"^\s*(-|•)")
+        ).astype(np.int64)
+        ends_ell = np.asarray(
+            pc.match_substring_regex(lines, r"\.\.\.$")).astype(np.int64)
+        bullet_ratio = _seg_sum(is_bullet, loffs) / lnz
+        ellipsis_ratio = _seg_sum(ends_ell, loffs) / lnz
+
+        ok_words = ((n_words >= GOPHER_MIN_WORDS)
+                    & (n_words <= GOPHER_MAX_WORDS))
+        ok_mean = ((mean_len >= GOPHER_MIN_MEAN_LEN)
+                   & (mean_len <= GOPHER_MAX_MEAN_LEN))
+        ok_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+        ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+        ok_required = n_required >= min_required
+        ok_bullet = bullet_ratio <= GOPHER_MAX_BULLET_RATIO
+        ok_ellipsis = ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO
+        gpass = (ok_words & ok_mean & ok_symbol & ok_alpha & ok_required
+                 & ok_bullet & ok_ellipsis)
+
+        def f64(x):
+            return pa.array(x, pa.float64())
+
+        def b(x):
+            return pa.array(x, pa.bool_())
+
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": f64(mean_len),
+            "symbol_ratio": f64(symbol_ratio),
+            "alpha_word_ratio": f64(alpha_ratio),
+            "n_required_words": pa.array(n_required, pa.int64()),
+            "bullet_ratio": f64(bullet_ratio),
+            "ellipsis_ratio": f64(ellipsis_ratio),
+            "ok_words": b(ok_words), "ok_mean_len": b(ok_mean),
+            "ok_symbol": b(ok_symbol), "ok_alpha": b(ok_alpha),
+            "ok_required": b(ok_required), "ok_bullet": b(ok_bullet),
+            "ok_ellipsis": b(ok_ellipsis), "gopher_pass": b(gpass),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(id_col)
+
+
+# seeded lines for the C4 cleaner — the synthetic corpus has no
+# newlines/punctuation, so (like seed_pii_column) we deterministically
+# append structured lines keyed on doc_id residues; the identical
+# injection is expressible in SQL, which makes the entry oracle-checkable.
+C4_SEED_LINES = (
+    (2, "Even documents receive an extra terminal sentence here."),
+    (3, "This supplementary sentence ends with a period."),
+    (4, "Another properly terminated seeded sentence appears here!"),
+    (5, "short line."),
+    (7, "no terminal punctuation in this seeded line"),
+    (11, "this javascript line would be removed by the filter."),
+    (13, "Lorem ipsum dolor sit amet consectetur adipiscing."),
+    (17, "config = { render(); }"),
+)
+
+
+def seed_lines_column(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Deterministically restructure docs into multi-line text with
+    varied punctuation (keyed on ``id_col`` residues) so the C4 line
+    cleaner has non-trivial ground truth.  Odd ids get a terminal '.'
+    on the base line; residue classes append the fixed
+    :data:`C4_SEED_LINES`.  Test/benchmark seeding only."""
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out = []
+        for i, s in zip(ids, t[text_col].to_pylist()):
+            s = s or ""
+            i = int(i)
+            if i % 2 == 1:
+                s += "."
+            for mod, line in C4_SEED_LINES:
+                if i % mod == 0:
+                    s += "\n" + line
+            out.append(s)
+        return t.set_column(t.column_names.index(text_col), text_col,
+                            pa.array(out, pa.string()))
+
+    return ds.map_batches(seed, batch_format="pyarrow")
+
+
+def c4_line_clean(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  min_words: int = 5, min_kept_lines: int = 3):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as one vectorized
+    zero-shuffle scan: retain only lines that end in a terminal
+    punctuation mark (``. ! ? "``), contain >= ``min_words`` RE2-\\s+
+    words, and do not contain the word ``javascript`` (case-folded,
+    word-bounded); drop the whole page if it contains ``lorem ipsum``
+    (case-folded), a curly brace ``{``, or fewer than ``min_kept_lines``
+    retained lines.  Returns (id, n_lines, n_kept, doc_keep, clean_md5)
+    where clean_md5 hashes the newline-joined retained lines (compact,
+    hash-comparable contract — same as dedup.line_dedup).
+
+    Line splitting, filtering and re-joining are Arrow kernels
+    (``split_pattern`` → boolean masks → ``ListArray`` rebuild →
+    ``binary_join``); only the final md5 is per-doc Python (16-byte
+    digest over the already-reduced clean text).
+    """
+    import hashlib
+
+    import numpy as np
+
+    from .textstats import _seg_sum
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col].cast(pa.string()), "").combine_chunks()
+        parts = pc.split_pattern(arr, "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lines = parts.flatten()
+        offs = np.asarray(parts.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        n_lines = np.diff(offs)
+
+        low = pc.utf8_lower(lines)
+        endp = np.asarray(pc.match_substring_regex(lines, r'[.!?"]$'))
+        nw = np.asarray(pc.count_substring_regex(lines, r"\S+"),
+                        dtype=np.int64)
+        js = np.asarray(pc.match_substring_regex(low, r"\bjavascript\b"))
+        keep_line = endp & (nw >= min_words) & ~js
+
+        kept_vals = lines.filter(pa.array(keep_line))
+        n_kept = _seg_sum(keep_line.astype(np.int64), offs)
+        new_offs = np.concatenate([[0],
+                                   np.cumsum(n_kept, dtype=np.int64)])
+        la = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                      kept_vals)
+        clean = pc.binary_join(la, "\n")
+
+        lorem = np.asarray(pc.match_substring(pc.utf8_lower(arr),
+                                              "lorem ipsum"))
+        brace = np.asarray(pc.match_substring(arr, "{"))
+        doc_keep = ~lorem & ~brace & (n_kept >= min_kept_lines)
+        md5 = [hashlib.md5(s.encode()).hexdigest()
+               for s in clean.to_pylist()]
+        return pa.table({
+            id_col: t[id_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "doc_keep": pa.array(doc_keep, pa.bool_()),
+            "clean_md5": pa.array(md5, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(id_col)

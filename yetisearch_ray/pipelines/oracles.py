@@ -1094,3 +1094,139 @@ SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d JOIN thr ON thr.g = d.{group_col}
 WHERE (md5_number_lower(d.doc_id::VARCHAR) % {buckets}) < thr.thr
 ORDER BY d.doc_id"""
+
+
+# Ground truth for textstats.tfidf_topk: RE2 \s+ tokens (both engines),
+# tf per (doc, term), corpus df, tfidf = round(tf * ln(N/df), 6), and a
+# row_number() per doc ordered by (tfidf DESC, term) — the same rounded
+# ranking key the Ray combiner uses, so ranks agree bit-for-bit.
+TFIDF_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(coalesce(text, ''),
+                                                       '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n)
+SELECT doc_id, term, tf, tfidf,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term) AS term_rank
+FROM s QUALIFY term_rank <= 5
+ORDER BY doc_id, term_rank"""
+
+
+# Ground truth for curation.gopher_rules (Rae et al. 2021 App. A1.1
+# heuristics).  Same RE2 tokenization (\s+ split, empties elided), same
+# chr(10) line split (empties kept), same non-overlapping '#'/'...'
+# counts (regexp_extract_all = Arrow count_substring_regex), ratios are
+# raw IEEE divisions so every rule boolean agrees bit-for-bit.
+def gopher_rules_sql(min_required: int = 2) -> str:
+    """Ground truth for curation.gopher_rules; min_required is the
+    only tunable (the synthetic corpus contains just one of the
+    paper's eight required words, so the driver entry runs with
+    min_required=1 to keep the rule outcome diverse)."""
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS w
+  FROM d),
+wagg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(length(w))::DOUBLE AS char_sum,
+         sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                  THEN 1 ELSE 0 END)::DOUBLE AS n_alpha,
+         count(DISTINCT lower(w)) FILTER (
+           lower(w) IN ('the','be','to','of','and','that','have','with')
+         )::BIGINT AS n_required
+  FROM w GROUP BY doc_id),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM d),
+lagg AS (
+  SELECT doc_id,
+         count(*)::DOUBLE AS n_lines,
+         sum(CASE WHEN regexp_matches(ln, '^\\s*(-|•)')
+                  THEN 1 ELSE 0 END)::DOUBLE AS n_bullet,
+         sum(CASE WHEN regexp_matches(ln, '\\.\\.\\.$')
+                  THEN 1 ELSE 0 END)::DOUBLE AS n_ell_line
+  FROM l GROUP BY doc_id),
+feat AS (
+  SELECT d.doc_id,
+         coalesce(wagg.n_words, 0) AS n_words,
+         CASE WHEN coalesce(wagg.n_words, 0) > 0
+              THEN wagg.char_sum / wagg.n_words ELSE 0.0
+         END AS mean_word_len,
+         CASE WHEN coalesce(wagg.n_words, 0) > 0
+              THEN ((length(d.text) -
+                     length(replace(d.text, '#', '')))::DOUBLE
+                    + len(regexp_extract_all(d.text, '\\.\\.\\.')))
+                   / wagg.n_words
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN coalesce(wagg.n_words, 0) > 0
+              THEN wagg.n_alpha / wagg.n_words ELSE 0.0
+         END AS alpha_word_ratio,
+         coalesce(wagg.n_required, 0) AS n_required_words,
+         lagg.n_bullet / lagg.n_lines AS bullet_ratio,
+         lagg.n_ell_line / lagg.n_lines AS ellipsis_ratio
+  FROM d LEFT JOIN wagg USING (doc_id) JOIN lagg USING (doc_id))
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       n_required_words, bullet_ratio, ellipsis_ratio,
+       (n_words BETWEEN 50 AND 100000) AS ok_words,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+       (symbol_ratio <= 0.1) AS ok_symbol,
+       (alpha_word_ratio >= 0.8) AS ok_alpha,
+       (n_required_words >= {min_required}) AS ok_required,
+       (bullet_ratio <= 0.9) AS ok_bullet,
+       (ellipsis_ratio <= 0.3) AS ok_ellipsis,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND n_required_words >= {min_required} AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3) AS gopher_pass
+FROM feat ORDER BY doc_id"""
+
+
+GOPHER_RULES_SQL = gopher_rules_sql()
+
+
+def c4_line_clean_sql(min_words: int = 5, min_kept_lines: int = 3) -> str:
+    """Ground truth for curation.c4_line_clean over the seeded corpus
+    (curation.seed_lines_column replicated as string concat on the same
+    doc_id residues).  Line order is preserved via list_filter, so the
+    md5 of the rejoined clean text agrees bit-for-bit."""
+    from .curation import C4_SEED_LINES
+
+    seeds = "".join(
+        f"\n         || CASE WHEN doc_id % {mod} = 0"
+        f" THEN chr(10) || '{line}' ELSE '' END"
+        for mod, line in C4_SEED_LINES)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 1 THEN coalesce(text, '') || '.'
+               ELSE coalesce(text, '') END){seeds} AS text
+  FROM documents),
+lists AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          FROM seeded),
+flt AS (
+  SELECT doc_id, text, len(ls)::BIGINT AS n_lines,
+         list_filter(ls, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(regexp_extract_all(x, '\\S+')) >= {min_words}
+           AND NOT regexp_matches(lower(x), '\\bjavascript\\b')) AS kept
+  FROM lists)
+SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')
+        AND len(kept) >= {min_kept_lines}) AS doc_keep,
+       md5(array_to_string(kept, chr(10))) AS clean_md5
+FROM flt ORDER BY doc_id"""
+
+
+C4_LINE_CLEAN_SQL = c4_line_clean_sql()

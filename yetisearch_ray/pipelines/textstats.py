@@ -274,6 +274,107 @@ def extract_keywords(ds, *, text_col="text", id_col="doc_id", limit=5):
     return ds.map_batches(KeywordStage, batch_format="pyarrow", concurrency=2)
 
 
+def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
+               num_partitions=8, round_to=6):
+    """Distributed TF-IDF: the top-k highest-scoring terms per document,
+    with document frequencies computed over the whole corpus — the
+    classic keyword/feature-extraction pass of a text pipeline.
+
+    Scale design — no vocabulary table is ever broadcast or collected:
+
+    - one pass explodes docs into (doc_id, term, tf) rows (a doc never
+      spans blocks, so per-batch tf IS global tf),
+    - document frequency is a map-side-combined wordcount shuffle
+      (per-batch value_counts, then ``groupby(term).sum`` — identical
+      shape to :func:`bigram_lm_scores`),
+    - scoring is one big-big hash join (``Dataset.join`` on the term
+      key): exploded pairs ⋈ df — both sides shuffle by term, nothing
+      lands anywhere whole,
+    - per-doc top-k uses the map-side-combiner idiom of
+      ``relational.grouped_topk``: each block keeps at most k rows per
+      doc before the final ``groupby(doc_id).map_groups`` ranking.
+
+    tfidf = round(tf * ln(N / df), ``round_to``); ranking/tie-break is
+    (tfidf DESC, term ASC) over the ROUNDED score so the DuckDB oracle's
+    row_number() agrees bit-for-bit.  Tokens are RE2 ``\\s+`` splits
+    (ASCII whitespace, empties elided), matching the oracle's
+    string_split_regex.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _strip_meta, _ws_tokens
+
+    base = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col], text_col:
+                            pc.fill_null(t[text_col], "")}),
+        batch_format="pyarrow")
+    n_docs = float(base.count())
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_term, out_tf = [], [], []
+        for i, s in zip(ids, t[text_col].to_pylist()):
+            vc = pd.Series(_ws_tokens(s)).value_counts()
+            out_id.append(np.full(len(vc), i, np.int64))
+            out_term.append(vc.index.to_numpy(object))
+            out_tf.append(vc.to_numpy(np.int64))
+        if not out_id:
+            out_id = [np.empty(0, np.int64)]
+            out_term = [np.empty(0, object)]
+            out_tf = [np.empty(0, np.int64)]
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "term": pa.array(np.concatenate(out_term), pa.string()),
+            "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+        })
+
+    pairs = _strip_meta(base.map_batches(explode_tf, batch_format="pyarrow"))
+
+    # df(term): pairs already hold one row per (doc, term), so a
+    # map-side per-batch count + keyed sum is the full doc frequency.
+    def df_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["term"].to_pylist()).value_counts()
+        return pa.table({"term": pa.array(vc.index, pa.string()),
+                         "c": pa.array(vc.to_numpy(np.int64))})
+
+    dfreq = _strip_meta(pairs.map_batches(df_partial, batch_format="pyarrow")
+                        .groupby("term").aggregate(Sum("c", alias_name="df")))
+
+    joined = pairs.join(dfreq, join_type="inner",
+                        num_partitions=num_partitions, on=("term",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tf * np.log(n_docs / df_), round_to)
+        return pa.table({id_col: t[id_col], "term": t["term"],
+                         "tf": t["tf"], "tfidf": pa.array(s, pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas().sort_values([id_col, "tfidf", "term"],
+                                        ascending=[True, False, True])
+        out = pa.Table.from_pandas(df_.groupby(id_col, sort=False).head(k),
+                                   preserve_index=False)
+        return out.replace_schema_metadata(None)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["tfidf", "term"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["term_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (scored.map_batches(partial_topk, batch_format="pyarrow")
+           .groupby(id_col).map_groups(final_topk, batch_format="pandas"))
+    pdf = out.to_pandas().sort_values([id_col, "term_rank"])
+    pdf["term_rank"] = pdf["term_rank"].astype("int64")
+    return pdf.reset_index(drop=True)[[id_col, "term", "tf", "tfidf",
+                                       "term_rank"]]
+
+
 def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
                      alpha=0.1, num_partitions=8, round_to=4):
     """CCNet-style n-gram language-model quality scoring, fully
