@@ -308,6 +308,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
         # distributed TF-IDF top-terms (df shuffle + term join + topk combiner)
         "text_tfidf_topk": lambda sf: textstats.tfidf_topk(_docs(sf), k=5),
+        # char/word unigram Shannon entropy (gibberish/template signals)
+        "text_entropy": lambda sf: textstats.entropy_stats(
+            _docs(sf)).to_pandas(),
+        # DSIR importance log-weights vs the src0 target slice
+        # (Xie et al. 2023; hashed-bigram bucket models, broadcast scan)
+        "text_dsir_logw": lambda sf: textstats.dsir_logweights(
+            _docs(sf), target_source="src0").to_pandas(),
         # C4 line-cleaning rules (Raffel et al. 2020 §2.2) over the
         # deterministically line-seeded corpus (same idiom as cur_pii_*)
         "cur_c4_clean": lambda sf: curation.c4_line_clean(
@@ -592,6 +599,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,
+        "text_entropy": oracles.ENTROPY_STATS_SQL,
+        "text_dsir_logw": oracles.dsir_logweights_sql("src0"),
         "cur_c4_clean": oracles.C4_LINE_CLEAN_SQL,
         "cur_gopher_rules": oracles.gopher_rules_sql(1),
         "cur_rebalance_mix": oracles.rebalance_mix_sql(

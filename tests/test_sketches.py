@@ -197,3 +197,68 @@ class TestTfidfTopk:
         # rare term beats hot terms within its doc
         top_doc2 = got2[got2.doc_id == got2.doc_id.iloc[0]]
         assert (top_doc2.tfidf.values[:-1] >= top_doc2.tfidf.values[1:]).all()
+
+
+class TestEntropyStats:
+    def test_matches_local_reference_and_duckdb(self, ray_session, tmp_path):
+        import collections
+        import math as m
+
+        import duckdb
+
+        docs = ["aaaa", "abab cdcd", "the quick brown fox", "", "x x x y"]
+        pdf = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                            "text": docs})
+        pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines import oracles
+        from yetisearch_ray.pipelines.textstats import entropy_stats
+        ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+        got = entropy_stats(ds).to_pandas().set_index("doc_id")
+
+        def ent(items):
+            c = collections.Counter(items)
+            n = sum(c.values())
+            return round(-sum((v / n) * m.log(v / n) for v in c.values()),
+                         6) if n else 0.0
+
+        for i, d in enumerate(docs):
+            assert got.loc[i, "char_entropy"] == ent(list(d))
+            assert got.loc[i, "word_entropy"] == ent(d.split())
+        assert got.loc[0, "char_entropy"] == 0.0  # single-symbol doc
+        assert got.loc[3, "n_chars"] == 0         # empty doc -> zeros
+
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        want = con.execute(oracles.ENTROPY_STATS_SQL).fetchdf()
+        pd.testing.assert_frame_equal(got.reset_index(), want,
+                                      check_dtype=False)
+
+
+class TestDsirLogweights:
+    def test_discriminates_and_matches_duckdb(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines import oracles
+        from yetisearch_ray.pipelines.textstats import dsir_logweights
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text", "source"])
+        got = dsir_logweights(ds, target_source="src0").to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(oracles.dsir_logweights_sql("src0")).fetchdf()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                      check_dtype=False)
+        # the importance model must rank the target slice far above the rest
+        src = pd.read_parquet(f"{sf}/documents.parquet",
+                              columns=["doc_id", "source"])
+        j = got.merge(src, on="doc_id")
+        mean_t = j.loc[j.source == "src0", "logw"].mean()
+        mean_o = j.loc[j.source != "src0", "logw"].mean()
+        assert mean_t > mean_o + 5.0

@@ -1230,3 +1230,71 @@ FROM flt ORDER BY doc_id"""
 
 
 C4_LINE_CLEAN_SQL = c4_line_clean_sql()
+
+
+# Ground truth for textstats.entropy_stats: per-doc Shannon entropy of
+# the character (codepoint) and RE2-\s+ word unigram distributions,
+# accumulated per distinct symbol in both engines (-(Σ (c/n)·ln(c/n)))
+# and rounded to 6.
+ENTROPY_STATS_SQL = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+ch AS (SELECT doc_id,
+              unnest(list_transform(range(1, length(text) + 1),
+                                    i -> substr(text, i::INT, 1))) AS sym
+       FROM d),
+chc AS (SELECT doc_id, sym, count(*)::DOUBLE AS c FROM ch
+        GROUP BY doc_id, sym),
+chn AS (SELECT doc_id, sum(c) AS n FROM chc GROUP BY doc_id),
+che AS (SELECT doc_id, -sum((c / n) * ln(c / n)) AS e
+        FROM chc JOIN chn USING (doc_id) GROUP BY doc_id),
+w AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS sym
+      FROM d),
+wc AS (SELECT doc_id, sym, count(*)::DOUBLE AS c FROM w
+       GROUP BY doc_id, sym),
+wn AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id),
+we AS (SELECT doc_id, -sum((c / n) * ln(c / n)) AS e,
+              sum(c)::BIGINT AS n_words
+       FROM wc JOIN wn USING (doc_id) GROUP BY doc_id)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+       coalesce(we.n_words, 0) AS n_words,
+       round(coalesce(che.e, 0.0), 6) AS char_entropy,
+       round(coalesce(we.e, 0.0), 6) AS word_entropy
+FROM d LEFT JOIN che USING (doc_id) LEFT JOIN we USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def dsir_logweights_sql(target_source: str = "src0",
+                        buckets: int = 1024) -> str:
+    """Ground truth for textstats.dsir_logweights: hashed-bigram
+    buckets via md5_number_lower (= Python md5 digest[8:16]), add-1
+    smoothed target/raw bucket models, per-doc sum of the per-instance
+    log ratios, round-4."""
+    return f"""
+WITH d AS (SELECT doc_id, source, coalesce(text, '') AS text
+           FROM documents),
+arrs AS (SELECT doc_id, source,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '') AS arr
+         FROM d),
+bi AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(arr)), i ->
+                (md5_number_lower(arr[i::INT] || chr(31)
+                                  || arr[(i + 1)::INT])
+                 % {buckets})::BIGINT)) AS b
+       FROM arrs),
+t AS (SELECT b, count(*)::DOUBLE AS c FROM bi
+      WHERE source = '{target_source}' GROUP BY b),
+tt AS (SELECT coalesce(sum(c), 0) AS tot FROM t),
+r AS (SELECT b, count(*)::DOUBLE AS c FROM bi GROUP BY b),
+rt AS (SELECT coalesce(sum(c), 0) AS tot FROM r),
+diff AS (SELECT gs.b::BIGINT AS b,
+                ln((coalesce(t.c, 0) + 1) / (tt.tot + {buckets}))
+                - ln((coalesce(r.c, 0) + 1) / (rt.tot + {buckets})) AS dv
+         FROM range(0, {buckets}) gs(b)
+         LEFT JOIN t ON t.b = gs.b LEFT JOIN r ON r.b = gs.b, tt, rt),
+per AS (SELECT bi.doc_id, sum(dv) AS logw, count(*)::BIGINT AS n_bigrams
+        FROM bi JOIN diff USING (b) GROUP BY bi.doc_id)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(per.logw, 0.0), 4) AS logw
+FROM d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""

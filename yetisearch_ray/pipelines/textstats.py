@@ -469,3 +469,147 @@ def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
     pdf["n_bigrams"] = pdf["n_bigrams"].astype("int64")
     pdf["avg_logp"] = pdf["avg_logp"].round(round_to)
     return pdf[[id_col, "n_bigrams", "avg_logp"]]
+
+
+def entropy_stats(ds, *, text_col="text", id_col="doc_id", round_to=6):
+    """Per-doc Shannon entropy of the character and word unigram
+    distributions — the classic gibberish/boilerplate quality signals
+    (low char entropy = repeated chars/spam, low word entropy =
+    templated text).  Zero-shuffle vectorized scan; entropy is computed
+    from per-doc value counts as ``-Σ (c/n)·ln(c/n)`` with the terms
+    accumulated per distinct symbol (same grouped form as the SQL
+    oracle), rounded to ``round_to``.  Characters are Unicode
+    codepoints; words are RE2 ``\\s+`` tokens (empties elided)."""
+    import pandas as pd
+
+    from .dedup import _WS_RE as ws_re
+
+    def _entropy(series_of_lists) -> np.ndarray:
+        s = series_of_lists.explode().dropna()
+        if s.empty:
+            return np.zeros(len(series_of_lists))
+        cnt = s.groupby([s.index, s]).size()
+        n = cnt.groupby(level=0).sum()
+        p = cnt.to_numpy() / n.reindex(
+            cnt.index.get_level_values(0)).to_numpy()
+        terms = pd.Series(-(p * np.log(p)),
+                          index=cnt.index.get_level_values(0))
+        ent = terms.groupby(level=0).sum()
+        return ent.reindex(range(len(series_of_lists)),
+                           fill_value=0.0).to_numpy()
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t[text_col].to_pylist()).fillna("")
+        chars = texts.map(list)
+        words = texts.map(lambda s: [w for w in ws_re.split(s) if w])
+        n_ch = chars.str.len().to_numpy(np.int64)
+        n_wd = words.str.len().to_numpy(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_chars": pa.array(n_ch, pa.int64()),
+            "n_words": pa.array(n_wd, pa.int64()),
+            "char_entropy": pa.array(np.round(_entropy(chars), round_to),
+                                     pa.float64()),
+            "word_entropy": pa.array(np.round(_entropy(words), round_to),
+                                     pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(id_col)
+
+
+def dsir_logweights(ds, *, target_source="src0", text_col="text",
+                    id_col="doc_id", group_col="source",
+                    buckets=1024, round_to=4):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    the log-likelihood ratio of a hashed-bigram unigram model fit on a
+    TARGET slice (here ``group_col == target_source``) vs the RAW
+    corpus.  log w(x) = Σ_i [ ln p̂(b_i) − ln q̂(b_i) ] over the doc's
+    bigram instances, with add-1 smoothing over ``buckets`` hash
+    buckets: p̂(b) = (t_b + 1)/(T + B), q̂(b) = (r_b + 1)/(R + B).
+
+    Scale shape: bigrams hash into a FIXED number of buckets, so the
+    only aggregates are two B-row bucket-count tables (map-side
+    combined, then broadcast into the scoring scan as plain numpy
+    arrays) — no vocabulary shuffle, no join; scoring is one
+    zero-shuffle pass.  Bucket = md5 low-64 of ``w1 \\x1f w2`` mod B,
+    exactly DuckDB's ``md5_number_lower(...) % B`` so the oracle agrees.
+
+    Returns (id, n_bigrams, logw) for ALL docs (docs with no bigram get
+    logw = 0), rounded to ``round_to``.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_u64_tokens, _strip_meta, _ws_tokens
+
+    base = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            group_col: t[group_col],
+                            text_col: pc.fill_null(t[text_col], "")}),
+        batch_format="pyarrow")
+
+    def explode_buckets(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        srcs = t[group_col].to_pylist()
+        tls = [_ws_tokens(s) for s in t[text_col].to_pylist()]
+        n_bi = np.array([max(len(tl) - 1, 0) for tl in tls], np.int64)
+        grams = np.array([tl[i] + "\x1f" + tl[i + 1]
+                          for tl in tls for i in range(len(tl) - 1)],
+                         dtype=object)
+        b = (_md5_u64_tokens(grams) % buckets).astype(np.int64) \
+            if grams.size else np.empty(0, np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_bi), pa.int64()),
+            group_col: pa.array(np.repeat(np.array(srcs, object), n_bi),
+                                pa.string()),
+            "b": pa.array(b, pa.int64()),
+        })
+
+    bi = _strip_meta(base.map_batches(explode_buckets,
+                                      batch_format="pyarrow"))
+
+    def _bucket_counts(src) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            vc = pd.Series(t["b"].to_numpy(zero_copy_only=False)
+                           ).value_counts()
+            return pa.table({"b": pa.array(vc.index.to_numpy(np.int64)),
+                             "c": pa.array(vc.to_numpy(np.int64))})
+        rows = (src.map_batches(partial, batch_format="pyarrow")
+                .groupby("b").aggregate(Sum("c", alias_name="cnt"))
+                .take_all())
+        out = np.zeros(buckets, np.int64)
+        for r in rows:
+            out[int(r["b"])] = int(r["cnt"])
+        return out
+
+    tgt = bi.filter(expr=f"{group_col} == '{target_source}'")
+    t_cnt = _bucket_counts(tgt)          # B rows reach the driver — tiny
+    r_cnt = _bucket_counts(bi)
+    lp = np.log((t_cnt + 1.0) / (float(t_cnt.sum()) + buckets))
+    lq = np.log((r_cnt + 1.0) / (float(r_cnt.sum()) + buckets))
+    diff = lp - lq                        # broadcast into the scan below
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tls = [_ws_tokens(s) for s in t[text_col].to_pylist()]
+        n_bi = np.array([max(len(tl) - 1, 0) for tl in tls], np.int64)
+        grams = np.array([tl[i] + "\x1f" + tl[i + 1]
+                          for tl in tls for i in range(len(tl) - 1)],
+                         dtype=object)
+        if grams.size:
+            b = (_md5_u64_tokens(grams) % buckets).astype(np.int64)
+            per = diff[b]
+            cs = np.concatenate([[0.0], np.cumsum(per)])
+            offs = np.concatenate([[0], np.cumsum(n_bi)])
+            logw = cs[offs[1:]] - cs[offs[:-1]]
+        else:
+            logw = np.zeros(len(ids))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "logw": pa.array(np.round(logw, round_to), pa.float64()),
+        })
+
+    return base.map_batches(score, batch_format="pyarrow").sort(id_col)
