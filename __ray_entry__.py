@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Xie et al. 2023; hashed-bigram bucket models, broadcast scan)
         "text_dsir_logw": lambda sf: textstats.dsir_logweights(
             _docs(sf), target_source="src0").to_pandas(),
+        # terminal training-sequence export (tokenize -> hash-vocab ids
+        # -> EOD -> global fixed-length chunking via range prefix sums)
+        "cur_train_sequences": lambda sf: curation.export_training_sequences(
+            _docs(sf), seq_len=128).to_pandas(),
         # C4 line-cleaning rules (Raffel et al. 2020 §2.2) over the
         # deterministically line-seeded corpus (same idiom as cur_pii_*)
         "cur_c4_clean": lambda sf: curation.c4_line_clean(
@@ -602,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "text_entropy": oracles.ENTROPY_STATS_SQL,
         "text_dsir_logw": oracles.dsir_logweights_sql("src0"),
         "cur_c4_clean": oracles.C4_LINE_CLEAN_SQL,
+        "cur_train_sequences": oracles.training_sequences_sql(128),
         "cur_gopher_rules": oracles.gopher_rules_sql(1),
         "cur_rebalance_mix": oracles.rebalance_mix_sql(
             {"src0": 0.5, "src1": 0.3, "src2": 0.2}),

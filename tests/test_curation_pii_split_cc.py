@@ -320,3 +320,55 @@ def test_connected_components_empty_pairs(ray_session):
     # zero-block datasets — a Ray Data wart handled by _ensure_cols at
     # the entry layer)
     assert out_ds.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_training_sequences_matches_duckdb_and_block_independent(docs, con):
+    got = curation.export_training_sequences(docs, seq_len=128).to_pandas()
+    want = con.execute(oracles.training_sequences_sql(128)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    assert len(got) > 50  # the corpus yields a real number of sequences
+    # block-boundary independence: 16-way repartition -> identical output
+    again = curation.export_training_sequences(
+        docs.repartition(16), seq_len=128).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_training_sequences_semantics(ray_session, tmp_path):
+    """EOD placement and chunking pinned against a local reference."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from yetisearch_ray.pipelines.dedup import _md5_u64_tokens
+    from yetisearch_ray.pipelines.textstats import BPE_ISH_PATTERN
+
+    texts = ["alpha beta gamma", "", "delta " * 40, "omega"]
+    rows = [{"doc_id": i, "text": s} for i, s in enumerate(texts)]
+    L, V = 16, 65535
+    out = curation.export_training_sequences(
+        rd.from_items(rows), seq_len=L, vocab_size=V).to_pandas()
+
+    bpe = re.compile(BPE_ISH_PATTERN)
+    stream = []
+    for s in texts:
+        toks = bpe.findall(s)
+        if toks:
+            stream += (_md5_u64_tokens(np.array(toks, object)) % V).tolist()
+        stream.append(V)  # EOD after EVERY doc, even empty ones
+    n_full = len(stream) // L
+    assert len(out) == n_full
+    for k in range(n_full):
+        chunk = stream[k * L:(k + 1) * L]
+        joined = ",".join(str(int(x)) for x in chunk)
+        assert out.loc[k, "first_tid"] == chunk[0]
+        assert out.loc[k, "tokens_md5"] == hashlib.md5(
+            joined.encode()).hexdigest()
+    # parquet sink writes the same rows
+    curation.export_training_sequences(
+        rd.from_items(rows), seq_len=L, vocab_size=V,
+        out_dir=str(tmp_path / "seqs"))
+    back = pd.read_parquet(tmp_path / "seqs").sort_values(
+        "seq_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, out, check_dtype=False)

@@ -592,3 +592,108 @@ def c4_line_clean(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow").sort(id_col)
+
+
+def export_training_sequences(ds, *, seq_len: int = 128,
+                              vocab_size: int = 65535,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              range_size: int = 4096,
+                              out_dir: str | None = None):
+    """The terminal step of an LLM data pipeline: turn curated docs into
+    fixed-length token-ID training sequences (GPT-2/Megatron style).
+    Docs are tokenized with the BPE-ish pretokenizer
+    (:data:`textstats.BPE_ISH_PATTERN`), mapped to ids via the hashing
+    trick (md5 low-64 mod ``vocab_size``; id ``vocab_size`` is the
+    reserved EOD appended after every doc), concatenated in doc-id
+    order, and chunked into ``seq_len``-token sequences (trailing
+    partial dropped).
+
+    Scale shape (block-boundary independent, same fixed-ID-range
+    prefix-sum idiom as :func:`pack_token_bins`): pass 1 aggregates one
+    token-count row per ``range_size``-id range (the only driver-side
+    table) whose cumsum gives each range's global token offset,
+    broadcast via ``ray.put``; pass 2 re-tokenizes per range and emits
+    (seq_id, pos_in_seq, tid) rows — each token crosses the exchange
+    exactly once; pass 3 is a ``groupby(seq_id)`` assembly.  Returns
+    (seq_id, first_tid, tokens_md5) — md5 of the comma-joined ids, the
+    compact hash-comparable contract — sorted by seq_id; with
+    ``out_dir`` the rows are also written as partitioned parquet.
+    """
+    import re
+
+    import numpy as np
+    import ray
+
+    from .dedup import _md5_u64_tokens
+    from .textstats import BPE_ISH_PATTERN
+
+    bpe = re.compile(BPE_ISH_PATTERN)
+    eod = np.int64(vocab_size)
+
+    def _tids(s: str) -> "np.ndarray":
+        toks = bpe.findall(s or "")
+        if not toks:
+            return np.array([eod], np.int64)
+        ids = (_md5_u64_tokens(np.array(toks, object))
+               % vocab_size).astype(np.int64)
+        return np.concatenate([ids, [eod]])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        arr = _pc.fill_null(t[text_col].cast(pa.string()), "")
+        # +1: the EOD token after every doc
+        n = pc.add(pc.count_substring_regex(arr, BPE_ISH_PATTERN), 1)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         text_col: arr,
+                         "_rng": pa.array(ids // range_size, pa.int64()),
+                         "_ntok": n.cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    sums = (tagged.groupby("_rng").aggregate(Sum("_ntok", alias_name="s"))
+            .to_pandas().sort_values("_rng"))
+    offsets = dict(zip(sums["_rng"].astype(int),
+                       (sums["s"].cumsum() - sums["s"]).astype(int)))
+    off_ref = ray.put(offsets)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or t.num_rows == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "tid": pa.array([], pa.int64())})
+        off = ray.get(off_ref)[int(t["_rng"][0].as_py())]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        texts = t[text_col].to_pylist()
+        tids = np.concatenate([_tids(texts[i]) for i in order])
+        gpos = off + np.arange(tids.size, dtype=np.int64)
+        return pa.table({"seq_id": pa.array(gpos // seq_len, pa.int64()),
+                         "pos": pa.array(gpos % seq_len, pa.int64()),
+                         "tid": pa.array(tids, pa.int64())})
+
+    import hashlib
+
+    import pandas as pd
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos")
+        if len(g) != seq_len:
+            return pd.DataFrame({"seq_id": pd.Series([], dtype="int64"),
+                                 "first_tid": pd.Series([], dtype="int64"),
+                                 "tokens_md5": pd.Series([], dtype=object)})
+        joined = ",".join(str(int(x)) for x in g.tid)
+        return pd.DataFrame({
+            "seq_id": [int(g.seq_id.iloc[0])],
+            "first_tid": [int(g.tid.iloc[0])],
+            "tokens_md5": [hashlib.md5(joined.encode()).hexdigest()],
+        })
+
+    out = (tagged.groupby("_rng").map_groups(emit, batch_format="pyarrow")
+           .groupby("seq_id").map_groups(assemble, batch_format="pandas")
+           .sort("seq_id"))
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+    return out

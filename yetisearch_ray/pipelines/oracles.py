@@ -1298,3 +1298,36 @@ per AS (SELECT bi.doc_id, sum(dv) AS logw, count(*)::BIGINT AS n_bigrams
 SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
        round(coalesce(per.logw, 0.0), 4) AS logw
 FROM d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+
+
+def training_sequences_sql(seq_len: int = 128,
+                           vocab_size: int = 65535) -> str:
+    """Ground truth for curation.export_training_sequences: BPE-ish RE2
+    tokenization (regexp_extract_all = Python re.findall on this ASCII
+    pattern), hashing-trick ids via md5_number_lower % vocab, one EOD
+    (= vocab_size) per doc, global position by (doc_id, pos), chunks of
+    seq_len with the trailing partial dropped; tokens_md5 hashes the
+    comma-joined id list in sequence order."""
+    from .textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''").replace("\\", "\\\\")
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+arrs AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS arr FROM d),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos,
+         (md5_number_lower(unnest(arr)) % {vocab_size})::BIGINT AS tid
+  FROM arrs
+  UNION ALL
+  SELECT doc_id, len(arr) + 1 AS pos, {vocab_size}::BIGINT AS tid
+  FROM arrs),
+g AS (SELECT tid,
+             row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+      FROM tok),
+seqs AS (SELECT gpos // {seq_len} AS seq_id, gpos % {seq_len} AS p, tid
+         FROM g)
+SELECT seq_id,
+       (list(tid ORDER BY p))[1] AS first_tid,
+       md5(array_to_string(list(tid ORDER BY p), ',')) AS tokens_md5
+FROM seqs GROUP BY seq_id HAVING count(*) = {seq_len}
+ORDER BY seq_id"""
