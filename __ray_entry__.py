@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
         # distributed TF-IDF top-terms (df shuffle + term join + topk combiner)
         "text_tfidf_topk": lambda sf: textstats.tfidf_topk(_docs(sf), k=5),
+        # CCNet head/middle/tail perplexity bucketing (bigram LM +
+        # distributed exact percentile_disc tertiles)
+        "text_ccnet_buckets": lambda sf: textstats.ccnet_ppl_buckets(
+            _docs(sf)),
         # char/word unigram Shannon entropy (gibberish/template signals)
         "text_entropy": lambda sf: textstats.entropy_stats(
             _docs(sf)).to_pandas(),
@@ -603,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,
+        "text_ccnet_buckets": oracles.CCNET_BUCKETS_SQL,
         "text_entropy": oracles.ENTROPY_STATS_SQL,
         "text_dsir_logw": oracles.dsir_logweights_sql("src0"),
         "cur_c4_clean": oracles.C4_LINE_CLEAN_SQL,

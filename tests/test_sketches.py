@@ -262,3 +262,30 @@ class TestDsirLogweights:
         mean_t = j.loc[j.source == "src0", "logw"].mean()
         mean_o = j.loc[j.source != "src0", "logw"].mean()
         assert mean_t > mean_o + 5.0
+
+
+class TestCcnetBuckets:
+    def test_tertiles_and_duckdb(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines import oracles
+        from yetisearch_ray.pipelines.textstats import ccnet_ppl_buckets
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = ccnet_ppl_buckets(ds)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(oracles.CCNET_BUCKETS_SQL).fetchdf()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                      check_dtype=False)
+        # near-exact thirds, and bucket order matches fluency order
+        sizes = got.ppl_bucket.value_counts()
+        assert abs(sizes["head"] - sizes["tail"]) <= 2
+        assert (got.loc[got.ppl_bucket == "head", "avg_logp"].min()
+                >= got.loc[got.ppl_bucket == "middle", "avg_logp"].max())
+        assert (got.loc[got.ppl_bucket == "middle", "avg_logp"].min()
+                >= got.loc[got.ppl_bucket == "tail", "avg_logp"].max())

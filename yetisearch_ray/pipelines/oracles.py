@@ -1331,3 +1331,39 @@ SELECT seq_id,
        md5(array_to_string(list(tid ORDER BY p), ',')) AS tokens_md5
 FROM seqs GROUP BY seq_id HAVING count(*) = {seq_len}
 ORDER BY seq_id"""
+
+
+# Ground truth for textstats.ccnet_ppl_buckets: the bigram-LM score CTE
+# (identical to BIGRAM_LM_SQL) + ANSI percentile_disc tertiles over the
+# round-4 scores + the same <=-edged CASE assignment.
+CCNET_BUCKETS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks[i] AS w1,
+         toks[i] || chr(31) || toks[i + 1] AS big
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS r(i)
+),
+cb AS (SELECT big, count(*) AS cb FROM b GROUP BY big),
+cu AS (SELECT w1, count(*) AS cu
+       FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+v AS (SELECT count(*) AS v FROM cu),
+s AS (
+  SELECT b.doc_id,
+         ln((cb.cb + 0.1) / (cu.cu + 0.1 * v.v)) AS lp
+  FROM b JOIN cb USING (big) JOIN cu USING (w1), v
+),
+base AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                round(avg(lp), 4) AS avg_logp
+         FROM s GROUP BY doc_id),
+th AS (SELECT percentile_disc(0.3333333333333333) WITHIN GROUP
+                (ORDER BY avg_logp) AS t1,
+              percentile_disc(0.6666666666666666) WITHIN GROUP
+                (ORDER BY avg_logp) AS t2
+       FROM base)
+SELECT doc_id, n_bigrams, avg_logp,
+       CASE WHEN avg_logp <= th.t1 THEN 'tail'
+            WHEN avg_logp <= th.t2 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket
+FROM base, th ORDER BY doc_id"""

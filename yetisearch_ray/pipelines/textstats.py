@@ -376,7 +376,8 @@ def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
 
 
 def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
-                     alpha=0.1, num_partitions=8, round_to=4):
+                     alpha=0.1, num_partitions=8, round_to=4,
+                     as_dataset=False):
     """CCNet-style n-gram language-model quality scoring, fully
     distributed: score every document by its mean bigram log-probability
     under an add-alpha-smoothed bigram LM **fit on the corpus itself**
@@ -461,13 +462,24 @@ def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
         lp = np.log((num + alpha) / (den + alpha * v))
         return pa.table({id_col: t[id_col], "lp": pa.array(lp)})
 
-    out = (joined.map_batches(logp, batch_format="pyarrow")
-           .groupby(id_col)
-           .aggregate(Count(alias_name="n_bigrams"),
-                      Mean("lp", alias_name="avg_logp")))
+    grouped = (joined.map_batches(logp, batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Count(alias_name="n_bigrams"),
+                          Mean("lp", alias_name="avg_logp")))
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_bigrams": t["n_bigrams"].cast(pa.int64()),
+            "avg_logp": pa.array(
+                np.round(t["avg_logp"].to_numpy(zero_copy_only=False),
+                         round_to), pa.float64()),
+        })
+
+    out = grouped.map_batches(_round, batch_format="pyarrow")
+    if as_dataset:
+        return out
     pdf = out.to_pandas().sort_values(id_col).reset_index(drop=True)
-    pdf["n_bigrams"] = pdf["n_bigrams"].astype("int64")
-    pdf["avg_logp"] = pdf["avg_logp"].round(round_to)
     return pdf[[id_col, "n_bigrams", "avg_logp"]]
 
 
@@ -613,3 +625,40 @@ def dsir_logweights(ds, *, target_source="src0", text_col="text",
         })
 
     return base.map_batches(score, batch_format="pyarrow").sort(id_col)
+
+
+def ccnet_ppl_buckets(ds, *, text_col="text", id_col="doc_id",
+                      alpha=0.1, num_partitions=8, round_to=4):
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3): score every doc with the corpus-fit bigram LM
+    (:func:`bigram_lm_scores`), then split the corpus into thirds by
+    the score's exact tertiles — ``head`` = most fluent third (highest
+    avg log-prob), ``tail`` = least.
+
+    Fully composed from distributed pieces: the LM scoring Dataset is
+    materialized once (one row per doc), the two tertile thresholds are
+    computed with the EXACT distributed percentile_disc sketch
+    (``sketches.quantiles_disc`` — log-pass bracketing, never collects
+    the column), and assignment is a zero-shuffle scan against the two
+    broadcast scalars.  Bucket edges use ``avg_logp <= t`` on the
+    round-4 scores, identical to the SQL oracle's CASE.
+    """
+    from .sketches import quantiles_disc
+
+    scores = bigram_lm_scores(
+        ds, text_col=text_col, id_col=id_col, alpha=alpha,
+        num_partitions=num_partitions, round_to=round_to,
+        as_dataset=True).materialize()
+    qdf = quantiles_disc(scores, "avg_logp", qs=(1 / 3, 2 / 3),
+                         round_to=round_to)
+    t1, t2 = float(qdf.value.iloc[0]), float(qdf.value.iloc[1])
+
+    def assign(t: pa.Table) -> pa.Table:
+        lp = t["avg_logp"].to_numpy(zero_copy_only=False)
+        b = np.where(lp <= t1, "tail", np.where(lp <= t2, "middle", "head"))
+        return t.append_column("ppl_bucket", pa.array(b.tolist(),
+                                                      pa.string()))
+
+    pdf = (scores.map_batches(assign, batch_format="pyarrow")
+           .to_pandas().sort_values(id_col).reset_index(drop=True))
+    return pdf[[id_col, "n_bigrams", "avg_logp", "ppl_bucket"]]
