@@ -248,6 +248,32 @@ def bench_pca() -> float:
     return time.perf_counter() - t0
 
 
+def bench_tfidf() -> float:
+    """Distributed TF-IDF top-terms: df shuffle + term join + combiner."""
+    import ray.data as rd
+
+    from yetisearch_ray.pipelines.textstats import tfidf_topk
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    tfidf_topk(ds, k=5)
+    return time.perf_counter() - t0
+
+
+def bench_train_sequences() -> tuple[float, int]:
+    """Terminal sequence export: range prefix sums + token exchange."""
+    import ray.data as rd
+
+    from yetisearch_ray.pipelines.curation import export_training_sequences
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    n = export_training_sequences(ds, seq_len=1024).count()
+    return time.perf_counter() - t0, int(n)
+
+
 def bench_agg() -> float:
     from yetisearch_ray.pipelines.relational import pricing_summary
 
@@ -384,6 +410,8 @@ def run_once() -> dict:
         t_kmeans = bench_kmeans()
         t_pca = bench_pca()
         t_agg = bench_agg()
+        t_tfidf = bench_tfidf()
+        t_seqs, n_seqs = bench_train_sequences()
         gens = bench_generations(corpus, idx_dir)
         fuzzy = bench_fuzzy_rates()
         ray.shutdown()
@@ -422,12 +450,15 @@ def run_once() -> dict:
             "kmeans_cluster": round(t_kmeans, 3),
             "pca_project": round(t_pca, 3),
             "agg_pricing": round(t_agg, 3),
+            "tfidf_topk": round(t_tfidf, 3),
+            "train_sequences": round(t_seqs, 3),
             "append_gen2": gens["append_sec"],
             "optimize": gens["optimize_sec"],
         })
         out["extras"].update(gens)
         out["extras"].update(fuzzy)
         out["extras"]["curated_docs"] = n_curated
+        out["extras"]["train_sequences_1024"] = n_seqs
     return out
 
 
