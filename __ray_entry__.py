@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the paper's eight required words
         "cur_gopher_rules": lambda sf: curation.gopher_rules(
             _docs(sf), min_required=1).to_pandas(),
+        # quality-argmax survivor per near-dup cluster (keep-best policy)
+        "dedup_best_survivors": lambda sf: dedup.best_survivors(
+            _docs(sf), threshold=0.5),
         # domain-mix rebalance to target proportions (Pile/DoReMi shape)
         "cur_rebalance_mix": lambda sf: curation.rebalance_mix(
             _docs(sf), targets={"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -610,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ccnet_buckets": oracles.CCNET_BUCKETS_SQL,
         "text_entropy": oracles.ENTROPY_STATS_SQL,
         "text_dsir_logw": oracles.dsir_logweights_sql("src0"),
+        "dedup_best_survivors": oracles.best_survivors_sql(STOPWORDS["en"]),
         "cur_c4_clean": oracles.C4_LINE_CLEAN_SQL,
         "cur_train_sequences": oracles.training_sequences_sql(128),
         "cur_gopher_rules": oracles.gopher_rules_sql(1),

@@ -372,3 +372,25 @@ def test_training_sequences_semantics(ray_session, tmp_path):
     back = pd.read_parquet(tmp_path / "seqs").sort_values(
         "seq_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, out, check_dtype=False)
+
+
+def test_best_survivors_matches_duckdb(docs, con):
+    from yetisearch_ray.analysis.stopwords import STOPWORDS
+
+    got = dedup.best_survivors(docs, threshold=0.5)
+    want = con.execute(oracles.best_survivors_sql(STOPWORDS["en"])).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    # one survivor per cluster, and it's a member of that cluster
+    clusters = dedup.minhash_dedup_clusters(docs, threshold=0.5).to_pandas()
+    assert len(got) == clusters.cluster_id.nunique()
+    members = clusters.groupby("cluster_id").doc_id.apply(set)
+    for _, row in got.iterrows():
+        assert row.doc_id in members[row.cluster_id]
+    # the winner has the max quality in its cluster
+    from yetisearch_ray.pipelines.textstats import quality_scores
+    q = quality_scores(docs).to_pandas().set_index("doc_id").quality
+    joined = clusters.assign(q=clusters.doc_id.map(q))
+    best = joined.groupby("cluster_id").q.max()
+    assert all(abs(row.quality - best[row.cluster_id]) < 1e-12
+               for _, row in got.iterrows())

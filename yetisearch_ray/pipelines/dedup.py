@@ -989,3 +989,49 @@ def substring_dup_stats(ds, *, text_col="text", id_col="doc_id",
                          "dup_frac": pa.array(frac, pa.float64())})
 
     return merged.map_batches(finalize, batch_format="pyarrow").sort(id_col)
+
+
+def best_survivors(ds, *, threshold=0.5, id_col="doc_id",
+                   num_partitions=8, k=1):
+    """Quality-based survivor selection over near-dup clusters — the
+    "keep the best copy, not the arbitrary one" dedup policy real
+    pipelines use: MinHash-verified pairs → connected components →
+    per-cluster argmax of the pretraining quality score (ties on
+    ascending id).
+
+    Fully distributed composition: the (doc_id, cluster_id) component
+    table hash-joins the quality table on doc_id (both sides shuffle by
+    key via ``Dataset.join``), then the per-cluster winner uses the
+    grouped_topk map-side combiner — the shuffle after the join moves
+    at most ``k`` rows per cluster per block.  Returns
+    (cluster_id, doc_id, quality) sorted by cluster_id.
+    """
+    import pandas as pd
+
+    from .textstats import quality_scores
+
+    clusters = minhash_dedup_clusters(ds, threshold=threshold)
+    qual = quality_scores(ds).map_batches(
+        lambda t: pa.table({id_col: t[id_col], "quality": t["quality"]}),
+        batch_format="pyarrow")
+    joined = _strip_meta(clusters).join(
+        _strip_meta(qual), join_type="inner",
+        num_partitions=num_partitions, on=(id_col,))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["cluster_id", "quality", id_col],
+                                       ascending=[True, False, True])
+        out = pa.Table.from_pandas(
+            df.groupby("cluster_id", sort=False).head(k),
+            preserve_index=False)
+        return out.replace_schema_metadata(None)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["quality", id_col],
+                              ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("cluster_id").map_groups(final, batch_format="pandas"))
+    pdf = out.to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    return pdf[["cluster_id", id_col, "quality"]]

@@ -1367,3 +1367,39 @@ SELECT doc_id, n_bigrams, avg_logp,
             WHEN avg_logp <= th.t2 THEN 'middle'
             ELSE 'head' END AS ppl_bucket
 FROM base, th ORDER BY doc_id"""
+
+
+def best_survivors_sql(stopwords) -> str:
+    """Ground truth for dedup.best_survivors: the minhash-cluster
+    recursive closure joined to the quality score (round-6, unrounded
+    stopword ratio inside the product — the exact quality_scores
+    arithmetic), winner per cluster by row_number over
+    (quality DESC, doc_id)."""
+    sw = ", ".join("'" + w.replace("'", "''") + "'"
+                   for w in sorted(stopwords))
+    return rf"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pr AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a
+),
+cl AS (SELECT id::BIGINT AS doc_id, MIN(r)::BIGINT AS cluster_id
+       FROM reach GROUP BY id),
+tq AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents),
+q AS (SELECT doc_id,
+             round(least(1.0, len(toks) / 100.0) *
+                   (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, x -> x IN ({sw})))::DOUBLE
+                               / len(toks) END), 6) AS quality
+      FROM tq),
+j AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+      FROM cl JOIN q USING (doc_id))
+SELECT cluster_id, doc_id, quality
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) AS rn
+      FROM j)
+WHERE rn = 1 ORDER BY cluster_id"""
