@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
         # distributed TF-IDF top-terms (df shuffle + term join + topk combiner)
         "text_tfidf_topk": lambda sf: textstats.tfidf_topk(_docs(sf), k=5),
+        # per-source tokenizer report (fertility, distinct terms, TTR)
+        "text_source_stats": lambda sf: textstats.source_token_stats(
+            _docs(sf)),
         # CCNet head/middle/tail perplexity bucketing (bigram LM +
         # distributed exact percentile_disc tertiles)
         "text_ccnet_buckets": lambda sf: textstats.ccnet_ppl_buckets(
@@ -610,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,
+        "text_source_stats": oracles.source_token_stats_sql(),
         "text_ccnet_buckets": oracles.CCNET_BUCKETS_SQL,
         "text_entropy": oracles.ENTROPY_STATS_SQL,
         "text_dsir_logw": oracles.dsir_logweights_sql("src0"),

@@ -289,3 +289,36 @@ class TestCcnetBuckets:
                 >= got.loc[got.ppl_bucket == "middle", "avg_logp"].max())
         assert (got.loc[got.ppl_bucket == "middle", "avg_logp"].min()
                 >= got.loc[got.ppl_bucket == "tail", "avg_logp"].max())
+
+
+class TestSourceTokenStats:
+    def test_matches_duckdb_and_local(self, ray_session, tmp_path):
+        import duckdb
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines import oracles
+        from yetisearch_ray.pipelines.textstats import source_token_stats
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "b", "b", "b", "c"],
+            "text": ["the cat's cat", "dog dog dog", "x y z", "x x",
+                     "", "it's 42 !!"],
+        })
+        docs.to_parquet(tmp_path / "documents.parquet", index=False)
+        ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+        got = source_token_stats(ds).set_index("source")
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        want = con.execute(oracles.source_token_stats_sql()).fetchdf()
+        pd.testing.assert_frame_equal(got.reset_index(), want,
+                                      check_dtype=False)
+        # hand-checked: source a has words {the, cat's, cat, dog} = 4
+        # distinct; "cat's" splits into 2 BPE-ish subwords (cat + 's)
+        assert got.loc["a", "distinct_terms"] == 4
+        assert got.loc["a", "n_tokens"] == 6
+        assert got.loc["a", "n_subwords"] == 7
+        assert got.loc["a", "fertility"] == round(7 / 6, 6)
+        # empty doc counts toward n_docs but adds no tokens
+        assert got.loc["b", "n_docs"] == 3

@@ -1403,3 +1403,32 @@ FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
                                    ORDER BY quality DESC, doc_id) AS rn
       FROM j)
 WHERE rn = 1 ORDER BY cluster_id"""
+
+
+# Ground truth for textstats.source_token_stats: RE2 \\S+ / BPE-ish
+# counts per doc, per-source sums, count(DISTINCT term), and the two
+# round-6 ratios.
+def source_token_stats_sql() -> str:
+    from .textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''").replace("\\", "\\\\")
+    return f"""
+WITH d AS (SELECT doc_id, source, coalesce(text, '') AS text
+           FROM documents),
+per AS (SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
+                 AS n_tokens,
+               sum(len(regexp_extract_all(text, '{pat}')))::BIGINT
+                 AS n_subwords
+        FROM d GROUP BY source),
+dt AS (SELECT source, count(DISTINCT t)::BIGINT AS distinct_terms
+       FROM (SELECT source,
+                    unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS t
+             FROM d)
+       GROUP BY source)
+SELECT per.source, n_docs, n_tokens, n_subwords,
+       round(n_subwords::DOUBLE / n_tokens, 6) AS fertility,
+       distinct_terms,
+       round(distinct_terms::DOUBLE / n_tokens, 6) AS type_token_ratio
+FROM per JOIN dt USING (source) ORDER BY per.source"""

@@ -662,3 +662,72 @@ def ccnet_ppl_buckets(ds, *, text_col="text", id_col="doc_id",
     pdf = (scores.map_batches(assign, batch_format="pyarrow")
            .to_pandas().sort_values(id_col).reset_index(drop=True))
     return pdf[[id_col, "n_bigrams", "avg_logp", "ppl_bucket"]]
+
+
+def source_token_stats(ds, *, text_col="text", id_col="doc_id",
+                       group_col="source", round_to=6):
+    """Per-source tokenizer/corpus report: doc count, whitespace-token
+    and BPE-ish-subword totals, fertility (subwords per word — the
+    metric a tokenizer team tracks per domain), distinct-term count and
+    type-token ratio.
+
+    Shapes: the totals are a map-side-combined groupby over one row per
+    (batch, source); the distinct-term count is a two-stage keyed
+    dedup — per-batch distinct (source, term) pairs, then
+    ``groupby([source, term]).count()`` (the global dedup shuffle, keyed
+    so nothing lands whole) reduced to a per-source count.  Output is
+    one row per source.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _strip_meta, _ws_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col].cast(pa.string()), "")
+        n_tok = pc.count_substring_regex(arr, r"\S+").cast(pa.int64())
+        n_sub = pc.count_substring_regex(arr, BPE_ISH_PATTERN).cast(pa.int64())
+        df = pd.DataFrame({group_col: t[group_col].to_pylist(),
+                           "n_tokens": n_tok.to_numpy(zero_copy_only=False),
+                           "n_subwords": n_sub.to_numpy(zero_copy_only=False)})
+        g = df.groupby(group_col).agg(n_docs=("n_tokens", "size"),
+                                      n_tokens=("n_tokens", "sum"),
+                                      n_subwords=("n_subwords", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    totals = (_strip_meta(ds.map_batches(partial, batch_format="pyarrow"))
+              .groupby(group_col)
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("n_tokens", alias_name="n_tokens"),
+                         Sum("n_subwords", alias_name="n_subwords")))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        srcs, terms = [], []
+        for s, txt in zip(t[group_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            for w in set(_ws_tokens(txt)):
+                srcs.append(s)
+                terms.append(w)
+        return pa.table({group_col: pa.array(srcs, pa.string()),
+                         "term": pa.array(terms, pa.string())})
+
+    distinct = (_strip_meta(ds.map_batches(pairs, batch_format="pyarrow"))
+                .groupby([group_col, "term"]).count()
+                .map_batches(lambda t: pa.table(
+                    {group_col: t[group_col]}), batch_format="pyarrow")
+                .groupby(group_col)
+                .aggregate(Count(alias_name="distinct_terms")))
+
+    tdf = totals.to_pandas().set_index(group_col)
+    ddf = distinct.to_pandas().set_index(group_col)
+    out = tdf.join(ddf).reset_index().sort_values(group_col)
+    out["fertility"] = (out.n_subwords / out.n_tokens).round(round_to)
+    out["type_token_ratio"] = (out.distinct_terms
+                               / out.n_tokens).round(round_to)
+    for c in ("n_docs", "n_tokens", "n_subwords", "distinct_terms"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)[
+        [group_col, "n_docs", "n_tokens", "n_subwords", "fertility",
+         "distinct_terms", "type_token_ratio"]]
