@@ -335,6 +335,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the paper's eight required words
         "cur_gopher_rules": lambda sf: curation.gopher_rules(
             _docs(sf), min_required=1).to_pandas(),
+        # composed v2 curation DAG: Gopher gate -> CCNet tail drop ->
+        # best-survivor near-dup -> rebalance -> sequence export
+        # (rows-only: every stage is individually SQL-oracled, and the
+        # composition is pinned by a staged-replay pytest)
+        "cur_pipeline_v2": lambda sf: curation.curate_corpus_v2(
+            _docs(sf), targets={"src0": 0.5, "src1": 0.5}, seq_len=256
+        ).to_pandas(),
         # quality-argmax survivor per near-dup cluster (keep-best policy)
         "dedup_best_survivors": lambda sf: dedup.best_survivors(
             _docs(sf), threshold=0.5),

@@ -394,3 +394,60 @@ def test_best_survivors_matches_duckdb(docs, con):
     best = joined.groupby("cluster_id").q.max()
     assert all(abs(row.quality - best[row.cluster_id]) < 1e-12
                for _, row in got.iterrows())
+
+
+def test_curate_corpus_v2_equals_staged_replay(docs, ray_session):
+    """The v2 DAG must equal applying its (individually SQL-oracled)
+    stages through the public API one at a time."""
+    import numpy as np
+
+    from yetisearch_ray.pipelines import textstats
+
+    got = curation.curate_corpus_v2(
+        docs, targets={"src0": 0.5, "src1": 0.5},
+        return_docs=True).to_pandas()
+
+    # stage replay
+    g = curation.gopher_rules(docs, min_required=1).to_pandas()
+    keep1 = set(g.loc[g.gopher_pass, "doc_id"])
+    full = docs.to_pandas()
+    s1 = full[full.doc_id.isin(keep1)]
+
+    import ray.data as rd
+    s1_ds = rd.from_arrow(pa.Table.from_pandas(s1, preserve_index=False)
+                          .replace_schema_metadata(None))
+    cc = textstats.ccnet_ppl_buckets(s1_ds)
+    keep2 = set(cc.loc[cc.ppl_bucket != "tail", "doc_id"])
+    s2 = s1[s1.doc_id.isin(keep2)]
+
+    s2_ds = rd.from_arrow(pa.Table.from_pandas(s2, preserve_index=False)
+                          .replace_schema_metadata(None))
+    clusters_ds = dedup.minhash_dedup_clusters(
+        s2_ds, threshold=0.5).materialize()
+    clusters = clusters_ds.to_pandas()
+    winners = dedup.best_survivors(s2_ds, threshold=0.5,
+                                   clusters=clusters_ds)
+    losers = set(clusters.doc_id) - set(winners.doc_id)
+    s3 = s2[~s2.doc_id.isin(losers)]
+
+    s3_ds = rd.from_arrow(pa.Table.from_pandas(s3, preserve_index=False)
+                          .replace_schema_metadata(None))
+    s4 = curation.rebalance_mix(
+        s3_ds, targets={"src0": 0.5, "src1": 0.5}).to_pandas()
+
+    assert list(got.doc_id) == list(s4.doc_id)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  s4.reset_index(drop=True),
+                                  check_dtype=False)
+    # every stage bit: each filter strictly shrank the corpus
+    assert len(full) > len(s1) > len(s2) >= len(s3) > len(s4) > 0
+
+    # and the sequence head matches exporting the staged survivors
+    seq_direct = curation.curate_corpus_v2(
+        docs, targets={"src0": 0.5, "src1": 0.5}, seq_len=64).to_pandas()
+    seq_replay = curation.export_training_sequences(
+        rd.from_arrow(pa.Table.from_pandas(s4, preserve_index=False)
+                      .replace_schema_metadata(None)),
+        seq_len=64).to_pandas()
+    pd.testing.assert_frame_equal(seq_direct, seq_replay,
+                                  check_dtype=False)

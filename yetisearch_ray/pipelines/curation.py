@@ -697,3 +697,85 @@ def export_training_sequences(ds, *, seq_len: int = 128,
     if out_dir is not None:
         out.write_parquet(out_dir)
     return out
+
+
+def curate_corpus_v2(ds, *, targets: dict | None = None,
+                     min_required: int = 1, minhash_threshold: float = 0.5,
+                     seq_len: int = 1024, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_partitions: int | None = None,
+                     return_docs: bool = False):
+    """The modern LLM curation DAG, end-to-end on Ray Data: Gopher rule
+    gate (Rae et al. 2021) → CCNet perplexity-tail drop (Wenzek et al.
+    2020) → MinHash near-dup clusters with QUALITY-argmax survivors →
+    domain-mix rebalance (optional) → fixed-length training-sequence
+    export.  Composition of the individually-SQL-oracled operators;
+    the composition itself is pinned by a pytest that replays the
+    stages through the public API.
+
+    Scale shapes preserved from the pieces: the Gopher gate and CCNet
+    bucket filters are id semi-joins of flag scans (both sides shuffle
+    by id, nothing collects); the near-dup stage broadcasts only the
+    LOSER id set (cluster members minus quality winners — bounded by
+    the verified pair table); rebalance is a zero-shuffle Bernoulli
+    scan; the export's only driver table is one count row per id range.
+    Returns the sequence table (or the surviving doc rows when
+    ``return_docs``).
+    """
+    import numpy as np
+
+    from . import dedup as dd
+    from .textstats import ccnet_ppl_buckets
+
+    nparts = dd._default_join_partitions(num_partitions)
+
+    gop = (gopher_rules(ds, text_col=text_col, id_col=id_col,
+                        min_required=min_required)
+           .filter(expr="gopher_pass == True")
+           .select_columns([id_col]))
+    # materialize between stages: each stage's JoinOperator spawns its
+    # own hash-shuffle aggregator pool, and chaining 3-4 joins into ONE
+    # streaming plan can starve the pools of CPUs on small sessions
+    # (observed livelock at num_cpus=4); stage boundaries also give the
+    # DAG resumable checkpoints.
+    gated = (dd._strip_meta(ds)
+             .join(dd._join_ready(gop, nparts), "left_semi", nparts,
+                   on=(id_col,))
+             .materialize())
+
+    ok = (ccnet_ppl_buckets(gated, text_col=text_col, id_col=id_col,
+                            as_dataset=True)
+          .filter(expr="ppl_bucket != 'tail'")
+          .select_columns([id_col]))
+    fluent = (dd._strip_meta(gated)
+              .join(dd._join_ready(ok, nparts), "left_semi", nparts,
+                    on=(id_col,))
+              .materialize())
+
+    clusters_ds = dd.minhash_dedup_clusters(
+        fluent, threshold=minhash_threshold,
+        text_col=text_col, id_col=id_col).materialize()
+    winners = dd.best_survivors(
+        fluent, threshold=minhash_threshold, id_col=id_col,
+        num_partitions=nparts, clusters=clusters_ds)
+    clusters = clusters_ds.to_pandas()
+    loser_ids = np.sort(np.setdiff1d(
+        clusters["doc_id"].to_numpy(np.int64),
+        winners[id_col].to_numpy(np.int64)))
+
+    import ray
+
+    ref = ray.put(loser_ids)
+
+    def drop(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, bad), pa.bool_()))
+
+    kept = fluent.map_batches(drop, batch_format="pyarrow")
+    if targets:
+        kept = rebalance_mix(kept, targets=targets, id_col=id_col)
+    if return_docs:
+        return kept.sort(id_col)
+    return export_training_sequences(kept, seq_len=seq_len,
+                                     text_col=text_col, id_col=id_col)

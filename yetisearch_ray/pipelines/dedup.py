@@ -992,7 +992,7 @@ def substring_dup_stats(ds, *, text_col="text", id_col="doc_id",
 
 
 def best_survivors(ds, *, threshold=0.5, id_col="doc_id",
-                   num_partitions=8, k=1):
+                   num_partitions=8, k=1, clusters=None):
     """Quality-based survivor selection over near-dup clusters — the
     "keep the best copy, not the arbitrary one" dedup policy real
     pipelines use: MinHash-verified pairs → connected components →
@@ -1010,7 +1010,9 @@ def best_survivors(ds, *, threshold=0.5, id_col="doc_id",
 
     from .textstats import quality_scores
 
-    clusters = minhash_dedup_clusters(ds, threshold=threshold)
+    if clusters is None:  # pass a precomputed/materialized table to
+        clusters = minhash_dedup_clusters(ds, threshold=threshold)
+        # avoid re-running the MinHash pipeline (curate_corpus_v2 does)
     qual = quality_scores(ds).map_batches(
         lambda t: pa.table({id_col: t[id_col], "quality": t["quality"]}),
         batch_format="pyarrow")

@@ -628,7 +628,8 @@ def dsir_logweights(ds, *, target_source="src0", text_col="text",
 
 
 def ccnet_ppl_buckets(ds, *, text_col="text", id_col="doc_id",
-                      alpha=0.1, num_partitions=8, round_to=4):
+                      alpha=0.1, num_partitions=8, round_to=4,
+                      as_dataset=False):
     """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
     2020 §4.3): score every doc with the corpus-fit bigram LM
     (:func:`bigram_lm_scores`), then split the corpus into thirds by
@@ -659,8 +660,10 @@ def ccnet_ppl_buckets(ds, *, text_col="text", id_col="doc_id",
         return t.append_column("ppl_bucket", pa.array(b.tolist(),
                                                       pa.string()))
 
-    pdf = (scores.map_batches(assign, batch_format="pyarrow")
-           .to_pandas().sort_values(id_col).reset_index(drop=True))
+    bucketed = scores.map_batches(assign, batch_format="pyarrow")
+    if as_dataset:
+        return bucketed
+    pdf = bucketed.to_pandas().sort_values(id_col).reset_index(drop=True)
     return pdf[[id_col, "n_bigrams", "avg_logp", "ppl_bucket"]]
 
 
