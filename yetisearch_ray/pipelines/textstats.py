@@ -275,7 +275,7 @@ def extract_keywords(ds, *, text_col="text", id_col="doc_id", limit=5):
 
 
 def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
-               num_partitions=8, round_to=6):
+               num_partitions=None, round_to=6):
     """Distributed TF-IDF: the top-k highest-scoring terms per document,
     with document frequencies computed over the whole corpus — the
     classic keyword/feature-extraction pass of a text pipeline.
@@ -304,8 +304,9 @@ def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from .dedup import _strip_meta, _ws_tokens
+    from .dedup import _default_join_partitions, _strip_meta, _ws_tokens
 
+    num_partitions = _default_join_partitions(num_partitions)
     base = ds.map_batches(
         lambda t: pa.table({id_col: t[id_col], text_col:
                             pc.fill_null(t[text_col], "")}),
@@ -376,7 +377,7 @@ def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
 
 
 def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
-                     alpha=0.1, num_partitions=8, round_to=4,
+                     alpha=0.1, num_partitions=None, round_to=4,
                      as_dataset=False):
     """CCNet-style n-gram language-model quality scoring, fully
     distributed: score every document by its mean bigram log-probability
@@ -403,7 +404,9 @@ def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Mean, Sum
 
-    from .dedup import _strip_meta, _ws_tokens
+    from .dedup import _default_join_partitions, _strip_meta, _ws_tokens
+
+    num_partitions = _default_join_partitions(num_partitions)
 
     base = ds.map_batches(
         lambda t: pa.table({id_col: t[id_col], text_col:
@@ -628,7 +631,7 @@ def dsir_logweights(ds, *, target_source="src0", text_col="text",
 
 
 def ccnet_ppl_buckets(ds, *, text_col="text", id_col="doc_id",
-                      alpha=0.1, num_partitions=8, round_to=4,
+                      alpha=0.1, num_partitions=None, round_to=4,
                       as_dataset=False):
     """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
     2020 §4.3): score every doc with the corpus-fit bigram LM
