@@ -1310,7 +1310,8 @@ def training_sequences_sql(seq_len: int = 128,
     comma-joined id list in sequence order."""
     from .textstats import BPE_ISH_PATTERN
 
-    pat = BPE_ISH_PATTERN.replace("'", "''").replace("\\", "\\\\")
+    pat = BPE_ISH_PATTERN.replace("'", "''")  # DuckDB single-quoted
+    # strings are NOT backslash-escaped, so \s must stay single
     return f"""
 WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
 arrs AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS arr FROM d),
@@ -1411,7 +1412,8 @@ WHERE rn = 1 ORDER BY cluster_id"""
 def source_token_stats_sql() -> str:
     from .textstats import BPE_ISH_PATTERN
 
-    pat = BPE_ISH_PATTERN.replace("'", "''").replace("\\", "\\\\")
+    pat = BPE_ISH_PATTERN.replace("'", "''")  # DuckDB single-quoted
+    # strings are NOT backslash-escaped, so \s must stay single
     return f"""
 WITH d AS (SELECT doc_id, source, coalesce(text, '') AS text
            FROM documents),

@@ -32,8 +32,12 @@ _EN_STOP = STOPWORDS["en"]
 # GPT-2-style pretokenizer shape, restricted to ASCII classes so the
 # Python `re` count and the DuckDB RE2 oracle count are identical:
 # contraction suffixes, space-prefixed letter runs, digit runs,
-# punctuation runs.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# punctuation runs.  The whitespace class is spelled out as RE2's \s
+# (= [\t\n\f\r ]) because Python re's \s ALSO matches \x0b and unicode
+# whitespace — with a bare \s the two engines disagree on any text
+# containing a vertical tab (caught by the Hypothesis property suite).
+BPE_ISH_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                   r"| ?[^\t\n\f\r A-Za-z0-9]+")
 
 
 def token_counts(ds, *, text_col="text", id_col="doc_id"):
@@ -331,7 +335,17 @@ def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
             "tf": pa.array(np.concatenate(out_tf), pa.int64()),
         })
 
-    pairs = _strip_meta(base.map_batches(explode_tf, batch_format="pyarrow"))
+    # materialize + guard: a corpus with zero tokens yields empty-schema
+    # shuffle blocks that crash the pyarrow hash join ("no match for key
+    # field") — return the typed empty result instead
+    pairs = _strip_meta(base.map_batches(explode_tf, batch_format="pyarrow")
+                        ).materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype=object),
+                             "tf": pd.Series([], dtype="int64"),
+                             "tfidf": pd.Series([], dtype="float64"),
+                             "term_rank": pd.Series([], dtype="int64")})
 
     # df(term): pairs already hold one row per (doc, term), so a
     # map-side per-batch count + keyed sum is the full doc frequency.
@@ -402,6 +416,7 @@ def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
     """
     import pandas as pd
     import pyarrow.compute as pc
+    import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
 
     from .dedup import _default_join_partitions, _strip_meta, _ws_tokens
@@ -431,7 +446,19 @@ def bigram_lm_scores(ds, *, text_col="text", id_col="doc_id",
             "big": pa.array(big, pa.string()),
         })
 
-    bigrams = base.map_batches(explode_bigrams, batch_format="pyarrow")
+    # materialize + guard: a corpus with zero bigrams yields empty-schema
+    # shuffle blocks that crash the pyarrow hash join
+    bigrams = base.map_batches(explode_bigrams,
+                               batch_format="pyarrow").materialize()
+    if bigrams.count() == 0:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "n_bigrams": pd.Series([], dtype="int64"),
+                              "avg_logp": pd.Series([], dtype="float64")})
+        if as_dataset:
+            return rd.from_arrow(
+                pa.Table.from_pandas(empty, preserve_index=False
+                                     ).replace_schema_metadata(None))
+        return empty
 
     def _counts(src, key_fn, key_name):
         """Map-side combine (per-batch value_counts) then keyed sum."""
