@@ -96,8 +96,8 @@ _PAIRS_CACHE: dict = {}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from yetisearch_ray.pipelines import (ann, cluster, curation, dedup,
-                                          events, relational, sketches,
+    from yetisearch_ray.pipelines import (ann, classifier, cluster, curation,
+                                          dedup, events, relational, sketches,
                                           textstats)
 
     def _lineitem(sf_dir, columns):
@@ -322,6 +322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Xie et al. 2023; hashed-bigram bucket models, broadcast scan)
         "text_dsir_logw": lambda sf: textstats.dsir_logweights(
             _docs(sf), target_source="src0").to_pandas(),
+        # CCNet/fastText-style quality classifier: distributed
+        # parameter-averaged logreg distills the oracled quality rule,
+        # then scores every doc (rows-only; pytest bars in
+        # tests/test_classifier.py pin accuracy + rule recovery)
+        "text_quality_distill": lambda sf: classifier.quality_classifier(
+            _docs(sf)).to_pandas(),
         # terminal training-sequence export (tokenize -> hash-vocab ids
         # -> EOD -> global fixed-length chunking via range prefix sums)
         "cur_train_sequences": lambda sf: curation.export_training_sequences(
