@@ -561,6 +561,15 @@ def oracle_sql() -> dict[str, str]:
         "fts_match_count": oracles.match_count_sql("merge"),
         "fts_facet_lang": oracles.facet_lang_sql("merge"),
         "fts_index_stats": oracles.INDEX_STATS_BY_LANG_SQL,
+        # fuzzy search path: BM25 + penalty layer + ordering recomputed in
+        # SQL; the staged correction decision (mrege→merge, windwo→window)
+        # is a pinned literal, itself covered by the reference PHPUnit
+        # replays + the 100%/98% fuzzy benchmark bars (see oracles.py)
+        "fts_fuzzy_topk": oracles.fuzzy_correction_topk_sql(
+            "mrege", "merge", k=10),
+        "fts_suggest": oracles.suggest_sql(
+            ["merge", "window"], suggestion="merge window",
+            confidence=0.6938),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

@@ -264,7 +264,8 @@ sents AS (
   SELECT doc_id, arr[i] AS sent, i AS si
   FROM (SELECT doc_id,
                list_filter(string_split(regexp_replace(text,
-                   '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+                   '([.!?])[\\t\\n\\f\\r\\x0B ]+', '\\1' || chr(1), 'g'),
+                   chr(1)),
                    s -> s <> '') AS arr
         FROM big),
        unnest(range(1, len(arr) + 1)) AS u(i)
@@ -1434,3 +1435,68 @@ SELECT per.source, n_docs, n_tokens, n_subwords,
        distinct_terms,
        round(distinct_terms::DOUBLE / n_tokens, 6) AS type_token_ratio
 FROM per JOIN dt USING (source) ORDER BY per.source"""
+
+
+def fuzzy_correction_topk_sql(orig_term: str, corrected_term: str, *,
+                              corpus: str = DOCUMENTS_CORPUS, k: int = 10,
+                              round_to: int = 5) -> str:
+    """Oracle for the default fuzzy (correction-mode) search shape with a
+    SINGLE query token.
+
+    The staged correction decision (typo table → prefix → quick-fuzzy /
+    compound-split → consensus scan) blends phonetic + keyboard signals
+    DuckDB has no kernels for, so the corrected term is passed in as a
+    literal; that decision is pinned independently by the reference
+    PHPUnit fuzzy replays and the 100 % / 98 % benchmark bars
+    (tests/test_fuzzy*.py).  EVERYTHING ELSE is recomputed here from the
+    raw rows: tokenization, BM25 over the corrected term, and the fuzzy
+    penalty layer (reference ``calculateFuzzyPenalty`` :850-971 — for a
+    1-token query: 0.1 if the doc contains the ORIGINAL term, 0.2
+    otherwise, applied as score × (1 − penalty) before the final
+    (score DESC, doc_id ASC) sort).  Valid while the corrected-term
+    match set is under the MAX_RESULTS=1000 fuzzy widening clamp, which
+    holds on the sf0.01 oracle corpus."""
+    return f"""{_base_ctes(corpus)},
+df AS (
+  SELECT count(DISTINCT doc_id) AS df FROM tokf WHERE term = '{corrected_term}'
+),
+tf AS (
+  SELECT doc_id, count(*)::DOUBLE AS tfw FROM tokf
+  WHERE term = '{corrected_term}' GROUP BY doc_id
+),
+haso AS (SELECT DISTINCT doc_id FROM tokf WHERE term = '{orig_term}'),
+scored AS (
+  SELECT tf.doc_id,
+         greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+           * (tf.tfw * ({K1} + 1)) /
+             (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+           * (1 - CASE WHEN haso.doc_id IS NOT NULL THEN 0.1 ELSE 0.2 END)
+           AS s
+  FROM tf
+  CROSS JOIN df CROSS JOIN stats
+  JOIN dl ON dl.doc_id = tf.doc_id
+  LEFT JOIN haso ON haso.doc_id = tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
+FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
+
+
+def suggest_sql(corrected_terms: list[str], *, suggestion: str,
+                confidence: float,
+                corpus: str = DOCUMENTS_CORPUS) -> str:
+    """Oracle for the did-you-mean entry (reference
+    ``SearchEngine::suggest`` :2215-2373).
+
+    ``suggestion`` (the per-token corrections joined) and ``confidence``
+    (mean consensus score — a phonetic/keyboard blend with no DuckDB
+    kernel) are pinned literals, justified the same way as
+    ``fuzzy_correction_topk_sql``; the COUNT — the part the reference
+    itself computes live ("verify the composed suggestion has hits",
+    SearchEngine.php:2254, a smart-mode match count = docs containing
+    ANY corrected token) — is recomputed from the raw rows."""
+    in_list = ", ".join(f"'{t}'" for t in corrected_terms)
+    return f"""{_base_ctes(corpus)}
+SELECT '{suggestion}' AS suggestion,
+       {confidence} AS confidence,
+       (SELECT count(DISTINCT doc_id) FROM tokf
+        WHERE term IN ({in_list}))::BIGINT AS count"""

@@ -23,7 +23,11 @@ import numpy as np
 import pyarrow as pa
 
 CHUNK_BITS = 12  # up to 4095 chunks per parent
-_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+# explicit PCRE-\s class ([ \t\n\r\f\x0b]): the reference's preg_split
+# uses PCRE \s (which includes \x0b), Python re's \s additionally
+# matches unicode whitespace, and RE2's (the DuckDB oracle) excludes
+# \x0b — spelling the class out makes all three engines split the same
+_SENT_RE = re.compile(r"(?<=[.!?])[\t\n\f\r\x0b ]+")
 
 
 def split_sentences(text: str) -> list[str]:
