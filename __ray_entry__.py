@@ -483,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_pairs": lambda sf: _ensure_cols(
             ann.embedding_near_dup_pairs(_emb(sf), threshold=0.45).to_pandas(),
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}),
+        # greedy farthest-point k-center selection (diversity sampling);
+        # SQL-oracled via the selection loop unrolled into k CTE stages
+        "emb_kcenter_sample": lambda sf: cluster.kcenter_sample(_emb(sf), 8),
         # --- stream-shaped operators over the events log ---
         "ev_tumbling_window": events.tumbling_window,
         "ev_sliding_window": events.sliding_window,
@@ -615,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracles.lsh_topk_sql(query_vec_id=1, k=10),
         "ann_multi_query": oracles.ann_multi_query_sql((1, 2, 3), k=10),
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
+        "emb_kcenter_sample": oracles.kcenter_sql(8),
         # events / stream-shaped
         "ev_tumbling_window": oracles.TUMBLING_WINDOW_SQL,
         "ev_sliding_window": oracles.SLIDING_WINDOW_SQL,

@@ -227,3 +227,51 @@ class TestDistributedPCA:
         assert np.abs(c1 - c2).max() < 1e-7
         for j in range(3):
             assert c1[j, np.argmax(np.abs(c1[j]))] > 0
+
+
+# ---------------------------------------------------------------- k-center
+class TestKCenterSample:
+    """Greedy farthest-point selection vs a pure-NumPy Gonzalez loop."""
+
+    @staticmethod
+    def _numpy_kcenter(pts: np.ndarray, k: int) -> list[int]:
+        sel = [0]  # seeded at the minimum id (= row 0 here)
+        mind = np.linalg.norm(pts - pts[0], axis=1)
+        mind[0] = -1.0
+        for _ in range(k - 1):
+            # argmax of min-distance, ties to the smaller id
+            nxt = int(np.lexsort((np.arange(len(pts)), -mind))[0])
+            sel.append(nxt)
+            d = np.linalg.norm(pts - pts[nxt], axis=1)
+            mind = np.minimum(mind, d)
+            mind[np.asarray(sel)] = -1.0
+        return sel
+
+    def test_matches_numpy_reference(self, blob_ds):
+        from yetisearch_ray.pipelines.cluster import kcenter_sample
+
+        ds, pts, _ = blob_ds
+        out = kcenter_sample(ds, 10)
+        assert out.columns.tolist() == ["sel_rank", "vec_id"]
+        assert out.sel_rank.tolist() == list(range(10))
+        assert out.vec_id.tolist() == self._numpy_kcenter(pts, 10)
+
+    def test_covers_every_blob(self, blob_ds):
+        """With k = #blobs+2 on well-separated blobs, farthest-point must
+        touch every blob (the coverage property the primitive exists for)."""
+        from yetisearch_ray.pipelines.cluster import kcenter_sample
+
+        ds, _, labels = blob_ds
+        out = kcenter_sample(ds, 6)
+        assert set(labels[out.vec_id.to_numpy()]) == set(range(4))
+
+    def test_k_larger_than_n(self, ray_session):
+        from yetisearch_ray.pipelines.cluster import kcenter_sample
+
+        pts = np.arange(6, dtype=np.float64).reshape(3, 2)
+        t = pa.table({
+            "vec_id": pa.array([5, 2, 9], pa.int64()),
+            "embedding": pa.array([r for r in pts], pa.list_(pa.float64())),
+        })
+        out = kcenter_sample(rd.from_arrow(t), 10)
+        assert len(out) == 3 and out.vec_id.tolist()[0] == 2

@@ -33,6 +33,7 @@ import pyarrow as pa
 from .ann import _batch_vectors, _fit_sample
 
 __all__ = ["kmeans_fit_distributed", "kmeans_assign", "kmeans_cluster_sizes",
+           "kcenter_sample",
            "semantic_near_dup_pairs", "semantic_dedup_rows"]
 
 
@@ -424,3 +425,78 @@ def pca_coords(sf_dir: str, *, n_components: int = 4, round_to: int = 6):
                          columns=["vec_id", "embedding"])
     mean, comps, _ = pca_fit_distributed(ds, n_components)
     return pca_project(ds, mean, comps, round_to=round_to)
+
+
+def kcenter_sample(ds, k: int, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """Greedy farthest-point k-center selection (Gonzalez 1985) — the
+    coverage/diversity data-selection primitive: pick the point
+    farthest (euclidean, raw vectors) from everything picked so far,
+    k times, starting from the minimum id.  2-approximation to the
+    optimal k-center cover; used to select maximally-diverse seed sets
+    for annotation / curriculum mixes.
+
+    Shape: k streaming passes.  Each pass broadcasts the (<=k, d)
+    center matrix + selected-id set (``ray.put``, a few KB) and reduces
+    every block to ONE candidate row (its farthest point, tie-broken by
+    min id) carrying that point's vector, so the winning center needs
+    no second scan; only blocks-many (id, dist, vector) rows reach the
+    driver per pass and vectors never accumulate beyond the k selected.
+    Distances use the direct (x-c)^2 form, not the expanded GEMM form,
+    so values match the SQL oracle's ``list_distance`` to float64
+    round-off (ranking ties at that scale are measure-zero on real
+    embeddings; exact duplicates are excluded by id like the oracle's
+    NOT IN).
+
+    Compute is O(k^2 N d / blocks) per worker; for the k <= 64 regime
+    this targets, the per-pass scan dominates.  Returns a pandas
+    DataFrame (sel_rank, vec_id) in selection order.
+    """
+    import pandas as pd
+    import ray
+
+    sel_ids: list[int] = []
+    centers: list[np.ndarray] = []
+
+    for r in range(k):
+        state_ref = ray.put((np.asarray(centers, np.float64),
+                             frozenset(sel_ids)))
+
+        def cand(t: pa.Table) -> pa.Table:
+            c, taken = ray.get(state_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _batch_vectors(t, vec_col).astype(np.float64)
+            keep = ~np.isin(ids, np.fromiter(taken, np.int64, len(taken))) \
+                if taken else np.ones(ids.size, bool)
+            if not keep.any():
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.float64()),
+                                 "vec": pa.array([], pa.list_(pa.float64()))})
+            ids, m = ids[keep], m[keep]
+            if len(c) == 0:
+                # pass 0: the global min id seeds the selection
+                j = int(np.argmin(ids))
+                d = np.inf
+            else:
+                # direct-form distances for oracle-grade float parity
+                d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                mind = np.sqrt(d2.min(axis=1))
+                j = np.lexsort((ids, -mind))[0]
+                d = mind[j]
+            return pa.table({id_col: pa.array([ids[j]], pa.int64()),
+                             "dist": pa.array([d], pa.float64()),
+                             "vec": pa.array([m[j].tolist()],
+                                             pa.list_(pa.float64()))})
+
+        cds = ds.select_columns([id_col, vec_col]).map_batches(
+            cand, batch_format="pyarrow").to_pandas()
+        if cds.empty:
+            break
+        cds = cds.sort_values(["dist", id_col],
+                              ascending=[False, True], kind="mergesort")
+        win = cds.iloc[0]
+        sel_ids.append(int(win[id_col]))
+        centers.append(np.asarray(win["vec"], np.float64))
+
+    return pd.DataFrame({"sel_rank": np.arange(len(sel_ids), dtype=np.int64),
+                         id_col: np.asarray(sel_ids, np.int64)})

@@ -1500,3 +1500,31 @@ SELECT '{suggestion}' AS suggestion,
        {confidence} AS confidence,
        (SELECT count(DISTINCT doc_id) FROM tokf
         WHERE term IN ({in_list}))::BIGINT AS count"""
+
+
+def kcenter_sql(k: int = 8) -> str:
+    """Greedy farthest-point (Gonzalez) k-center oracle — the selection
+    loop unrolled into k CTE stages (seed = min vec_id; each stage takes
+    the point with the largest min-distance-to-selected, ties to the
+    smaller id).  Distances are euclidean over DOUBLE-cast vectors,
+    matching the operator's float64 direct-form computation."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        ("d0 AS (SELECT e.vec_id, e.v, list_distance(e.v, c0.v) AS md "
+         "FROM e CROSS JOIN c0 WHERE e.vec_id <> c0.vec_id)"),
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, v FROM d{i-1} "
+            f"ORDER BY md DESC, vec_id ASC LIMIT 1)")
+        if i < k - 1:
+            ctes.append(
+                f"d{i} AS (SELECT d.vec_id, d.v, "
+                f"least(d.md, list_distance(d.v, c.v)) AS md "
+                f"FROM d{i-1} d CROSS JOIN c{i} c "
+                f"WHERE d.vec_id <> c.vec_id)")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS sel_rank, vec_id::BIGINT AS vec_id FROM c{i}"
+        for i in range(k))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY sel_rank"
