@@ -1,0 +1,69 @@
+"""Probe-gated bench re-runner (BASELINE.md host-variance protocol).
+
+The sandbox host intermittently degrades to ~20 MB/s first-touch paging
+(see BASELINE.md "Host-variance note"); absolute bench numbers recorded
+in such a window measure the host, not the code.  This watcher polls the
+first-touch bandwidth probe every ``--interval`` seconds and, the first
+time it passes the healthy threshold (400 MB ``np.arange`` populated in
+< ``--threshold`` s), runs ``python bench.py`` and then
+``python bench.py --scaling`` in fresh child processes, appending the
+probe value and both JSON lines to ``--log``.  Results land in
+``/tmp/ys_bench_healthy.json`` / ``SCALING.json`` (bench.py writes the
+latter itself) for manual promotion into BASELINE.md.
+
+Run: ``python scripts/bench_watcher.py [--once]``
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+
+
+def probe() -> float:
+    import numpy as np
+    t = time.time()
+    a = np.arange(50_000_000, dtype=np.float64)
+    a[::4096] += 1.0
+    return time.time() - t
+
+
+def main() -> None:
+    threshold = 1.2
+    interval = 120
+    once = "--once" in sys.argv
+    log_path = "/tmp/bench_watcher.log"
+    out_path = "/tmp/ys_bench_healthy.json"
+    while True:
+        p = probe()
+        with open(log_path, "a") as f:
+            f.write(json.dumps({"ts": time.time(), "probe_sec": round(p, 2)})
+                    + "\n")
+        if p < threshold:
+            with open(log_path, "a") as f:
+                f.write("healthy window — running bench.py\n")
+            r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
+                               capture_output=True, text=True, timeout=3600)
+            with open(out_path, "w") as f:
+                f.write(r.stdout)
+            with open(log_path, "a") as f:
+                f.write(r.stdout + r.stderr[-2000:] + "\n")
+            # only attempt scaling if the window held through the bench
+            p2 = probe()
+            if p2 < threshold * 2:
+                r2 = subprocess.run([sys.executable, "bench.py", "--scaling"],
+                                    cwd=REPO, capture_output=True, text=True,
+                                    timeout=7200)
+                with open(log_path, "a") as f:
+                    f.write(r2.stdout + r2.stderr[-2000:] + "\n")
+            return
+        if once:
+            return
+        time.sleep(interval)
+
+
+if __name__ == "__main__":
+    main()
