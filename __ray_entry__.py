@@ -97,8 +97,8 @@ _PAIRS_CACHE: dict = {}
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from yetisearch_ray.pipelines import (ann, classifier, cluster, curation,
-                                          dedup, events, relational, sketches,
-                                          textstats)
+                                          dedup, events, hybrid, relational,
+                                          sketches, textstats)
 
     def _lineitem(sf_dir, columns):
         import ray.data as rd
@@ -463,6 +463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall + pruning bars pinned in pytest)
         "ann_ivfpq_topk": _ann_ivfpq,
         "ann_multi_query": lambda sf: _ann_multi_query(sf),
+        # hybrid retrieval: BM25-OR arm + dense cosine arm, RRF-fused
+        "hybrid_rrf_topk": lambda sf: hybrid.hybrid_rrf_topk(sf),
         # distributed Lloyd k-means over the embedding column (rows-only:
         # cluster contents are data-dependent; blob-recovery, NumPy-
         # reference inertia parity and empty-cluster determinism pinned
@@ -617,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_partitioned": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_lsh_topk": oracles.lsh_topk_sql(query_vec_id=1, k=10),
         "ann_multi_query": oracles.ann_multi_query_sql((1, 2, 3), k=10),
+        "hybrid_rrf_topk": oracles.hybrid_rrf_sql(("vector", "stream")),
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
         "emb_kcenter_sample": oracles.kcenter_sql(8),
         # events / stream-shaped

@@ -1,0 +1,45 @@
+"""RRF fusion unit semantics (pipelines/hybrid.py).
+
+The sf0.01 end-to-end parity of ``hybrid_rrf_topk`` vs its DuckDB
+oracle is covered by tests/test_oracle_parity.py (it sweeps every
+oracled entry); these pin the fusion kernel itself.
+"""
+
+import numpy as np
+import pandas as pd
+
+from yetisearch_ray.pipelines.hybrid import rrf_fuse
+
+
+def _arm(ids, scores, id_col="id", score_col="s"):
+    return pd.DataFrame({id_col: ids, score_col: scores}), id_col, score_col
+
+
+class TestRrfFuse:
+    def test_single_arm_is_reciprocal_ranks(self):
+        out = rrf_fuse([_arm([5, 3, 9], [0.9, 0.5, 0.1])], k=10, rrf_k=60)
+        assert out["doc_id"].tolist() == [5, 3, 9]
+        np.testing.assert_allclose(
+            out["rrf_score"].to_numpy(),
+            np.round([1 / 61, 1 / 62, 1 / 63], 6))
+
+    def test_doc_in_both_arms_outranks_single_arm_winner(self):
+        # doc 7 is rank 2 in BOTH arms; doc 1 / doc 2 are rank-1 in one
+        # arm each and absent from the other — RRF puts 7 first
+        out = rrf_fuse([_arm([1, 7], [0.9, 0.8]),
+                        _arm([2, 7], [0.9, 0.8])], k=3, rrf_k=60)
+        assert out["doc_id"].tolist()[0] == 7
+        assert set(out["doc_id"].tolist()) == {1, 2, 7}
+        # equal single-arm scores tie-break by doc_id
+        assert out["doc_id"].tolist() == [7, 1, 2]
+
+    def test_rank_assignment_breaks_score_ties_by_id(self):
+        # equal scores: rank order must be id-ascending (the SQL
+        # oracle's row_number ORDER BY score DESC, id ASC)
+        out = rrf_fuse([_arm([9, 2, 5], [0.5, 0.5, 0.5])], k=3)
+        assert out["doc_id"].tolist() == [2, 5, 9]
+
+    def test_k_limits_output(self):
+        out = rrf_fuse([_arm(list(range(30)), list(range(30, 0, -1)))], k=10)
+        assert len(out) == 10
+        assert out["doc_id"].tolist() == list(range(10))

@@ -1,0 +1,95 @@
+"""Hybrid retrieval: BM25 (sparse) + dense-cosine arms fused with
+Reciprocal-Rank Fusion (RRF, Cormack et al. 2009: score(d) = Σ_arms
+1/(rrf_k + rank_arm(d))).
+
+The two arms are the engine's existing distributed paths — the FTS
+index over ``documents`` (``fts_documents.get_engine``) and the
+per-batch-GEMM cosine top-k over ``embeddings`` (``ann.cosine_topk``).
+Each arm returns only its top ``k_arm`` rows, so the fusion input is
+O(arms × k_arm) regardless of corpus size: fusing driver-side is
+scale-honest (the arms themselves stream/distribute; only the bounded
+result lists meet).
+
+Rank assignment re-sorts each arm by its ROUNDED score (the arms round
+before returning — ``fts_documents._as_result`` to 5 dp, ``ann`` to
+6 dp) with id ascending as the tie-break, so ranks are reproducible
+bit-for-bit by an independent SQL oracle over the same rounded values
+(``oracles.hybrid_rrf_sql``).
+
+Reference has no hybrid mode — this is a training-data-engine
+extension (dense arm) composed with the reference-parity BM25 arm
+(reference scoring: src/Search/SearchEngine.php BM25 path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def rrf_fuse(arms, *, k: int = 10, rrf_k: int = 60,
+             round_to: int = 6) -> pd.DataFrame:
+    """Fuse ranked result lists with Reciprocal-Rank Fusion.
+
+    ``arms``: iterable of (df, id_col, score_col) — each df is one
+    arm's top list, scores already rounded/deterministic.  Ranks are
+    assigned by (score desc, id asc) within each arm; a doc absent
+    from an arm contributes 0 from it.  Returns (doc_id, rrf_score)
+    best-first, ties broken by doc_id, limited to ``k`` rows.
+    """
+    fused: pd.DataFrame | None = None
+    for i, (df, id_col, score_col) in enumerate(arms):
+        a = df[[id_col, score_col]].copy()
+        a = a.sort_values([score_col, id_col],
+                          ascending=[False, True], kind="mergesort")
+        a["doc_id"] = a[id_col].astype("int64")
+        a[f"_rrf{i}"] = 1.0 / (rrf_k + np.arange(1, len(a) + 1, dtype=np.float64))
+        a = a[["doc_id", f"_rrf{i}"]]
+        fused = a if fused is None else fused.merge(a, on="doc_id", how="outer")
+    assert fused is not None, "rrf_fuse needs at least one arm"
+    cols = [c for c in fused.columns if c.startswith("_rrf")]
+    # fixed left-to-right addition order — the SQL oracle sums the
+    # COALESCEd arm terms in the same order, so the doubles are
+    # bit-identical before rounding
+    s = np.zeros(len(fused), dtype=np.float64)
+    for c in cols:
+        s = s + fused[c].fillna(0.0).to_numpy()
+    fused["rrf_score"] = s
+    out = (fused.sort_values(["rrf_score", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["rrf_score"] = out["rrf_score"].round(round_to)
+    return out[["doc_id", "rrf_score"]]
+
+
+def hybrid_rrf_topk(sf_dir: str, *, terms=("vector", "stream"),
+                    query_vec_id: int = 1, k: int = 10, k_arm: int = 20,
+                    rrf_k: int = 60) -> pd.DataFrame:
+    """BM25-OR top-``k_arm`` over ``documents`` + cosine top-``k_arm``
+    over ``embeddings`` (query = embedding of ``query_vec_id``), RRF-
+    fused into a single (doc_id, rrf_score) top-``k`` list.
+
+    Ids are fused in the shared doc_id/vec_id universe of the testdata
+    tables; a doc retrieved by only one arm scores that arm's
+    reciprocal alone (standard RRF).
+    """
+    import os
+
+    import ray.data as rd
+
+    from . import ann
+    from . import fts_documents as ftsd
+
+    bm = ftsd.or_topk(sf_dir, terms=terms, k=k_arm)
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    # row-filtered read: only the query row leaves storage
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", query_vec_id)])
+    qvec = qt["embedding"].to_pylist()[0]
+    dn = ann.cosine_topk(emb, qvec, k=k_arm).to_pandas()
+    return rrf_fuse([(bm, "doc_id", "score"), (dn, "vec_id", "cosine")],
+                    k=k, rrf_k=rrf_k)

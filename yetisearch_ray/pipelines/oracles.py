@@ -1528,3 +1528,34 @@ def kcenter_sql(k: int = 8) -> str:
         f"SELECT {i}::BIGINT AS sel_rank, vec_id::BIGINT AS vec_id FROM c{i}"
         for i in range(k))
     return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY sel_rank"
+
+
+# ------------------------------------------------------ hybrid retrieval
+def hybrid_rrf_sql(terms, *, query_vec_id: int = 1, k: int = 10,
+                   k_arm: int = 20, rrf_k: int = 60,
+                   round_to: int = 6) -> str:
+    """Ground truth for ``hybrid.hybrid_rrf_topk``: RRF over the BM25-OR
+    arm (``bm25_topk_sql``) and the dense cosine arm (``ann_topk_sql``),
+    ranks by (rounded score desc, id asc) within each arm, fused score
+    summed bm-arm-first to mirror the pipeline's addition order."""
+    bm = bm25_topk_sql(list(terms), k=k_arm)
+    dn = ann_topk_sql(query_vec_id=query_vec_id, k=k_arm)
+    return f"""
+WITH bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM ({bm})
+),
+dn AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM ({dn})
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+         COALESCE(1.0 / ({rrf_k} + bm.r), 0)
+           + COALESCE(1.0 / ({rrf_k} + dn.r), 0) AS s
+  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(s, {round_to}) AS rrf_score
+FROM fused ORDER BY s DESC, doc_id ASC LIMIT {k}"""
