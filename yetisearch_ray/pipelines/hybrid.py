@@ -93,3 +93,51 @@ def hybrid_rrf_topk(sf_dir: str, *, terms=("vector", "stream"),
     dn = ann.cosine_topk(emb, qvec, k=k_arm).to_pandas()
     return rrf_fuse([(bm, "doc_id", "score"), (dn, "vec_id", "cosine")],
                     k=k, rrf_k=rrf_k)
+
+
+def rerank_dense_topk(sf_dir: str, *, terms=("vector", "stream"),
+                      query_vec_id: int = 1, k: int = 10,
+                      k_candidates: int = 50,
+                      round_to: int = 6) -> pd.DataFrame:
+    """Retrieve-then-rerank: BM25-OR retrieves ``k_candidates`` doc ids,
+    then the dense arm re-scores ONLY those candidates by cosine to the
+    query embedding and returns the top ``k``.
+
+    Distributed shape: the candidate id set is bounded (``k_candidates``
+    rows) and rides into every batch task as a broadcast numpy array —
+    a semi-join against ``embeddings`` expressed as a vectorized
+    ``pc.is_in`` filter inside ``map_batches``, never a shuffle.  At
+    100 TB the embeddings scan is the only big side and it streams;
+    candidates from a first-stage index are always top-k-bounded.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from . import ann
+    from . import fts_documents as ftsd
+
+    bm = ftsd.or_topk(sf_dir, terms=terms, k=k_candidates)
+    cand = pa.array(sorted(bm["doc_id"].astype("int64").tolist()),
+                    pa.int64())
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", query_vec_id)])
+    qvec = qt["embedding"].to_pylist()[0]
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["vec_id"], pa.int64())
+        return t.filter(pc.is_in(ids, value_set=cand))
+
+    filtered = emb.map_batches(keep_candidates, batch_format="pyarrow")
+    out = ann.cosine_topk(filtered, qvec, k=k,
+                          round_to=round_to).to_pandas()
+    out["doc_id"] = out["vec_id"].astype("int64")
+    return out[["doc_id", "cosine"]]

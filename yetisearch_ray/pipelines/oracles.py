@@ -1559,3 +1559,20 @@ fused AS (
 )
 SELECT doc_id::BIGINT AS doc_id, round(s, {round_to}) AS rrf_score
 FROM fused ORDER BY s DESC, doc_id ASC LIMIT {k}"""
+
+
+def rerank_dense_sql(terms, *, query_vec_id: int = 1, k: int = 10,
+                     k_candidates: int = 50, round_to: int = 6) -> str:
+    """Ground truth for ``hybrid.rerank_dense_topk``: cosine re-score of
+    the BM25-OR candidate id set (semi-join), top-k by (cosine desc,
+    doc_id asc)."""
+    bm = bm25_topk_sql(list(terms), k=k_candidates)
+    return f"""
+WITH cand AS (SELECT doc_id FROM ({bm})),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {query_vec_id})
+SELECT e.vec_id::BIGINT AS doc_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+             {round_to}) AS cosine
+FROM embeddings e JOIN cand c ON e.vec_id = c.doc_id, q
+ORDER BY cosine DESC, doc_id ASC LIMIT {k}"""
