@@ -1,4 +1,4 @@
-from . import ann, cluster, dedup, multimodal, relational, textstats
+from . import ann, cluster, dedup, hybrid, multimodal, relational, textstats
 
-__all__ = ["ann", "cluster", "dedup", "multimodal", "relational",
+__all__ = ["ann", "cluster", "dedup", "hybrid", "multimodal", "relational",
            "textstats"]
