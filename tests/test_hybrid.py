@@ -43,3 +43,14 @@ class TestRrfFuse:
         out = rrf_fuse([_arm(list(range(30)), list(range(30, 0, -1)))], k=10)
         assert len(out) == 10
         assert out["doc_id"].tolist() == list(range(10))
+
+    def test_empty_arm_contributes_nothing(self):
+        out = rrf_fuse([_arm([], []), _arm([4, 1], [0.9, 0.2])], k=5)
+        assert out["doc_id"].tolist() == [4, 1]
+        np.testing.assert_allclose(out["rrf_score"].to_numpy(),
+                                   np.round([1 / 61, 1 / 62], 6))
+
+    def test_all_arms_empty_yields_empty_frame(self):
+        out = rrf_fuse([_arm([], []), _arm([], [])], k=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "rrf_score"]
