@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_doc_sharded_topk": lambda sf: ftsd.doc_sharded_topk(sf),
         "fts_facet_lang": lambda sf: ftsd.facet_lang(sf),
         "fts_suggest": lambda sf: ftsd.suggest(sf),                # rows-only
+        # dictionary prefix autocomplete (reference prefix-query surface)
+        "fts_autocomplete": lambda sf: ftsd.autocomplete_topk(sf),
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
         "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
@@ -577,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_suggest": oracles.suggest_sql(
             ["merge", "window"], suggestion="merge window",
             confidence=0.6938),
+        "fts_autocomplete": oracles.autocomplete_sql("s", k=10),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

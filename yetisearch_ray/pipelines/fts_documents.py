@@ -135,6 +135,34 @@ def fuzzy_topk(sf_dir: str, query: str = "mrege", k: int = 10) -> pd.DataFrame:
                                                 normalize=False))
 
 
+def autocomplete_topk(sf_dir: str, prefix: str = "s",
+                      k: int = 10) -> pd.DataFrame:
+    """Dictionary autocomplete: top-``k`` index terms starting with
+    ``prefix``, ranked by summed docfreq (df over (field, doc) pairs,
+    i.e. the per-field df rows the segments store, summed across fields,
+    generations and hot-term splits).
+
+    Serving shape mirrors ``IndexReader.expand_prefix`` (reference
+    prefix queries, SURVEY §2.10): a range-filtered scan of the
+    partitioned ``(term, df)`` dictionary columns — at cluster scale a
+    global sorted dictionary serves this; the partitioned scan is the
+    same contract.  Oracled by ``oracles.autocomplete_sql``.
+    """
+    import pyarrow.dataset as pads
+
+    eng = get_engine(sf_dir)
+    post_dir = os.path.join(eng.index.index_dir, "postings")
+    dataset = pads.dataset(post_dir, format="parquet")
+    flt = ((pads.field("term") >= prefix)
+           & (pads.field("term") < prefix + "\uffff"))
+    t = dataset.to_table(columns=["term", "df"], filter=flt)
+    df = t.to_pandas().groupby("term", as_index=False)["df"].sum()
+    df["df"] = df["df"].astype("int64")
+    return (df.sort_values(["df", "term"], ascending=[False, True],
+                           kind="mergesort")
+            .head(k).reset_index(drop=True)[["term", "df"]])
+
+
 def index_stats_by_lang(sf_dir: str) -> pd.DataFrame:
     from ..index.manage import index_stats
 

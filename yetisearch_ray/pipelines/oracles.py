@@ -1576,3 +1576,17 @@ SELECT e.vec_id::BIGINT AS doc_id,
              {round_to}) AS cosine
 FROM embeddings e JOIN cand c ON e.vec_id = c.doc_id, q
 ORDER BY cosine DESC, doc_id ASC LIMIT {k}"""
+
+
+def autocomplete_sql(prefix: str = "s", *, k: int = 10,
+                     corpus: str = DOCUMENTS_CORPUS) -> str:
+    """Ground truth for ``fts_documents.autocomplete_topk``: per-term df
+    summed over fields = count of distinct (field, doc) pairs containing
+    the term, restricted to terms with the given prefix."""
+    return f"""{_base_ctes(corpus)}
+SELECT term,
+       count(DISTINCT struct_pack(f := fld, d := doc_id))::BIGINT AS df
+FROM tokf
+WHERE starts_with(term, '{prefix}')
+GROUP BY term
+ORDER BY df DESC, term ASC LIMIT {k}"""
