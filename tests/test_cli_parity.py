@@ -64,6 +64,17 @@ class TestCliCommands:
         assert plan["mode"] == "smart"
         assert any(a["kind"] == "term" and a["df"] > 0 for a in plan["arms"])
 
+    def test_autocomplete_cli_ranks_by_df(self, built_index, capsys):
+        from yetisearch_ray.cli import main
+
+        main(["autocomplete", "--index", built_index, "pa"])
+        out = capsys.readouterr().out
+        lines = [ln.split() for ln in out.strip().splitlines()[1:]]
+        terms = [ln[0] for ln in lines]
+        assert terms, out
+        assert all(t.startswith("pa") for t in terms)
+        assert [int(ln[1]) for ln in lines] == list(range(1, len(terms) + 1))
+
     @pytest.fixture()
     def geo_index(self, tmp_path):
         from yetisearch_ray.facade import YetiSearchRay

@@ -126,6 +126,18 @@ def cmd_suggest(args):
     _print_table(eng.suggest(args.query))
 
 
+def cmd_autocomplete(args):
+    """Top-N dictionary completions of a prefix, ranked by summed df
+    (the expand_prefix serving path; see fts_documents.autocomplete_topk)."""
+    import pandas as pd
+
+    _init_ray()
+    eng = _engine(args)
+    terms = eng.index.expand_prefix(args.prefix, max_terms=args.limit)
+    _print_table(pd.DataFrame({"term": terms,
+                               "rank": range(1, len(terms) + 1)}))
+
+
 def cmd_batch_search(args):
     _init_ray()
     from .pipelines.fts_documents import batch_search_to_parquet
@@ -332,6 +344,13 @@ def main(argv=None):
     s.add_argument("--fuzzy", action="store_true")
     s.add_argument("--wand", action="store_true")
     s.set_defaults(fn=cmd_debug_query, sharded=0)
+
+    s = sub.add_parser("autocomplete",
+                       help="prefix completions from the terms dictionary")
+    s.add_argument("--index", required=True)
+    s.add_argument("prefix")
+    s.add_argument("--limit", type=int, default=10)
+    s.set_defaults(fn=cmd_autocomplete)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
