@@ -167,9 +167,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _query_vec(sf_dir, vec_id=1):
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-        df = t.to_pandas()
-        return df.loc[df.vec_id == vec_id, "embedding"].iloc[0]
+        # row-filtered, column-pruned read: only the query row leaves
+        # storage (row-group predicate pushdown)
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "==", vec_id)])
+        return t["embedding"].to_pylist()[0]
 
     def _query_text(sf_dir, doc_id=0):
         import pyarrow.parquet as pq
