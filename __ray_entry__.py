@@ -116,6 +116,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     "l_partkey")
         return pd.DataFrame({"n_distinct": pd.array([n], dtype="int64")})
 
+    def q_heavy_hitters(sf_dir):
+        import ray.data as rd
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"])
+        return sketches.heavy_hitters(ds, "text", k=100, tokens=True)
+
     def q_hll_distinct(sf_dir):
         est, m = sketches.hll_distinct(_lineitem(sf_dir, ["l_partkey"]),
                                        "l_partkey", p=12)
@@ -307,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed COUNT(DISTINCT) + its HLL sketch counterpart
         "agg_distinct_parts": q_distinct_parts,
         "agg_hll_distinct": q_hll_distinct,               # rows-only
+        # exact top-100 tokens via two-pass Misra-Gries (bounded shuffle)
+        "agg_heavy_hitters": q_heavy_hitters,
         # CCNet-style bigram-LM self-scoring (wordcount shuffle + 2 joins)
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
         # distributed TF-IDF top-terms (df shuffle + term join + topk combiner)
@@ -649,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_anti_join": oracles.ANTI_JOIN_SQL,
         "agg_quantiles": oracles.QUANTILES_SQL,
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
+        "agg_heavy_hitters": oracles.HEAVY_HITTERS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,
         "text_source_stats": oracles.source_token_stats_sql(),

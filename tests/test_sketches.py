@@ -322,3 +322,65 @@ class TestSourceTokenStats:
         assert got.loc["a", "fertility"] == round(7 / 6, 6)
         # empty doc counts toward n_docs but adds no tokens
         assert got.loc["b", "n_docs"] == 3
+
+
+class TestHeavyHitters:
+    """Two-pass Misra-Gries exact top-k (sketches.heavy_hitters)."""
+
+    def _zipf_docs(self, n_docs=1500, vocab=1200, seed=11):
+        rng = np.random.default_rng(seed)
+        words = np.array([f"w{i:04d}" for i in range(vocab)])
+        p = 1.0 / np.arange(1, vocab + 1)
+        p /= p.sum()
+        return [" ".join(rng.choice(words, size=40, p=p))
+                for _ in range(n_docs)]
+
+    def _truth(self, docs, k):
+        import collections
+
+        from yetisearch_ray.pipelines.dedup import _ws_tokens
+
+        c = collections.Counter(t for d in docs for t in _ws_tokens(d))
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def test_token_mode_exact_across_capacities(self, ray_session):
+        import ray.data as rd
+
+        docs = self._zipf_docs()
+        ds = rd.from_items([{"text": d} for d in docs]).repartition(8)
+        exp = self._truth(docs, 50)
+        # cap 32 forces heavy truncation (fallback), 512 proves via the
+        # MG bound, 4096 never truncates (bound == 0 fast path)
+        for cap in (32, 512, 4096):
+            out = sketches.heavy_hitters(ds, "text", k=50, capacity=cap,
+                                         tokens=True)
+            assert list(zip(out.term, out.cnt)) == exp, f"capacity={cap}"
+
+    def test_column_mode_and_ties(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        # every value appears exactly 3 times -> all ties, term ASC order
+        vals = [v for v in range(37) for _ in range(3)]
+        ds = rd.from_items([{"x": v} for v in vals]).repartition(4)
+        out = sketches.heavy_hitters(ds, "x", k=10, capacity=8)
+        exp = sorted(((str(v), 3) for v in range(37)),
+                     key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(out.term, out.cnt)) == exp
+        assert out.cnt.dtype == np.int64
+
+    def test_fewer_distinct_than_k(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_items([{"x": "a"}] * 5 + [{"x": "b"}] * 2)
+        out = sketches.heavy_hitters(ds, "x", k=10, capacity=4)
+        assert list(zip(out.term, out.cnt)) == [("a", 5), ("b", 2)]
+
+    def test_empty_and_null_only(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_items([{"text": None}, {"text": "   "}])
+        out = sketches.heavy_hitters(ds, "text", k=5, tokens=True)
+        assert len(out) == 0
+        assert list(out.columns) == ["term", "cnt"]

@@ -487,6 +487,15 @@ ORDER BY jaccard DESC, sh.doc_id ASC LIMIT {k}"""
 
 TOKENS_EXPR = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+# Exact top-100 corpus tokens by total frequency — ground truth for
+# sketches.heavy_hitters (two-pass Misra-Gries; the operator is exact,
+# so the oracle is the plain full GROUP BY it avoids shuffling).
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (SELECT unnest({TOKENS_EXPR}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS cnt
+FROM tok GROUP BY term
+ORDER BY cnt DESC, term ASC LIMIT 100"""
+
 # n_subwords uses the same ASCII-restricted BPE-ish pretokenizer pattern
 # as pipelines.textstats.BPE_ISH_PATTERN (RE2-compatible)
 TOKEN_COUNTS_SQL = f"""

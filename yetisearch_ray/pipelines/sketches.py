@@ -35,7 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["quantiles_disc", "hll_distinct", "distinct_count"]
+__all__ = ["quantiles_disc", "hll_distinct", "distinct_count",
+           "heavy_hitters"]
 
 
 # --------------------------------------------------------------------------
@@ -261,3 +262,158 @@ def distinct_count(ds, column: str) -> int:
 
     thinned = ds.map_batches(uniq, batch_format="pyarrow")
     return int(thinned.groupby(column).count().count())
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters (two-pass Misra-Gries: sketch -> candidate recount)
+# --------------------------------------------------------------------------
+
+def _value_counts(t: pa.Table, column: str, tokens: bool) -> pd.Series:
+    """Per-block exact frequency table (the map-side combine).
+
+    ``tokens=True`` splits the string column on RE2-parity ASCII
+    whitespace (dedup._ws_tokens) so the operator and the DuckDB
+    ``string_split_regex(text, '\\s+')`` oracle see identical terms.
+    Nulls contribute no values in either mode."""
+    if tokens:
+        from yetisearch_ray.pipelines.dedup import _ws_tokens
+
+        vals = [tok for s in t[column].to_pylist() for tok in _ws_tokens(s)]
+        return pd.Series(vals, dtype="object").value_counts()
+    return t[column].to_pandas().value_counts()
+
+
+def heavy_hitters(ds, column: str, *, k: int = 100, capacity: int = 4096,
+                  tokens: bool = False,
+                  max_candidates: int = 100_000) -> pd.DataFrame:
+    """EXACT top-``k`` most frequent values without shuffling the full
+    vocabulary — the 100 TB path for "top terms over the corpus".
+
+    A plain ``groupby(term).count()`` exchanges one row per distinct
+    term per block (web-scale text: millions of distinct tokens per
+    block).  This operator instead runs the classic two-pass scheme:
+
+    1. **Misra-Gries sketch pass** (Misra & Gries 1982 / the
+       space-saving family): each block reduces to at most
+       ``capacity`` ``(term, est)`` rows via the frequent-items
+       decrement, plus its decremented mass ``err``.  Only
+       ``blocks x capacity`` rows enter the ``groupby(term)`` combine,
+       and the merged sketch guarantees ``true - B <= est <= true``
+       with ``B = sum(err)`` (any term absent from the sketch has
+       ``true <= B``).
+    2. **Candidate recount pass**: every term that could still reach
+       the top-k (``est >= est_k - B``) is recounted EXACTLY in one
+       streaming pass (per-block ``value_counts`` filtered to the
+       broadcast candidate set -> tiny keyed combine).
+
+    If the k-th recounted frequency exceeds ``B`` the result is
+    *provably* the exact top-k (ties broken ``count DESC, term ASC``).
+    Otherwise — pathologically flat distributions or an undersized
+    ``capacity`` — it falls back to the full exact groupby so the
+    answer is always exact; the sketch path is purely a shuffle-volume
+    optimization.  Zipf-shaped term frequencies prove exact with
+    ``capacity`` a few multiples of ``k``.
+
+    Returns a DataFrame ``(term, cnt)``, the exact top-k.
+    """
+    ds = ds.select_columns([column])
+    empty = pd.DataFrame({"term": pd.array([], dtype="object"),
+                          "cnt": pd.array([], dtype="int64")})
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        vc = _value_counts(t, column, tokens)
+        if vc.empty:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "est": pa.array([], pa.int64()),
+                             "err": pa.array([], pa.int64())})
+        n_block = int(vc.sum())
+        if len(vc) > capacity:
+            dec = int(vc.iloc[capacity])        # (capacity+1)-th largest
+            vc = (vc.iloc[:capacity] - dec)
+            vc = vc[vc > 0]
+            err = n_block - int(vc.sum())       # decremented + dropped mass
+        else:
+            err = 0
+        terms = [str(x) for x in vc.index]
+        ests = [int(x) for x in vc.to_numpy()]
+        errs = [err] + [0] * (len(terms) - 1) if terms else [err]
+        if not terms:                            # fully decremented block
+            terms, ests = [""], [0]
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "est": pa.array(ests, pa.int64()),
+                         "err": pa.array(errs, pa.int64())})
+
+    merged = (ds.map_batches(mg_partial, batch_format="pyarrow")
+              .groupby("term").sum(["est", "err"])).materialize()
+    if merged.count() == 0:
+        return empty
+    bound = int(merged.sum("sum(err)") or 0)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["sum(est)", "term"],
+                               ascending=[False, True]).head(k))
+
+    # post-groupby blocks hold DISJOINT terms, so the global top-k of
+    # est is the top-k of the per-block top-k rows (bounded collect)
+    tops = (merged.map_batches(local_top, batch_format="pandas")
+            .to_pandas())
+    tops = tops.sort_values(["sum(est)", "term"],
+                            ascending=[False, True]).head(k)
+
+    if bound == 0:                 # no block overflowed: ests ARE exact
+        out = tops.rename(columns={"sum(est)": "cnt"})[["term", "cnt"]]
+        return out.astype({"cnt": "int64"}).reset_index(drop=True)
+
+    est_k = int(tops["sum(est)"].iloc[-1])
+    cutoff = est_k - bound
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["sum(est)"], cutoff))
+
+    cand = (merged.map_batches(cand_filter, batch_format="pyarrow")
+            .to_pandas())
+    proven = len(cand) <= max_candidates
+    if proven:
+        cand_set = frozenset(cand["term"])
+
+        def exact_partial(t: pa.Table) -> pa.Table:
+            vc = _value_counts(t, column, tokens)
+            vc.index = vc.index.astype(str)   # term keys are strings
+            vc = vc[vc.index.isin(cand_set)]
+            return pa.table({"term": pa.array([str(x) for x in vc.index],
+                                              pa.string()),
+                             "cnt": pa.array([int(x) for x in vc.to_numpy()],
+                                             pa.int64())})
+
+        exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+                 .groupby("term").sum("cnt").to_pandas()
+                 .rename(columns={"sum(cnt)": "cnt"})
+                 .sort_values(["cnt", "term"], ascending=[False, True]))
+        # provably complete iff even an unseen term (true <= bound)
+        # could not displace the k-th recounted candidate
+        proven = len(exact) >= k and int(exact["cnt"].iloc[k - 1]) > bound
+    if proven:
+        return (exact.head(k)[["term", "cnt"]].astype({"cnt": "int64"})
+                .reset_index(drop=True))
+
+    # exactness not provable at this capacity: full exact fallback
+    # (map-side combine, then the full-vocabulary keyed shuffle the
+    # sketch path exists to avoid)
+    def full_partial(t: pa.Table) -> pa.Table:
+        vc = _value_counts(t, column, tokens)
+        return pa.table({"term": pa.array([str(x) for x in vc.index],
+                                          pa.string()),
+                         "cnt": pa.array([int(x) for x in vc.to_numpy()],
+                                         pa.int64())})
+
+    full = (ds.map_batches(full_partial, batch_format="pyarrow")
+            .groupby("term").sum("cnt"))
+
+    def local_top_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["sum(cnt)", "term"],
+                               ascending=[False, True]).head(k))
+
+    out = (full.map_batches(local_top_cnt, batch_format="pandas").to_pandas()
+           .rename(columns={"sum(cnt)": "cnt"})
+           .sort_values(["cnt", "term"], ascending=[False, True]).head(k))
+    return out[["term", "cnt"]].astype({"cnt": "int64"}).reset_index(drop=True)
