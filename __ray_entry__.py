@@ -383,6 +383,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_suggest": lambda sf: ftsd.suggest(sf),                # rows-only
         # dictionary prefix autocomplete (reference prefix-query surface)
         "fts_autocomplete": lambda sf: ftsd.autocomplete_topk(sf),
+        # more-like-this: top tf*idf terms of a doc -> BM25 OR, self excluded
+        "fts_more_like_this": lambda sf: ftsd.more_like_this_topk(sf),
+        # boolean NOT (FTS5 `a NOT b` shape via exclude_terms)
+        "fts_not_topk": lambda sf: ftsd.not_topk(sf),
+        # ordered proximity ("hash value"~2, Lucene sloppy-phrase shape)
+        "fts_slop_phrase": lambda sf: ftsd.slop_phrase_topk(sf),
+        # field collapsing: best-doc-per-lang, composite = sum of members
+        "fts_collapse_topk": lambda sf: ftsd.collapse_topk(sf),
+        # keyset (cursor) pagination == OFFSET under the unique sort key
+        "fts_search_after": lambda sf: ftsd.search_after_page2(sf),
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
         "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
@@ -592,6 +602,11 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "window"], suggestion="merge window",
             confidence=0.6938),
         "fts_autocomplete": oracles.autocomplete_sql("s", k=10),
+        "fts_more_like_this": oracles.more_like_this_sql(doc_id=7, k=10, max_terms=5),
+        "fts_not_topk": oracles.bm25_topk_sql(["merge"], k=20, exclude_term="window"),
+        "fts_slop_phrase": oracles.slop_phrase_sql("hash", "value", slop=2, k=20),
+        "fts_collapse_topk": oracles.collapse_topk_sql(["vector", "stream"], k=5),
+        "fts_search_after": oracles.bm25_topk_sql(["vector", "stream"], k=10, offset=10),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

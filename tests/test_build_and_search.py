@@ -325,3 +325,165 @@ class TestEngineFeatures:
             assert (ra[["doc_id", "score"]].values.tolist()
                     == rb[["doc_id", "score"]].values.tolist()), q
         assert (Manifest.load(b).stats == Manifest.load(a).stats)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMoreLikeThis:
+    """SearchEngine.more_like_this (Lucene MLT shape; the SQL-oracle
+    identity over the documents corpus is covered by the
+    fts_more_like_this entry in test_oracle_parity)."""
+
+    def test_excludes_self_and_ranks(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        src = int(eng.index.meta(eng.index.id_column)[0])
+        res = eng.more_like_this(src, limit=5, normalize=False)
+        ids = res["doc_id"].to_pylist()
+        assert src not in ids
+        assert 0 < len(ids) <= 5
+        scores = res["score"].to_pylist()
+        assert scores == sorted(scores, reverse=True)
+
+    def test_deterministic(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        src = int(eng.index.meta(eng.index.id_column)[3])
+        a = eng.more_like_this(src, limit=8, normalize=False)
+        b = eng.more_like_this(src, limit=8, normalize=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_unknown_doc_raises(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(KeyError):
+            eng.more_like_this(10**12)
+
+    def test_unstored_source_columns_raise(self, ray_session, tmp_path):
+        import ray.data as rd
+        from yetisearch_ray.index.build import IndexConfig, build_index
+
+        rows = [{"doc_id": i, "content": f"alpha beta gamma doc{i}"}
+                for i in range(20)]
+        idx = str(tmp_path / "nostore")
+        cfg = IndexConfig(fields=[("content", "content")],
+                          num_partitions=2)  # content NOT stored
+        build_index(rd.from_items(rows), idx, cfg)
+        eng = SearchEngine(open_index(idx))
+        with pytest.raises(ValueError):
+            eng.more_like_this(1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSearchAfterAndCollapse:
+    """Keyset pagination + boolean NOT + field collapsing contracts
+    (oracle identity for all three is in test_oracle_parity via the
+    fts_not_topk / fts_collapse_topk / fts_search_after entries)."""
+
+    def test_cursor_equals_offset(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        full = eng.search("return", mode="or", limit=12, normalize=False)
+        assert full.num_rows >= 8
+        p1 = full.slice(0, 4)
+        nxt = eng.search_after(
+            "return", mode="or",
+            after_score=p1["score"][3].as_py(),
+            after_doc_id=p1["doc_id"][3].as_py(), limit=4)
+        assert nxt["doc_id"].to_pylist() == full.slice(4, 4)["doc_id"].to_pylist()
+        assert nxt["score"].to_pylist() == full.slice(4, 4)["score"].to_pylist()
+
+    def test_cursor_rejects_normalize(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(ValueError):
+            eng.search_after("return", after_score=1.0, after_doc_id=0,
+                             normalize=True)
+
+    def test_exclude_terms_prune_not_rescore(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        base = eng.search("return", limit=1000, normalize=False)
+        notq = eng.search("return", exclude_terms=["def"], limit=1000,
+                          normalize=False)
+        assert notq.num_rows < base.num_rows
+        # surviving docs keep their exact base scores (match-set prune only)
+        bs = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
+        for d, s in zip(notq["doc_id"].to_pylist(), notq["score"].to_pylist()):
+            assert bs[d] == s
+
+    def test_collapse_sums_and_unions_routes(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        flat = eng.search("return", mode="or", limit=1000, normalize=False)
+        col = eng.search("return", mode="or", unique_by_route=True,
+                         route_column="lang", limit=1000, normalize=False)
+        routes = eng.index.meta_for("lang", flat["doc_id"].to_numpy())
+        n_routes = len({r for r in routes if r})
+        assert col.num_rows == n_routes
+        # total mass is conserved: sum of composites == sum of members
+        assert np.isclose(np.sum(col["score"].to_numpy()),
+                          np.sum(flat["score"].to_numpy()))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSlopPhrase:
+    """Ordered-proximity phrase (Phrase.slop) vs a brute-force greedy
+    chain over the raw token stream — docs AND per-doc tf must agree.
+    (SQL-oracle identity over the documents corpus is covered by the
+    fts_slop_phrase entry in test_oracle_parity.)"""
+
+    @staticmethod
+    def _brute_tf(toks, terms, slop):
+        n, tf = len(terms), 0
+        for i, t in enumerate(toks):
+            if t != terms[0]:
+                continue
+            cur, ok = i, True
+            for j in range(1, n):
+                nxt = next((p for p in range(cur + 1, len(toks))
+                            if toks[p] == terms[j]), None)
+                if nxt is None or nxt - i > n - 1 + slop:
+                    ok = False
+                    break
+                cur = nxt
+            tf += ok
+        return tf
+
+    def test_matches_brute_force(self, ray_session, tmp_path):
+        import random
+
+        import ray.data as rd
+
+        from yetisearch_ray.index.build import IndexConfig, build_index
+        from yetisearch_ray.search.engine import Phrase
+
+        random.seed(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        rows = [{"doc_id": i, "title": "t",
+                 "body": " ".join(random.choice(vocab)
+                                  for _ in range(random.randint(3, 30)))}
+                for i in range(200)]
+        idx = str(tmp_path / "slop")
+        build_index(rd.from_items(rows), idx,
+                    IndexConfig(fields=[("title", "title"), ("body", "body")],
+                                store_columns=[], num_partitions=2))
+        eng = SearchEngine(open_index(idx))
+        for terms, slop in [(["alpha", "beta"], 0), (["alpha", "beta"], 2),
+                            (["beta", "gamma", "alpha"], 3)]:
+            pp = eng._phrase_postings(Phrase(list(terms), slop=slop))
+            tf_eng: dict = {}
+            for p in pp.values():
+                for d, t in zip(p.doc_ids.tolist(), p.tfs.tolist()):
+                    tf_eng[d] = tf_eng.get(d, 0) + t
+            tf_want = {r["doc_id"]: self._brute_tf(r["body"].split(), terms, slop)
+                       for r in rows}
+            assert tf_eng == {d: v for d, v in tf_want.items() if v}, (terms, slop)
+
+    def test_slop_zero_is_exact_phrase(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        a = eng.search('"for range"', limit=50, normalize=False)
+        b = eng.search('"for range"', slop=0, limit=50, normalize=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_slop_widens_monotonically(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        prev: set = set()
+        for slop in (0, 1, 3, 8):
+            r = eng.search('"return result"', slop=slop, limit=1000,
+                           normalize=False)
+            cur = set(r["doc_id"].to_pylist())
+            assert prev <= cur, slop
+            prev = cur

@@ -76,9 +76,24 @@ def _engine(args):
 def cmd_search(args):
     _init_ray()
     eng = _engine(args)
+    kw = {}
+    if getattr(args, "exclude", None):
+        kw["exclude_terms"] = [t for t in args.exclude.split(",") if t]
+    if getattr(args, "slop", 0):
+        kw["slop"] = args.slop
+    if getattr(args, "collapse", None):
+        kw.update(unique_by_route=True, route_column=args.collapse,
+                  normalize=False)
+    if getattr(args, "after", None):
+        sc, _, did = args.after.partition(",")
+        r = eng.search_after(args.query, after_score=float(sc),
+                             after_doc_id=int(did), limit=args.limit,
+                             mode=args.mode, language=args.lang, **kw)
+        _print_table(r)
+        return
     r = eng.search(args.query, limit=args.limit, mode=args.mode,
                    language=args.lang, fuzzy=args.fuzzy,
-                   with_docs=args.docs, highlight=args.highlight)
+                   with_docs=args.docs, highlight=args.highlight, **kw)
     _print_table(r)
 
 
@@ -136,6 +151,15 @@ def cmd_autocomplete(args):
     terms = eng.index.expand_prefix(args.prefix, max_terms=args.limit)
     _print_table(pd.DataFrame({"term": terms,
                                "rank": range(1, len(terms) + 1)}))
+
+
+def cmd_more_like_this(args):
+    """Docs similar to a given doc_id (top tf*idf terms -> BM25 OR,
+    self excluded; see SearchEngine.more_like_this)."""
+    _init_ray()
+    eng = _engine(args)
+    _print_table(eng.more_like_this(args.doc_id, limit=args.limit,
+                                    max_terms=args.max_terms))
 
 
 def cmd_batch_search(args):
@@ -288,6 +312,14 @@ def main(argv=None):
             s.add_argument("--highlight", action="store_true")
             s.add_argument("--sharded", type=int, default=0, metavar="N",
                            help="serve via N term-partition shard actors")
+            s.add_argument("--exclude", default=None, metavar="T1,T2",
+                           help="boolean NOT: drop docs containing these terms")
+            s.add_argument("--collapse", default=None, metavar="COLUMN",
+                           help="field collapsing: best doc per COLUMN value")
+            s.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                           help="keyset cursor: rows after this (score, doc_id)")
+            s.add_argument("--slop", type=int, default=0,
+                           help="ordered-proximity window for phrase queries")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("batch-search",
@@ -351,6 +383,14 @@ def main(argv=None):
     s.add_argument("prefix")
     s.add_argument("--limit", type=int, default=10)
     s.set_defaults(fn=cmd_autocomplete)
+
+    s = sub.add_parser("more-like-this",
+                       help="docs similar to a doc_id (tf*idf terms -> BM25)")
+    s.add_argument("--index", required=True)
+    s.add_argument("doc_id", type=int)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--max-terms", type=int, dest="max_terms", default=10)
+    s.set_defaults(fn=cmd_more_like_this)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)

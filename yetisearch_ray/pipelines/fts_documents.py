@@ -86,6 +86,59 @@ def phrase_topk(sf_dir: str, phrase: str = "hash value", k: int = 20) -> pd.Data
     return _as_result(get_engine(sf_dir).search(f'"{phrase}"', limit=k, normalize=False))
 
 
+def more_like_this_topk(sf_dir: str, doc_id: int = 7, k: int = 10,
+                        max_terms: int = 5) -> pd.DataFrame:
+    """Docs most similar to ``doc_id`` (top-tf*idf terms -> BM25 OR,
+    source excluded); oracle: ``oracles.more_like_this_sql``."""
+    return _as_result(get_engine(sf_dir).more_like_this(
+        doc_id, limit=k, max_terms=max_terms, normalize=False))
+
+
+def not_topk(sf_dir: str, term: str = "merge", exclude: str = "window",
+             k: int = 20) -> pd.DataFrame:
+    """BM25 top-k for ``term`` with docs containing ``exclude`` removed
+    (boolean NOT — reference FTS5 ``a NOT b``; engine ``exclude_terms``).
+    Oracle: ``oracles.bm25_topk_sql(..., exclude_term=...)``."""
+    return _as_result(get_engine(sf_dir).search(
+        term, exclude_terms=[exclude], limit=k, normalize=False))
+
+
+def collapse_topk(sf_dir: str, terms=("vector", "stream"), k: int = 5) -> pd.DataFrame:
+    """Field collapsing: OR query grouped by ``lang`` — composite score =
+    SUM of member scores, representative = best member (reference
+    ``deduplicateByRoute`` semantics, SearchEngine.php:1112-1169, with
+    lang as the route).  Oracle: ``oracles.collapse_topk_sql``."""
+    return _as_result(get_engine(sf_dir).search(
+        " ".join(terms), mode="or", unique_by_route=True,
+        route_column="lang", limit=k, normalize=False))
+
+
+def search_after_page2(sf_dir: str, terms=("vector", "stream"),
+                       page: int = 10, k: int = 10) -> pd.DataFrame:
+    """Keyset pagination: fetch page 1 (size ``page``), then the next
+    ``k`` rows via the (score, doc_id) cursor of its last row.  With the
+    unique composite key this equals OFFSET ``page`` — which is exactly
+    what the SQL oracle asserts (``oracles.bm25_topk_sql(offset=...)``)."""
+    eng = get_engine(sf_dir)
+    q = " ".join(terms)
+    p1 = eng.search(q, mode="or", limit=page, normalize=False)
+    assert p1.num_rows == page, "corpus too small for the pagination demo"
+    return _as_result(eng.search_after(
+        q, mode="or",
+        after_score=p1["score"][page - 1].as_py(),
+        after_doc_id=p1["doc_id"][page - 1].as_py(),
+        limit=k))
+
+
+def slop_phrase_topk(sf_dir: str, t1: str = "hash", t2: str = "value",
+                     slop: int = 2, k: int = 20) -> pd.DataFrame:
+    """Ordered-proximity phrase ("{t1} {t2}"~slop, Lucene sloppy-phrase
+    shape): anchors of t1 with t2 within slop+1 positions after.
+    Oracle: ``oracles.slop_phrase_sql``."""
+    return _as_result(get_engine(sf_dir).search(
+        f'"{t1} {t2}"', slop=slop, limit=k, normalize=False))
+
+
 def weighted_topk(sf_dir: str, term: str = "src3", k: int = 20,
                   w_source: float = 5.0, w_text: float = 1.0) -> pd.DataFrame:
     return _as_result(

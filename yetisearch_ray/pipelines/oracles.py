@@ -52,12 +52,21 @@ stats AS (
 def bm25_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
                   w1: float = 1.0, require_all: bool = False,
                   lang: str | None = None, k: int = 20,
-                  round_to: int = 5) -> str:
+                  round_to: int = 5, exclude_term: str | None = None,
+                  offset: int = 0) -> str:
     terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
     where = f"WHERE s.nterms = {len(terms)}" if require_all else ""
+    if exclude_term:
+        # boolean NOT: drop docs containing the excluded term in ANY
+        # field; scoring (df/idf) is unaffected, matching the engine
+        # (exclusion prunes the match set only, engine.py:801-806)
+        pred = (f"s.doc_id NOT IN (SELECT DISTINCT doc_id FROM tokf "
+                f"WHERE term = '{exclude_term}')")
+        where = f"{where} AND {pred}" if where else f"WHERE {pred}"
     lang_join = (
         f"JOIN corpus c ON c.doc_id = s.doc_id AND c.lang = '{lang}'" if lang else ""
     )
+    off = f" OFFSET {offset}" if offset else ""
     return f"""{_base_ctes(corpus)},
 qterms AS (SELECT unnest({terms_sql}) AS term),
 df AS (
@@ -83,6 +92,109 @@ scored AS (
 )
 SELECT s.doc_id::BIGINT AS doc_id, round(abs(s.s), {round_to}) AS score
 FROM scored s {lang_join} {where}
+ORDER BY -s.s ASC, s.doc_id ASC LIMIT {k}{off}"""
+
+
+def collapse_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
+                      route: str = "lang", k: int = 5,
+                      round_to: int = 5, max_results: int = 1000) -> str:
+    """Ground truth for field collapsing (``unique_by_route``): OR-score
+    docs with the standard BM25 CTEs, pre-clamp to the engine's
+    MAX_RESULTS page (rank order score DESC, doc_id ASC — the clamp the
+    reference applies before deduplicateByRoute), then per route:
+    composite = SUM of member scores, representative = best member
+    (score DESC, doc_id ASC).  Final order composite DESC, rep doc_id
+    ASC — mirrors ``SearchEngine._dedup_by_route``."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld, count(*) * 1.0 AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+),
+page AS (
+  SELECT s.doc_id, s.s, c.{route} AS route
+  FROM scored s JOIN corpus c USING (doc_id)
+  QUALIFY row_number() OVER (ORDER BY -s.s ASC, s.doc_id ASC) <= {max_results}
+),
+grp AS (
+  SELECT route, doc_id, s,
+         sum(s) OVER (PARTITION BY route) AS s_sum,
+         row_number() OVER (PARTITION BY route
+                            ORDER BY -s ASC, doc_id ASC) AS rn
+  FROM page
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(s_sum), {round_to}) AS score
+FROM grp WHERE rn = 1
+ORDER BY -s_sum ASC, doc_id ASC LIMIT {k}"""
+
+
+def more_like_this_sql(doc_id: int, *, corpus: str = DOCUMENTS_CORPUS,
+                       k: int = 10, max_terms: int = 10,
+                       round_to: int = 5, language: str = "en") -> str:
+    """Ground truth for ``SearchEngine.more_like_this``: select the
+    source doc's top ``max_terms`` terms by ``tf * ln(N/df)`` (skipping
+    terms the query compiler would drop: stopwords, length outside
+    2..50), then score them with the same BM25-OR CTEs as
+    ``bm25_topk_sql`` (w0=w1=1), excluding the source doc.  Tie-breaks
+    mirror the engine exactly: selection ``round(w, 9) DESC, term
+    ASC``; ranking ``score DESC, doc_id ASC``."""
+    from yetisearch_ray.analysis.stopwords import stopwords_for
+
+    sw = ", ".join(f"'{w}'" for w in sorted(stopwords_for(language)))
+    return f"""{_base_ctes(corpus)},
+src AS (
+  SELECT term, count(*) AS tf FROM tokf
+  WHERE doc_id = {doc_id}
+    AND len(term) BETWEEN 2 AND 50
+    AND term NOT IN ({sw})
+  GROUP BY term
+),
+srcdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM src) GROUP BY term
+),
+qterms AS (
+  SELECT s.term FROM src s JOIN srcdf d USING (term), stats
+  ORDER BY round(s.tf * ln(stats.n / d.df), 9) DESC, s.term ASC
+  LIMIT {max_terms}
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld, count(*) * 1.0 AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+)
+SELECT s.doc_id::BIGINT AS doc_id, round(abs(s.s), {round_to}) AS score
+FROM scored s WHERE s.doc_id <> {doc_id}
 ORDER BY -s.s ASC, s.doc_id ASC LIMIT {k}"""
 
 
@@ -96,6 +208,37 @@ def phrase_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, k: int = 20,
 phr AS (
   SELECT doc_id,
          len(list_filter(range(1, len(arr) - {n} + 2), i -> {cond})) AS tf
+  FROM (SELECT doc_id, {arr} AS arr FROM corpus)
+),
+pstats AS (SELECT count(*) AS df FROM phr WHERE tf > 0),
+scored AS (
+  SELECT p.doc_id,
+         greatest(ln((stats.n - pstats.df + 0.5) / (pstats.df + 0.5)), 0.000001)
+         * (p.tf * ({K1} + 1)) /
+           (p.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM phr p JOIN dl USING (doc_id), stats, pstats
+  WHERE p.tf > 0
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
+FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
+
+
+def slop_phrase_sql(t1: str, t2: str, *, slop: int,
+                    corpus: str = DOCUMENTS_CORPUS, k: int = 20,
+                    round_to: int = 5) -> str:
+    """Ground truth for the 2-term sloppy phrase (ordered proximity) over
+    the body field: tf = number of anchor positions i with ``arr[i]=t1``
+    and some ``arr[j]=t2`` at ``j in (i, i+slop+1]`` — for two terms the
+    exists-window count equals the engine's greedy-chain count.  Scoring
+    identical to ``phrase_topk_sql`` (phrase-df BM25)."""
+    arr = "regexp_extract_all(lower(strip_accents(f1)), '[a-z0-9]+')"
+    return f"""{_base_ctes(corpus)},
+phr AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(arr) + 1), i ->
+             arr[i] = '{t1}' AND len(list_filter(
+                 range(i + 1, least(i + {slop} + 1, len(arr)) + 1),
+                 j -> arr[j] = '{t2}')) > 0)) AS tf
   FROM (SELECT doc_id, {arr} AS arr FROM corpus)
 ),
 pstats AS (SELECT count(*) AS df FROM phr WHERE tf > 0),

@@ -21,6 +21,7 @@ reader is the per-shard unit of that design.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from collections import OrderedDict
@@ -321,6 +322,12 @@ def open_index(index_dir: str) -> IndexReader:
 class Phrase:
     terms: list  # 1..n unicode61 terms; n>1 => positional phrase
     prefix: bool = False  # last term is a prefix (term*)
+    # ordered proximity (Lucene "sloppy phrase" shape, an extension —
+    # FTS5 has only exact phrases + unordered NEAR): a match is a
+    # strictly-increasing position chain q1<…<qn in term order with
+    # span qn-q1 <= (n-1)+slop; tf = number of anchor positions q1
+    # admitting such a chain.  0 = exact adjacency (FTS5 semantics).
+    slop: int = 0
 
 
 @dataclass
@@ -562,10 +569,36 @@ class SearchEngine:
                     pos = p.positions
                 keys.append((docs_exp << SHIFT) | pos.astype(np.uint64))
             occ = keys[0]
-            for j in range(1, len(phrase.terms)):
-                occ = occ[np.isin(occ + np.uint64(j), keys[j], assume_unique=True)]
-                if occ.size == 0:
-                    break
+            if phrase.slop > 0:
+                # greedy windowed chain: per anchor, take the SMALLEST
+                # next-term position > current — greedy minimizes the
+                # final span, so "greedy chain fits the window" is exact
+                # for "∃ increasing chain within the window".  One
+                # searchsorted per term over the whole anchor vector —
+                # no per-doc loop.
+                bound = np.uint64(len(phrase.terms) - 1 + phrase.slop)
+                anchor = occ
+                cur = occ
+                for j in range(1, len(phrase.terms)):
+                    # keys are globally ascending: build sorts postings by
+                    # (term, doc, position) (build.py:338) and docs_exp
+                    # repeats the ascending doc_ids
+                    kj = keys[j]
+                    idx = np.searchsorted(kj, cur + np.uint64(1))
+                    ok = idx < kj.size
+                    nxt = kj[np.minimum(idx, kj.size - 1)]
+                    ok &= (nxt >> SHIFT) == (cur >> SHIFT)  # same doc
+                    ok &= (nxt - anchor) <= bound
+                    anchor, cur = anchor[ok], nxt[ok]
+                    if anchor.size == 0:
+                        break
+                occ = anchor
+            else:
+                for j in range(1, len(phrase.terms)):
+                    occ = occ[np.isin(occ + np.uint64(j), keys[j],
+                                      assume_unique=True)]
+                    if occ.size == 0:
+                        break
             if occ.size:
                 docs = (occ >> SHIFT).astype(np.uint64)
                 uids, counts = np.unique(docs, return_counts=True)
@@ -959,6 +992,7 @@ class SearchEngine:
         result_fields=None,
         enable_suggestions: bool = False,
         near_distance: int = 10,
+        slop: int = 0,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -974,7 +1008,7 @@ class SearchEngine:
                          tuple(result_fields or ()),
                          repr(sort), repr(geo_filters), distance_weight,
                          merge_tokens, enable_suggestions, near_distance,
-                         self.index.mutation_version)
+                         slop, self.index.mutation_version)
             hit = self._result_cache.get(cache_key)
             if hit is not None:
                 import time as _time
@@ -1008,6 +1042,12 @@ class SearchEngine:
             cq = compile_query(query, self.analyzer, mode=mode,
                                prefix_last=prefix_last,
                                near_distance=near_distance)
+        if slop > 0:
+            # sloppy phrase (ordered proximity) — applies to the
+            # multi-term phrase components; singles are unaffected
+            for ph in cq.phrases:
+                if len(ph.terms) > 1 and not ph.prefix:
+                    ph.slop = int(slop)
         if exclude_terms:
             for x in exclude_terms:
                 g = self.analyzer.match_terms(x)
@@ -1569,6 +1609,99 @@ class SearchEngine:
             "doc_id": pa.array(ids[order].astype(np.uint64), pa.uint64()),
             "distance_km": pa.array(np.round(d[order], 4), pa.float64()),
         })
+
+    def more_like_this(self, doc_id: int, *, limit: int = 10,
+                       max_terms: int = 10, mode: str = "or",
+                       language: str | None = None,
+                       normalize: bool = True, **kwargs) -> pa.Table:
+        """Find documents similar to ``doc_id`` (Lucene/Elasticsearch
+        "more like this" shape — an extension beyond the reference's
+        query classes, built entirely from its primitives).
+
+        Selection: the source doc's stored indexed fields are
+        re-tokenized with the INDEX tokenizer (exactly what the build
+        saw), each distinct term weighted ``tf * ln(N / df)`` with df
+        the union-of-fields document frequency (same definition the
+        BM25 idf uses); terms the query compiler would drop (stopwords,
+        length outside the analyzer's 2..50 window) are excluded since
+        they could never score.  The top ``max_terms`` (weight DESC,
+        term ASC — deterministic) run as one OR query through the
+        normal search path; the source doc is removed from the result.
+
+        Raises KeyError if the doc is unknown and ValueError if the
+        index does not store its indexed source columns (MLT needs the
+        original text).
+        """
+        from collections import Counter
+
+        from ..analysis.tokenizer import tokenize as _index_tok
+
+        cfg = self.index.manifest.data.get("config") or {}
+        src_cols = [f[1] for f in cfg.get("fields", [])]
+        stored = set(cfg.get("store_columns") or [])
+        missing = [c for c in src_cols if c not in stored]
+        if missing:
+            raise ValueError(
+                f"more_like_this needs stored source columns; not in "
+                f"docstore: {missing}")
+        t = self.index.docs([doc_id], columns=src_cols)
+        if t.num_rows == 0:
+            raise KeyError(f"doc_id {doc_id} not found")
+        tf: Counter = Counter()
+        for c in src_cols:
+            tf.update(_index_tok(t[c][0].as_py() or ""))
+
+        N = max(self.index.n_docs, 1)
+        scored: list[tuple[float, str]] = []
+        for term, f in tf.items():
+            # keep only terms the query compiler would keep, verbatim
+            if self.analyzer.match_terms(term) != [[term]]:
+                continue
+            posts = self._term_postings(term)
+            arrs = [p.doc_ids for p in posts.values()]
+            df = int(np.unique(np.concatenate(arrs)).size) if arrs else 0
+            if df <= 0:
+                continue
+            # rounded so the DuckDB oracle's ln() agrees on ties
+            scored.append((-round(f * math.log(N / df), 9), term))
+        scored.sort()
+        terms = [term for _, term in scored[:max_terms]]
+        if not terms:
+            return self._empty_result(False)
+
+        res = self.search(" ".join(terms), mode=mode, limit=limit + 1,
+                          normalize=normalize, language=language, **kwargs)
+        keep = pc.not_equal(res["doc_id"],
+                            pa.scalar(int(doc_id), pa.uint64()))
+        return res.filter(keep).slice(0, limit)
+
+    def search_after(self, query: str, *, after_score: float,
+                     after_doc_id: int, limit: int = 10,
+                     **kwargs) -> pa.Table:
+        """Keyset (cursor) pagination — the Elasticsearch ``search_after``
+        shape, an extension beyond the reference's offset pagination.
+
+        ``(after_score, after_doc_id)`` is the composite sort key of the
+        last row of the previous page (result order is score DESC,
+        doc_id ASC, and doc_id makes the key unique), so the next page
+        is exactly the rows strictly after it.  Unlike OFFSET, a keyset
+        cursor is stable under concurrent appends of lower-scoring docs
+        and costs the same for page 1000 as for page 2 — the scalable
+        deep-pagination contract.  Scores must be raw (``normalize``
+        rescales per page, destroying cursor comparability), so
+        normalize=True is rejected.  The reachable depth is the same
+        MAX_RESULTS clamp the reference applies to offset pagination.
+        """
+        if kwargs.get("normalize", False):
+            raise ValueError("search_after needs raw scores; "
+                             "normalize=True is incompatible")
+        kwargs["normalize"] = False
+        kwargs.pop("offset", None)
+        res = self.search(query, limit=MAX_RESULTS, **kwargs)
+        s = res["score"].to_numpy(zero_copy_only=False)
+        d = res["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (s < after_score) | ((s == after_score) & (d > after_doc_id))
+        return res.filter(pa.array(keep)).slice(0, limit)
 
     @staticmethod
     def search_multiple(engines: dict, query: str, *, limit: int = 20,
