@@ -244,6 +244,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_code_bm25(sf_dir):
         return _code_result(sf_dir, "parse buffer", mode="or")
 
+    def q_code_regex_scan(sf_dir):
+        from yetisearch_ray.sources.parquet_source import read_parquet_with_doc_ids
+
+        ds = read_parquet_with_doc_ids(_code_corpus(sf_dir), columns=["content"])
+        return textstats.regex_scan(ds, r"[a-z]+_free\(", text_col="content", k=100)
+
 
     def _ann_ivfpq(sf_dir):
         import os as _os
@@ -387,6 +393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_more_like_this": lambda sf: ftsd.more_like_this_topk(sf),
         # boolean NOT (FTS5 `a NOT b` shape via exclude_terms)
         "fts_not_topk": lambda sf: ftsd.not_topk(sf),
+        # wildcard term query (*ow -> row/slow/window), dictionary-expanded
+        "fts_wildcard_topk": lambda sf: ftsd.wildcard_topk(sf),
+        # numeric histogram facet (range facet over n_chars)
+        "fts_facet_nchars": lambda sf: ftsd.facet_nchars(sf),
         # ordered proximity ("hash value"~2, Lucene sloppy-phrase shape)
         "fts_slop_phrase": lambda sf: ftsd.slop_phrase_topk(sf),
         # field collapsing: best-doc-per-lang, composite = sum of members
@@ -402,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_term_df_top100": q_code_term_df,
         "code_corpus_stats": q_code_stats,
         "code_bm25_topk": q_code_bm25,
+        # distributed grep: RE2 match counts, per-block top-k prune
+        "code_regex_scan": q_code_regex_scan,
         "code_and_topk": lambda sf: _code_result(sf, "retry backoff", mode="and"),
         "code_phrase_topk": lambda sf: _code_result(sf, '"exponential backoff"'),
         "code_weighted_topk": lambda sf: _code_result(
@@ -605,6 +617,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_more_like_this": oracles.more_like_this_sql(doc_id=7, k=10, max_terms=5),
         "fts_not_topk": oracles.bm25_topk_sql(["merge"], k=20, exclude_term="window"),
         "fts_slop_phrase": oracles.slop_phrase_sql("hash", "value", slop=2, k=20),
+        "fts_wildcard_topk": oracles.wildcard_topk_sql("*ow", k=20),
+        "fts_facet_nchars": oracles.numeric_facet_sql(
+            ["vector", "stream"], "n_chars", (0, 100, 200, 300, 400, 500)),
         "fts_collapse_topk": oracles.collapse_topk_sql(["vector", "stream"], k=5),
         "fts_search_after": oracles.bm25_topk_sql(["vector", "stream"], k=10, offset=10),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
@@ -612,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),
         "code_corpus_stats": oracles.corpus_stats_sql(corpus=code),
         "code_bm25_topk": oracles.bm25_topk_sql(["parse", "buffer"], corpus=code, k=20),
+        "code_regex_scan": oracles.regex_scan_sql(_CODE_GLOB_001, r"[a-z]+_free\(", k=100),
         "code_and_topk": oracles.bm25_topk_sql(["retry", "backoff"], corpus=code,
                                                require_all=True, k=20),
         "code_phrase_topk": oracles.phrase_topk_sql(["exponential", "backoff"],

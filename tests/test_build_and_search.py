@@ -487,3 +487,53 @@ class TestSlopPhrase:
             cur = set(r["doc_id"].to_pylist())
             assert prev <= cur, slop
             prev = cur
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWildcardRegexNumericFacet:
+    """Wildcard expansion, distributed regex scan, numeric histogram
+    facet (oracle identity covered by the fts_wildcard_topk /
+    code_regex_scan / fts_facet_nchars entries in test_oracle_parity)."""
+
+    def test_wildcard_expansion_orders_and_caps(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        terms = eng.index.expand_wildcard("re*", max_terms=5)
+        assert 0 < len(terms) <= 5
+        assert all(t.startswith("re") for t in terms)
+        # df-desc rank: first term's df >= last term's df
+        d = eng.index.dictionary(limit=100000, min_df=1)
+        assert d[terms[0]] >= d[terms[-1]]
+
+    def test_wildcard_mid_and_leading(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        mid = eng.index.expand_wildcard("r?turn")
+        assert "return" in mid
+        lead = eng.index.expand_wildcard("*eturn")
+        assert "return" in lead
+
+    def test_wildcard_search_equals_or_of_expansion(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        terms = [t for t in eng.index.expand_wildcard("re*", max_terms=1 << 31)
+                 if eng.analyzer.match_terms(t) == [[t]]][:4]
+        a = eng.search_wildcard("re*", max_terms=4, limit=20, normalize=False)
+        b = eng.search(" ".join(terms), mode="or", limit=20, normalize=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_regex_scan_counts(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import regex_scan
+
+        rows = [{"doc_id": 0, "text": "foo_free( bar_free( x"},
+                {"doc_id": 1, "text": "nothing here"},
+                {"doc_id": 2, "text": "a_free( only"}]
+        df = regex_scan(rd.from_items(rows), r"[a-z]+_free\(", k=10)
+        assert df.doc_id.tolist() == [0, 2]
+        assert df.n_matches.tolist() == [2, 1]
+
+    def test_numeric_facets_shape(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        # lang is a string col; build a numeric facet over doc length via
+        # a stored numeric column if present, else assert the error path
+        with pytest.raises(ValueError):
+            eng.numeric_facets("return", "lang", edges=[3, 2, 1])

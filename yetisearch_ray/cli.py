@@ -153,6 +153,15 @@ def cmd_autocomplete(args):
                                "rank": range(1, len(terms) + 1)}))
 
 
+def cmd_wildcard(args):
+    """Wildcard term query (pa?se / par* / *fix) — dictionary-expanded
+    OR through the normal search path."""
+    _init_ray()
+    eng = _engine(args)
+    _print_table(eng.search_wildcard(args.pattern, limit=args.limit,
+                                     max_terms=args.max_terms))
+
+
 def cmd_more_like_this(args):
     """Docs similar to a given doc_id (top tf*idf terms -> BM25 OR,
     self excluded; see SearchEngine.more_like_this)."""
@@ -383,6 +392,14 @@ def main(argv=None):
     s.add_argument("prefix")
     s.add_argument("--limit", type=int, default=10)
     s.set_defaults(fn=cmd_autocomplete)
+
+    s = sub.add_parser("wildcard",
+                       help="wildcard term query (pa?se / par* / *fix)")
+    s.add_argument("--index", required=True)
+    s.add_argument("pattern")
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--max-terms", type=int, dest="max_terms", default=16)
+    s.set_defaults(fn=cmd_wildcard)
 
     s = sub.add_parser("more-like-this",
                        help="docs similar to a doc_id (tf*idf terms -> BM25)")

@@ -139,6 +139,26 @@ def slop_phrase_topk(sf_dir: str, t1: str = "hash", t2: str = "value",
         f'"{t1} {t2}"', slop=slop, limit=k, normalize=False))
 
 
+def wildcard_topk(sf_dir: str, pattern: str = "*ow", k: int = 20,
+                  max_terms: int = 16) -> pd.DataFrame:
+    """Wildcard query (leading-star pattern exercises the full
+    dictionary-scan path); oracle: ``oracles.wildcard_topk_sql``."""
+    return _as_result(get_engine(sf_dir).search_wildcard(
+        pattern, limit=k, max_terms=max_terms, normalize=False))
+
+
+def facet_nchars(sf_dir: str, terms=("vector", "stream"),
+                 edges=(0, 100, 200, 300, 400, 500)) -> pd.DataFrame:
+    """Numeric histogram facet on ``n_chars`` over the OR match set
+    (top-1000 candidates clamp, reference computeFacets semantics);
+    oracle: ``oracles.numeric_facet_sql``."""
+    t = get_engine(sf_dir).numeric_facets(
+        " ".join(terms), "n_chars", edges, mode="or")
+    df = t.to_pandas()
+    df["count"] = df["count"].astype("int64")
+    return df
+
+
 def weighted_topk(sf_dir: str, term: str = "src3", k: int = 20,
                   w_source: float = 5.0, w_text: float = 1.0) -> pd.DataFrame:
     return _as_result(

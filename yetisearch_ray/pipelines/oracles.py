@@ -223,6 +223,58 @@ SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
 FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
 
 
+def wildcard_topk_sql(pattern: str, *, corpus: str = DOCUMENTS_CORPUS,
+                      max_terms: int = 16, k: int = 20,
+                      round_to: int = 5, language: str = "en") -> str:
+    """Ground truth for ``SearchEngine.search_wildcard``: expand the glob
+    against the dictionary — matching terms the query compiler keeps
+    (length 2..50, not a stopword), ranked by df DESC, term ASC with df
+    = count of (field, doc) pairs (the dictionary's summed per-field
+    df, same definition ``autocomplete_sql`` asserts), capped at
+    ``max_terms`` — then score the survivors with the standard BM25-OR
+    CTEs."""
+    import re as _re
+
+    from yetisearch_ray.analysis.stopwords import stopwords_for
+
+    rx = "^" + "".join(".*" if c == "*" else "." if c == "?"
+                       else _re.escape(c) for c in pattern) + "$"
+    sw = ", ".join(f"'{w}'" for w in sorted(stopwords_for(language)))
+    return f"""{_base_ctes(corpus)},
+qterms AS (
+  SELECT term FROM (
+    SELECT term,
+           count(DISTINCT struct_pack(f := fld, d := doc_id)) AS wdf
+    FROM tokf
+    WHERE regexp_matches(term, '{rx}')
+      AND len(term) BETWEEN 2 AND 50
+      AND term NOT IN ({sw})
+    GROUP BY term
+    ORDER BY wdf DESC, term ASC LIMIT {max_terms})
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld, count(*) * 1.0 AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+)
+SELECT s.doc_id::BIGINT AS doc_id, round(abs(s.s), {round_to}) AS score
+FROM scored s ORDER BY -s.s ASC, s.doc_id ASC LIMIT {k}"""
+
+
 def slop_phrase_sql(t1: str, t2: str, *, slop: int,
                     corpus: str = DOCUMENTS_CORPUS, k: int = 20,
                     round_to: int = 5) -> str:
@@ -1742,3 +1794,73 @@ FROM tokf
 WHERE starts_with(term, '{prefix}')
 GROUP BY term
 ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
+def regex_scan_sql(parquet_glob: str, pattern: str, *, k: int = 100) -> str:
+    """Ground truth for ``textstats.regex_scan`` over the code corpus:
+    per-doc RE2 match counts (DuckDB's regexp_extract_all is RE2, the
+    same engine as Arrow's count_substring_regex), matching docs ranked
+    count DESC, doc_id ASC.  doc_id = the deterministic
+    (repo, path, commit) row order of ``read_parquet_with_doc_ids``."""
+    esc = pattern.replace("'", "''")
+    return f"""
+WITH corpus AS (
+  SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id,
+         content
+  FROM read_parquet('{parquet_glob}')
+),
+counted AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(regexp_extract_all(content, '{esc}'))::BIGINT AS n_matches
+  FROM corpus
+)
+SELECT doc_id, n_matches FROM counted WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id ASC LIMIT {k}"""
+
+
+def numeric_facet_sql(terms, field: str, edges, *,
+                      corpus: str = DOCUMENTS_CORPUS,
+                      candidates: int = 1000) -> str:
+    """Ground truth for ``SearchEngine.numeric_facets``: BM25-OR match
+    set, reference top-``candidates`` clamp (rank order score DESC,
+    doc_id ASC), then histogram counts of the raw ``documents.{field}``
+    over [lo, hi) buckets with an open-ended last bucket — empty
+    buckets kept at 0."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    es = [float(e) for e in edges]
+    inf = "'infinity'::DOUBLE"
+    rows = ", ".join(
+        f"({lo}, {inf if hi is None else hi})"
+        for lo, hi in zip(es, es[1:] + [None]))
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld, count(*) * 1.0 AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+),
+page AS (
+  SELECT doc_id FROM scored
+  QUALIFY row_number() OVER (ORDER BY -s ASC, doc_id ASC) <= {candidates}
+),
+vals AS (
+  SELECT d.{field}::DOUBLE AS v FROM page p JOIN documents d USING (doc_id)
+),
+buckets AS (SELECT * FROM (VALUES {rows}) AS b(lo, hi))
+SELECT b.lo, b.hi, count(v.v)::BIGINT AS count
+FROM buckets b LEFT JOIN vals v ON v.v >= b.lo AND v.v < b.hi
+GROUP BY b.lo, b.hi ORDER BY b.lo"""

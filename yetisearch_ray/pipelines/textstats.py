@@ -764,3 +764,35 @@ def source_token_stats(ds, *, text_col="text", id_col="doc_id",
     return out.reset_index(drop=True)[
         [group_col, "n_docs", "n_tokens", "n_subwords", "fertility",
          "distinct_terms", "type_token_ratio"]]
+
+
+def regex_scan(ds, pattern: str, *, text_col="text", id_col="doc_id",
+               k=100):
+    """Distributed grep: per-doc RE2 match counts for ``pattern``, docs
+    with >= 1 match ranked by (count DESC, id ASC), top ``k``.
+
+    One vectorized scan (``pc.count_substring_regex`` — RE2, the same
+    engine DuckDB uses, so the oracle counts are identical), per-block
+    top-k prune inside the map stage, then a final sort over the pruned
+    remainder (<= k rows per block, not the corpus).  The 100 TB shape
+    of "find the files matching this pattern": no shuffle of full rows,
+    the only exchange is the pruned (id, count) pairs.
+    """
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], pattern),
+                    pa.int64())
+        out = pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                        "n_matches": n})
+        out = out.filter(pc.greater(n, 0))
+        if out.num_rows > k:  # per-block prune: keep only possible top-k
+            idx = pc.select_k_unstable(
+                out, k, [("n_matches", "descending"), (id_col, "ascending")])
+            out = out.take(idx)
+        return out
+
+    pruned = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    pruned = pruned.sort_values(["n_matches", id_col],
+                                ascending=[False, True], kind="stable")
+    return pruned.head(k).reset_index(drop=True)

@@ -259,6 +259,43 @@ class IndexReader:
         ranked = sorted(found.items(), key=lambda kv: (-kv[1], kv[0]))
         return [term for term, _ in ranked[:max_terms]]
 
+    def expand_wildcard(self, pattern: str, max_terms: int = 128) -> list[str]:
+        """Terms matching a glob pattern (``*`` = any run, ``?`` = one
+        char), ranked df DESC, term ASC — the prefix-expansion contract
+        generalized to mid/leading wildcards.
+
+        The literal prefix before the first wildcard narrows the
+        dictionary scan to a term range (same pushdown as
+        ``expand_prefix``); a leading wildcard forces a full dictionary
+        scan — supported, but the caller should know it touches every
+        partition's dictionary columns.
+        """
+        import re as _re
+
+        i = min([j for j, c in enumerate(pattern) if c in "*?"],
+                default=len(pattern))
+        lit = pattern[:i]
+        if i == len(pattern):  # no wildcard — degenerate exact term
+            return [pattern]
+        rx = _re.compile(
+            "^" + "".join(".*" if c == "*" else "." if c == "?"
+                          else _re.escape(c) for c in pattern) + "$")
+        post_dir = os.path.join(self.index_dir, "postings")
+        if not os.path.isdir(post_dir):
+            return []
+        dataset = pads.dataset(post_dir, format="parquet")
+        flt = None
+        if lit:
+            flt = ((pads.field("term") >= lit)
+                   & (pads.field("term") < lit + "￿"))
+        t = dataset.to_table(columns=["term", "df"], filter=flt)
+        found: dict[str, int] = {}
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            if rx.match(term):
+                found[term] = found.get(term, 0) + df
+        ranked = sorted(found.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [term for term, _ in ranked[:max_terms]]
+
     def dictionary(self, limit: int = 20000, min_df: int = 2) -> dict[str, int]:
         """Top-``limit`` terms by summed df — the fuzzy candidate source
         (reference ``max_indexed_terms``/``min_term_frequency``).
@@ -1543,6 +1580,42 @@ class SearchEngine:
                                               preserve_index=False)
         return out
 
+    def numeric_facets(self, query: str, field: str, edges, *,
+                       candidates: int = 1000,
+                       **search_kwargs) -> pa.Table:
+        """Histogram facet over a numeric metadata column of the match
+    set — the range-facet counterpart of :meth:`facets` (same
+        top-``candidates`` clamp as the reference's computeFacets; the
+        distance-facet shape from ``facets_distance``, generalized to
+        any numeric column).  ``edges`` are ascending bucket boundaries;
+        row i counts matches with ``edges[i] <= v < edges[i+1]``
+        (v = the column value), plus the standard open-ended last
+        bucket ``v >= edges[-1]``.  Empty buckets are kept (count 0) so
+        the histogram shape is stable across queries."""
+        r = self.search(query, limit=candidates, normalize=False,
+                        **search_kwargs)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        edges = np.asarray(list(edges), dtype=np.float64)
+        if edges.size < 1 or np.any(np.diff(edges) <= 0):
+            raise ValueError("edges must be ascending and non-empty")
+        try:
+            vals = self.index.meta_for(field, ids)
+        except KeyError:
+            docs = self.index.docs(ids, columns=[self.index.id_column, field])
+            vals = docs[field].to_numpy(zero_copy_only=False)
+        v = np.asarray(vals, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        # bucket i = [edges[i], edges[i+1]); values below edges[0] drop
+        idx = np.searchsorted(edges, v, side="right") - 1
+        counts = np.bincount(idx[idx >= 0], minlength=edges.size)
+        los = edges
+        his = np.append(edges[1:], np.inf)
+        return pa.table({
+            "lo": pa.array(los, pa.float64()),
+            "hi": pa.array(his, pa.float64()),
+            "count": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
     def distance_facets(self, query: str, center: dict, thresholds,
                         *, candidates: int = 1000, **kwargs) -> pa.Table:
         """Distance-bucket facets (reference :1193-1258): count matches per
@@ -1674,6 +1747,29 @@ class SearchEngine:
         keep = pc.not_equal(res["doc_id"],
                             pa.scalar(int(doc_id), pa.uint64()))
         return res.filter(keep).slice(0, limit)
+
+    def search_wildcard(self, pattern: str, *, limit: int = 20,
+                        max_terms: int = 16, **kwargs) -> pa.Table:
+        """Wildcard term query (``pa?se``, ``par*``, ``*fix`` — the
+        Elasticsearch wildcard-query shape; the reference exposes only
+        trailing-prefix ``term*``).  The pattern is expanded against the
+        index dictionary (df DESC, term ASC, capped at ``max_terms`` so
+        a hot pattern can't explode into thousands of OR arms), terms
+        the query compiler would drop (stopwords / length window) are
+        removed since they could never score, and the survivors run as
+        one OR query through the normal search path.
+        """
+        # expand unbounded (the dictionary scan reads all matching rows
+        # regardless), drop compiler-dropped terms, THEN cap — so the cap
+        # always buys max_terms scorable arms and the selection is
+        # exactly "top max_terms surviving terms by (df DESC, term ASC)"
+        # (the SQL oracle replicates this order verbatim)
+        terms = [t for t in self.index.expand_wildcard(pattern,
+                                                       max_terms=1 << 31)
+                 if self.analyzer.match_terms(t) == [[t]]][:max_terms]
+        if not terms:
+            return self._empty_result(kwargs.get("with_docs", False))
+        return self.search(" ".join(terms), mode="or", limit=limit, **kwargs)
 
     def search_after(self, query: str, *, after_score: float,
                      after_doc_id: int, limit: int = 10,
