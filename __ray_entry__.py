@@ -377,6 +377,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_term_topk": lambda sf: ftsd.term_topk(sf),
         "fts_and_topk": lambda sf: ftsd.and_topk(sf),
         "fts_or_topk": lambda sf: ftsd.or_topk(sf),
+        # ES minimum_should_match: >=2 of 3 OR terms must match
+        "fts_min_match_topk": lambda sf: ftsd.min_match_topk(sf),
+        # Lucene term^N query-time boost on an OR query
+        "fts_boost_topk": lambda sf: ftsd.boost_topk(sf),
+        # ES dis_max: best arm + 0.3 * the rest
+        "fts_dismax_topk": lambda sf: ftsd.dismax_topk(sf),
+        # static-rank doc boost: score += 0.5*ln(1+n_chars)
+        "fts_rank_boost_topk": lambda sf: ftsd.rank_boost_topk(sf),
         "fts_phrase_topk": lambda sf: ftsd.phrase_topk(sf),
         "fts_weighted_topk": lambda sf: ftsd.weighted_topk(sf),
         "fts_filtered_topk": lambda sf: ftsd.filtered_topk(sf),
@@ -414,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_bm25_topk": q_code_bm25,
         # distributed grep: RE2 match counts, per-block top-k prune
         "code_regex_scan": q_code_regex_scan,
+        # field-restricted match (ES field:term shape) on the content field
+        "code_infield_topk": lambda sf: _code_result(
+            sf, "file", mode="or", in_fields=["content"]),
         "code_and_topk": lambda sf: _code_result(sf, "retry backoff", mode="and"),
         "code_phrase_topk": lambda sf: _code_result(sf, '"exponential backoff"'),
         "code_weighted_topk": lambda sf: _code_result(
@@ -598,6 +609,15 @@ def oracle_sql() -> dict[str, str]:
             ("merge", "vector", "window"), k=5),
         "fts_and_topk": oracles.bm25_topk_sql(["hash", "merge"], require_all=True, k=20),
         "fts_or_topk": oracles.bm25_topk_sql(["vector", "stream"], k=20),
+        "fts_min_match_topk": oracles.bm25_topk_sql(
+            ["vector", "stream", "merge"], min_match=2, k=20),
+        "fts_boost_topk": oracles.bm25_topk_sql(
+            ["vector", "stream"], boosts={"vector": 2.0}, k=20),
+        "fts_dismax_topk": oracles.bm25_topk_sql(
+            ["vector", "stream"], dismax=True, tie_breaker=0.3, k=20),
+        "fts_rank_boost_topk": oracles.bm25_topk_sql(
+            ["vector", "stream"],
+            rank_boost=("documents", "n_chars", 0.5, "add"), k=20),
         "fts_phrase_topk": oracles.phrase_topk_sql(["hash", "value"], k=20),
         "fts_weighted_topk": oracles.bm25_topk_sql(["src3"], w0=5.0, w1=1.0, k=20),
         "fts_filtered_topk": oracles.bm25_topk_sql(["window"], lang="es", k=20),
@@ -628,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "code_corpus_stats": oracles.corpus_stats_sql(corpus=code),
         "code_bm25_topk": oracles.bm25_topk_sql(["parse", "buffer"], corpus=code, k=20),
         "code_regex_scan": oracles.regex_scan_sql(_CODE_GLOB_001, r"[a-z]+_free\(", k=100),
+        "code_infield_topk": oracles.infield_topk_sql(["file"], fld=1, corpus=code, k=20),
         "code_and_topk": oracles.bm25_topk_sql(["retry", "backoff"], corpus=code,
                                                require_all=True, k=20),
         "code_phrase_topk": oracles.phrase_topk_sql(["exponential", "backoff"],

@@ -537,3 +537,246 @@ class TestWildcardRegexNumericFacet:
         # a stored numeric column if present, else assert the error path
         with pytest.raises(ValueError):
             eng.numeric_facets("return", "lang", edges=[3, 2, 1])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInFields:
+    """Field-restricted search (in_fields) — match/tf/df restricted to
+    the selected fields, dl/N whole-corpus (oracle identity covered by
+    code_infield_topk in test_oracle_parity)."""
+
+    def test_restriction_prunes_docs(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        full = eng.search("file", mode="or", limit=1000, normalize=False)
+        path_only = eng.search("file", mode="or", in_fields=["path"],
+                               limit=1000, normalize=False)
+        content_only = eng.search("file", mode="or", in_fields=["content"],
+                                  limit=1000, normalize=False)
+        sp = set(path_only["doc_id"].to_pylist())
+        sc = set(content_only["doc_id"].to_pylist())
+        sf = set(full["doc_id"].to_pylist())
+        assert sp | sc == sf
+        assert sc < sf  # "file" is in every path, only some contents
+
+    def test_both_fields_equals_unrestricted(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        a = eng.search("parse buffer", mode="and", limit=50, normalize=False)
+        b = eng.search("parse buffer", mode="and",
+                       in_fields=["path", "content"], limit=50,
+                       normalize=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    def test_unknown_field_raises(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(KeyError):
+            eng.search("parse", in_fields=["nope"])
+
+    def test_smart_near_rejected(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(ValueError):
+            eng.search("parse buffer limit", mode="smart",
+                       in_fields=["content"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinShouldMatch:
+    """ES minimum_should_match on OR queries — match-set prune only,
+    scores identical to plain OR (oracle identity covered by
+    fts_min_match_topk in test_oracle_parity)."""
+
+    Q = "parse buffer limit"
+
+    def _pairs(self, t):
+        return dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+    def test_m1_equals_plain_or(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        a = eng.search(self.Q, mode="or", limit=1000, normalize=False)
+        b = eng.search(self.Q, mode="or", min_should_match=1,
+                       limit=1000, normalize=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+    def test_m_all_equals_and_match_set(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        want = eng.search(self.Q, mode="and", limit=1000, normalize=False)
+        got = eng.search(self.Q, mode="or", min_should_match=3,
+                         limit=1000, normalize=False)
+        # same docs AND same scores: and-mode scores the same arm sum
+        assert self._pairs(got) == self._pairs(want)
+
+    def test_m2_is_between_and_scores_match_or(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        or1 = self._pairs(eng.search(self.Q, mode="or", limit=1000,
+                                     normalize=False))
+        and3 = set(self._pairs(eng.search(self.Q, mode="and", limit=1000,
+                                          normalize=False)))
+        m2 = self._pairs(eng.search(self.Q, mode="or", min_should_match=2,
+                                    limit=1000, normalize=False))
+        assert and3 <= set(m2) <= set(or1)
+        assert set(m2) < set(or1)  # some docs match only one term
+        for d, s in m2.items():
+            assert s == or1[d]  # prune-only: OR scores untouched
+
+    def test_m_above_arity_empty(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        t = eng.search(self.Q, mode="or", min_should_match=4, limit=10,
+                       normalize=False)
+        assert t.num_rows == 0
+
+    def test_rejected_outside_or(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(ValueError):
+            eng.search(self.Q, mode="and", min_should_match=2)
+        with pytest.raises(ValueError):
+            eng.search(self.Q, mode="or", min_should_match=2, fuzzy=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTermBoosts:
+    """Query-time term boosts (Lucene `term^N`) — the boosted arm's BM25
+    contribution is multiplied, all else unchanged (oracle identity
+    covered by fts_boost_topk in test_oracle_parity)."""
+
+    def _pairs(self, t):
+        return dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+    def test_boost_is_linear_in_the_arm(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        a = self._pairs(eng.search("parse", mode="or", limit=1000,
+                                   normalize=False))
+        b = self._pairs(eng.search("buffer", mode="or", limit=1000,
+                                   normalize=False))
+        got = self._pairs(eng.search("parse^3 buffer", mode="or",
+                                     limit=1000, normalize=False))
+        assert set(got) == set(a) | set(b)
+        for d, s in got.items():
+            want = 3.0 * a.get(d, 0.0) + b.get(d, 0.0)
+            assert abs(s - want) < 1e-9, (d, s, want)
+
+    def test_boost_1_is_identity_and_syntax_matches_param(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        plain = eng.search("parse buffer", mode="or", limit=50,
+                           normalize=False)
+        b1 = eng.search("parse^1 buffer", mode="or", limit=50,
+                        normalize=False)
+        assert plain["doc_id"].to_pylist() == b1["doc_id"].to_pylist()
+        assert plain["score"].to_pylist() == b1["score"].to_pylist()
+        syn = eng.search("parse^2.5 buffer", mode="or", limit=50,
+                         normalize=False)
+        par = eng.search("parse buffer", mode="or", limit=50,
+                         normalize=False, term_boosts={"parse": 2.5})
+        assert syn["doc_id"].to_pylist() == par["doc_id"].to_pylist()
+        assert syn["score"].to_pylist() == par["score"].to_pylist()
+
+    def test_rejected_modes_and_values(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(ValueError):
+            eng.search("parse buffer", mode="smart",
+                       term_boosts={"parse": 2.0})
+        with pytest.raises(ValueError):
+            eng.search("parse", mode="or", term_boosts={"parse": 0.0})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDisMax:
+    """ES dis_max: score = best arm + tie_breaker * sum of the rest
+    (oracle identity covered by fts_dismax_topk in test_oracle_parity)."""
+
+    def _pairs(self, t):
+        return dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+    def test_tb1_equals_plain_or_and_tb0_is_best_arm(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        a = self._pairs(eng.search("parse", mode="or", limit=1000,
+                                   normalize=False))
+        b = self._pairs(eng.search("buffer", mode="or", limit=1000,
+                                   normalize=False))
+        plain = self._pairs(eng.search("parse buffer", mode="or",
+                                       limit=1000, normalize=False))
+        tb1 = self._pairs(eng.search("parse buffer", mode="or", dismax=True,
+                                     tie_breaker=1.0, limit=1000,
+                                     normalize=False))
+        assert plain == tb1
+        tb0 = self._pairs(eng.search("parse buffer", mode="or", dismax=True,
+                                     tie_breaker=0.0, limit=1000,
+                                     normalize=False))
+        for d, s in tb0.items():
+            assert abs(s - max(a.get(d, 0.0), b.get(d, 0.0))) < 1e-9
+
+    def test_tb_mid_formula(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        a = self._pairs(eng.search("parse", mode="or", limit=1000,
+                                   normalize=False))
+        b = self._pairs(eng.search("buffer", mode="or", limit=1000,
+                                   normalize=False))
+        got = self._pairs(eng.search("parse buffer", mode="or", dismax=True,
+                                     tie_breaker=0.3, limit=1000,
+                                     normalize=False))
+        for d, s in got.items():
+            ca, cb = a.get(d, 0.0), b.get(d, 0.0)
+            want = max(ca, cb) + 0.3 * min(ca, cb)
+            assert abs(s - want) < 1e-9, (d, s, want)
+
+    def test_rejected_modes_and_tb_range(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(ValueError):
+            eng.search("parse buffer", mode="and", dismax=True)
+        with pytest.raises(ValueError):
+            eng.search("parse buffer", mode="or", dismax=True,
+                       tie_breaker=1.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRankBoost:
+    """Static-rank doc boost: score blended with ln(1+column) (ES
+    function_score field_value_factor(log1p); oracle identity covered
+    by fts_rank_boost_topk in test_oracle_parity)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.fixture()
+    def doc_engine(self):
+        from yetisearch_ray.pipelines.fts_documents import get_engine
+
+        return get_engine(self.SF)
+
+    def _pairs(self, t):
+        return dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+    def test_add_mode_formula(self, doc_engine):
+        import pandas as pd
+
+        nchars = pd.read_parquet(
+            f"{self.SF}/documents.parquet",
+            columns=["doc_id", "n_chars"]).set_index("doc_id")["n_chars"]
+        plain = self._pairs(doc_engine.search("vector stream", mode="or",
+                                              limit=1000, normalize=False))
+        boosted = self._pairs(doc_engine.search(
+            "vector stream", mode="or", rank_column="n_chars",
+            rank_weight=0.5, limit=1000, normalize=False))
+        assert set(plain) == set(boosted)
+        import math
+        for d, s in boosted.items():
+            want = plain[d] + 0.5 * math.log1p(max(int(nchars[d]), 0))
+            assert abs(s - want) < 1e-9, (d, s, want)
+
+    def test_multiply_mode_and_errors(self, doc_engine):
+        import math
+
+        import pandas as pd
+
+        nchars = pd.read_parquet(
+            f"{self.SF}/documents.parquet",
+            columns=["doc_id", "n_chars"]).set_index("doc_id")["n_chars"]
+        plain = self._pairs(doc_engine.search("vector", mode="or",
+                                              limit=1000, normalize=False))
+        mult = self._pairs(doc_engine.search(
+            "vector", mode="or", rank_column="n_chars", rank_weight=0.1,
+            rank_mode="multiply", limit=1000, normalize=False))
+        for d, s in mult.items():
+            want = plain[d] * (1 + 0.1 * math.log1p(max(int(nchars[d]), 0)))
+            assert abs(s - want) < 1e-9
+        with pytest.raises(ValueError):
+            doc_engine.search("vector", mode="or", rank_column="n_chars",
+                              rank_weight=0.5, rank_mode="bogus")

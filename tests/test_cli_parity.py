@@ -64,6 +64,20 @@ class TestCliCommands:
         assert plan["mode"] == "smart"
         assert any(a["kind"] == "term" and a["df"] > 0 for a in plan["arms"])
 
+    def test_search_fields_and_min_match_flags(self, built_index, capsys):
+        from yetisearch_ray.cli import main
+
+        main(["search", "--index", built_index, "file",
+              "--fields", "content", "--limit", "5"])
+        restricted = capsys.readouterr().out
+        assert "doc_id" in restricted
+        main(["search", "--index", built_index, "parse buffer limit",
+              "--min-match", "2", "--limit", "5"])
+        assert "doc_id" in capsys.readouterr().out
+        main(["search", "--index", built_index, "parse buffer",
+              "--dismax", "0.3", "--limit", "5"])
+        assert "doc_id" in capsys.readouterr().out
+
     def test_autocomplete_cli_ranks_by_df(self, built_index, capsys):
         from yetisearch_ray.cli import main
 

@@ -60,7 +60,9 @@ def _compare(name, got: pd.DataFrame, want: pd.DataFrame):
             gv = g[c].astype(float).to_numpy()
             wv = w[c].astype(float).to_numpy()
             assert all(
-                (math.isnan(a) and math.isnan(b)) or abs(a - b) <= 1e-4
+                a == b  # exact (covers +-inf, where inf-inf is nan)
+                or (math.isnan(a) and math.isnan(b))
+                or abs(a - b) <= 1e-4
                 for a, b in zip(gv, wv)
             ), (name, c)
         else:

@@ -81,6 +81,19 @@ def cmd_search(args):
         kw["exclude_terms"] = [t for t in args.exclude.split(",") if t]
     if getattr(args, "slop", 0):
         kw["slop"] = args.slop
+    if getattr(args, "fields", None):
+        kw["in_fields"] = [f for f in args.fields.split(",") if f]
+    if getattr(args, "min_match", 1) and args.min_match > 1:
+        kw["min_should_match"] = args.min_match
+        if args.mode == "smart":  # convenience: msm implies OR mode
+            args.mode = "or"
+    if getattr(args, "dismax", None) is not None:
+        kw.update(dismax=True, tie_breaker=args.dismax)
+        if args.mode == "smart":  # convenience: dis_max implies OR mode
+            args.mode = "or"
+    if getattr(args, "rank_column", None):
+        kw.update(rank_column=args.rank_column,
+                  rank_weight=args.rank_weight, rank_mode=args.rank_mode)
     if getattr(args, "collapse", None):
         kw.update(unique_by_route=True, route_column=args.collapse,
                   normalize=False)
@@ -329,6 +342,22 @@ def main(argv=None):
                            help="keyset cursor: rows after this (score, doc_id)")
             s.add_argument("--slop", type=int, default=0,
                            help="ordered-proximity window for phrase queries")
+            s.add_argument("--fields", default=None, metavar="F1,F2",
+                           help="restrict match/tf/df to these index fields")
+            s.add_argument("--min-match", dest="min_match", type=int,
+                           default=1, metavar="N",
+                           help="OR mode: require at least N terms to match")
+            s.add_argument("--dismax", type=float, default=None,
+                           metavar="TIE",
+                           help="score OR arms as dis_max with this "
+                                "tie_breaker (0..1)")
+            s.add_argument("--rank-column", dest="rank_column", default=None,
+                           help="stored numeric column blended into the "
+                                "score as ln(1+value)")
+            s.add_argument("--rank-weight", dest="rank_weight", type=float,
+                           default=0.5)
+            s.add_argument("--rank-mode", dest="rank_mode",
+                           choices=["add", "multiply"], default="add")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("batch-search",

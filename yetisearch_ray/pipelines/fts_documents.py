@@ -82,6 +82,47 @@ def or_topk(sf_dir: str, terms=("vector", "stream"), k: int = 20) -> pd.DataFram
     )
 
 
+def min_match_topk(sf_dir: str, terms=("vector", "stream", "merge"),
+                   m: int = 2, k: int = 20) -> pd.DataFrame:
+    """OR query keeping only docs that match at least ``m`` of the terms
+    (ES minimum_should_match; engine ``min_should_match``).  Scoring is
+    plain OR BM25.  Oracle: ``oracles.bm25_topk_sql(..., min_match=m)``."""
+    return _as_result(get_engine(sf_dir).search(
+        " ".join(terms), mode="or", min_should_match=m, limit=k,
+        normalize=False))
+
+
+def boost_topk(sf_dir: str, query: str = "vector^2 stream",
+               k: int = 20) -> pd.DataFrame:
+    """OR query with Lucene ``term^N`` query-time boosts (engine
+    ``Phrase.boost``: the boosted arm's BM25 contribution is multiplied,
+    everything else unchanged).  Oracle:
+    ``oracles.bm25_topk_sql(..., boosts=...)``."""
+    return _as_result(get_engine(sf_dir).search(
+        query, mode="or", limit=k, normalize=False))
+
+
+def dismax_topk(sf_dir: str, terms=("vector", "stream"), tie: float = 0.3,
+                k: int = 20) -> pd.DataFrame:
+    """OR query scored as ES dis_max: best arm + ``tie`` * the rest
+    (engine ``dismax``/``tie_breaker``).  Oracle:
+    ``oracles.bm25_topk_sql(..., dismax=True, tie_breaker=tie)``."""
+    return _as_result(get_engine(sf_dir).search(
+        " ".join(terms), mode="or", dismax=True, tie_breaker=tie,
+        limit=k, normalize=False))
+
+
+def rank_boost_topk(sf_dir: str, terms=("vector", "stream"),
+                    w: float = 0.5, k: int = 20) -> pd.DataFrame:
+    """OR query blended with a static-rank doc boost on the stored
+    ``n_chars`` column: score += w * ln(1 + n_chars)  (ES function_score
+    field_value_factor(log1p); engine ``rank_column``).  Oracle:
+    ``oracles.bm25_topk_sql(..., rank_boost=("documents","n_chars",w,"add"))``."""
+    return _as_result(get_engine(sf_dir).search(
+        " ".join(terms), mode="or", rank_column="n_chars", rank_weight=w,
+        limit=k, normalize=False))
+
+
 def phrase_topk(sf_dir: str, phrase: str = "hash value", k: int = 20) -> pd.DataFrame:
     return _as_result(get_engine(sf_dir).search(f'"{phrase}"', limit=k, normalize=False))
 

@@ -53,9 +53,40 @@ def bm25_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
                   w1: float = 1.0, require_all: bool = False,
                   lang: str | None = None, k: int = 20,
                   round_to: int = 5, exclude_term: str | None = None,
-                  offset: int = 0) -> str:
+                  offset: int = 0, min_match: int = 1,
+                  boosts: dict | None = None, dismax: bool = False,
+                  tie_breaker: float = 0.0,
+                  rank_boost: tuple | None = None) -> str:
     terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    if boosts:
+        # query-time term boosts (engine Phrase.boost): multiply that
+        # term's BM25 contribution only
+        cases = " ".join(f"WHEN '{t}' THEN {float(w)}"
+                         for t, w in sorted(boosts.items()))
+        bmul = f"(CASE tf.term {cases} ELSE 1.0 END) * "
+    else:
+        bmul = ""
+    # dis_max (engine CompiledQuery.dismax): best arm + tie_breaker *
+    # the rest, instead of the plain BM25 sum
+    score_agg = (f"max(c) + {float(tie_breaker)} * (sum(c) - max(c))"
+                 if dismax else "sum(c)")
+    # static-rank doc boost (engine search(rank_column=...)):
+    # rank_boost = (table, column, weight, "add"|"multiply")
+    if rank_boost:
+        rb_tbl, rb_col, rb_w, rb_mode = rank_boost
+        fvf = f"{float(rb_w)} * ln(1 + greatest(rb.{rb_col}, 0))"
+        sexpr = (f"(s.s * (1 + {fvf}))" if rb_mode == "multiply"
+                 else f"(s.s + {fvf})")
+        rb_join = f"JOIN {rb_tbl} rb ON rb.doc_id = s.doc_id"
+    else:
+        sexpr, rb_join = "s.s", ""
     where = f"WHERE s.nterms = {len(terms)}" if require_all else ""
+    if min_match > 1:
+        # ES minimum_should_match: docs matching >= N of the OR terms;
+        # scoring identical to plain OR (engine.py CompiledQuery
+        # .min_should_match — match-set prune only)
+        pred = f"s.nterms >= {min_match}"
+        where = f"{where} AND {pred}" if where else f"WHERE {pred}"
     if exclude_term:
         # boolean NOT: drop docs containing the excluded term in ANY
         # field; scoring (df/idf) is unaffected, matching the engine
@@ -81,18 +112,20 @@ tf AS (
     GROUP BY doc_id, term, fld
   ) GROUP BY doc_id, term
 ),
-scored AS (
+contrib AS (
   SELECT tf.doc_id,
-         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+         {bmul}greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
               * (tf.tfw * ({K1} + 1)) /
-                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s,
-         count(*) AS nterms
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
-  GROUP BY tf.doc_id, stats.n, stats.avgdl
+),
+scored AS (
+  SELECT doc_id, {score_agg} AS s, count(*) AS nterms
+  FROM contrib GROUP BY doc_id
 )
-SELECT s.doc_id::BIGINT AS doc_id, round(abs(s.s), {round_to}) AS score
-FROM scored s {lang_join} {where}
-ORDER BY -s.s ASC, s.doc_id ASC LIMIT {k}{off}"""
+SELECT s.doc_id::BIGINT AS doc_id, round(abs({sexpr}), {round_to}) AS score
+FROM scored s {rb_join} {lang_join} {where}
+ORDER BY -{sexpr} ASC, s.doc_id ASC LIMIT {k}{off}"""
 
 
 def collapse_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
@@ -1864,3 +1897,32 @@ buckets AS (SELECT * FROM (VALUES {rows}) AS b(lo, hi))
 SELECT b.lo, b.hi, count(v.v)::BIGINT AS count
 FROM buckets b LEFT JOIN vals v ON v.v >= b.lo AND v.v < b.hi
 GROUP BY b.lo, b.hi ORDER BY b.lo"""
+
+
+def infield_topk_sql(terms, fld: int, *, corpus: str = DOCUMENTS_CORPUS,
+                     k: int = 20, round_to: int = 5) -> str:
+    """Ground truth for field-restricted search (``in_fields``): match
+    set, tf and df come from field ``fld`` only; N, avgdl and dl stay
+    whole-corpus (the engine's pinned FTS5 unweighted-dl behavior)."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE fld = {fld} AND term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) * 1.0 AS tfw
+  FROM tokf WHERE fld = {fld} AND term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+)
+SELECT s.doc_id::BIGINT AS doc_id, round(abs(s.s), {round_to}) AS score
+FROM scored s ORDER BY -s.s ASC, s.doc_id ASC LIMIT {k}"""

@@ -41,6 +41,9 @@ from ..index.postings import decode_postings, merge_postings
 
 MAX_RESULTS = 1000  # reference clamp (src/Search/SearchEngine.php:661)
 
+# Lucene `term^2.5` query-time boost suffix (extension; see search())
+_BOOST_RE = re.compile(r"(\S+)\^(\d+(?:\.\d+)?)")
+
 
 @dataclass
 class Posting:
@@ -365,6 +368,9 @@ class Phrase:
     # span qn-q1 <= (n-1)+slop; tf = number of anchor positions q1
     # admitting such a chain.  0 = exact adjacency (FTS5 semantics).
     slop: int = 0
+    # query-time boost (Lucene `term^2` shape, an extension — FTS5 has
+    # no per-phrase boosts): multiplies this arm's BM25 contribution.
+    boost: float = 1.0
 
 
 @dataclass
@@ -377,6 +383,21 @@ class CompiledQuery:
     """
 
     mode: str
+    # field-restricted match (ES `field:term` shape, an extension — the
+    # reference never emits FTS5 column filters): when set, match set,
+    # tf AND df all come from these field ids only; N, avgdl and dl stay
+    # whole-corpus (the pinned FTS5 unweighted-dl behavior).  The SQL
+    # oracle mirrors this split verbatim.
+    fields: frozenset | None = None
+    # ES minimum_should_match (an extension — FTS5 OR is fixed at "any"):
+    # in "or" mode, keep only docs matching at least this many of the OR
+    # arms; scoring is unchanged (BM25 sum over the arms that match).
+    # 1 = plain OR; len(arms) = the AND match set with OR scoring.
+    min_should_match: int = 1
+    # ES dis_max (an extension): score = best arm + tie_breaker * (sum
+    # of the other arms).  tie_breaker=1 degenerates to the plain sum.
+    dismax: bool = False
+    tie_breaker: float = 0.0
     phrases: list = dc_field(default_factory=list)  # scoring phrases
     required: list = dc_field(default_factory=list)  # phrases that must ALL match ("and"/"phrase")
     any_of: list = dc_field(default_factory=list)  # components; ANY matches ("or"/"smart")
@@ -827,6 +848,11 @@ class SearchEngine:
             avgdl = self.index.avgdl
             dfs = None
         phrase_posts = [self._phrase_postings(p) for p in cq.phrases]
+        if cq.fields is not None:
+            # field-restricted match: drop non-selected fields BEFORE the
+            # match set / tf / df are formed — restricted-corpus semantics
+            phrase_posts = [{fid: p for fid, p in pp.items()
+                             if fid in cq.fields} for pp in phrase_posts]
 
         # match set
         def docs_any(posts) -> np.ndarray:
@@ -856,11 +882,18 @@ class SearchEngine:
                     match = match[np.isin(match, s)]
         else:
             allsets = [docs_any(pp) for pp in phrase_posts]
-            match = (
-                np.unique(np.concatenate([s for s in allsets if s.size]))
-                if any(s.size for s in allsets)
-                else np.empty(0, np.uint64)
-            )
+            nonempty = [s for s in allsets if s.size]
+            if not nonempty:
+                match = np.empty(0, np.uint64)
+            elif cq.min_should_match > 1:
+                # minimum_should_match: each arm contributes its doc set
+                # once (docs_any is unique per arm), so the concat count
+                # is the number of matching arms per doc
+                ids, cnt = np.unique(np.concatenate(nonempty),
+                                     return_counts=True)
+                match = ids[cnt >= cq.min_should_match]
+            else:
+                match = np.unique(np.concatenate(nonempty))
             # The smart expression's NEAR(t1..tn, 10) arm adds nothing to
             # the MATCH SET (every NEAR match contains all terms, which the
             # OR-of-terms arms already cover) but it DOES contribute score:
@@ -870,6 +903,9 @@ class SearchEngine:
         if match.size and cq.exclude:
             for ph in cq.exclude:
                 posts = self._phrase_postings(ph)
+                if cq.fields is not None:
+                    posts = {fid: p for fid, p in posts.items()
+                             if fid in cq.fields}
                 bad = docs_any(posts)
                 if bad.size:
                     match = match[~np.isin(match, bad)]
@@ -878,16 +914,19 @@ class SearchEngine:
 
         dl = self.index.dl_total_for(match).astype(np.float64)
         score = np.zeros(match.size, dtype=np.float64)
+        # dis_max (ES disjunction-max, an extension): combine arm
+        # contributions as max + tie_breaker*(sum - max) instead of sum
+        dmax = np.zeros(match.size, dtype=np.float64) if cq.dismax else None
 
-        def add_phrase(posts, key=None):
+        def phrase_contrib(posts, key=None, boost=1.0):
             # df = rows containing the phrase in ANY column (FTS5 idf)
             arrs = [p.doc_ids for p in posts.values()]
             if not arrs:
-                return
+                return None
             if dfs is not None and key is not None:
                 df = int(dfs.get(key, 0))
                 if df == 0:
-                    return
+                    return None
             else:
                 union = np.unique(np.concatenate(arrs))
                 df = int(union.size)
@@ -899,8 +938,16 @@ class SearchEngine:
                 present = p.doc_ids[idx] == match
                 tfw += np.where(present, p.tfs[idx].astype(np.float64), 0.0) * weights[fid]
             denom = tfw + K1 * (1.0 - B + B * dl / avgdl)
-            score_contrib = term_idf * (tfw * (K1 + 1.0)) / denom
-            np.add(score, np.where(tfw > 0, score_contrib, 0.0), out=score)
+            score_contrib = boost * term_idf * (tfw * (K1 + 1.0)) / denom
+            return np.where(tfw > 0, score_contrib, 0.0)
+
+        def add_phrase(posts, key=None, boost=1.0):
+            c = phrase_contrib(posts, key=key, boost=boost)
+            if c is None:
+                return
+            np.add(score, c, out=score)  # running sum (plain BM25 path)
+            if dmax is not None:
+                np.maximum(dmax, c, out=dmax)
 
         # near mode: phrases are bookkeeping only — EXCEPT when the NEAR
         # group degenerates to a single member, where FTS5 scores
@@ -909,7 +956,10 @@ class SearchEngine:
         # leave every match at score 0)
         if cq.mode != "near" or len(cq.near_terms or []) <= 1:
             for ph, posts in zip(cq.phrases, phrase_posts):
-                add_phrase(posts, key=self._arm_key(ph))
+                add_phrase(posts, key=self._arm_key(ph), boost=ph.boost)
+        if dmax is not None:
+            # score currently holds the arm SUM; fold into dis_max form
+            score = dmax + cq.tie_breaker * (score - dmax)
         # NEAR-arm contribution (smart mode only): FTS5's bm25() scores
         # every phrase in the expression, so the member terms of
         # NEAR(t1..tn, 10) count AGAIN, with tf restricted to instances
@@ -1030,6 +1080,14 @@ class SearchEngine:
         enable_suggestions: bool = False,
         near_distance: int = 10,
         slop: int = 0,
+        in_fields=None,
+        min_should_match: int = 1,
+        term_boosts: dict | None = None,
+        dismax: bool = False,
+        tie_breaker: float = 0.0,
+        rank_column: str | None = None,
+        rank_weight: float = 0.0,
+        rank_mode: str = "add",
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -1045,7 +1103,11 @@ class SearchEngine:
                          tuple(result_fields or ()),
                          repr(sort), repr(geo_filters), distance_weight,
                          merge_tokens, enable_suggestions, near_distance,
-                         slop, self.index.mutation_version)
+                         slop, tuple(in_fields or ()), min_should_match,
+                         tuple(sorted((term_boosts or {}).items())),
+                         dismax, tie_breaker,
+                         rank_column, rank_weight, rank_mode,
+                         self.index.mutation_version)
             hit = self._result_cache.get(cache_key)
             if hit is not None:
                 import time as _time
@@ -1071,6 +1133,20 @@ class SearchEngine:
                     return pt
         weights = self._field_weight_vector(field_weights or self.default_weights)
         orig_terms: list[str] = []
+        # Lucene `term^2.5` boost syntax: strip the suffix before the
+        # analyzer sees it (it would otherwise split "2.5" into tokens)
+        # and fold into term_boosts keyed by the ANALYZED term.
+        if "^" in query:
+            boosts = dict(term_boosts or {})
+
+            def _take(mo):
+                g = self.analyzer.match_terms(mo.group(1))
+                for t in (t for grp in g for t in grp):
+                    boosts[t] = float(mo.group(2))
+                return mo.group(1)
+
+            query = _BOOST_RE.sub(_take, query)
+            term_boosts = boosts
         if merge_tokens and not fuzzy:
             query = self._merge_adjacent_tokens(query)
         if fuzzy:
@@ -1085,6 +1161,44 @@ class SearchEngine:
             for ph in cq.phrases:
                 if len(ph.terms) > 1 and not ph.prefix:
                     ph.slop = int(slop)
+        if in_fields:
+            if mode == "smart" and cq.near_terms:
+                raise ValueError(
+                    "in_fields requires mode in {'and','or','phrase'} — "
+                    "the smart-mode NEAR arm is not field-restrictable")
+            names = [f[0] for f in self.index.fields]
+            unknown = [f for f in in_fields if f not in names]
+            if unknown:
+                raise KeyError(f"unknown index fields: {unknown}")
+            cq.fields = frozenset(names.index(f) for f in in_fields)
+        if int(min_should_match) > 1:
+            if mode != "or" or fuzzy:
+                raise ValueError(
+                    "min_should_match requires mode='or' without fuzzy — "
+                    "other modes fix their own match-set semantics")
+            cq.min_should_match = int(min_should_match)
+        if term_boosts:
+            # query-time term boosts (Lucene `term^2`): multiply the
+            # matching single-term arm's BM25 contribution.  or/and only:
+            # smart mode's NEAR arm re-scores member terms through a
+            # separate window-filtered kernel that must stay FTS5-pinned.
+            if mode not in ("or", "and") or fuzzy:
+                raise ValueError(
+                    "term_boosts requires mode in {'or','and'} without fuzzy")
+            if any(b <= 0 for b in term_boosts.values()):
+                raise ValueError("term boosts must be > 0")
+            for ph in cq.phrases:
+                if len(ph.terms) == 1 and ph.terms[0] in term_boosts:
+                    ph.boost = float(term_boosts[ph.terms[0]])
+        if dismax:
+            # dis_max combines OR arms by max; other modes either have a
+            # single arm (phrase) or conjunction semantics where ES
+            # defines no dis_max analogue — keep the surface honest.
+            if mode != "or" or fuzzy:
+                raise ValueError("dismax requires mode='or' without fuzzy")
+            if not (0.0 <= float(tie_breaker) <= 1.0):
+                raise ValueError("tie_breaker must be in [0, 1]")
+            cq.dismax, cq.tie_breaker = True, float(tie_breaker)
         if exclude_terms:
             for x in exclude_terms:
                 g = self.analyzer.match_terms(x)
@@ -1100,7 +1214,10 @@ class SearchEngine:
                     cq.any_of.append(ph)
         if not cq.phrases:
             return self._empty_result(with_docs)
-        if use_wand and self._wand_eligible(
+        if use_wand and cq.fields is None and cq.min_should_match == 1 \
+                and not cq.dismax and not rank_column \
+                and all(ph.boost == 1.0 for ph in cq.phrases) \
+                and self._wand_eligible(
                 cq, fuzzy=fuzzy, filters=filters,
                 language=language, geo_filters=geo_filters,
                 unique_by_route=unique_by_route,
@@ -1115,6 +1232,20 @@ class SearchEngine:
         if doc_ids.size:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids, rank = doc_ids[keep], rank[keep]
+        if rank_column and rank_weight and doc_ids.size:
+            # static-rank doc boost (ES function_score
+            # field_value_factor(log1p) shape, an extension): blend a
+            # stored numeric column into the score BEFORE sorting.
+            # add:      score += w * ln(1 + max(v, 0))
+            # multiply: score *= 1 + w * ln(1 + max(v, 0))
+            if rank_mode not in ("add", "multiply"):
+                raise ValueError("rank_mode must be 'add' or 'multiply'")
+            vals = self.index.meta_for(rank_column, doc_ids)
+            f = np.log1p(np.maximum(np.asarray(vals, np.float64), 0.0))
+            s = np.abs(rank)
+            s = (s * (1.0 + rank_weight * f) if rank_mode == "multiply"
+                 else s + rank_weight * f)
+            rank = -s
         distances = None
         if geo_filters and doc_ids.size:
             doc_ids, rank, distances = self._apply_geo(doc_ids, rank, geo_filters)
