@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_dismax_topk": lambda sf: ftsd.dismax_topk(sf),
         # static-rank doc boost: score += 0.5*ln(1+n_chars)
         "fts_rank_boost_topk": lambda sf: ftsd.rank_boost_topk(sf),
+        # ES top-hits-per-group: top-3 docs per lang, top-3 groups
+        "fts_group_topk": lambda sf: ftsd.group_topk(sf),
         "fts_phrase_topk": lambda sf: ftsd.phrase_topk(sf),
         "fts_weighted_topk": lambda sf: ftsd.weighted_topk(sf),
         "fts_filtered_topk": lambda sf: ftsd.filtered_topk(sf),
@@ -618,6 +620,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_rank_boost_topk": oracles.bm25_topk_sql(
             ["vector", "stream"],
             rank_boost=("documents", "n_chars", 0.5, "add"), k=20),
+        "fts_group_topk": oracles.group_topk_sql(
+            ["dup", "stream"], route="lang", n=3, k=3),
         "fts_phrase_topk": oracles.phrase_topk_sql(["hash", "value"], k=20),
         "fts_weighted_topk": oracles.bm25_topk_sql(["src3"], w0=5.0, w1=1.0, k=20),
         "fts_filtered_topk": oracles.bm25_topk_sql(["window"], lang="es", k=20),

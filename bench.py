@@ -44,6 +44,10 @@ QUERY_SET = [
     ("module", {"field_weights": {"path": 5.0, "content": 1.0}}),
     ("return", {"language": "python"}),
     ("hash table index", {}),                         # smart compile shape
+    ("parse buffer limit", {"mode": "or", "min_should_match": 2}),
+    ("parse^2 buffer", {"mode": "or"}),               # query-time boost
+    ("parse buffer", {"mode": "or", "dismax": True, "tie_breaker": 0.3}),
+    ("file", {"mode": "or", "in_fields": ["content"]}),
 ]
 
 

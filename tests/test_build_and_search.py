@@ -780,3 +780,37 @@ class TestRankBoost:
         with pytest.raises(ValueError):
             doc_engine.search("vector", mode="or", rank_column="n_chars",
                               rank_weight=0.5, rank_mode="bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSearchGrouped:
+    """Grouped results (top-N per group; ES collapse + inner_hits —
+    oracle identity covered by fts_group_topk in test_oracle_parity)."""
+
+    def test_group_structure_and_score_identity(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        flat = eng.search("parse buffer", mode="or", limit=1000,
+                          normalize=False)
+        fs = dict(zip(flat["doc_id"].to_pylist(),
+                      flat["score"].to_pylist()))
+        g = eng.search_grouped("parse buffer", mode="or",
+                               route_column="lang", group_limit=2,
+                               limit=3).to_pandas()
+        assert list(g.columns) == ["route", "doc_id", "score", "pos"]
+        assert g.route.nunique() <= 3
+        bests = []
+        for route, sub in g.groupby("route", sort=False):
+            assert sub.pos.tolist() == list(range(1, len(sub) + 1))
+            assert sub.score.is_monotonic_decreasing
+            bests.append((route, sub.score.iloc[0]))
+        # groups appear in best-score-desc order (ties route asc)
+        order = sorted(bests, key=lambda t: (-t[1], t[0]))
+        assert [r for r, _ in order] == list(dict.fromkeys(g.route))
+        for _, row in g.iterrows():
+            assert row.score == fs[row.doc_id]  # scores untouched
+
+    def test_normalize_rejected(self, built_index):
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(ValueError):
+            eng.search_grouped("parse", route_column="lang",
+                               normalize=True)

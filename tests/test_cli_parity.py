@@ -77,6 +77,11 @@ class TestCliCommands:
         main(["search", "--index", built_index, "parse buffer",
               "--dismax", "0.3", "--limit", "5"])
         assert "doc_id" in capsys.readouterr().out
+        main(["search", "--index", built_index, "parse buffer",
+              "--mode", "or", "--group-by", "lang", "--group-limit", "2",
+              "--limit", "3"])
+        out = capsys.readouterr().out
+        assert "route" in out and "pos" in out
 
     def test_autocomplete_cli_ranks_by_df(self, built_index, capsys):
         from yetisearch_ray.cli import main

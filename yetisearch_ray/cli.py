@@ -97,6 +97,13 @@ def cmd_search(args):
     if getattr(args, "collapse", None):
         kw.update(unique_by_route=True, route_column=args.collapse,
                   normalize=False)
+    if getattr(args, "group_by", None):
+        r = eng.search_grouped(args.query, route_column=args.group_by,
+                               group_limit=args.group_limit,
+                               limit=args.limit, mode=args.mode,
+                               language=args.lang, **kw)
+        _print_table(r)
+        return
     if getattr(args, "after", None):
         sc, _, did = args.after.partition(",")
         r = eng.search_after(args.query, after_score=float(sc),
@@ -358,6 +365,12 @@ def main(argv=None):
                            default=0.5)
             s.add_argument("--rank-mode", dest="rank_mode",
                            choices=["add", "multiply"], default="add")
+            s.add_argument("--group-by", dest="group_by", default=None,
+                           metavar="COL",
+                           help="grouped results: top --group-limit docs "
+                                "per COL value for the top --limit groups")
+            s.add_argument("--group-limit", dest="group_limit", type=int,
+                           default=3)
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("batch-search",

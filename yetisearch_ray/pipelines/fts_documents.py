@@ -123,6 +123,22 @@ def rank_boost_topk(sf_dir: str, terms=("vector", "stream"),
         limit=k, normalize=False))
 
 
+def group_topk(sf_dir: str, terms=("dup", "stream"), n: int = 3,
+               k: int = 3) -> pd.DataFrame:
+    """Top-n docs per lang group for the top-k groups (ES collapse +
+    inner_hits; engine ``search_grouped``).  "dup" is the corpus's one
+    low-df term so group ranking exercises real idf spread.  Oracle:
+    ``oracles.group_topk_sql``."""
+    t = get_engine(sf_dir).search_grouped(
+        " ".join(terms), mode="or", route_column="lang", group_limit=n,
+        limit=k)
+    df = t.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].abs().round(5)
+    df["pos"] = df["pos"].astype("int64")
+    return df[["route", "doc_id", "score", "pos"]]
+
+
 def phrase_topk(sf_dir: str, phrase: str = "hash value", k: int = 20) -> pd.DataFrame:
     return _as_result(get_engine(sf_dir).search(f'"{phrase}"', limit=k, normalize=False))
 

@@ -1899,6 +1899,58 @@ FROM buckets b LEFT JOIN vals v ON v.v >= b.lo AND v.v < b.hi
 GROUP BY b.lo, b.hi ORDER BY b.lo"""
 
 
+def group_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
+                   route: str = "lang", n: int = 3, k: int = 3,
+                   round_to: int = 5, max_results: int = 1000) -> str:
+    """Ground truth for grouped results (``search_grouped``): OR-score,
+    pre-clamp to the MAX_RESULTS page, then the top ``n`` docs per
+    route for the top ``k`` groups ranked by best member score (ties:
+    route ASC) — mirrors ``SearchEngine.search_grouped``."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld, count(*) * 1.0 AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id, stats.n, stats.avgdl
+),
+page AS (
+  SELECT s.doc_id, s.s, c.{route} AS route
+  FROM scored s JOIN corpus c USING (doc_id)
+  QUALIFY row_number() OVER (ORDER BY -s.s ASC, s.doc_id ASC) <= {max_results}
+),
+ranked AS (
+  SELECT route, doc_id, s,
+         row_number() OVER (PARTITION BY route
+                            ORDER BY -s ASC, doc_id ASC) AS pos,
+         max(s) OVER (PARTITION BY route) AS best
+  FROM page
+),
+topg AS (
+  SELECT route, row_number() OVER (ORDER BY -best ASC, route ASC) AS grank
+  FROM (SELECT DISTINCT route, best FROM ranked)
+)
+SELECT r.route, r.doc_id::BIGINT AS doc_id,
+       round(abs(r.s), {round_to}) AS score, r.pos::BIGINT AS pos
+FROM ranked r JOIN topg t USING (route)
+WHERE r.pos <= {n} AND t.grank <= {k}
+ORDER BY t.grank ASC, r.pos ASC"""
+
+
 def infield_topk_sql(terms, fld: int, *, corpus: str = DOCUMENTS_CORPUS,
                      k: int = 20, round_to: int = 5) -> str:
     """Ground truth for field-restricted search (``in_fields``): match

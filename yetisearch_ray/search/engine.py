@@ -1930,6 +1930,52 @@ class SearchEngine:
         keep = (s < after_score) | ((s == after_score) & (d > after_doc_id))
         return res.filter(pa.array(keep)).slice(0, limit)
 
+    def search_grouped(self, query: str, *, route_column: str,
+                       group_limit: int = 3, limit: int = 5,
+                       **kwargs) -> pa.Table:
+        """Grouped results (ES ``collapse`` + ``inner_hits`` / top_hits
+        shape, an extension beyond the reference's best-per-route
+        collapsing): the top ``group_limit`` docs per ``route_column``
+        value, for the top ``limit`` groups ranked by their best
+        member's score (ties broken by route value).  Candidates come
+        from the same MAX_RESULTS-clamped raw-score page as field
+        collapsing, which the SQL oracle replicates.  Output columns:
+        ``route, doc_id, score, pos`` (1-based position within group),
+        ordered by group rank then position.
+        """
+        if kwargs.get("normalize", False):
+            raise ValueError("search_grouped needs raw scores; "
+                             "normalize=True is incompatible")
+        kwargs["normalize"] = False
+        kwargs.pop("offset", None)
+        res = self.search(query, limit=MAX_RESULTS, **kwargs)
+        if res.num_rows == 0:
+            return pa.table({"route": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "pos": pa.array([], pa.int64())})
+        import pandas as pd
+
+        d = res["doc_id"].to_numpy(zero_copy_only=False)
+        s = res["score"].to_numpy(zero_copy_only=False)
+        routes = self.index.meta_for(route_column, d.astype(np.uint64))
+        # page rows arrive in (score DESC, doc_id ASC) order, so a
+        # stable cumcount IS the within-group position and each group's
+        # first row carries its best score — no further sorting needed
+        df = pd.DataFrame({"route": routes, "doc_id": d.astype(np.int64),
+                           "score": s})
+        df["pos"] = df.groupby("route", sort=False).cumcount() + 1
+        best = (df[df["pos"] == 1][["route", "score"]]
+                .sort_values(["score", "route"], ascending=[False, True]))
+        keep_routes = best["route"].head(int(limit)).tolist()
+        grank = {r: i for i, r in enumerate(keep_routes)}
+        out = df[(df["pos"] <= int(group_limit))
+                 & df["route"].isin(grank)].copy()
+        out["_g"] = out["route"].map(grank)
+        out = out.sort_values(["_g", "pos"]).drop(columns="_g")
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
     @staticmethod
     def search_multiple(engines: dict, query: str, *, limit: int = 20,
                         offset: int = 0, **kwargs) -> pa.Table:
