@@ -34,6 +34,23 @@ class TestExplain:
         assert "parse" in f["fuzzy"]["corrected_terms"]
         assert f["fuzzy"]["original_terms"] == ["parze"]
 
+    def test_round3_feature_plan(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        p = eng.explain("parse^2 buffer", mode="or", use_wand=True,
+                        min_should_match=2, dismax=True, tie_breaker=0.3,
+                        in_fields=["content"])
+        assert p["min_should_match"] == 2
+        assert p["dismax"] == {"tie_breaker": 0.3}
+        assert p["in_fields"]["fields"] == ["content"]
+        boosted = [a for a in p["arms"] if a.get("boost")]
+        assert boosted and boosted[0]["terms"] == ["parse"]
+        assert boosted[0]["boost"] == 2.0
+        assert not p["wand_eligible"] and p["execution_path"] == "scan"
+        r = eng.explain("parse", rank_column="lang", rank_weight=0.5)
+        assert r["rank_boost"]["column"] == "lang"
+
     def test_near_plan(self, built_index):
         from yetisearch_ray.search.engine import SearchEngine, open_index
 

@@ -1048,6 +1048,22 @@ class SearchEngine:
                 )
         return mask
 
+    def _parse_boost_syntax(self, query: str, term_boosts):
+        """Lucene ``term^2.5`` boost syntax: strip the suffix before the
+        analyzer sees it (it would otherwise split "2.5" into tokens)
+        and fold into term_boosts keyed by the ANALYZED term."""
+        if "^" not in query:
+            return query, term_boosts
+        boosts = dict(term_boosts or {})
+
+        def _take(mo):
+            g = self.analyzer.match_terms(mo.group(1))
+            for t in (t for grp in g for t in grp):
+                boosts[t] = float(mo.group(2))
+            return mo.group(1)
+
+        return _BOOST_RE.sub(_take, query), boosts
+
     # ---------------- public API ---------------------------------------
     def search(
         self,
@@ -1133,20 +1149,7 @@ class SearchEngine:
                     return pt
         weights = self._field_weight_vector(field_weights or self.default_weights)
         orig_terms: list[str] = []
-        # Lucene `term^2.5` boost syntax: strip the suffix before the
-        # analyzer sees it (it would otherwise split "2.5" into tokens)
-        # and fold into term_boosts keyed by the ANALYZED term.
-        if "^" in query:
-            boosts = dict(term_boosts or {})
-
-            def _take(mo):
-                g = self.analyzer.match_terms(mo.group(1))
-                for t in (t for grp in g for t in grp):
-                    boosts[t] = float(mo.group(2))
-                return mo.group(1)
-
-            query = _BOOST_RE.sub(_take, query)
-            term_boosts = boosts
+        query, term_boosts = self._parse_boost_syntax(query, term_boosts)
         if merge_tokens and not fuzzy:
             query = self._merge_adjacent_tokens(query)
         if fuzzy:
@@ -2022,17 +2025,25 @@ class SearchEngine:
         frequencies, the posting PARTITIONS each term reads (the I/O
         plan), and which execution path serves it (WAND vs full scan)."""
         orig_terms: list[str] = []
+        query, term_boosts = self._parse_boost_syntax(
+            query, search_kwargs.get("term_boosts"))
         if fuzzy:
             cq, orig_terms = self._compile_fuzzy(query, fuzzy_mode)
         else:
             cq = compile_query(query, self.analyzer, mode=mode,
                                prefix_last=prefix_last,
                                near_distance=near_distance)
+        in_fields = search_kwargs.get("in_fields")
+        fids = None
+        if in_fields:
+            names = [f[0] for f in self.index.fields]
+            fids = frozenset(names.index(f) for f in in_fields
+                             if f in names)
         arms = []
         dfs = self.arm_dfs(cq)
         for ph in cq.phrases:
             terms = list(ph.terms)
-            arms.append({
+            arm = {
                 "terms": terms,
                 "prefix": bool(ph.prefix),
                 "kind": ("phrase" if len(terms) > 1 else "term"),
@@ -2040,15 +2051,24 @@ class SearchEngine:
                 "df": dfs.get(self._arm_key(ph), 0),
                 "partitions": sorted({p for t in terms
                                       for p in self.index._term_parts(t)}),
-            })
-        wand_ok = self._wand_eligible(
-            cq, fuzzy=fuzzy, filters=search_kwargs.get("filters"),
-            language=search_kwargs.get("language"),
-            geo_filters=search_kwargs.get("geo_filters"),
-            unique_by_route=search_kwargs.get("unique_by_route", False),
-            min_score=search_kwargs.get("min_score", 0.0),
-            sort=search_kwargs.get("sort"),
-            post_rescore=search_kwargs.get("post_rescore", False))
+            }
+            if term_boosts and len(terms) == 1 and terms[0] in term_boosts:
+                arm["boost"] = float(term_boosts[terms[0]])
+            arms.append(arm)
+        wand_ok = (
+            fids is None
+            and int(search_kwargs.get("min_should_match", 1)) == 1
+            and not search_kwargs.get("dismax")
+            and not search_kwargs.get("rank_column")
+            and not term_boosts
+            and self._wand_eligible(
+                cq, fuzzy=fuzzy, filters=search_kwargs.get("filters"),
+                language=search_kwargs.get("language"),
+                geo_filters=search_kwargs.get("geo_filters"),
+                unique_by_route=search_kwargs.get("unique_by_route", False),
+                min_score=search_kwargs.get("min_score", 0.0),
+                sort=search_kwargs.get("sort"),
+                post_rescore=search_kwargs.get("post_rescore", False)))
         plan = {
             "query": query,
             "mode": cq.mode,
@@ -2068,6 +2088,21 @@ class SearchEngine:
             plan["fuzzy"] = {"original_terms": orig_terms,
                              "corrected_terms":
                                  [t for ph in cq.phrases for t in ph.terms]}
+        # round-3 query-feature surface, reflected so debug-query dumps
+        # the full effective plan
+        if fids is not None:
+            plan["in_fields"] = {"fields": list(in_fields),
+                                 "field_ids": sorted(fids)}
+        if int(search_kwargs.get("min_should_match", 1)) > 1:
+            plan["min_should_match"] = int(search_kwargs["min_should_match"])
+        if search_kwargs.get("dismax"):
+            plan["dismax"] = {"tie_breaker":
+                              float(search_kwargs.get("tie_breaker", 0.0))}
+        if search_kwargs.get("rank_column"):
+            plan["rank_boost"] = {
+                "column": search_kwargs["rank_column"],
+                "weight": float(search_kwargs.get("rank_weight", 0.0)),
+                "mode": search_kwargs.get("rank_mode", "add")}
         return plan
 
     # ---------------- result-cache introspection ----------------------
