@@ -28,6 +28,15 @@ from yetisearch_ray.sources.corpus import corpus_path
 
 _CODE_GLOB_001 = "/tmp/ys_corpus/sf0.01/*.parquet"
 
+# registered saved-searches for the percolation (reverse search) entry —
+# shared between queries() and oracle_sql() so both sides evaluate the
+# exact same query set
+_PERC_QUERIES = [
+    (1, "merge window", "and"),
+    (2, "vector stream", "or"),
+    (3, "hash value", "and"),
+]
+
 
 def _code_corpus(sf_dir: str) -> str:
     return corpus_path(sf_dir)
@@ -97,8 +106,8 @@ _PAIRS_CACHE: dict = {}
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from yetisearch_ray.pipelines import (ann, classifier, cluster, curation,
-                                          dedup, events, hybrid, relational,
-                                          sketches, textstats)
+                                          dedup, events, hybrid, percolate,
+                                          relational, sketches, textstats)
 
     def _lineitem(sf_dir, columns):
         import ray.data as rd
@@ -413,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_collapse_topk": lambda sf: ftsd.collapse_topk(sf),
         # keyset (cursor) pagination == OFFSET under the unique sort key
         "fts_search_after": lambda sf: ftsd.search_after_page2(sf),
+        # percolation (reverse search): registered queries vs the doc stream
+        "fts_percolate": lambda sf: percolate.percolate(sf, _PERC_QUERIES),
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
         "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
@@ -646,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
             ["vector", "stream"], "n_chars", (0, 100, 200, 300, 400, 500)),
         "fts_collapse_topk": oracles.collapse_topk_sql(["vector", "stream"], k=5),
         "fts_search_after": oracles.bm25_topk_sql(["vector", "stream"], k=10, offset=10),
+        "fts_percolate": oracles.percolate_sql(_PERC_QUERIES),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

@@ -1899,6 +1899,36 @@ FROM buckets b LEFT JOIN vals v ON v.v >= b.lo AND v.v < b.hi
 GROUP BY b.lo, b.hi ORDER BY b.lo"""
 
 
+def percolate_sql(queries, *, table: str = "documents",
+                  text_col: str = "text") -> str:
+    """Ground truth for percolation (``pipelines.percolate``): a doc
+    hits an AND query when it contains ALL the query's distinct terms,
+    an OR query when it contains ANY — same unicode61-style
+    tokenization as the engine (`_TOK`).  ``queries`` is the same
+    [(qid, query_string, mode)] list the pipeline takes; terms here are
+    plain ASCII words so a whitespace split equals u61 tokenization."""
+    rows = []
+    for qid, q, mode in queries:
+        terms = sorted(set(q.lower().split()))
+        need = len(terms) if mode == "and" else 1
+        rows += [f"({int(qid)}, '{t}', {need})" for t in terms]
+    values = ", ".join(rows)
+    tok = _TOK.format(col=text_col)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, u.term
+  FROM {table}, unnest({tok}) AS u(term) WHERE u.term <> ''
+),
+q AS (SELECT * FROM (VALUES {values}) AS q(qid, term, need)),
+hits AS (
+  SELECT q.qid, tok.doc_id,
+         count(DISTINCT q.term) AS got, max(q.need) AS need
+  FROM q JOIN tok USING (term) GROUP BY q.qid, tok.doc_id
+)
+SELECT qid::BIGINT AS query_id, doc_id::BIGINT AS doc_id
+FROM hits WHERE got >= need ORDER BY query_id, doc_id"""
+
+
 def group_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
                    route: str = "lang", n: int = 3, k: int = 3,
                    round_to: int = 5, max_results: int = 1000) -> str:
