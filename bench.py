@@ -174,8 +174,15 @@ def bench_query_pool(idx_dir: str) -> float:
 
     from yetisearch_ray.search.engine import SearchActor
 
+    import json
+
+    # per-query options ride an `options` JSON column so the mixed
+    # workload (boosted / dis_max / field-restricted queries) is served
+    # with the same semantics as the latency loop above
     items = [
-        {"qid": i, "query": QUERY_SET[i % len(QUERY_SET)][0], "limit": 10}
+        {"qid": i, "query": QUERY_SET[i % len(QUERY_SET)][0],
+         "limit": 10,
+         "options": json.dumps(QUERY_SET[i % len(QUERY_SET)][1])}
         for i in range(200)
     ]
     qds = rd.from_items(items)

@@ -47,8 +47,11 @@ def main() -> None:
                 f.write("healthy window — running bench.py\n")
             r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
                                capture_output=True, text=True, timeout=3600)
-            with open(out_path, "w") as f:
-                f.write(r.stdout)
+            # never clobber a previously-recorded healthy result with a
+            # failed run's empty stdout
+            if r.returncode == 0 and r.stdout.strip():
+                with open(out_path, "w") as f:
+                    f.write(r.stdout)
             with open(log_path, "a") as f:
                 f.write(r.stdout + r.stderr[-2000:] + "\n")
             # only attempt scaling if the window held through the bench

@@ -173,3 +173,43 @@ class TestSearchActorEmptyBatchSchema:
         assert out.num_rows == 0
         assert out.schema.field("qid").type == pa.int64()
         assert out.schema.field("doc_id").type == pa.uint64()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSearchActorPerQueryOptions:
+    """Per-row `options` JSON rides the query batch: a mixed workload
+    (boosted / dis_max / field-restricted) serves from ONE actor pool —
+    regression for the bench crash where `parse^2 buffer` reached the
+    engine in smart mode and the term_boosts guard raised."""
+
+    def test_options_column_routes_modes(self, built_index):
+        import json
+
+        from yetisearch_ray.search.engine import (SearchActor, SearchEngine,
+                                                  open_index)
+
+        actor = SearchActor(built_index)
+        out = actor(pa.table({
+            "qid": pa.array([0, 1, 2], pa.int64()),
+            "query": pa.array(["parse^2 buffer", "parse buffer", "parse"]),
+            "options": pa.array([json.dumps({"mode": "or"}),
+                                 json.dumps({"mode": "or", "dismax": True,
+                                             "tie_breaker": 0.3}),
+                                 json.dumps({})]),
+        }))
+        assert out.num_rows > 0
+        eng = SearchEngine(open_index(built_index))
+        want = eng.search("parse^2 buffer", limit=10, mode="or")
+        got = out.filter(pa.compute.equal(out["qid"], 0))
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["score"].to_pylist() == want["score"].to_pylist()
+
+    def test_smart_mode_boost_still_raises_without_options(self, built_index):
+        from yetisearch_ray.search.engine import SearchActor
+
+        actor = SearchActor(built_index)
+        with pytest.raises(ValueError, match="term_boosts"):
+            actor(pa.table({
+                "qid": pa.array([0], pa.int64()),
+                "query": pa.array(["parse^2 buffer"]),
+            }))

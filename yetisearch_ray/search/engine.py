@@ -2206,14 +2206,26 @@ class SearchActor:
         self.search_defaults = dict(search_defaults or {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
         qids, queries = batch["qid"].to_pylist(), batch["query"].to_pylist()
         limits = (
             batch["limit"].to_pylist() if "limit" in batch.column_names
             else [10] * len(queries)
         )
+        # optional per-row search options (JSON dict, e.g. {"mode": "or"})
+        # merged OVER the actor-wide defaults — a mixed workload (boosted,
+        # dis_max, field-restricted queries...) rides one actor pool
+        opts = (
+            batch["options"].to_pylist() if "options" in batch.column_names
+            else [None] * len(queries)
+        )
         out_qid, out_doc, out_score, out_rank = [], [], [], []
-        for qid, q, lim in zip(qids, queries, limits):
-            r = self.engine.search(q, limit=int(lim), **self.search_defaults)
+        for qid, q, lim, opt in zip(qids, queries, limits, opts):
+            kw = dict(self.search_defaults)
+            if opt:
+                kw.update(_json.loads(opt))
+            r = self.engine.search(q, limit=int(lim), **kw)
             ids = r["doc_id"].to_pylist()
             scores = r["score"].to_pylist()
             out_qid.extend([qid] * len(ids))
