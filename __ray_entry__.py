@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_search_after": lambda sf: ftsd.search_after_page2(sf),
         # percolation (reverse search): registered queries vs the doc stream
         "fts_percolate": lambda sf: percolate.percolate(sf, _PERC_QUERIES),
+        # significant terms: over-represented terms in the match set vs
+        # the corpus (ES significant_terms; candidate-filtered bg pass)
+        "fts_significant_terms": lambda sf: ftsd.significant_terms(sf),
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
         "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
@@ -658,6 +661,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_collapse_topk": oracles.collapse_topk_sql(["vector", "stream"], k=5),
         "fts_search_after": oracles.bm25_topk_sql(["vector", "stream"], k=10, offset=10),
         "fts_percolate": oracles.percolate_sql(_PERC_QUERIES),
+        "fts_significant_terms": oracles.significant_terms_sql(
+            ["vector", "stream"], k=20, candidates=1000, min_fg=5),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

@@ -679,3 +679,36 @@ class TestGroupedTopk:
         want["grp_rank"] = want["grp_rank"].astype("int64")
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want[got.columns], check_dtype=False)
+
+
+class TestSignificantTerms:
+    """ES-style significant_terms over the BM25-OR match set (foreground
+    bounded by `candidates`, background a candidate-filtered corpus
+    pass).  Oracle identity is covered by test_oracle_parity; here the
+    behavioral contract."""
+
+    def test_contract(self, ray_session):
+        from yetisearch_ray.pipelines.fts_documents import significant_terms
+
+        out = significant_terms(SF, terms=("vector", "stream"), k=15,
+                                candidates=200, min_fg_df=3)
+        assert list(out.columns) == ["term", "fg_df", "bg_df", "score"]
+        assert len(out) <= 15 and len(out) > 0
+        # query terms are excluded from the output
+        assert not set(out["term"]) & {"vector", "stream"}
+        # a term can't be in more foreground docs than corpus docs
+        assert (out["fg_df"] <= out["bg_df"]).all()
+        assert (out["fg_df"] >= 3).all()
+        # sorted by (score desc, term asc)
+        s = out["score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+        # over-representation: every surfaced term's fg rate exceeds its
+        # bg rate (positive score by construction)
+        assert (out["score"] > 0).all()
+
+    def test_empty_match_set(self, ray_session):
+        from yetisearch_ray.pipelines.fts_documents import significant_terms
+
+        out = significant_terms(SF, terms=("zzzznotaterm",), k=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["term", "fg_df", "bg_df", "score"]

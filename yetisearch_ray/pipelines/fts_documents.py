@@ -216,6 +216,103 @@ def facet_nchars(sf_dir: str, terms=("vector", "stream"),
     return df
 
 
+def significant_terms(sf_dir: str, terms=("vector", "stream"), k: int = 20,
+                      candidates: int = 1000, min_fg_df: int = 5,
+                      round_to: int = 6) -> pd.DataFrame:
+    """Terms over-represented in a query's match set vs the whole corpus
+    (the ES ``significant_terms`` aggregation; an extension over the
+    reference's facet surface, ``src/Search/SearchEngine.php``
+    computeFacets).
+
+    Foreground = top-``candidates`` BM25-OR match set (the same clamp as
+    facets); a doc "contains" a term if it appears in ANY indexed field.
+    score = fg_rate * ln(fg_rate / bg_rate) with fg_rate = fg_df/fg_n,
+    bg_rate = bg_df/corpus_n; query terms excluded; ties (score desc,
+    term asc).  Oracle: ``oracles.significant_terms_sql``.
+
+    Scale shape: the foreground pass tokenizes only the ≤``candidates``
+    gathered docs (driver-bounded by construction, like facets); the
+    background pass is ONE streaming tokenization of the corpus with the
+    candidate term set broadcast via ``ray.put`` and applied map-side,
+    so each task emits only candidate-term partial counts and the final
+    ``groupby`` aggregates ≤ |candidates' vocabulary| rows — never the
+    corpus dictionary."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..analysis.tokenizer import tokenize_batch_dict
+
+    eng = get_engine(sf_dir)
+    hits = eng.search(" ".join(terms), mode="or", limit=candidates,
+                      normalize=False)
+    fg_n = hits.num_rows
+    empty = pd.DataFrame({"term": pd.array([], dtype=str),
+                          "fg_df": pd.array([], dtype="int64"),
+                          "bg_df": pd.array([], dtype="int64"),
+                          "score": pd.array([], dtype="float64")})
+    if fg_n == 0:
+        return empty
+
+    def _joined_fields(t: pa.Table) -> pa.Array:
+        src = pc.cast(pc.fill_null(t["source"], ""), pa.string())
+        txt = pc.cast(pc.fill_null(t["text"], ""), pa.string())
+        out = pc.binary_join_element_wise(src, txt, " ")
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+    # ---- foreground df: tokenize the gathered candidate docs ----------
+    fg_ids = hits["doc_id"].to_numpy(zero_copy_only=False)
+    docs = eng.index.docs(fg_ids, columns=["doc_id", "source", "text"])
+    codes, uniq, rows, _pos, _cnt = tokenize_batch_dict(_joined_fields(docs))
+    if len(uniq) == 0:
+        return empty
+    pair = np.unique(rows * len(uniq) + codes)          # distinct (doc, term)
+    fg_df = np.bincount((pair % len(uniq)).astype(np.int64),
+                        minlength=len(uniq))
+    keep = (fg_df >= min_fg_df) & ~np.isin(uniq, np.asarray(list(terms),
+                                                            dtype=object))
+    cand_terms = np.sort(uniq[keep].astype(str))
+    if cand_terms.size == 0:
+        return empty
+    fg_map = pd.Series(fg_df[keep], index=uniq[keep].astype(str))
+
+    # ---- background df: one corpus pass, candidate-filtered map-side --
+    cand_ref = ray.put(cand_terms)
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)                 # shared-memory read
+        c, u, r, _p, _c = tokenize_batch_dict(_joined_fields(t))
+        if len(u) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "bg": pa.array([], pa.int64())})
+        p = np.unique(r * len(u) + c)
+        dfc = np.bincount((p % len(u)).astype(np.int64), minlength=len(u))
+        us = u.astype(str)
+        at = np.searchsorted(cand, us)
+        ok = (at < cand.size) & (cand[np.minimum(at, cand.size - 1)] == us)
+        ok &= dfc > 0
+        return pa.table({"term": pa.array(us[ok], pa.string()),
+                         "bg": pa.array(dfc[ok].astype(np.int64), pa.int64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+    agg = (ds.map_batches(bg_partial, batch_format="pyarrow")
+           .groupby("term").sum("bg"))
+    bg = agg.to_pandas()                          # ≤ |cand_terms| rows
+    bg_n = int(eng.index.manifest.stats["n_docs"])
+
+    out = bg.rename(columns={"sum(bg)": "bg_df"})
+    out["fg_df"] = out["term"].map(fg_map).astype("int64")
+    fg_rate = out["fg_df"] / float(fg_n)
+    bg_rate = out["bg_df"] / float(bg_n)
+    score = (fg_rate * np.log(fg_rate / bg_rate)).to_numpy()
+    out["score"] = [round(float(x), round_to) for x in score]
+    out["bg_df"] = out["bg_df"].astype("int64")
+    out = out.sort_values(["score", "term"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    return out[["term", "fg_df", "bg_df", "score"]]
+
+
 def weighted_topk(sf_dir: str, term: str = "src3", k: int = 20,
                   w_source: float = 5.0, w_text: float = 1.0) -> pd.DataFrame:
     return _as_result(

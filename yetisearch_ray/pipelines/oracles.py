@@ -967,6 +967,46 @@ GROUP BY d.lang
 ORDER BY count DESC, value ASC LIMIT {top_n}"""
 
 
+def significant_terms_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
+                          k: int = 20, candidates: int = 1000,
+                          min_fg: int = 5, round_to: int = 6) -> str:
+    """Ground truth for ``fts_documents.significant_terms``: foreground
+    = the top-``candidates`` BM25-OR match set (same clamp as facets),
+    a doc contains a term if it appears in any field (the concatenated
+    f0/f1 tokenization is df-equivalent to per-field), score =
+    fg_rate * ln(fg_rate / bg_rate), query terms excluded, ties
+    (score DESC, term ASC)."""
+    inner = bm25_topk_sql(list(terms), corpus=corpus, k=candidates)
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    tok = ("regexp_split_to_array(lower(strip_accents("
+           "coalesce(f0,'') || ' ' || coalesce(f1,''))), '[^a-z0-9]+')")
+    return f"""
+WITH hits AS ({inner}),
+corpus AS ({corpus}),
+tokd AS (
+  SELECT DISTINCT doc_id, u.term
+  FROM corpus, unnest({tok}) AS u(term) WHERE u.term <> ''
+),
+fg AS (
+  SELECT term, count(*) AS fg_df FROM tokd
+  WHERE doc_id IN (SELECT doc_id FROM hits)
+  GROUP BY term HAVING count(*) >= {min_fg}
+),
+bg AS (
+  SELECT term, count(*) AS bg_df FROM tokd
+  WHERE term IN (SELECT term FROM fg) GROUP BY term
+),
+n AS (SELECT (SELECT count(*) FROM corpus) AS bg_n,
+             (SELECT count(*) FROM hits) AS fg_n)
+SELECT f.term AS term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,
+       round((f.fg_df / n.fg_n::DOUBLE) *
+             ln((f.fg_df / n.fg_n::DOUBLE) / (b.bg_df / n.bg_n::DOUBLE)),
+             {round_to}) AS score
+FROM fg f JOIN bg b USING (term), n
+WHERE f.term NOT IN ({terms_sql})
+ORDER BY score DESC, term ASC LIMIT {k}"""
+
+
 INDEX_STATS_BY_LANG_SQL = """
 SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"""
 
