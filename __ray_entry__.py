@@ -459,6 +459,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _minhash_pairs_ds(sf)).to_pandas(),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
             _docs(sf)).to_pandas(),
+        # corpus-wide exact paragraph dedup (first occurrence wins,
+        # short paragraphs exempt, docs rebuilt in order)
+        "dedup_paragraphs": lambda sf: dedup.dedup_paragraphs(
+            _docs(sf)).to_pandas(),
         # substring-level dedup signal (Lee et al. 2022, char-50-gram
         # rolling hashes; hash-join back, no broadcast)
         "dedup_substring_stats": lambda sf: dedup.substring_dup_stats(
@@ -688,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_line_dedup": oracles.line_dedup_sql(_CODE_GLOB_001, min_docs=2),
         "dedup_substring_stats": oracles.SUBSTRING_DUP_SQL,
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
+        "dedup_paragraphs": oracles.dedup_paragraphs_sql(min_len=20),
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),

@@ -712,3 +712,52 @@ class TestSignificantTerms:
         out = significant_terms(SF, terms=("zzzznotaterm",), k=5)
         assert len(out) == 0
         assert list(out.columns) == ["term", "fg_df", "bg_df", "score"]
+
+
+class TestDedupParagraphs:
+    """Corpus-wide exact paragraph dedup (first occurrence wins,
+    short paragraphs exempt).  Oracle identity over documents.parquet is
+    covered by test_oracle_parity; here the planted-duplicate contract."""
+
+    def test_planted_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import dedup_paragraphs
+
+        boiler = "a very long repeated boilerplate paragraph here"
+        fox = "the quick brown fox jumps over"
+        docs = [
+            (0, f"{fox}\nshort\n{boiler}"),
+            (1, f"{boiler}\nunique second line of doc one x"),
+            (2, f"short\n{fox}\nanother unique closing line for doc two"),
+            (3, boiler),  # fully deduplicated -> dropped
+        ]
+        ds = rd.from_arrow(pa.table({"doc_id": [d[0] for d in docs],
+                                     "text": [d[1] for d in docs]}))
+        out = (dedup_paragraphs(ds, min_len=20, num_partitions=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # doc 3 lost its only paragraph and disappears
+        assert list(out.doc_id) == [0, 1, 2]
+        # doc 0 holds every first occurrence — unchanged
+        assert out.loc[0, "text"] == docs[0][1]
+        assert out.loc[0, "n_removed"] == 0
+        # later occurrences removed, doc rebuilt in order
+        assert out.loc[1, "text"] == "unique second line of doc one x"
+        assert out.loc[1, "n_removed"] == 1
+        # "short" (< min_len) is exempt even though it repeats
+        assert out.loc[2, "text"] == (
+            "short\nanother unique closing line for doc two")
+        assert (out.n_kept + out.n_removed).tolist() == [3, 2, 3]
+
+    def test_no_dups_is_identity(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import dedup_paragraphs
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        out = dedup_paragraphs(ds).to_pandas()
+        src = rd.read_parquet(f"{SF}/documents.parquet").to_pandas()
+        assert (out.n_removed == 0).all()
+        m = out.merge(src, on="doc_id", suffixes=("", "_src"))
+        assert len(m) == len(src)
+        assert (m.text == m.text_src).all()

@@ -117,6 +117,92 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.join(surv, "left_semi", num_partitions, on=(id_col,))
 
 
+def dedup_paragraphs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     min_len: int = 20, sep: str = "\n",
+                     num_partitions: int | None = None):
+    """Corpus-wide exact paragraph dedup, first occurrence wins
+    (MassiveText / CCNet-style repeated-boilerplate removal — an
+    LLM-pipeline extension beyond the reference's doc-level dedup,
+    ``src/Search/SearchEngine.php`` dedup-by-route).
+
+    Each doc is split on ``sep`` into paragraphs; a paragraph whose
+    exact text already appeared earlier in the corpus (earlier =
+    smaller ``(doc_id, paragraph_index)``) is removed.  Paragraphs
+    shorter than ``min_len`` characters are exempt (separators and
+    short headers stay).  Docs are rebuilt from surviving paragraphs in
+    order; docs with NO surviving paragraphs are dropped.  Returns
+    ``(doc_id, text, n_kept, n_removed)``.
+
+    Distributed shape: the winner election shuffles only
+    ``(paragraph_key, packed int64)`` pairs — exempt paragraphs get a
+    per-occurrence unique key so one groupby serves both classes; the
+    survivor selection is a ``left_semi`` hash join on the packed
+    ``(doc_id, pidx)`` key; the rebuild is one groupby over surviving
+    paragraphs.  Paragraph text crosses the exchange only in the join
+    and rebuild (unavoidable: output is the rebuilt corpus).  Requires
+    ``pidx < 2**20`` (1M paragraphs/doc) and non-negative doc ids so
+    the packed key fits int64."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    nparts = _default_join_partitions(num_partitions)
+    ds = _strip_meta(ds.select_columns([id_col, text_col]))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        split = pc.split_pattern(txt, pattern=sep)
+        flat = split.flatten()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+        doc = np.repeat(ids, counts)
+        pidx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], counts)
+        packed = doc * (1 << 20) + pidx
+        lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        elig = lens >= min_len
+        keys = np.where(
+            elig,
+            np.asarray(_md5_batch(flat.to_pylist()), dtype=object),
+            np.char.add("#", packed.astype(str)).astype(object),
+        )
+        return pa.table({
+            id_col: pa.array(doc, pa.int64()),
+            "pidx": pa.array(pidx, pa.int64()),
+            "para": flat,
+            "packed": pa.array(packed, pa.int64()),
+            "pkey": pa.array(keys, pa.string()),
+            # per-doc paragraph count rides every row so the rebuild
+            # needs no second pass over the input
+            "n_paras": pa.array(np.repeat(counts, counts), pa.int64()),
+        })
+
+    paras = ds.map_batches(explode, batch_format="pyarrow")
+    winners = (paras.select_columns(["pkey", "packed"])
+               .groupby("pkey").aggregate(Min("packed", alias_name="packed")))
+    surv = paras.join(_join_ready(winners.select_columns(["packed"]), nparts),
+                      "left_semi", nparts, on=("packed",))
+
+    import pandas as pd
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pidx", kind="mergesort")
+        n_kept = len(g)
+        return pd.DataFrame({
+            id_col: [int(g[id_col].iloc[0])],
+            "text": [sep.join(g["para"].tolist())],
+            "n_kept": np.asarray([n_kept], dtype=np.int64),
+            "n_removed": np.asarray([int(g["n_paras"].iloc[0]) - n_kept],
+                                    dtype=np.int64),
+        })
+
+    return surv.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+
+
 # ------------------------------------------------------------------ shingles
 
 # RE2's \s class is [\t\n\f\r ] (ASCII only) — the DuckDB oracles split

@@ -565,6 +565,37 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 ) WHERE doc_id = _surv"""
 
 
+def dedup_paragraphs_sql(min_len: int = 20) -> str:
+    """Ground truth for ``dedup.dedup_paragraphs``: split each doc on
+    newline, elect the first corpus-wide occurrence (min packed
+    ``doc_id * 2^20 + pidx``) of every paragraph of length >=
+    ``min_len``, keep shorter paragraphs unconditionally, rebuild docs
+    from survivors in order; fully-deduplicated docs disappear."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS paras FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(paras) AS para,
+         unnest(range(0, len(paras))) AS pidx, len(paras) AS n_paras
+  FROM t
+),
+win AS (
+  SELECT para, min(doc_id * 1048576 + pidx) AS w
+  FROM l WHERE length(para) >= {min_len} GROUP BY para
+),
+keep AS (
+  SELECT l.doc_id, l.pidx, l.para, l.n_paras
+  FROM l LEFT JOIN win ON win.para = l.para
+  WHERE length(l.para) < {min_len} OR l.doc_id * 1048576 + l.pidx = win.w
+)
+SELECT doc_id::BIGINT AS doc_id,
+       string_agg(para, chr(10) ORDER BY pidx) AS text,
+       count(*)::BIGINT AS n_kept,
+       (any_value(n_paras) - count(*))::BIGINT AS n_removed
+FROM keep GROUP BY doc_id ORDER BY doc_id"""
+
+
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
     """Brute-force SimHash near-pair oracle.
 
