@@ -147,3 +147,34 @@ class TestCliCommands:
         counts = [int(ln.split()[-1])
                   for ln in out.strip().splitlines()[1:]]
         assert counts == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTermVectorsCli:
+    def test_term_vectors_matches_engine(self, built_index, capsys):
+        from yetisearch_ray.cli import main
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        tv = eng.term_vectors(3).to_pandas()
+        # both indexed fields reported, tf matches a direct re-tokenize
+        from yetisearch_ray.analysis.tokenizer import tokenize
+        doc = eng.index.docs([3], columns=["path", "content"])
+        for fname in ("path", "content"):
+            toks = tokenize(doc[fname][0].as_py() or "")
+            sub = tv[tv.field == fname]
+            assert int(sub.tf.sum()) == len(toks)
+        # df is a corpus docfreq: every term of the doc has df >= 1 and
+        # no df exceeds the corpus size
+        assert (tv.df >= 1).all() and (tv.df <= eng.index.n_docs).all()
+        # sorted (field, term)
+        assert tv.equals(tv.sort_values(["field", "term"])
+                         .reset_index(drop=True))
+
+        main(["term-vectors", "--index", built_index, "3"])
+        out = capsys.readouterr().out
+        assert "tf" in out and "df" in out
+        # _print_table may truncate long tables; the first data row must
+        # match the engine result verbatim
+        first = out.strip().splitlines()[1].split()
+        assert first[0] == tv.field.iloc[0] and first[1] == tv.term.iloc[0]

@@ -191,6 +191,14 @@ def cmd_more_like_this(args):
                                     max_terms=args.max_terms))
 
 
+def cmd_term_vectors(args):
+    """Per-doc term statistics (ES _termvectors shape; see
+    SearchEngine.term_vectors)."""
+    _init_ray()
+    eng = _engine(args)
+    _print_table(eng.term_vectors(args.doc_id))
+
+
 def cmd_batch_search(args):
     _init_ray()
     from .pipelines.fts_documents import batch_search_to_parquet
@@ -450,6 +458,12 @@ def main(argv=None):
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--max-terms", type=int, dest="max_terms", default=10)
     s.set_defaults(fn=cmd_more_like_this)
+
+    s = sub.add_parser("term-vectors",
+                       help="per-doc term stats (field, term, tf, df)")
+    s.add_argument("--index", required=True)
+    s.add_argument("doc_id", type=int)
+    s.set_defaults(fn=cmd_term_vectors)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)

@@ -151,6 +151,14 @@ def more_like_this_topk(sf_dir: str, doc_id: int = 7, k: int = 10,
         doc_id, limit=k, max_terms=max_terms, normalize=False))
 
 
+def term_vectors(sf_dir: str, doc_id: int = 7) -> pd.DataFrame:
+    """Per-doc term statistics (ES ``_termvectors`` shape): (field,
+    term, tf, df) with df the union-of-fields corpus docfreq; oracle:
+    ``oracles.term_vectors_sql``."""
+    df = get_engine(sf_dir).term_vectors(doc_id).to_pandas()
+    return df[["field", "term", "tf", "df"]]
+
+
 def not_topk(sf_dir: str, term: str = "merge", exclude: str = "window",
              k: int = 20) -> pd.DataFrame:
     """BM25 top-k for ``term`` with docs containing ``exclude`` removed

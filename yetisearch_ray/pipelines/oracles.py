@@ -998,6 +998,26 @@ GROUP BY d.lang
 ORDER BY count DESC, value ASC LIMIT {top_n}"""
 
 
+def term_vectors_sql(doc_id: int, *, corpus: str = DOCUMENTS_CORPUS,
+                     f0_name: str = "source", f1_name: str = "text") -> str:
+    """Ground truth for ``SearchEngine.term_vectors``: per-field term
+    counts of one doc from the tokf CTE, df = union-of-fields distinct
+    doc count (BM25's idf definition)."""
+    return f"""{_base_ctes(corpus)},
+tv AS (
+  SELECT fld, term, count(*) AS tf FROM tokf
+  WHERE doc_id = {doc_id} GROUP BY fld, term
+),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM tv) GROUP BY term
+)
+SELECT CASE tv.fld WHEN 0 THEN '{f0_name}' ELSE '{f1_name}' END AS field,
+       tv.term AS term, tv.tf::BIGINT AS tf, tdf.df::BIGINT AS df
+FROM tv JOIN tdf USING (term)
+ORDER BY field, term"""
+
+
 def significant_terms_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
                           k: int = 20, candidates: int = 1000,
                           min_fg: int = 5, round_to: int = 6) -> str:

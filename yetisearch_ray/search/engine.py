@@ -1882,6 +1882,54 @@ class SearchEngine:
                             pa.scalar(int(doc_id), pa.uint64()))
         return res.filter(keep).slice(0, limit)
 
+    def term_vectors(self, doc_id: int) -> pa.Table:
+        """Per-document term statistics (the Elasticsearch
+        ``_termvectors`` shape — an introspection extension over the
+        reference's ``fts5vocab``-style dictionary surface,
+        ``src/Storage/SqliteStorage.php`` getIndexedTerms).
+
+        Each stored indexed field is re-tokenized with the INDEX
+        tokenizer (exactly what the build saw) and reported as
+        ``(field, term, tf, df)`` where ``tf`` is the in-field term
+        count and ``df`` the union-of-fields corpus document frequency
+        (the same definition BM25's idf uses; one postings read per
+        distinct term, LRU-cached).  Rows sorted (field ASC, term ASC).
+
+        Raises KeyError for an unknown doc and ValueError if the index
+        does not store its indexed source columns."""
+        from collections import Counter
+
+        from ..analysis.tokenizer import tokenize as _index_tok
+
+        cfg = self.index.manifest.data.get("config") or {}
+        src_cols = [f[1] for f in cfg.get("fields", [])]
+        stored = set(cfg.get("store_columns") or [])
+        missing = [c for c in src_cols if c not in stored]
+        if missing:
+            raise ValueError(
+                f"term_vectors needs stored source columns; not in "
+                f"docstore: {missing}")
+        t = self.index.docs([doc_id], columns=src_cols)
+        if t.num_rows == 0:
+            raise KeyError(f"doc_id {doc_id} not found")
+        per_field: dict[str, Counter] = {}
+        for c in src_cols:
+            per_field[c] = Counter(_index_tok(t[c][0].as_py() or ""))
+        dfs: dict[str, int] = {}
+        for term in set().union(*(c.keys() for c in per_field.values())):
+            posts = self._term_postings(term)
+            arrs = [p.doc_ids for p in posts.values()]
+            dfs[term] = int(np.unique(np.concatenate(arrs)).size) if arrs else 0
+        rows = sorted((fname, term, tf, dfs[term])
+                      for fname, ctr in per_field.items()
+                      for term, tf in ctr.items())
+        return pa.table({
+            "field": pa.array([r[0] for r in rows], pa.string()),
+            "term": pa.array([r[1] for r in rows], pa.string()),
+            "tf": pa.array([r[2] for r in rows], pa.int64()),
+            "df": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
     def search_wildcard(self, pattern: str, *, limit: int = 20,
                         max_terms: int = 16, **kwargs) -> pa.Table:
         """Wildcard term query (``pa?se``, ``par*``, ``*fix`` — the
