@@ -178,3 +178,36 @@ class TestTermVectorsCli:
         # match the engine result verbatim
         first = out.strip().splitlines()[1].split()
         assert first[0] == tv.field.iloc[0] and first[1] == tv.term.iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExplainScore:
+    """ES _explain shape: per-term BM25 breakdown whose contrib sum
+    reproduces the OR-mode score exactly (oracle identity is covered by
+    test_oracle_parity)."""
+
+    def test_contrib_sums_to_or_score(self, built_index):
+        import numpy as np
+
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        r = eng.search("parse buffer", mode="or", limit=1000,
+                       normalize=False).to_pandas()
+        doc = int(r.doc_id.iloc[0])
+        ex = eng.explain_score(doc, "parse buffer").to_pandas()
+        assert list(ex.columns) == ["term", "tf", "df", "idf", "contrib"]
+        assert set(ex.term) <= {"parse", "buffer"}
+        want = float(r.loc[r.doc_id == doc, "score"].abs().iloc[0])
+        assert abs(ex.contrib.sum() - want) < 1e-3
+        # terms absent from the doc are omitted, present ones have tf>0
+        assert (ex.tf > 0).all() and (ex.df >= 1).all()
+
+    def test_rejects_phrase_and_unknown_doc(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        with pytest.raises(ValueError):
+            eng.explain_score(0, '"parse buffer"')
+        with pytest.raises(KeyError):
+            eng.explain_score(10**9, "parse")

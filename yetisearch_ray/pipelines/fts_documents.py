@@ -151,6 +151,14 @@ def more_like_this_topk(sf_dir: str, doc_id: int = 7, k: int = 10,
         doc_id, limit=k, max_terms=max_terms, normalize=False))
 
 
+def explain_score(sf_dir: str, doc_id: int = 7,
+                  query: str = "src7 value window") -> pd.DataFrame:
+    """Per-term BM25 breakdown of one (doc, query) pair (ES ``_explain``
+    shape); oracle: ``oracles.explain_score_sql``."""
+    df = get_engine(sf_dir).explain_score(doc_id, query).to_pandas()
+    return df[["term", "tf", "df", "idf", "contrib"]]
+
+
 def term_vectors(sf_dir: str, doc_id: int = 7) -> pd.DataFrame:
     """Per-doc term statistics (ES ``_termvectors`` shape): (field,
     term, tf, df) with df the union-of-fields corpus docfreq; oracle:

@@ -1018,6 +1018,39 @@ FROM tv JOIN tdf USING (term)
 ORDER BY field, term"""
 
 
+def explain_score_sql(terms, doc_id: int, *, corpus: str = DOCUMENTS_CORPUS,
+                      w0: float = 1.0, w1: float = 1.0,
+                      round_to: int = 5) -> str:
+    """Ground truth for ``SearchEngine.explain_score``: the bm25_topk
+    contrib CTE restricted to one doc, reported per term."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld,
+           count(*) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END) AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+)
+SELECT tf.term AS term, tf.tfw::DOUBLE AS tf, df.df::BIGINT AS df,
+       round(greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)),
+                      0.000001), 6) AS idf,
+       round(greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)),
+                      0.000001)
+             * (tf.tfw * ({K1} + 1)) /
+               (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)),
+             {round_to}) AS contrib
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+WHERE tf.doc_id = {doc_id}
+ORDER BY term"""
+
+
 def significant_terms_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
                           k: int = 20, candidates: int = 1000,
                           min_fg: int = 5, round_to: int = 6) -> str:

@@ -1882,6 +1882,64 @@ class SearchEngine:
                             pa.scalar(int(doc_id), pa.uint64()))
         return res.filter(keep).slice(0, limit)
 
+    def explain_score(self, doc_id: int, query: str, *,
+                      field_weights: dict | None = None,
+                      round_to: int = 5) -> pa.Table:
+        """Per-term BM25 score breakdown for one (doc, query) pair —
+        the Elasticsearch ``_explain`` shape (an introspection
+        extension; the reference exposes only the final ``abs(rank)``,
+        ``src/Storage/SqliteStorage.php:993-1015``).
+
+        The query is compiled in OR mode and each single-term arm
+        reports ``(term, tf, df, idf, contrib)``: ``tf`` the
+        column-weight-summed term frequency in the doc, ``df`` the
+        any-column docfreq, ``idf`` the floor-clamped FTS5 idf, and
+        ``contrib`` the arm's BM25 addend — summing ``contrib`` over
+        rows reproduces the doc's OR-mode score exactly.  Terms absent
+        from the doc are omitted (they contribute 0).  Rows sorted by
+        term.  Raises ValueError on phrase/NEAR queries (window-kernel
+        arms have no per-term decomposition) and KeyError for an
+        unknown doc."""
+        from .bm25 import bm25_term_score, idf as _idf
+
+        cq = compile_query(query, self.analyzer, mode="or")
+        if cq.near_terms or any(len(p.terms) != 1 for p in cq.phrases):
+            raise ValueError(
+                "explain_score decomposes single-term OR arms only")
+        if self.index.docs([doc_id]).num_rows == 0:
+            raise KeyError(f"doc_id {doc_id} not found")
+        weights = self._field_weight_vector(field_weights)
+        ids = np.asarray([doc_id], dtype=np.uint64)
+        dl = float(self.index.dl_total_for(ids)[0])
+        N, avgdl = self.index.n_docs, self.index.avgdl
+        rows = []
+        for ph in cq.phrases:
+            term = ph.terms[0]
+            posts = self._term_postings(term)
+            if not posts:
+                continue
+            arrs = [p.doc_ids for p in posts.values()]
+            df = int(np.unique(np.concatenate(arrs)).size)
+            tfw = 0.0
+            for fid, p in posts.items():
+                at = np.searchsorted(p.doc_ids, ids[0])
+                if at < p.doc_ids.size and p.doc_ids[at] == ids[0]:
+                    tfw += float(weights[fid]) * float(p.tfs[at])
+            if tfw <= 0:
+                continue
+            tidf = _idf(N, df)
+            contrib = float(bm25_term_score([tfw], [dl], avgdl, tidf)[0])
+            rows.append((term, tfw, df, round(tidf, 6),
+                         round(contrib, round_to)))
+        rows.sort()
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "tf": pa.array([r[1] for r in rows], pa.float64()),
+            "df": pa.array([r[2] for r in rows], pa.int64()),
+            "idf": pa.array([r[3] for r in rows], pa.float64()),
+            "contrib": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
     def term_vectors(self, doc_id: int) -> pa.Table:
         """Per-document term statistics (the Elasticsearch
         ``_termvectors`` shape — an introspection extension over the
