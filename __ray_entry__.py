@@ -538,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": lambda sf: hybrid.hybrid_rrf_topk(sf),
         # retrieve-then-rerank: BM25 candidates, dense cosine re-score
         "hybrid_rerank_topk": lambda sf: hybrid.rerank_dense_topk(sf),
+        # MMR diversity rerank of the BM25 page (greedy, embeddings)
+        "hybrid_mmr_topk": lambda sf: hybrid.mmr_rerank_topk(sf),
         # distributed Lloyd k-means over the embedding column (rows-only:
         # cluster contents are data-dependent; blob-recovery, NumPy-
         # reference inertia parity and empty-cluster determinism pinned
@@ -723,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multi_query": oracles.ann_multi_query_sql((1, 2, 3), k=10),
         "hybrid_rrf_topk": oracles.hybrid_rrf_sql(("vector", "stream")),
         "hybrid_rerank_topk": oracles.rerank_dense_sql(("vector", "stream")),
+        "hybrid_mmr_topk": oracles.mmr_sql(("vector", "stream")),
         "emb_near_dup_pairs": oracles.near_dup_pairs_sql(threshold=0.45),
         "emb_kcenter_sample": oracles.kcenter_sql(8),
         # events / stream-shaped

@@ -54,3 +54,56 @@ class TestRrfFuse:
         out = rrf_fuse([_arm([], []), _arm([], [])], k=5)
         assert len(out) == 0
         assert list(out.columns) == ["doc_id", "rrf_score"]
+
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMmrRerank:
+    """Greedy MMR diversity rerank (oracle identity in
+    test_oracle_parity; behavioral contract here)."""
+
+    def test_lambda_one_is_pure_relevance(self):
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+        from yetisearch_ray.pipelines.hybrid import mmr_rerank_topk
+
+        out = mmr_rerank_topk(SF, k=10, k_candidates=50, lam=1.0)
+        bm = ftsd.or_topk(SF, k=50)
+        # with no diversity penalty, selection order == BM25 order over
+        # the candidates that have embeddings (all of them here)
+        want = bm.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).doc_id.head(10)
+        assert out.doc_id.tolist() == want.tolist()
+        assert out["rank"].tolist() == list(range(1, 11))
+
+    def test_diversifies_vs_plain_topk(self):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+        from yetisearch_ray.pipelines.hybrid import mmr_rerank_topk
+
+        mmr = mmr_rerank_topk(SF, k=10, k_candidates=50, lam=0.5)
+        plain = ftsd.or_topk(SF, k=10)
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+                for r in t.itertuples()}
+
+        def avg_pairwise_cos(ids):
+            V = np.stack([vecs[i] for i in ids])
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            G = V @ V.T
+            iu = np.triu_indices(len(ids), 1)
+            return float(G[iu].mean())
+
+        a = avg_pairwise_cos(mmr.doc_id.tolist())
+        b = avg_pairwise_cos(plain.doc_id.tolist())
+        assert a <= b + 1e-9, (a, b)
+        # scores are the greedy objective at selection time: they are
+        # non-increasing after the first pick
+        s = mmr.mmr_score.to_numpy()
+        assert (s[1:-1] >= s[2:] - 1e-12).all()

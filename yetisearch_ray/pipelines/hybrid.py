@@ -141,3 +141,90 @@ def rerank_dense_topk(sf_dir: str, *, terms=("vector", "stream"),
                           round_to=round_to).to_pandas()
     out["doc_id"] = out["vec_id"].astype("int64")
     return out[["doc_id", "cosine"]]
+
+
+def mmr_rerank_topk(sf_dir: str, *, terms=("vector", "stream"), k: int = 10,
+                    k_candidates: int = 50, lam: float = 0.7,
+                    round_to: int = 6) -> pd.DataFrame:
+    """Maximal Marginal Relevance diversity rerank (Carbonell &
+    Goldstein 1998): BM25-OR retrieves ``k_candidates`` ids, their
+    embeddings are gathered (bounded-set ``pc.is_in`` filter streamed
+    over ``embeddings``, same shape as ``rerank_dense_topk``), and the
+    final page is selected greedily to maximize
+
+        lam * rel(d) - (1 - lam) * max_{s in selected} cos(d, s)
+
+    with ``rel`` the candidate set's min-max-normalized (rounded) BM25
+    score.  First pick = pure relevance; ties break to the smaller
+    doc_id at every step.  Candidates without an embedding row are
+    dropped (they cannot be diversity-scored).  Returns
+    ``(rank, doc_id, mmr_score)`` in selection order.
+
+    Scale shape: both stages are bounded by construction — the greedy
+    loop runs on a ``k_candidates x dim`` float64 matrix (a final-page
+    rerank, not a corpus scan), so driver-side numpy is the honest
+    design; only the embeddings gather streams the big table.
+    Oracle: ``oracles.mmr_sql`` (loop unrolled into k CTE stages,
+    ``list_cosine_similarity`` on DOUBLE-cast vectors)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from . import fts_documents as ftsd
+
+    bm = ftsd.or_topk(sf_dir, terms=terms, k=k_candidates)
+    cand = pa.array(sorted(bm["doc_id"].astype("int64").tolist()), pa.int64())
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["vec_id"], pa.int64())
+        return t.filter(pc.is_in(ids, value_set=cand))
+
+    rows = (emb.map_batches(keep_candidates, batch_format="pyarrow")
+            .take_all())                      # <= k_candidates rows
+    if not rows:
+        return pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                             "doc_id": pd.array([], dtype="int64"),
+                             "mmr_score": pd.array([], dtype="float64")})
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.asarray([np.asarray(r["embedding"], dtype=np.float64)
+                    for r in rows])
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+
+    s = bm.set_index(bm["doc_id"].astype("int64"))["score"]
+    rel_raw = s.reindex(ids).to_numpy(dtype=np.float64)
+    mn, mx = rel_raw.min(), rel_raw.max()
+    rel = np.ones_like(rel_raw) if mx == mn else (rel_raw - mn) / (mx - mn)
+
+    n = len(ids)
+    selected: list[int] = []
+    scores: list[float] = []
+    # max cos to the selected set — the TRUE max (cosines can be
+    # negative, so a zero init would silently floor the penalty at 0)
+    ms: np.ndarray | None = None
+    alive = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        base = lam * rel if ms is None else lam * rel - (1 - lam) * ms
+        obj = np.where(alive, base, -np.inf)
+        # ties -> smaller doc_id: ids are sorted ascending and argmax
+        # returns the first maximal index
+        i = int(np.argmax(obj))
+        selected.append(i)
+        scores.append(round(float(obj[i]), round_to))
+        alive[i] = False
+        # direct-form cosine (dot / norms), the oracle's
+        # list_cosine_similarity definition
+        cos_i = (V @ V[i]) / (norms * norms[i])
+        ms = cos_i if ms is None else np.maximum(ms, cos_i)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+        "doc_id": ids[selected],
+        "mmr_score": np.asarray(scores, dtype=np.float64),
+    })

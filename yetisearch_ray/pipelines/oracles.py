@@ -1891,6 +1891,52 @@ def kcenter_sql(k: int = 8) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY sel_rank"
 
 
+def mmr_sql(terms, *, k: int = 10, k_candidates: int = 50,
+            lam: float = 0.7, round_to: int = 6) -> str:
+    """Ground truth for ``hybrid.mmr_rerank_topk`` — the greedy MMR
+    loop unrolled into k CTE stages (same technique as ``kcenter_sql``):
+    rel = min-max-normalized rounded BM25 over the candidate set, each
+    stage picks argmax(lam*rel - (1-lam)*max-cos-to-selected), ties to
+    the smaller doc_id; cosine via ``list_cosine_similarity`` on
+    DOUBLE-cast vectors (the operator's direct-form float64)."""
+    bm = bm25_topk_sql(list(terms), k=k_candidates)
+    w = 1.0 - lam
+    # every chained CTE is MATERIALIZED: c{i} and d{i} both reference
+    # d{i-1}, so DuckDB's default inlining re-expands the whole chain
+    # (and the BM25 stack under it) 2^k times — enough parquet re-opens
+    # to exhaust the fd limit before k=10
+    ctes = [
+        f"bm AS MATERIALIZED ({bm})",
+        "st AS (SELECT min(score) AS mn, max(score) AS mx FROM bm)",
+        ("cand AS MATERIALIZED (SELECT bm.doc_id, "
+         "CASE WHEN st.mx = st.mn THEN 1.0 "
+         "ELSE (bm.score - st.mn) / (st.mx - st.mn) END AS rel, "
+         "e.embedding::DOUBLE[] AS v "
+         "FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id, st)"),
+        (f"c0 AS MATERIALIZED (SELECT doc_id, rel, v, {lam} * rel AS mmr "
+         "FROM cand ORDER BY rel DESC, doc_id ASC LIMIT 1)"),
+        ("d0 AS MATERIALIZED (SELECT c.doc_id, c.rel, c.v, "
+         "list_cosine_similarity(c.v, c0.v) AS ms "
+         "FROM cand c CROSS JOIN c0 WHERE c.doc_id <> c0.doc_id)"),
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT doc_id, rel, v, "
+            f"{lam} * rel - {w} * ms AS mmr FROM d{i-1} "
+            f"ORDER BY ({lam} * rel - {w} * ms) DESC, doc_id ASC LIMIT 1)")
+        if i < k - 1:
+            ctes.append(
+                f"d{i} AS MATERIALIZED (SELECT d.doc_id, d.rel, d.v, "
+                f"greatest(d.ms, list_cosine_similarity(d.v, c.v)) AS ms "
+                f"FROM d{i-1} d CROSS JOIN c{i} c "
+                f"WHERE d.doc_id <> c.doc_id)")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i + 1}::BIGINT AS rank, doc_id::BIGINT AS doc_id, "
+        f"round(mmr, {round_to}) AS mmr_score FROM c{i}"
+        for i in range(k))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY rank"
+
+
 # ------------------------------------------------------ hybrid retrieval
 def hybrid_rrf_sql(terms, *, query_vec_id: int = 1, k: int = 10,
                    k_arm: int = 20, rrf_k: int = 60,
