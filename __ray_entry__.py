@@ -414,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_not_topk": lambda sf: ftsd.not_topk(sf),
         # wildcard term query (*ow -> row/slow/window), dictionary-expanded
         "fts_wildcard_topk": lambda sf: ftsd.wildcard_topk(sf),
+        # match_phrase_prefix: phrase with the trailing token as prefix
+        "fts_phrase_prefix": lambda sf: ftsd.phrase_prefix_topk(sf),
         # numeric histogram facet (range facet over n_chars)
         "fts_facet_nchars": lambda sf: ftsd.facet_nchars(sf),
         # ordered proximity ("hash value"~2, Lucene sloppy-phrase shape)
@@ -666,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_not_topk": oracles.bm25_topk_sql(["merge"], k=20, exclude_term="window"),
         "fts_slop_phrase": oracles.slop_phrase_sql("hash", "value", slop=2, k=20),
         "fts_wildcard_topk": oracles.wildcard_topk_sql("*ow", k=20),
+        "fts_phrase_prefix": oracles.phrase_prefix_topk_sql(["hash"], "va"),
         "fts_facet_nchars": oracles.numeric_facet_sql(
             ["vector", "stream"], "n_chars", (0, 100, 200, 300, 400, 500)),
         "fts_collapse_topk": oracles.collapse_topk_sql(["vector", "stream"], k=5),

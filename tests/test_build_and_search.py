@@ -814,3 +814,34 @@ class TestSearchGrouped:
         with pytest.raises(ValueError):
             eng.search_grouped("parse", route_column="lang",
                                normalize=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMatchPhrasePrefix:
+    """ES match_phrase_prefix: phrase whose final slot matches ANY
+    dictionary expansion of the trailing prefix (oracle identity in
+    test_oracle_parity)."""
+
+    def test_superset_of_exact_phrase_and_full_term_identity(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        pp = eng.search("parse bu", mode="phrase", prefix_last=True,
+                        limit=1000, normalize=False).to_pandas()
+        exact = eng.search('"parse buffer"', limit=1000,
+                           normalize=False).to_pandas()
+        assert len(pp) > 0
+        # every exact "parse buffer" doc also matches "parse bu*"
+        assert set(exact.doc_id) <= set(pp.doc_id)
+        # a full-term "prefix" that expands only to itself reproduces
+        # the exact phrase result (same match set AND same scores)
+        full = eng.search("parse buffer", mode="phrase", prefix_last=True,
+                          limit=1000, normalize=False).to_pandas()
+        only = eng.index.expand_prefix("buffer", max_terms=1 << 31)
+        if only == ["buffer"]:
+            assert full.doc_id.tolist() == exact.doc_id.tolist()
+            assert full.score.tolist() == exact.score.tolist()
+        # prefix with no expansions matches nothing
+        none = eng.search("parse zzzz", mode="phrase", prefix_last=True,
+                          limit=10, normalize=False)
+        assert none.num_rows == 0

@@ -212,6 +212,15 @@ def slop_phrase_topk(sf_dir: str, t1: str = "hash", t2: str = "value",
         f'"{t1} {t2}"', slop=slop, limit=k, normalize=False))
 
 
+def phrase_prefix_topk(sf_dir: str, query: str = "hash va",
+                       k: int = 20) -> pd.DataFrame:
+    """match_phrase_prefix (ES): phrase whose final slot matches any
+    dictionary expansion of the trailing prefix; oracle:
+    ``oracles.phrase_prefix_topk_sql``."""
+    return _as_result(get_engine(sf_dir).search(
+        query, mode="phrase", prefix_last=True, limit=k, normalize=False))
+
+
 def wildcard_topk(sf_dir: str, pattern: str = "*ow", k: int = 20,
                   max_terms: int = 16) -> pd.DataFrame:
     """Wildcard query (leading-star pattern exercises the full

@@ -256,6 +256,38 @@ SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
 FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
 
 
+def phrase_prefix_topk_sql(base_terms, prefix: str, *,
+                           corpus: str = DOCUMENTS_CORPUS, k: int = 20,
+                           round_to: int = 5) -> str:
+    """Ground truth for match_phrase_prefix (``search(mode="phrase",
+    prefix_last=True)``): the phrase CTE with the final slot matching
+    any token that starts with ``prefix`` — the uncapped dictionary
+    expansion is exactly "starts_with" over the body tokens."""
+    base = list(base_terms)
+    n = len(base) + 1
+    conds = [f"arr[i+{j}] = '{t}'" for j, t in enumerate(base)]
+    conds.append(f"starts_with(arr[i+{n-1}], '{prefix}')")
+    cond = " AND ".join(conds)
+    arr = "regexp_extract_all(lower(strip_accents(f1)), '[a-z0-9]+')"
+    return f"""{_base_ctes(corpus)},
+phr AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(arr) - {n} + 2), i -> {cond})) AS tf
+  FROM (SELECT doc_id, {arr} AS arr FROM corpus)
+),
+pstats AS (SELECT count(*) AS df FROM phr WHERE tf > 0),
+scored AS (
+  SELECT p.doc_id,
+         greatest(ln((stats.n - pstats.df + 0.5) / (pstats.df + 0.5)), 0.000001)
+         * (p.tf * ({K1} + 1)) /
+           (p.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM phr p JOIN dl USING (doc_id), stats, pstats
+  WHERE p.tf > 0
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
+FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
+
+
 def wildcard_topk_sql(pattern: str, *, corpus: str = DOCUMENTS_CORPUS,
                       max_terms: int = 16, k: int = 20,
                       round_to: int = 5, language: str = "en") -> str:

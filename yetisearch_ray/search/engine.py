@@ -426,7 +426,9 @@ def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
 
     last_prefix = prefix_last
     if mode == "phrase" or explicit_phrase:
-        ph = P(terms)
+        # prefix_last + phrase = ES match_phrase_prefix: the final slot
+        # matches any dictionary expansion of the prefix
+        ph = P(terms, prefix=last_prefix)
         return CompiledQuery(mode="phrase", phrases=[ph], required=[ph])
     if len(terms) == 1:
         ph = P(terms, prefix=last_prefix)
@@ -579,13 +581,42 @@ class SearchEngine:
                             np.add.at(agg, inv, tfs)
                             out[fid] = Posting(uids, agg, None)
                 return out
-            # phrase ending in prefix: not in the reference query set; treat
-            # the prefix as its best (highest-df) expansion
-            terms = base_terms + (expanded[:1] if expanded else phrase.terms[-1:])
-            phrase = Phrase(terms)
-        if len(phrase.terms) == 1:
-            return self._term_postings(phrase.terms[0])
-        per_term = [self._term_postings(t) for t in phrase.terms]
+            # phrase ending in prefix (ES match_phrase_prefix): the final
+            # slot matches ANY dictionary expansion of the prefix —
+            # semantics are "starts with", so the expansion is UNCAPPED
+            # (a capped top-k would silently drop matches); the union
+            # occurrence set is built per field with positions so the
+            # standard adjacency kernel below runs unchanged
+            expanded = self.index.expand_prefix(phrase.terms[-1],
+                                                max_terms=1 << 31)
+            buf: dict[int, list] = {}
+            for t in expanded:
+                for fid, p in self._term_postings(t).items():
+                    buf.setdefault(fid, []).append(p)
+            per_last: dict[int, Posting] = {}
+            for fid, ps in buf.items():
+                if any(p.positions is None for p in ps):
+                    continue
+                docs = np.concatenate(
+                    [np.repeat(p.doc_ids, p.tfs.astype(np.int64))
+                     for p in ps])
+                pos = np.concatenate([p.positions for p in ps])
+                key = ((docs.astype(np.uint64) << np.uint64(32))
+                       | pos.astype(np.uint64))
+                order = np.argsort(key, kind="stable")
+                docs, pos = docs[order], pos[order]
+                uids, counts = np.unique(docs, return_counts=True)
+                per_last[fid] = Posting(uids.astype(np.uint64),
+                                        counts.astype(np.uint64), pos)
+            if not per_last:
+                return {}
+            per_term = [self._term_postings(t) for t in base_terms]
+            per_term.append(per_last)
+            phrase = Phrase(list(base_terms) + [phrase.terms[-1]])
+        else:
+            if len(phrase.terms) == 1:
+                return self._term_postings(phrase.terms[0])
+            per_term = [self._term_postings(t) for t in phrase.terms]
         out: dict[int, Posting] = {}
         for fid in range(self.index.nfields):
             plists = [pt.get(fid) for pt in per_term]
