@@ -845,3 +845,30 @@ class TestMatchPhrasePrefix:
         none = eng.search("parse zzzz", mode="phrase", prefix_last=True,
                           limit=10, normalize=False)
         assert none.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMatchBoolPrefix:
+    """ES match_bool_prefix: OR base terms + ONE union-of-expansions
+    prefix arm (oracle identity in test_oracle_parity)."""
+
+    def test_prefix_arm_unions_expansions(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        bp = eng.search("deadline bu", mode="or", prefix_last=True,
+                        limit=1000, normalize=False).to_pandas()
+        # match set = docs with "deadline" OR any "bu*" token
+        exps = eng.index.expand_prefix("bu", max_terms=1 << 31)
+        assert exps, "corpus should have bu* terms"
+        or_all = eng.search(" ".join(["deadline"] + exps), mode="or",
+                            limit=1000, normalize=False).to_pandas()
+        assert set(bp.doc_id) == set(or_all.doc_id)
+        # full-term prefix that expands only to itself == plain OR
+        if eng.index.expand_prefix("buffer", max_terms=1 << 31) == ["buffer"]:
+            a = eng.search("deadline buffer", mode="or", prefix_last=True,
+                           limit=1000, normalize=False).to_pandas()
+            b = eng.search("deadline buffer", mode="or",
+                           limit=1000, normalize=False).to_pandas()
+            assert a.doc_id.tolist() == b.doc_id.tolist()
+            assert a.score.tolist() == b.score.tolist()

@@ -221,6 +221,15 @@ def phrase_prefix_topk(sf_dir: str, query: str = "hash va",
         query, mode="phrase", prefix_last=True, limit=k, normalize=False))
 
 
+def bool_prefix_topk(sf_dir: str, query: str = "src3 va",
+                     k: int = 20) -> pd.DataFrame:
+    """match_bool_prefix (ES): OR over the base terms plus one
+    union-of-expansions prefix arm; oracle:
+    ``oracles.bool_prefix_topk_sql``."""
+    return _as_result(get_engine(sf_dir).search(
+        query, mode="or", prefix_last=True, limit=k, normalize=False))
+
+
 def wildcard_topk(sf_dir: str, pattern: str = "*ow", k: int = 20,
                   max_terms: int = 16) -> pd.DataFrame:
     """Wildcard query (leading-star pattern exercises the full

@@ -288,6 +288,57 @@ SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
 FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
 
 
+def bool_prefix_topk_sql(base_terms, prefix: str, *,
+                         corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
+                         w1: float = 1.0, k: int = 20,
+                         round_to: int = 5) -> str:
+    """Ground truth for match_bool_prefix (``search(mode="or",
+    prefix_last=True)``): the base terms are plain BM25-OR arms; the
+    trailing prefix is ONE term-like arm whose tf per doc is the
+    column-weighted count of tokens starting with the prefix and whose
+    df is the count of docs containing any such token."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in base_terms) + "]"
+    pw = f"starts_with(term, '{prefix}')"
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld,
+           count(*) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END) AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+ptf AS (
+  SELECT doc_id, sum(w) AS tfw FROM (
+    SELECT doc_id, fld,
+           count(*) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END) AS w
+    FROM tokf WHERE {pw} GROUP BY doc_id, fld
+  ) GROUP BY doc_id
+),
+pdf AS (SELECT count(DISTINCT doc_id) AS df FROM tokf WHERE {pw}),
+contrib AS (
+  SELECT tf.doc_id,
+         greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  UNION ALL
+  SELECT p.doc_id,
+         greatest(ln((stats.n - pdf.df + 0.5) / (pdf.df + 0.5)), 0.000001)
+              * (p.tfw * ({K1} + 1)) /
+                (p.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM ptf p JOIN dl USING (doc_id), stats, pdf
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(sum(c)), {round_to}) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY -sum(c) ASC, doc_id ASC LIMIT {k}"""
+
+
 def wildcard_topk_sql(pattern: str, *, corpus: str = DOCUMENTS_CORPUS,
                       max_terms: int = 16, k: int = 20,
                       round_to: int = 5, language: str = "en") -> str:

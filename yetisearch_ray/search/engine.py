@@ -450,7 +450,17 @@ def compile_query(query: str, analyzer: StandardAnalyzer, mode: str = "smart",
         phs = [P([t]) for t in dict.fromkeys(terms)]
         return CompiledQuery(mode="and", phrases=list(phs), required=list(phs))
     if mode == "or":
-        phs = [P([t]) for t in dict.fromkeys(terms)]
+        # prefix_last + or = ES match_bool_prefix: the last token is a
+        # prefix arm (union of its dictionary expansions scored as ONE
+        # term-like arm), the rest are plain OR terms
+        phs = []
+        seen_or: set = set()
+        for i, t in enumerate(terms):
+            pfx = last_prefix and i == len(terms) - 1
+            if (t, pfx) in seen_or:
+                continue
+            seen_or.add((t, pfx))
+            phs.append(P([t], prefix=pfx))
         return CompiledQuery(mode="or", phrases=list(phs), any_of=list(phs))
     # smart: "t1..tn" OR NEAR(t1..tn, 10) OR t1 OR ... OR tn
     # (reference src/Search/SearchEngine.php:615-643; components pass
@@ -563,7 +573,10 @@ class SearchEngine:
         phrase occurrences).  Prefix: union over expanded terms.
         """
         if phrase.prefix:
-            expanded = self.index.expand_prefix(phrase.terms[-1])
+            # UNCAPPED expansion — FTS5 `term*` and ES *_prefix queries
+            # are "starts with", not "top-k expansions"
+            expanded = self.index.expand_prefix(phrase.terms[-1],
+                                                max_terms=1 << 31)
             base_terms = phrase.terms[:-1]
             if not base_terms:
                 # union of postings of all expanded terms, per field
@@ -582,13 +595,9 @@ class SearchEngine:
                             out[fid] = Posting(uids, agg, None)
                 return out
             # phrase ending in prefix (ES match_phrase_prefix): the final
-            # slot matches ANY dictionary expansion of the prefix —
-            # semantics are "starts with", so the expansion is UNCAPPED
-            # (a capped top-k would silently drop matches); the union
-            # occurrence set is built per field with positions so the
-            # standard adjacency kernel below runs unchanged
-            expanded = self.index.expand_prefix(phrase.terms[-1],
-                                                max_terms=1 << 31)
+            # slot matches ANY dictionary expansion of the prefix; the
+            # union occurrence set is built per field with positions so
+            # the standard adjacency kernel below runs unchanged
             buf: dict[int, list] = {}
             for t in expanded:
                 for fid, p in self._term_postings(t).items():
