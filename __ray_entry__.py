@@ -519,6 +519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_ppm_stats": _mm_ppm_stats,
         "cur_pack_bins": lambda sf: curation.pack_token_bins(
             textstats.token_counts(_docs(sf)), budget=2048).to_pandas(),
+        # adjacent-bigram PMI collocations (corpus analytics)
+        "text_collocations": lambda sf: textstats.collocations(
+            _docs(sf), k=20, min_count=5),
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
@@ -713,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),
         "text_fingerprints": oracles.FINGERPRINT_SQL,
         "text_repetition": oracles.REPETITION_SQL,
+        "text_collocations": oracles.collocations_sql(k=20, min_count=5),
         "cur_source_quota": oracles.QUOTA_SQL,
         "cur_pack_bins": oracles.PACK_BINS_SQL,
         "cur_pii_scan": oracles.pii_scan_sql(PII_PATTERNS),

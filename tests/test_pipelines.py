@@ -761,3 +761,48 @@ class TestDedupParagraphs:
         m = out.merge(src, on="doc_id", suffixes=("", "_src"))
         assert len(m) == len(src)
         assert (m.text == m.text_src).all()
+
+
+class TestCollocations:
+    """Adjacent-bigram PMI collocations (oracle identity in
+    test_oracle_parity; planted contract here)."""
+
+    def test_planted_collocation_tops(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import collocations
+
+        # "neural network" always adjacent; filler tokens independent
+        rng_docs = []
+        fill = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        for i in range(60):
+            toks = [fill[i % 6], "neural", "network", fill[(i + 1) % 6],
+                    fill[(i + 2) % 6], fill[(i * 5) % 6]]
+            rng_docs.append(" ".join(toks))
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(60)),
+                                     "text": rng_docs}))
+        out = collocations(ds, k=5, min_count=5)
+        assert len(out) >= 1
+        assert (out.a.iloc[0], out.b.iloc[0]) == ("neural", "network")
+        assert out.n_ab.iloc[0] == 60
+        # PMI sorted descending
+        s = out.pmi.to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+        # min_count respected
+        assert (out.n_ab >= 5).all()
+
+    def test_boundary_not_crossed(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import collocations
+
+        # "x" ends every doc and "y" starts the next — never adjacent
+        # WITHIN a doc, so the pair must not appear at any min_count
+        ds = rd.from_arrow(pa.table({
+            "doc_id": list(range(40)),
+            "text": ["q x" if i % 2 == 0 else "y q" for i in range(40)],
+        }))
+        out = collocations(ds, k=50, min_count=1)
+        pairs = set(zip(out.a, out.b))
+        assert ("x", "y") not in pairs
+        assert ("q", "x") in pairs and ("y", "q") in pairs

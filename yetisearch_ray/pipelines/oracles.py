@@ -848,6 +848,35 @@ SELECT doc_id::BIGINT AS doc_id, len({TOKENS_EXPR})::BIGINT AS n_tokens,
 FROM documents"""
 
 
+def collocations_sql(k: int = 20, min_count: int = 5,
+                     round_to: int = 6) -> str:
+    """Ground truth for ``textstats.collocations``: adjacent-bigram PMI
+    over RE2-whitespace tokens, pmi = ln((n_ab/N_bi) /
+    ((n_a/N_tok)*(n_b/N_tok))), ties (pmi desc, a, b)."""
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT u.t AS term, count(*) AS n FROM t, unnest(toks) AS u(t) GROUP BY u.t
+),
+ntok AS (SELECT sum(n)::DOUBLE AS n FROM uni),
+bi AS MATERIALIZED (
+  SELECT a, b, count(*) AS n_ab FROM (
+    SELECT toks[r.i] AS a, toks[r.i + 1] AS b
+    FROM t, unnest(range(1, len(toks))) AS r(i)
+  ) GROUP BY a, b
+),
+nbi AS (SELECT sum(n_ab)::DOUBLE AS n FROM bi)
+SELECT bi.a AS a, bi.b AS b, bi.n_ab::BIGINT AS n_ab,
+       round(ln((bi.n_ab / nbi.n) /
+                ((ua.n / ntok.n) * (ub.n / ntok.n))), {round_to}) AS pmi
+FROM bi JOIN uni ua ON ua.term = bi.a JOIN uni ub ON ub.term = bi.b,
+     nbi, ntok
+WHERE bi.n_ab >= {min_count}
+ORDER BY pmi DESC, a ASC, b ASC LIMIT {k}"""
+
+
 REPETITION_SQL = rf"""
 WITH t AS (
   SELECT doc_id, string_split(text, chr(10)) AS lines,

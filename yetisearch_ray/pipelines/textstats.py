@@ -796,3 +796,97 @@ def regex_scan(ds, pattern: str, *, text_col="text", id_col="doc_id",
     pruned = pruned.sort_values(["n_matches", id_col],
                                 ascending=[False, True], kind="stable")
     return pruned.head(k).reset_index(drop=True)
+
+
+def collocations(ds, *, text_col="text", k=20, min_count=5, round_to=6):
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information (classic corpus analytics; an LLM-data extension beyond
+    the reference's keyword extraction, ``src/Analyzers``):
+
+        pmi(a,b) = ln( (n_ab / N_bi) / ((n_a / N_tok) * (n_b / N_tok)) )
+
+    over RE2-whitespace tokens (the dedup/textstats tokenization, so
+    the DuckDB ``\\s+`` oracle sees identical tokens).  Pairs with
+    ``n_ab < min_count`` are dropped; ties (pmi desc, a asc, b asc).
+
+    Distributed shape: ONE corpus pass; each batch emits map-side
+    COMBINED partial counts (unique bigram and unigram rows, tagged so
+    a single groupby serves both); the aggregate output is vocabulary-
+    bounded, not corpus-bounded, and only that table reaches the
+    driver for the final PMI arithmetic.  At open-web vocabulary the
+    post-aggregate min_count prune would ride a distributed filter +
+    ``sort.limit`` instead of the driver collect."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        nonempty = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+        keep_counts = _seg_sum(nonempty.astype(np.int64), offs)
+        toks = flat.filter(pa.array(nonempty))
+        if len(toks) == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8())})
+        d = toks.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        V = len(uniq)
+        row_id = np.repeat(np.arange(len(keep_counts)), keep_counts)
+        # unigram partials
+        ucodes, ucnt = np.unique(codes, return_counts=True)
+        # adjacent bigrams within a row
+        same = row_id[:-1] == row_id[1:] if len(codes) > 1 else \
+            np.zeros(0, dtype=bool)
+        a = codes[:-1][same]
+        b = codes[1:][same]
+        out_a = [uniq[ucodes], ]
+        out_b = [np.full(len(ucodes), "", dtype=object)]
+        out_n = [ucnt.astype(np.int64)]
+        out_k = [np.zeros(len(ucodes), dtype=np.int8)]
+        if a.size:
+            key, cnt = np.unique(a * V + b, return_counts=True)
+            out_a.append(uniq[(key // V).astype(np.int64)])
+            out_b.append(uniq[(key % V).astype(np.int64)])
+            out_n.append(cnt.astype(np.int64))
+            out_k.append(np.ones(len(key), dtype=np.int8))
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a), pa.string()),
+            "b": pa.array(np.concatenate(out_b), pa.string()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+            "kind": pa.array(np.concatenate(out_k), pa.int8()),
+        })
+
+    import pandas as pd
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["kind", "a", "b"]).sum("n").to_pandas())
+    agg = agg.rename(columns={"sum(n)": "n"})
+    uni = agg[agg["kind"] == 0].set_index("a")["n"]
+    bi = agg[agg["kind"] == 1][["a", "b", "n"]].copy()
+    n_tok = float(uni.sum())
+    n_bi = float(bi["n"].sum())
+    bi = bi[bi["n"] >= min_count]
+    if not len(bi):
+        return pd.DataFrame({"a": pd.array([], dtype=str),
+                             "b": pd.array([], dtype=str),
+                             "n_ab": pd.array([], dtype="int64"),
+                             "pmi": pd.array([], dtype="float64")})
+    pa_ = bi["a"].map(uni).to_numpy(dtype=np.float64) / n_tok
+    pb_ = bi["b"].map(uni).to_numpy(dtype=np.float64) / n_tok
+    pab = bi["n"].to_numpy(dtype=np.float64) / n_bi
+    pmi = np.log(pab / (pa_ * pb_))
+    out = pd.DataFrame({"a": bi["a"].to_numpy(),
+                        "b": bi["b"].to_numpy(),
+                        "n_ab": bi["n"].astype("int64").to_numpy(),
+                        "pmi": [round(float(x), round_to) for x in pmi]})
+    return (out.sort_values(["pmi", "a", "b"],
+                            ascending=[False, True, True], kind="mergesort")
+            .head(k).reset_index(drop=True))
