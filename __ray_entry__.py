@@ -418,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_phrase_prefix": lambda sf: ftsd.phrase_prefix_topk(sf),
         # match_bool_prefix: OR terms + one union-expansion prefix arm
         "fts_bool_prefix": lambda sf: ftsd.bool_prefix_topk(sf),
+        # LM-Dirichlet query likelihood (second similarity beside BM25)
+        "fts_lm_dirichlet": lambda sf: ftsd.lm_dirichlet_topk(sf),
         # numeric histogram facet (range facet over n_chars)
         "fts_facet_nchars": lambda sf: ftsd.facet_nchars(sf),
         # ordered proximity ("hash value"~2, Lucene sloppy-phrase shape)
@@ -675,6 +677,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_wildcard_topk": oracles.wildcard_topk_sql("*ow", k=20),
         "fts_phrase_prefix": oracles.phrase_prefix_topk_sql(["hash"], "va"),
         "fts_bool_prefix": oracles.bool_prefix_topk_sql(["src3"], "va"),
+        "fts_lm_dirichlet": oracles.lm_dirichlet_topk_sql(
+            ["src3", "window"]),
         "fts_facet_nchars": oracles.numeric_facet_sql(
             ["vector", "stream"], "n_chars", (0, 100, 200, 300, 400, 500)),
         "fts_collapse_topk": oracles.collapse_topk_sql(["vector", "stream"], k=5),

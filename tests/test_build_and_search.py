@@ -872,3 +872,46 @@ class TestMatchBoolPrefix:
                            limit=1000, normalize=False).to_pandas()
             assert a.doc_id.tolist() == b.doc_id.tolist()
             assert a.score.tolist() == b.score.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLmDirichlet:
+    """Query-likelihood ranking with Dirichlet smoothing (oracle
+    identity in test_oracle_parity)."""
+
+    def test_matches_bruteforce_recompute(self, built_index):
+        import numpy as np
+
+        from yetisearch_ray.analysis.tokenizer import tokenize
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        mu = 500.0
+        res = eng.search_lm("parse buffer", limit=10, mu=mu).to_pandas()
+        assert len(res) == 10
+        # brute force over the stored docs
+        docs = eng.index.docs(
+            list(range(eng.index.n_docs)), columns=["doc_id", "path",
+                                                    "content"]).to_pandas()
+        toks = {int(r.doc_id): tokenize(r.path or "") + tokenize(r.content or "")
+                for r in docs.itertuples()}
+        C = float(sum(len(t) for t in toks.values()))
+        cf = {q: sum(t.count(q) for t in toks.values())
+              for q in ("parse", "buffer")}
+        scores = {}
+        for d, t in toks.items():
+            if "parse" not in t and "buffer" not in t:
+                continue
+            s = sum(np.log((t.count(q) + mu * cf[q] / C) / (len(t) + mu))
+                    for q in ("parse", "buffer"))
+            scores[d] = round(-float(s), 5)
+        want = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+        assert res.doc_id.astype(int).tolist() == [d for d, _ in want]
+        assert res.score.tolist() == [s for _, s in want]
+
+    def test_empty_and_unknown(self, built_index):
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        assert eng.search_lm("zzzznotaterm").num_rows == 0
+        assert eng.search_lm("").num_rows == 0

@@ -221,6 +221,16 @@ def phrase_prefix_topk(sf_dir: str, query: str = "hash va",
         query, mode="phrase", prefix_last=True, limit=k, normalize=False))
 
 
+def lm_dirichlet_topk(sf_dir: str, query: str = "src3 window",
+                      k: int = 20, mu: float = 2000.0) -> pd.DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (ES
+    LMDirichlet — a second similarity beside BM25); oracle:
+    ``oracles.lm_dirichlet_topk_sql``."""
+    df = get_engine(sf_dir).search_lm(query, limit=k, mu=mu).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "score"]]
+
+
 def bool_prefix_topk(sf_dir: str, query: str = "src3 va",
                      k: int = 20) -> pd.DataFrame:
     """match_bool_prefix (ES): OR over the base terms plus one

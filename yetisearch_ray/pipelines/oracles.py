@@ -288,6 +288,43 @@ SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
 FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
 
 
+def lm_dirichlet_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
+                          mu: float = 2000.0, k: int = 20,
+                          round_to: int = 5) -> str:
+    """Ground truth for ``SearchEngine.search_lm`` (LMDirichlet):
+    score(d) = sum over query terms of ln((tf + mu*cf/C)/(dl + mu))
+    over the OR match set, absent terms contributing the smoothing
+    mass; output = round(-score, k) ascending best-first."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+ctot AS (SELECT count(*)::DOUBLE AS c FROM tokf),
+match AS (
+  SELECT DISTINCT doc_id FROM tokf
+  WHERE term IN (SELECT term FROM qterms)
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(ln((COALESCE(tf.tf, 0) + {mu} * cf.cf / ctot.c)
+                / (dl.dl + {mu}))) AS s
+  FROM match m
+  CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = m.doc_id AND tf.term = cf.term
+  JOIN dl ON dl.doc_id = m.doc_id, ctot
+  GROUP BY m.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(-s, {round_to}) AS score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {k}"""
+
+
 def bool_prefix_topk_sql(base_terms, prefix: str, *,
                          corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
                          w1: float = 1.0, k: int = 20,

@@ -1922,6 +1922,64 @@ class SearchEngine:
                             pa.scalar(int(doc_id), pa.uint64()))
         return res.filter(keep).slice(0, limit)
 
+    def search_lm(self, query: str, *, limit: int = 20, mu: float = 2000.0,
+                  round_to: int = 5) -> pa.Table:
+        """Query-likelihood ranking with Dirichlet smoothing (the
+        Elasticsearch ``LMDirichlet`` similarity; a second ranking
+        function beside the reference's FTS5 BM25,
+        ``src/Storage/SqliteStorage.php:993-1015``):
+
+            score(d) = sum_t ln( (tf_td + mu * cf_t / C) / (dl_d + mu) )
+
+        over the query's OR match set, where ``tf_td`` is the doc's
+        UNWEIGHTED any-field term count, ``cf_t`` the collection term
+        count, ``C`` the total token count of the corpus, and ``dl_d``
+        the unweighted doc length — absent terms contribute the pure
+        smoothing mass, so the sum runs over every query term.  Terms
+        with ``cf_t = 0`` are dropped (zero probability mass).  Rows
+        ``(doc_id, score)`` with score = round(-total, round_to)
+        ascending best-first (log-likelihoods are negative; smaller
+        magnitude = better), ties doc_id ASC."""
+        cq = compile_query(query, self.analyzer, mode="or")
+        terms = [p.terms[0] for p in cq.phrases]
+        if not terms:
+            return pa.table({"doc_id": pa.array([], pa.uint64()),
+                             "score": pa.array([], pa.float64())})
+        C = float(self.index.manifest.stats.get("total_dl") or
+                  (self.index.n_docs * self.index.avgdl))
+        per_term = []
+        match: np.ndarray | None = None
+        for t in terms:
+            posts = self._term_postings(t)
+            if not posts:
+                continue
+            ids = np.unique(np.concatenate(
+                [p.doc_ids for p in posts.values()]))
+            tfs = np.zeros(ids.size, dtype=np.float64)
+            for p in posts.values():
+                at = np.searchsorted(ids, p.doc_ids)
+                tfs[at] += p.tfs.astype(np.float64)
+            cf = float(tfs.sum())
+            per_term.append((ids, tfs, cf))
+            match = ids if match is None else np.union1d(match, ids)
+        if match is None or match.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.uint64()),
+                             "score": pa.array([], pa.float64())})
+        dl = self.index.dl_total_for(match).astype(np.float64)
+        denom = np.log(dl + mu)
+        total = np.zeros(match.size, dtype=np.float64)
+        for ids, tfs, cf in per_term:
+            tf_d = np.zeros(match.size, dtype=np.float64)
+            at = np.searchsorted(match, ids)
+            tf_d[at] = tfs
+            total += np.log(tf_d + mu * cf / C) - denom
+        # (log-likelihood DESC, doc_id ASC): lexsort's last key is primary
+        top = np.lexsort((match, -total))[:limit]
+        return pa.table({
+            "doc_id": pa.array(match[top], pa.uint64()),
+            "score": pa.array(np.round(-total[top], round_to), pa.float64()),
+        })
+
     def explain_score(self, doc_id: int, query: str, *,
                       field_weights: dict | None = None,
                       round_to: int = 5) -> pa.Table:
