@@ -211,3 +211,18 @@ class TestExplainScore:
             eng.explain_score(0, '"parse buffer"')
         with pytest.raises(KeyError):
             eng.explain_score(10**9, "parse")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSearchLmCli:
+    def test_search_lm_matches_engine(self, built_index, capsys):
+        from yetisearch_ray.cli import main
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index))
+        want = eng.search_lm("parse buffer", limit=5).to_pandas()
+        main(["search-lm", "--index", built_index, "parse buffer",
+              "--limit", "5"])
+        out = capsys.readouterr().out
+        lines = [ln.split() for ln in out.strip().splitlines()[1:]]
+        assert [int(ln[0]) for ln in lines] == want.doc_id.astype(int).tolist()

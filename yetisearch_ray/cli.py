@@ -191,6 +191,14 @@ def cmd_more_like_this(args):
                                     max_terms=args.max_terms))
 
 
+def cmd_search_lm(args):
+    """Query-likelihood (LM-Dirichlet) ranking; see
+    SearchEngine.search_lm."""
+    _init_ray()
+    eng = _engine(args)
+    _print_table(eng.search_lm(args.query, limit=args.limit, mu=args.mu))
+
+
 def cmd_term_vectors(args):
     """Per-doc term statistics (ES _termvectors shape; see
     SearchEngine.term_vectors)."""
@@ -458,6 +466,14 @@ def main(argv=None):
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--max-terms", type=int, dest="max_terms", default=10)
     s.set_defaults(fn=cmd_more_like_this)
+
+    s = sub.add_parser("search-lm",
+                       help="LM-Dirichlet (query likelihood) ranking")
+    s.add_argument("--index", required=True)
+    s.add_argument("query")
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--mu", type=float, default=2000.0)
+    s.set_defaults(fn=cmd_search_lm)
 
     s = sub.add_parser("term-vectors",
                        help="per-doc term stats (field, term, tf, df)")
