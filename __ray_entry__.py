@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped operators over the events log ---
         "ev_tumbling_window": events.tumbling_window,
         "ev_sliding_window": events.sliding_window,
+        # trending items: top-3 event types per tumbling hour window
+        "ev_windowed_topk": events.windowed_topk,
         "ev_session_windows": events.session_windows,
         "ev_asof_join": events.asof_join_orders,
     }
@@ -745,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         # events / stream-shaped
         "ev_tumbling_window": oracles.TUMBLING_WINDOW_SQL,
         "ev_sliding_window": oracles.SLIDING_WINDOW_SQL,
+        "ev_windowed_topk": oracles.WINDOWED_TOPK_SQL,
         "ev_session_windows": oracles.SESSION_WINDOWS_SQL,
         "ev_asof_join": oracles.ASOF_JOIN_SQL,
         # relational

@@ -806,3 +806,20 @@ class TestCollocations:
         pairs = set(zip(out.a, out.b))
         assert ("x", "y") not in pairs
         assert ("q", "x") in pairs and ("y", "q") in pairs
+
+
+class TestWindowedTopk:
+    """Per-window top-N event types (oracle identity in
+    test_oracle_parity; shape contract here)."""
+
+    def test_shape_and_ranks(self, ray_session):
+        from yetisearch_ray.pipelines.events import windowed_topk
+
+        out = windowed_topk(SF, n=3)
+        assert list(out.columns) == ["window_start", "event_type", "n", "rk"]
+        # every window carries ranks 1..min(3, types present), counts
+        # non-increasing within a window
+        for _, g in out.groupby("window_start"):
+            assert g.rk.tolist() == list(range(1, len(g) + 1))
+            assert (g.n.to_numpy()[:-1] >= g.n.to_numpy()[1:]).all()
+        assert (out.groupby("window_start").size() <= 3).all()

@@ -194,3 +194,45 @@ def asof_join_orders(sf_dir: str):
     pdf["o_orderkey"] = pdf["o_orderkey"].fillna(-1).astype("int64")
     return (pdf[["event_id", "user_id", "o_orderkey"]]
             .sort_values("event_id").reset_index(drop=True))
+
+
+def windowed_topk(sf_dir: str, *, width_minutes: int = 60, n: int = 3):
+    """Top-``n`` event types per tumbling window by count (the
+    streaming "trending items" shape — a windowed heavy-hitter view
+    composed from the tumbling aggregate).
+
+    Distributed shape: the same map-side window derivation + one
+    (event_type, window) groupby as ``tumbling_window``; the per-window
+    top-``n`` runs as a second, much smaller groupby over the
+    aggregate (|windows| x |types| rows, never the event stream).
+    Ties (count desc, event_type asc).  Columns
+    (window_start, event_type, n, rk)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], multiple=width_minutes, unit="minute")
+        # metadata-clean blocks keep Ray's schema dedup working in the
+        # two downstream shuffles (see dedup._strip_meta)
+        return t.replace_schema_metadata(None).append_column(
+            "window_start", w)
+
+    agg = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="n")))
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"], ascending=[False, True],
+                          kind="mergesort").head(n).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (agg.groupby("window_start")
+           .map_groups(topn, batch_format="pandas").to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out[["window_start", "event_type", "n", "rk"]]
+            .sort_values(["window_start", "rk"]).reset_index(drop=True))

@@ -1261,6 +1261,18 @@ SELECT event_type,
 FROM events, offs
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+WINDOWED_TOPK_SQL = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n,
+       row_number() OVER (PARTITION BY window_start
+                          ORDER BY n DESC, event_type ASC)::BIGINT AS rk
+FROM agg QUALIFY rk <= 3
+ORDER BY window_start, rk"""
+
 SESSION_WINDOWS_SQL = """
 WITH x AS (
   SELECT user_id, ts,
