@@ -524,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adjacent-bigram PMI collocations (corpus analytics)
         "text_collocations": lambda sf: textstats.collocations(
             _docs(sf), k=20, min_count=5),
+        # corpus vocabulary diagnostics (tokens/terms/hapax/TTR)
+        "text_vocab_stats": lambda sf: textstats.vocab_stats(_docs(sf)),
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
@@ -723,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": oracles.FINGERPRINT_SQL,
         "text_repetition": oracles.REPETITION_SQL,
         "text_collocations": oracles.collocations_sql(k=20, min_count=5),
+        "text_vocab_stats": oracles.VOCAB_STATS_SQL,
         "cur_source_quota": oracles.QUOTA_SQL,
         "cur_pack_bins": oracles.PACK_BINS_SQL,
         "cur_pii_scan": oracles.pii_scan_sql(PII_PATTERNS),

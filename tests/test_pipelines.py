@@ -823,3 +823,20 @@ class TestWindowedTopk:
             assert g.rk.tolist() == list(range(1, len(g) + 1))
             assert (g.n.to_numpy()[:-1] >= g.n.to_numpy()[1:]).all()
         assert (out.groupby("window_start").size() <= 3).all()
+
+
+class TestVocabStats:
+    def test_planted_counts(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import vocab_stats
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [0, 1],
+            "text": ["aa bb aa", "bb cc"],
+        }))
+        out = vocab_stats(ds)
+        assert out.n_tokens.iloc[0] == 5
+        assert out.n_terms.iloc[0] == 3
+        assert out.n_hapax.iloc[0] == 1  # only "cc"
+        assert out.type_token_ratio.iloc[0] == round(3 / 5, 6)

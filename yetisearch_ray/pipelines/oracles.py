@@ -885,6 +885,18 @@ SELECT doc_id::BIGINT AS doc_id, len({TOKENS_EXPR})::BIGINT AS n_tokens,
 FROM documents"""
 
 
+VOCAB_STATS_SQL = f"""
+WITH uni AS (
+  SELECT u.t AS term, count(*) AS n
+  FROM (SELECT {TOKENS_EXPR} AS toks FROM documents), unnest(toks) AS u(t)
+  GROUP BY u.t
+)
+SELECT sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_terms,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       round(count(*) / sum(n)::DOUBLE, 6) AS type_token_ratio
+FROM uni"""
+
+
 def collocations_sql(k: int = 20, min_count: int = 5,
                      round_to: int = 6) -> str:
     """Ground truth for ``textstats.collocations``: adjacent-bigram PMI

@@ -890,3 +890,48 @@ def collocations(ds, *, text_col="text", k=20, min_count=5, round_to=6):
     return (out.sort_values(["pmi", "a", "b"],
                             ascending=[False, True, True], kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def vocab_stats(ds, *, text_col="text"):
+    """One-row corpus vocabulary diagnostics (Zipf/Heaps-style health
+    checks a pretraining pipeline tracks): total tokens, distinct
+    terms, hapax count (terms seen once), and type-token ratio, over
+    RE2-whitespace tokens.
+
+    Distributed shape: per-batch unique (term, count) partials (the
+    same map-side combine as ``collocations``), one vocabulary-bounded
+    groupby, then four scalars — the corpus never reaches the driver."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        toks = flat.filter(pc.not_equal(flat, ""))
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        d = toks.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"term": pa.array(uniq[u], pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term").sum("n").to_pandas())
+    n = agg["sum(n)"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    vocab = int(len(n))
+    hapax = int((n == 1).sum())
+    return pd.DataFrame({
+        "n_tokens": pd.array([total], dtype="int64"),
+        "n_terms": pd.array([vocab], dtype="int64"),
+        "n_hapax": pd.array([hapax], dtype="int64"),
+        "type_token_ratio": pd.array(
+            [round(vocab / total, 6) if total else 0.0], dtype="float64"),
+    })
