@@ -143,6 +143,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
+    def _dedup_incremental(sf_dir):
+        # second half of documents "appended" against the first half;
+        # the split threshold mirrors the oracle's (max(doc_id)+1)//2
+        ds = _docs(sf_dir)
+        thr = (int(ds.max("doc_id")) + 1) // 2
+        base = _docs(sf_dir).filter(expr=f"doc_id < {thr}")
+        new = _docs(sf_dir).filter(expr=f"doc_id >= {thr}")
+        out = dedup.exact_dedup_incremental(new, base).to_pandas()
+        return out[["doc_id", "text", "lang", "source", "n_chars"]]
+
     def _minhash_pairs_ds(sf_dir, threshold=0.5):
         # pairs + clusters entries share one materialized pair table
         # (same input, same params) instead of re-running the LSH+verify
@@ -473,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # short paragraphs exempt, docs rebuilt in order)
         "dedup_paragraphs": lambda sf: dedup.dedup_paragraphs(
             _docs(sf)).to_pandas(),
+        # incremental exact dedup: second half of the corpus appended
+        # against the first half (append-time generational gate)
+        "dedup_incremental": _dedup_incremental,
         # substring-level dedup signal (Lee et al. 2022, char-50-gram
         # rolling hashes; hash-join back, no broadcast)
         "dedup_substring_stats": lambda sf: dedup.substring_dup_stats(
@@ -719,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_stats": oracles.SUBSTRING_DUP_SQL,
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "dedup_paragraphs": oracles.dedup_paragraphs_sql(min_len=20),
+        "dedup_incremental": oracles.DEDUP_INCREMENTAL_SQL,
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),

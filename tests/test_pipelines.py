@@ -840,3 +840,27 @@ class TestVocabStats:
         assert out.n_terms.iloc[0] == 3
         assert out.n_hapax.iloc[0] == 1  # only "cc"
         assert out.type_token_ratio.iloc[0] == round(3 / 5, 6)
+
+
+class TestDedupIncremental:
+    """Append-time generational gate (oracle identity in
+    test_oracle_parity; planted contract here)."""
+
+    def test_planted_cross_and_internal_dups(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import exact_dedup_incremental
+
+        base = rd.from_arrow(pa.table({
+            "doc_id": [0, 1], "text": ["old news", "evergreen content"]}))
+        new = rd.from_arrow(pa.table({
+            "doc_id": [10, 11, 12, 13],
+            "text": ["old news",           # dup of base -> dropped
+                     "fresh take",         # survives
+                     "fresh take",         # internal dup -> min id wins
+                     "evergreen content"],  # dup of base -> dropped
+        }))
+        out = (exact_dedup_incremental(new, base, num_partitions=2)
+               .to_pandas().sort_values("doc_id"))
+        assert out.doc_id.tolist() == [11]
+        assert out.text.tolist() == ["fresh take"]

@@ -117,6 +117,46 @@ def exact_dedup_rows(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.join(surv, "left_semi", num_partitions, on=(id_col,))
 
 
+def exact_dedup_incremental(new_ds, base_ds, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_partitions: int | None = None):
+    """Incremental exact dedup — the append-time gate a generational
+    corpus runs before indexing a new crawl batch: rows of ``new_ds``
+    whose content (md5 of ``text_col``) already appears in ``base_ds``
+    are dropped, and duplicates WITHIN the new batch collapse to the
+    min-id survivor (one operator = both gates).
+
+    Fully distributed: the base side is reduced to distinct hashes by a
+    groupby before the ``left_anti`` hash join, so neither side needs
+    to fit anywhere and only (hash) rows cross the base exchange."""
+    from ray.data.aggregate import Min
+
+    nparts = _default_join_partitions(num_partitions)
+    new_ds = _strip_meta(new_ds)
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text_hash",
+            pa.array(_md5_batch(t[text_col].to_pylist()), pa.string()))
+
+    new_h = new_ds.map_batches(hash_rows, batch_format="pyarrow")
+    base_hashes = (_strip_meta(base_ds.select_columns([text_col]))
+                   .map_batches(
+                       lambda t: pa.table({"text_hash": pa.array(
+                           sorted(set(_md5_batch(t[text_col].to_pylist()))),
+                           pa.string())}),
+                       batch_format="pyarrow")
+                   .groupby("text_hash").count())
+    fresh = new_h.join(_join_ready(base_hashes.select_columns(["text_hash"]),
+                                   nparts),
+                       "left_anti", nparts, on=("text_hash",))
+    surv = (fresh.select_columns(["text_hash", id_col])
+            .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col)))
+    out = fresh.join(_join_ready(surv.select_columns([id_col]), nparts),
+                     "left_semi", nparts, on=(id_col,))
+    return out.drop_columns(["text_hash"])
+
+
 def dedup_paragraphs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      min_len: int = 20, sep: str = "\n",
                      num_partitions: int | None = None):

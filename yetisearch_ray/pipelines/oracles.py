@@ -685,6 +685,17 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 ) WHERE doc_id = _surv"""
 
 
+DEDUP_INCREMENTAL_SQL = """
+WITH thr AS (SELECT (max(doc_id) + 1) // 2 AS t FROM documents),
+base AS (SELECT DISTINCT md5(text) AS h FROM documents, thr
+         WHERE doc_id < thr.t),
+newb AS (SELECT *, md5(text) AS h FROM documents, thr WHERE doc_id >= thr.t)
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT n.*, min(n.doc_id) OVER (PARTITION BY n.h) AS _surv
+  FROM newb n WHERE n.h NOT IN (SELECT h FROM base)
+) WHERE doc_id = _surv"""
+
+
 def dedup_paragraphs_sql(min_len: int = 20) -> str:
     """Ground truth for ``dedup.dedup_paragraphs``: split each doc on
     newline, elect the first corpus-wide occurrence (min packed
