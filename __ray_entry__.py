@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
         "rel_facet_counts": lambda sf: relational.facet_counts(sf),
+        # exact per-group percentile_disc (ES percentiles sub-agg shape)
+        "rel_group_percentiles": lambda sf: relational.group_percentiles(sf),
         "rel_filter_matrix": relational.filter_matrix,
         "rel_order_revenue": lambda sf: relational.order_revenue_topk(sf, k=10),
         # per-group top-k via map-side combiner (no global sort)
@@ -771,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,
         "rel_facet_counts": oracles.FACET_COUNTS_SQL,
+        "rel_group_percentiles": oracles.GROUP_PERCENTILES_SQL,
         "rel_filter_matrix": oracles.FILTER_MATRIX_SQL,
         "rel_multi_union": oracles.MULTI_UNION_SQL,
         "rel_order_revenue": oracles.ORDER_REVENUE_SQL,

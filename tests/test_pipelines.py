@@ -864,3 +864,21 @@ class TestDedupIncremental:
                .to_pandas().sort_values("doc_id"))
         assert out.doc_id.tolist() == [11]
         assert out.text.tolist() == ["fresh take"]
+
+
+class TestGroupPercentiles:
+    def test_percentile_disc_semantics(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.relational import group_percentiles
+
+        # group g: values 1..10 -> p25=ceil(2.5)=3rd -> 3, p50 -> 5,
+        # p75 -> 8, p95 -> 10
+        tbl = pa.table({"lang": ["g"] * 10 + ["h"],
+                        "n_chars": list(range(1, 11)) + [7]})
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = group_percentiles(str(tmp_path))
+        g = out[out.lang == "g"].iloc[0]
+        assert (g.p25, g.p50, g.p75, g.p95) == (3, 5, 8, 10)
+        h = out[out.lang == "h"].iloc[0]
+        assert (h.p25, h.p50, h.p75, h.p95) == (7, 7, 7, 7)

@@ -1263,6 +1263,15 @@ WHERE f.term NOT IN ({terms_sql})
 ORDER BY score DESC, term ASC LIMIT {k}"""
 
 
+GROUP_PERCENTILES_SQL = """
+SELECT lang,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p75,
+       percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p95
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
 INDEX_STATS_BY_LANG_SQL = """
 SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"""
 

@@ -400,3 +400,40 @@ def grouped_topk(sf_dir: str, *, group_col: str = "source",
     pdf["grp_rank"] = pdf["grp_rank"].astype("int64")
     return pdf.reset_index(drop=True)[[group_col, id_col, order_col,
                                        "grp_rank"]]
+
+
+def group_percentiles(sf_dir: str, *, table: str = "documents",
+                      group_col: str = "lang", value_col: str = "n_chars",
+                      qs=(0.25, 0.5, 0.75, 0.95)):
+    """Per-group ``percentile_disc`` (the ES percentiles-sub-aggregation
+    shape, exact): for each group, the 1-indexed rank ``ceil(q*N)``
+    element of the sorted values.
+
+    Distributed shape: the scan is pruned to the two needed columns,
+    groups shuffle once (low-cardinality facet keys over narrow int
+    rows), and each group computes its quantiles exactly with one
+    sorted numpy pass.  For a HIGH-cardinality or skewed group column
+    the per-group pass stays bounded (one group per task); for a
+    single huge group use ``sketches.quantiles_disc`` (log-pass
+    bracketing) per group instead."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=[group_col, value_col])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q in qs:
+            r = max(1, int(np.ceil(q * n)))
+            row[f"p{int(q * 100)}"] = np.asarray([v[r - 1]], dtype=np.int64)
+        return pd.DataFrame(row)
+
+    strip = ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                           batch_format="pyarrow")
+    out = (strip.groupby(group_col)
+           .map_groups(per_group, batch_format="pandas").to_pandas())
+    return out.sort_values(group_col).reset_index(drop=True)
