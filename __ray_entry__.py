@@ -143,15 +143,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
-    def _dedup_incremental(sf_dir):
+    def _dedup_incremental(sf_dir, bloom=False):
         # second half of documents "appended" against the first half;
         # the split threshold mirrors the oracle's (max(doc_id)+1)//2
         ds = _docs(sf_dir)
         thr = (int(ds.max("doc_id")) + 1) // 2
         base = _docs(sf_dir).filter(expr=f"doc_id < {thr}")
         new = _docs(sf_dir).filter(expr=f"doc_id >= {thr}")
-        out = dedup.exact_dedup_incremental(new, base).to_pandas()
-        return out[["doc_id", "text", "lang", "source", "n_chars"]]
+        fn = (dedup.exact_dedup_incremental_bloom if bloom
+              else dedup.exact_dedup_incremental)
+        out = fn(new, base).to_pandas()
+        return (out[["doc_id", "text", "lang", "source", "n_chars"]]
+                .sort_values("doc_id").reset_index(drop=True))
 
     def _minhash_pairs_ds(sf_dir, threshold=0.5):
         # pairs + clusters entries share one materialized pair table
@@ -488,6 +491,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental exact dedup: second half of the corpus appended
         # against the first half (append-time generational gate)
         "dedup_incremental": _dedup_incremental,
+        # same answer via the broadcast-Bloom two-phase prune (the
+        # huge-base path); oracle identical by construction
+        "dedup_incremental_bloom": lambda sf: _dedup_incremental(
+            sf, bloom=True),
         # substring-level dedup signal (Lee et al. 2022, char-50-gram
         # rolling hashes; hash-join back, no broadcast)
         "dedup_substring_stats": lambda sf: dedup.substring_dup_stats(
@@ -735,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),
         "dedup_paragraphs": oracles.dedup_paragraphs_sql(min_len=20),
         "dedup_incremental": oracles.DEDUP_INCREMENTAL_SQL,
+        "dedup_incremental_bloom": oracles.DEDUP_INCREMENTAL_SQL,
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),

@@ -882,3 +882,48 @@ class TestGroupPercentiles:
         assert (g.p25, g.p50, g.p75, g.p95) == (3, 5, 8, 10)
         h = out[out.lang == "h"].iloc[0]
         assert (h.p25, h.p50, h.p75, h.p95) == (7, 7, 7, 7)
+
+
+class TestDedupIncrementalBloom:
+    """Bloom-pruned two-phase variant is answer-identical to the exact
+    operator, and the filter actually prunes."""
+
+    def test_identical_to_exact_and_prunes(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import (
+            exact_dedup_incremental, exact_dedup_incremental_bloom)
+
+        base = rd.from_arrow(pa.table({
+            "doc_id": list(range(50)),
+            "text": [f"base document number {i}" for i in range(50)]}))
+        new_rows = ([f"base document number {i}" for i in range(10)]  # dups
+                    + [f"fresh document {i}" for i in range(40)])
+        new = rd.from_arrow(pa.table({
+            "doc_id": list(range(100, 150)), "text": new_rows}))
+
+        want = (exact_dedup_incremental(new, base, num_partitions=2)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got = (exact_dedup_incremental_bloom(
+                   new, base, bloom_bits=1 << 16, num_partitions=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got.doc_id.tolist() == want.doc_id.tolist()
+        assert got.text.tolist() == want.text.tolist()
+        assert len(got) == 40
+
+    def test_tiny_filter_false_positives_still_exact(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.dedup import (
+            exact_dedup_incremental_bloom)
+
+        # 64-bit filter over 30 base hashes saturates -> everything is a
+        # "possible member", forcing the exact verify join to do the work
+        base = rd.from_arrow(pa.table({
+            "doc_id": list(range(30)),
+            "text": [f"b{i}" for i in range(30)]}))
+        new = rd.from_arrow(pa.table({
+            "doc_id": [100, 101], "text": ["b3", "genuinely new"]}))
+        out = exact_dedup_incremental_bloom(
+            new, base, bloom_bits=64, num_partitions=2).to_pandas()
+        assert out.doc_id.tolist() == [101]

@@ -157,6 +157,103 @@ def exact_dedup_incremental(new_ds, base_ds, *, text_col: str = "text",
     return out.drop_columns(["text_hash"])
 
 
+def _bloom_indexes(hashes: list[str], bits: int, k: int) -> np.ndarray:
+    """k bit positions per md5-hex hash (double hashing: h1 + i*h2)."""
+    out = np.empty((len(hashes), k), dtype=np.int64)
+    for r, h in enumerate(hashes):
+        h1 = int(h[:16], 16) % bits
+        h2 = int(h[16:32], 16) % (bits - 1) + 1
+        for i in range(k):
+            out[r, i] = (h1 + i * h2) % bits
+    return out
+
+
+def exact_dedup_incremental_bloom(new_ds, base_ds, *, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  bloom_bits: int = 1 << 24,
+                                  n_hashes: int = 4,
+                                  num_partitions: int | None = None):
+    """``exact_dedup_incremental`` with a broadcast Bloom filter over
+    the base hashes pruning the anti-join input — the two-phase shape
+    an append gate needs when the base corpus is huge: rows whose hash
+    the Bloom filter rules out of the base (no false negatives) bypass
+    the join entirely; only the possible-member minority pays the
+    exchange, and an EXACT anti-join on that minority removes the
+    Bloom's false positives, so the answer is bit-identical to the
+    exact operator.
+
+    The filter is ``bloom_bits`` bits (default 2 MiB) regardless of
+    base size: per-batch bitmaps stream to the driver and OR together,
+    then one ``ray.put`` broadcasts the result to every split task."""
+    import ray
+    from ray.data.aggregate import Min
+
+    nparts = _default_join_partitions(num_partitions)
+    new_ds = _strip_meta(new_ds)
+    nbytes = bloom_bits // 8
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text_hash",
+            pa.array(_md5_batch(t[text_col].to_pylist()), pa.string()))
+
+    new_h = new_ds.map_batches(hash_rows, batch_format="pyarrow")
+    # internal survivor selection first (hash groups land in one Bloom
+    # branch, so the order is immaterial; doing it first shrinks both)
+    surv = (new_h.select_columns(["text_hash", id_col])
+            .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col)))
+    new_u = new_h.join(_join_ready(surv.select_columns([id_col]), nparts),
+                       "left_semi", nparts, on=(id_col,))
+
+    def bitmap(t: pa.Table) -> pa.Table:
+        hs = sorted(set(_md5_batch(t[text_col].to_pylist())))
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if hs:
+            idx = _bloom_indexes(hs, bloom_bits, n_hashes).ravel()
+            np.bitwise_or.at(bits, idx >> 3,
+                             (1 << (idx & 7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    base_h = _strip_meta(base_ds.select_columns([text_col]))
+    agg_bits = np.zeros(nbytes, dtype=np.uint8)
+    for b in (base_h.map_batches(bitmap, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for buf in b["bits"].to_pylist():
+            agg_bits |= np.frombuffer(buf, dtype=np.uint8)
+    bits_ref = ray.put(agg_bits)
+
+    def split(t: pa.Table, want_hit: bool) -> pa.Table:
+        bits = ray.get(bits_ref)
+        hs = t["text_hash"].to_pylist()
+        if not hs:
+            return t
+        idx = _bloom_indexes(hs, bloom_bits, n_hashes)
+        hit = np.all((bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8))
+                     != 0, axis=1)
+        return t.filter(pa.array(hit if want_hit else ~hit))
+
+    definite = new_u.map_batches(lambda t: split(t, False),
+                                 batch_format="pyarrow")
+    possible = new_u.map_batches(lambda t: split(t, True),
+                                 batch_format="pyarrow")
+    base_hashes = (base_h.map_batches(
+        lambda t: pa.table({"text_hash": pa.array(
+            sorted(set(_md5_batch(t[text_col].to_pylist()))), pa.string())}),
+        batch_format="pyarrow").groupby("text_hash").count())
+    # the bloom-hit side is the MINORITY by design (expected dups +
+    # false-positive rate), so materializing it to test emptiness is
+    # bounded; an entirely-empty hit side would reach the join as
+    # schema-less 0-row partitions and crash Acero, and with zero rows
+    # there is nothing to verify anyway
+    possible = possible.materialize()
+    if possible.count() == 0:
+        return definite.drop_columns(["text_hash"])
+    checked = _join_ready(possible, nparts).join(
+        _join_ready(base_hashes.select_columns(["text_hash"]), nparts),
+        "left_anti", nparts, on=("text_hash",))
+    return definite.union(checked).drop_columns(["text_hash"])
+
+
 def dedup_paragraphs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      min_len: int = 20, sep: str = "\n",
                      num_partitions: int | None = None):
