@@ -603,6 +603,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_windowed_topk": events.windowed_topk,
         "ev_session_windows": events.session_windows,
         "ev_asof_join": events.asof_join_orders,
+        # strict sequential funnel: view -> click -> purchase
+        "ev_funnel": events.funnel_counts,
+        # exact COUNT(DISTINCT user) per event type (grouped cardinality)
+        "ev_distinct_users": events.distinct_users_per_type,
+        # TPC-H Q12-shape conditional aggregate over a big-big join
+        "rel_priority_lines": lambda sf: relational.priority_line_counts(sf),
     }
 
 
@@ -777,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed_topk": oracles.WINDOWED_TOPK_SQL,
         "ev_session_windows": oracles.SESSION_WINDOWS_SQL,
         "ev_asof_join": oracles.ASOF_JOIN_SQL,
+        "ev_funnel": oracles.FUNNEL_SQL,
+        "ev_distinct_users": oracles.GROUP_DISTINCT_SQL,
+        "rel_priority_lines": oracles.PRIORITY_LINES_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -927,3 +927,74 @@ class TestDedupIncrementalBloom:
         out = exact_dedup_incremental_bloom(
             new, base, bloom_bits=64, num_partitions=2).to_pandas()
         assert out.doc_id.tolist() == [101]
+
+
+class TestFunnelAndGroupedCardinality:
+    def test_funnel_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.events import funnel_counts
+        from yetisearch_ray.pipelines.oracles import FUNNEL_SQL
+
+        got = funnel_counts(SF)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = con.execute(FUNNEL_SQL).fetchdf()
+        assert got.n_users.tolist() == want.n_users.tolist()
+        # funnel is monotone non-increasing by construction
+        assert got.n_users.is_monotonic_decreasing or len(got) < 2
+
+    def test_funnel_strict_ordering(self, ray_session, tmp_path):
+        """A user whose click precedes every view must not reach stage 2,
+        and equal timestamps do not satisfy the strictly-after rule."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import funnel_counts
+
+        ts = pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 01:00",   # u1: click before view
+            "2024-01-02 00:00", "2024-01-02 00:00",   # u2: view == click ts
+            "2024-01-03 00:00", "2024-01-03 01:00", "2024-01-03 02:00",  # u3 full
+        ])
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2, 2, 3, 3, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["click", "view", "view", "click",
+                                    "view", "click", "purchase"]),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = funnel_counts(str(d))
+        assert got.n_users.tolist() == [3, 1, 1]
+
+    def test_distinct_users_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.events import distinct_users_per_type
+        from yetisearch_ray.pipelines.oracles import GROUP_DISTINCT_SQL
+
+        got = distinct_users_per_type(SF)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = con.execute(GROUP_DISTINCT_SQL).fetchdf()
+        assert got.event_type.tolist() == want.event_type.tolist()
+        assert got.n_users.tolist() == want.n_users.tolist()
+
+    def test_priority_lines_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.oracles import PRIORITY_LINES_SQL
+        from yetisearch_ray.pipelines.relational import priority_line_counts
+
+        got = priority_line_counts(SF)
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        want = con.execute(PRIORITY_LINES_SQL).fetchdf()
+        assert got.l_returnflag.tolist() == want.l_returnflag.tolist()
+        assert got.high_line_count.tolist() == want.high_line_count.tolist()
+        assert got.low_line_count.tolist() == want.low_line_count.tolist()

@@ -196,6 +196,84 @@ def asof_join_orders(sf_dir: str):
             .sort_values("event_id").reset_index(drop=True))
 
 
+def funnel_counts(sf_dir: str, *, stages=("view", "click", "purchase")):
+    """Strict sequential funnel over the event stream: how many users
+    reached stage 1 (any ``stages[0]`` event), stage 2 (a ``stages[1]``
+    event strictly after their first stage-1 event), stage 3 (strictly
+    after the earliest qualifying stage-2 event), ...
+
+    The standard product-analytics conversion query (and the windowless
+    cousin of the reference's session semantics).  Distributed shape:
+    one ``groupby(user_id).map_groups`` pass emits a single
+    ``(user_id, reached)`` row per user — per-user state never leaves
+    the group task — and the funnel itself is a <= len(stages)-row
+    aggregate of that, so the driver sees O(stages) bytes.  Columns
+    (stage, event_type, n_users)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def reach(g: pd.DataFrame) -> pd.DataFrame:
+        reached = 0
+        t_prev = None
+        for s in stages:
+            mine = g.loc[g["event_type"] == s, "ts"]
+            if t_prev is not None:
+                mine = mine[mine > t_prev]
+            if mine.empty:
+                break
+            t_prev = mine.min()
+            reached += 1
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "reached": np.array([reached], dtype=np.int64)})
+
+    per_user = ds.groupby("user_id").map_groups(reach, batch_format="pandas")
+    counts = (per_user.groupby("reached")
+              .aggregate(Count(alias_name="n")).to_pandas())
+    by_reach = dict(zip(counts["reached"].astype(int), counts["n"].astype(int)))
+    rows = []
+    for i, s in enumerate(stages, start=1):
+        n_users = sum(v for r, v in by_reach.items() if r >= i)
+        rows.append({"stage": i, "event_type": s, "n_users": n_users})
+    out = pd.DataFrame(rows)
+    out["stage"] = out["stage"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the grouped
+    cardinality shape (ES ``cardinality`` sub-aggregation, SQL
+    count-distinct-over-group).
+
+    Distributed shape: per-batch pair dedup inside ``map_batches``
+    (map-side combine: each batch contributes at most its distinct
+    (event_type, user_id) pairs to the exchange), a pair-key groupby to
+    finish the global dedup, then a tiny per-type count groupby — the
+    second shuffle moves one row per distinct pair, never the event
+    stream.  Columns (event_type, n_users)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None).group_by(
+            ["event_type", "user_id"]).aggregate([])
+
+    pairs = (ds.map_batches(batch_distinct, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="_n")))
+    out = (pairs.select_columns(["event_type"])
+           .groupby("event_type").aggregate(Count(alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def windowed_topk(sf_dir: str, *, width_minutes: int = 60, n: int = 3):
     """Top-``n`` event types per tumbling window by count (the
     streaming "trending items" shape — a windowed heavy-hitter view

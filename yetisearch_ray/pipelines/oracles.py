@@ -2371,3 +2371,46 @@ scored AS (
 )
 SELECT s.doc_id::BIGINT AS doc_id, round(abs(s.s), {round_to}) AS score
 FROM scored s ORDER BY -s.s ASC, s.doc_id ASC LIMIT {k}"""
+
+
+# Ground truth for events.funnel_counts: strict sequential funnel
+# (view -> click -> purchase).  Stage 2 requires a click strictly after
+# the user's FIRST view; stage 3 a purchase strictly after the earliest
+# qualifying click — the same greedy-earliest chain the operator walks
+# (greedy-earliest maximizes the remaining suffix, so reach is exact).
+FUNNEL_SQL = """
+WITH a AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+b AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY e.user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN b ON e.user_id = b.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1::BIGINT AS stage, 'view' AS event_type,
+         (SELECT count(*) FROM a)::BIGINT AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM b)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM c)
+) ORDER BY stage"""
+
+
+# Ground truth for events.distinct_users_per_type: exact grouped
+# cardinality.
+GROUP_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+# Ground truth for relational.priority_line_counts (TPC-H Q12 shape):
+# conditional counts over the lineitem x orders join.
+PRIORITY_LINES_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag"""

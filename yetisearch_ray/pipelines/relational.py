@@ -402,6 +402,50 @@ def grouped_topk(sf_dir: str, *, group_col: str = "source",
                                        "grp_rank"]]
 
 
+def priority_line_counts(sf_dir: str, *, num_partitions: int = 8):
+    """TPC-H Q12-shape conditional aggregation over a big-big join:
+    per lineitem return flag, how many lines belong to high-priority
+    orders (1-URGENT / 2-HIGH) vs everything else.
+
+    Distributed shape: both fact tables are column-pruned at the scan,
+    hash-joined on the order key with Ray Data's native ``Dataset.join``
+    (both sides shuffle — the fact⋈fact shape a broadcast can't take),
+    the CASE WHEN collapses to 0/1 int columns map-side immediately
+    after the join, and the final groupby moves 3 keys x partials.
+    Columns (l_returnflag, high_line_count, low_line_count)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _strip_meta
+
+    li = _strip_meta(rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                     columns=["l_orderkey", "l_returnflag"]))
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]))
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def flags(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi64 = pc.cast(hi, pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "high": hi64,
+            "low": pc.subtract(pa.scalar(1, pa.int64()), hi64),
+        })
+
+    out = (joined.map_batches(flags, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("high", alias_name="high_line_count"),
+                      Sum("low", alias_name="low_line_count"))
+           .to_pandas())
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def group_percentiles(sf_dir: str, *, table: str = "documents",
                       group_col: str = "lang", value_col: str = "n_chars",
                       qs=(0.25, 0.5, 0.75, 0.95)):
