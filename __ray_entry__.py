@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_term_vectors": lambda sf: ftsd.term_vectors(sf),
         # per-term BM25 breakdown for one (doc, query) (ES _explain)
         "fts_explain_score": lambda sf: ftsd.explain_score(sf),
+        # offline search-quality eval (ES _rank_eval shape): P@k /
+        # recall@k / MRR / nDCG@k per query vs the AND-set judgments
+        "fts_rank_eval": lambda sf: ftsd.rank_eval(sf),
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
         "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
@@ -721,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_term_vectors": oracles.term_vectors_sql(doc_id=7),
         "fts_explain_score": oracles.explain_score_sql(
             ["src7", "value", "window"], doc_id=7),
+        "fts_rank_eval": oracles.rank_eval_sql(ftsd.RANK_EVAL_QUERIES),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

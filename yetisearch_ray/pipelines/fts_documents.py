@@ -594,3 +594,64 @@ def batch_search_to_parquet(index_dir: str, queries_ds, out_dir: str, *,
     )
     out.write_parquet(out_dir)
     return out_dir
+
+
+# --------------------------------------------------------------------------
+# rank-eval (ES _rank_eval shape): P@k / recall@k / MRR / nDCG@k per query
+# --------------------------------------------------------------------------
+
+RANK_EVAL_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    # rare (srcN / dup, high idf) × common term: AND sets are small and
+    # the OR page mixes relevant and single-term docs, so the metrics
+    # are discriminative rather than degenerate-1.0
+    ("q_src3_window", ("src3", "window")),
+    ("q_dup_merge", ("dup", "merge")),
+    ("q_src7_vector", ("src7", "vector")),
+)
+
+
+def rank_eval(sf_dir: str, specs=RANK_EVAL_QUERIES, k: int = 10) -> pd.DataFrame:
+    """Offline search-quality evaluation (ES ``_rank_eval`` shape;
+    reference analog: benchmarks/benchmark.php result-quality checks).
+
+    For each query: the served page is the BM25 OR-mode top-k; the
+    relevance judgment set is the AND-match set (docs containing every
+    query term), which is deterministic from the corpus.  Metrics are
+    binary-gain precision@k, recall@k, reciprocal rank, and nDCG@k.
+
+    Relevant hits inside the page are computed as
+    ``topk_or ∩ topk_and(k)`` — exact, not an approximation: AND prunes
+    the match set only (scores identical to OR for surviving docs), so
+    AND-ranking is OR-ranking restricted to the relevance set; any
+    relevant doc at OR-rank r ≤ k therefore has AND-rank ≤ r ≤ k.
+
+    ``n_rel`` uses the engine's distributed ``count`` (AND mode) — the
+    full relevance set is never materialized on the driver.
+    """
+    eng = get_engine(sf_dir)
+    rows = []
+    for qname, terms in specs:
+        q = " ".join(terms)
+        page = eng.search(q, mode="or", limit=k, normalize=False).to_pandas()
+        and_page = eng.search(q, mode="and", limit=k, normalize=False)
+        rel_in_page = set(and_page["doc_id"].to_pylist())
+        n_rel = eng.count(q, mode="and")
+        ranks = [i + 1 for i, d in enumerate(page["doc_id"].tolist())
+                 if d in rel_in_page]
+        hits = len(ranks)
+        dcg = float(np.sum(1.0 / np.log2(np.asarray(ranks, dtype=np.float64) + 1.0))) if ranks else 0.0
+        ideal = np.arange(1, min(k, n_rel) + 1, dtype=np.float64)
+        idcg = float(np.sum(1.0 / np.log2(ideal + 1.0))) if n_rel else 0.0
+        rows.append({
+            "query": qname,
+            "n_rel": n_rel,
+            "hits": hits,
+            "precision_k": round(hits / k, 6),
+            "recall_k": round(hits / n_rel, 6) if n_rel else 0.0,
+            "rr": round(1.0 / ranks[0], 6) if ranks else 0.0,
+            "ndcg": round(dcg / idcg, 6) if idcg else 0.0,
+        })
+    df = pd.DataFrame(rows).sort_values("query").reset_index(drop=True)
+    df["n_rel"] = df["n_rel"].astype("int64")
+    df["hits"] = df["hits"].astype("int64")
+    return df

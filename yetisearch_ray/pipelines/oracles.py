@@ -2414,3 +2414,71 @@ SELECT l_returnflag,
                 THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def rank_eval_sql(specs, *, corpus: str = DOCUMENTS_CORPUS,
+                  k: int = 10, round_to: int = 6) -> str:
+    """Ground truth for ``fts_documents.rank_eval``: per query, the
+    served page is the OR-mode BM25 top-k (standard CTEs, rank order
+    score DESC / doc_id ASC); the relevance set is the AND match set
+    (``nterms = len(terms)`` — identical scoring, prune only).  Metrics:
+    binary-gain precision@k, recall@k, reciprocal rank of the first
+    relevant hit, and nDCG@k with ideal DCG over ``min(k, n_rel)``
+    top slots."""
+    parts = []
+    for qname, terms in specs:
+        nt = len(terms)
+        terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+        parts.append(f"""
+SELECT * FROM (
+{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld, count(*) * 1.0 AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS s,
+         count(*) AS nterms
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+),
+page AS (
+  SELECT doc_id, row_number() OVER (ORDER BY -s ASC, doc_id ASC) AS rnk
+  FROM scored ORDER BY -s ASC, doc_id ASC LIMIT {k}
+),
+rel AS (SELECT doc_id FROM scored WHERE nterms = {nt}),
+nrel AS (SELECT count(*) AS n FROM rel),
+hitranks AS (SELECT p.rnk FROM page p JOIN rel USING (doc_id)),
+m AS (
+  SELECT (SELECT n FROM nrel) AS n_rel,
+         (SELECT count(*) FROM hitranks) AS hits,
+         (SELECT coalesce(sum(1.0 / log2(rnk + 1)), 0.0) FROM hitranks) AS dcg,
+         (SELECT coalesce(sum(1.0 / log2(i + 1)), 0.0)
+          FROM (SELECT unnest(generate_series(1,
+                  least({k}, (SELECT n FROM nrel)))) AS i)) AS idcg,
+         (SELECT min(rnk) FROM hitranks) AS first_rank
+)
+SELECT '{qname}' AS query,
+       n_rel::BIGINT AS n_rel,
+       hits::BIGINT AS hits,
+       round(hits / {k}.0, {round_to}) AS precision_k,
+       CASE WHEN n_rel > 0 THEN round(hits / n_rel::DOUBLE, {round_to})
+            ELSE 0.0 END AS recall_k,
+       CASE WHEN first_rank IS NOT NULL
+            THEN round(1.0 / first_rank, {round_to}) ELSE 0.0 END AS rr,
+       CASE WHEN idcg > 0 THEN round(dcg / idcg, {round_to})
+            ELSE 0.0 END AS ndcg
+FROM m
+) q_{qname}""")
+    return " UNION ALL ".join(parts) + " ORDER BY query"
