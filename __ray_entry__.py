@@ -612,6 +612,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_distinct_users": events.distinct_users_per_type,
         # TPC-H Q12-shape conditional aggregate over a big-big join
         "rel_priority_lines": lambda sf: relational.priority_line_counts(sf),
+        # weekly cohort retention triangle (growth analytics)
+        "ev_retention_cohorts": events.retention_cohorts,
+        # per-type daily counts + trailing 7-day moving average
+        "ev_daily_moving_avg": events.daily_moving_avg,
+        # market-basket co-occurrence of event-type pairs per user
+        "ev_type_cooccurrence": events.type_cooccurrence,
+        # TPC-H Q4-shape EXISTS semi-join (orders with a late lineitem)
+        "rel_late_shipments": lambda sf: relational.late_shipment_priority(sf),
     }
 
 
@@ -790,6 +798,10 @@ def oracle_sql() -> dict[str, str]:
         "ev_funnel": oracles.FUNNEL_SQL,
         "ev_distinct_users": oracles.GROUP_DISTINCT_SQL,
         "rel_priority_lines": oracles.PRIORITY_LINES_SQL,
+        "ev_retention_cohorts": oracles.RETENTION_COHORTS_SQL,
+        "ev_daily_moving_avg": oracles.daily_moving_avg_sql(7),
+        "ev_type_cooccurrence": oracles.TYPE_COOCCURRENCE_SQL,
+        "rel_late_shipments": oracles.late_shipment_priority_sql(30),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

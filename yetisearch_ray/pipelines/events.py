@@ -314,3 +314,124 @@ def windowed_topk(sf_dir: str, *, width_minutes: int = 60, n: int = 3):
     out["n"] = out["n"].astype("int64")
     return (out[["window_start", "event_type", "n", "rk"]]
             .sort_values(["window_start", "rk"]).reset_index(drop=True))
+
+
+def retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix: users are cohorted by the week
+    of their first event; each cell counts how many of that cohort were
+    active ``offset_weeks`` weeks later (offset 0 = the cohort week
+    itself).  The standard growth-analytics triangle.
+
+    Distributed shape: per-batch distinct ``(user_id, week)`` pairs
+    (map-side combine), one global pair-dedup groupby, then a per-user
+    ``map_groups`` that derives (cohort_week, offset) rows — per-user
+    state never leaves the group task and each user contributes at most
+    |weeks| rows — and a final aggregate-sized (cohort, offset) groupby.
+    The driver sees O(weeks²) bytes.  Columns
+    (cohort_week, offset_weeks, n_users)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(t["ts"], unit="week")  # Monday start,
+        # matching DuckDB date_trunc('week', ts)
+        return pa.table({"user_id": t["user_id"], "wk": wk}) \
+            .group_by(["user_id", "wk"]).aggregate([])
+
+    pairs = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["user_id", "wk"]).aggregate(Count(alias_name="_n")))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        cw = g["wk"].min()
+        offs = ((g["wk"] - cw).dt.days // 7).astype("int64")
+        return pd.DataFrame({
+            "cohort_week": pd.Series(np.full(len(g), np.datetime64(cw, "us"))),
+            "offset_weeks": offs.to_numpy(),
+        })
+
+    rows = pairs.groupby("user_id").map_groups(per_user,
+                                               batch_format="pandas")
+    out = (rows.groupby(["cohort_week", "offset_weeks"])
+           .aggregate(Count(alias_name="n_users")).to_pandas())
+    out["offset_weeks"] = out["offset_weeks"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "offset_weeks"]) \
+        .reset_index(drop=True)
+
+
+def daily_moving_avg(sf_dir: str, *, window_days: int = 7):
+    """Per-type daily event counts with a trailing ``window_days``-day
+    moving average (the time-series smoothing shape; SQL
+    ``AVG(...) OVER (... ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)``).
+
+    Distributed shape: the daily counts are one (event_type, day)
+    shuffle-aggregate; the rolling mean then runs over that aggregate
+    (|days| × |types| rows — tiny), which is the right altitude: the
+    window never touches the raw stream.  For month-scale windows over
+    years of data the same rolling pass runs inside a per-type
+    ``map_groups`` instead; columns (event_type, day, n, ma)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return t.replace_schema_metadata(None).append_column("day", day)
+
+    daily = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    daily["n"] = daily["n"].astype("int64")
+    daily = daily.sort_values(["event_type", "day"]).reset_index(drop=True)
+    daily["ma"] = (daily.groupby("event_type")["n"]
+                   .rolling(window_days, min_periods=1).mean()
+                   .round(6).reset_index(level=0, drop=True))
+    return daily[["event_type", "day", "n", "ma"]]
+
+
+def type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered event-type pair
+    (a < b), the number of users who performed both.
+
+    Distributed shape: the same map-side-combined distinct
+    ``(user_id, event_type)`` pairs as ``distinct_users_per_type``, a
+    per-user ``map_groups`` emitting the ≤ C(|types|, 2) pairs for that
+    user, and a final pair-keyed count groupby — the all-pairs blowup
+    is bounded per group by the (tiny) type vocabulary, never by the
+    event stream.  Columns (type_a, type_b, n_users)."""
+    import itertools
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None).group_by(
+            ["user_id", "event_type"]).aggregate([])
+
+    pairs = (ds.map_batches(batch_distinct, batch_format="pyarrow")
+             .groupby(["user_id", "event_type"])
+             .aggregate(Count(alias_name="_n")))
+
+    def combos(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(g["event_type"].unique())
+        combo = list(itertools.combinations(ts, 2))
+        if not combo:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=str),
+                                 "type_b": pd.Series([], dtype=str)})
+        a, b = zip(*combo)
+        return pd.DataFrame({"type_a": list(a), "type_b": list(b)})
+
+    per_user = pairs.groupby("user_id").map_groups(combos,
+                                                   batch_format="pandas")
+    out = (per_user.groupby(["type_a", "type_b"])
+           .aggregate(Count(alias_name="n_users")).to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

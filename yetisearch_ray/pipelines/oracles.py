@@ -2482,3 +2482,56 @@ SELECT '{qname}' AS query,
 FROM m
 ) q_{qname}""")
     return " UNION ALL ".join(parts) + " ORDER BY query"
+
+
+# Ground truth for events.retention_cohorts: weekly cohort triangle.
+# date_trunc('week') is Monday-start, matching pyarrow floor_temporal.
+RETENTION_COHORTS_SQL = """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+             FROM events),
+coh AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id)
+SELECT cw AS cohort_week,
+       ((epoch(wk) - epoch(cw)) / 604800)::BIGINT AS offset_weeks,
+       count(*)::BIGINT AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def daily_moving_avg_sql(window_days: int = 7) -> str:
+    """Ground truth for events.daily_moving_avg: trailing rolling mean
+    over per-type daily counts (frame = available preceding rows, the
+    pandas min_periods=1 contract)."""
+    return f"""
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day, n::BIGINT AS n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN {window_days - 1} PRECEDING
+                          AND CURRENT ROW), 6) AS ma
+FROM d ORDER BY event_type, day"""
+
+
+# Ground truth for events.type_cooccurrence: users performing both
+# types of each unordered pair.
+TYPE_COOCCURRENCE_SQL = """
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM u a JOIN u b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def late_shipment_priority_sql(grace_days: int = 30) -> str:
+    """Ground truth for relational.late_shipment_priority (Q4-shape
+    EXISTS): orders with any lineitem shipped > grace_days after the
+    order date, counted per priority."""
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {grace_days} DAY)
+GROUP BY 1 ORDER BY 1"""

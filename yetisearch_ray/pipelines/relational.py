@@ -481,3 +481,52 @@ def group_percentiles(sf_dir: str, *, table: str = "documents",
     out = (strip.groupby(group_col)
            .map_groups(per_group, batch_format="pandas").to_pandas())
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def late_shipment_priority(sf_dir: str, *, grace_days: int = 30,
+                           num_partitions: int = 8):
+    """TPC-H Q4-shape EXISTS semi-join: per order priority, how many
+    orders have at least one LATE lineitem (shipped more than
+    ``grace_days`` days after the order date).
+
+    Distributed shape: both fact tables column-pruned at the scan,
+    inner hash-join on the order key (fact⋈fact — both sides shuffle;
+    the order date is needed row-wise so no broadcast applies), the
+    lateness predicate vectorized map-side right after the join, the
+    EXISTS collapse done as a map-side distinct + one
+    (orderkey, priority) dedup groupby — so the second exchange moves
+    at most one row per late ORDER, never per lineitem — and a final
+    priority-keyed count over that aggregate.
+    Columns (o_orderpriority, n_orders)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dedup import _strip_meta
+
+    li = _strip_meta(rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                     columns=["l_orderkey", "l_shipdate"]))
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]))
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    grace = np.timedelta64(grace_days, "D").astype("timedelta64[us]")
+
+    def late_orders(t: pa.Table) -> pa.Table:
+        cutoff = pc.add(t["o_orderdate"], pa.scalar(grace))
+        keep = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        return pa.table({
+            "l_orderkey": keep["l_orderkey"],
+            "o_orderpriority": keep["o_orderpriority"],
+        }).group_by(["l_orderkey", "o_orderpriority"]).aggregate([])
+
+    late = (joined.map_batches(late_orders, batch_format="pyarrow")
+            .groupby(["l_orderkey", "o_orderpriority"])
+            .aggregate(Count(alias_name="_n")))
+    out = (late.select_columns(["o_orderpriority"])
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders")).to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
