@@ -998,3 +998,109 @@ class TestFunnelAndGroupedCardinality:
         assert got.l_returnflag.tolist() == want.l_returnflag.tolist()
         assert got.high_line_count.tolist() == want.high_line_count.tolist()
         assert got.low_line_count.tolist() == want.low_line_count.tolist()
+
+
+class TestRound3LateOps:
+    def test_retention_cohorts_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.events import retention_cohorts
+        from yetisearch_ray.pipelines.oracles import RETENTION_COHORTS_SQL
+
+        got = retention_cohorts(SF)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = con.execute(RETENTION_COHORTS_SQL).fetchdf()
+        assert got.cohort_week.astype(str).tolist() == \
+            want.cohort_week.astype(str).tolist()
+        assert got.offset_weeks.tolist() == want.offset_weeks.tolist()
+        assert got.n_users.tolist() == want.n_users.tolist()
+        # offset-0 cell of a cohort = cohort size >= every later cell
+        for cw, g in got.groupby("cohort_week"):
+            assert g.n_users.iloc[0] == g.n_users.max()
+
+    def test_moving_avg_matches_duckdb_and_warmup(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.events import daily_moving_avg
+        from yetisearch_ray.pipelines.oracles import daily_moving_avg_sql
+
+        got = daily_moving_avg(SF)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = con.execute(daily_moving_avg_sql(7)).fetchdf()
+        assert np.allclose(got.ma.to_numpy(), want.ma.to_numpy(), atol=1e-6)
+        # first day of each type: ma == n (min_periods=1 warm-up)
+        first = got.groupby("event_type").head(1)
+        assert np.allclose(first.ma.to_numpy(),
+                           first.n.to_numpy().astype(float))
+
+    def test_cooccurrence_matches_duckdb_and_bounds(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.events import (
+            distinct_users_per_type, type_cooccurrence)
+        from yetisearch_ray.pipelines.oracles import TYPE_COOCCURRENCE_SQL
+
+        got = type_cooccurrence(SF)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = con.execute(TYPE_COOCCURRENCE_SQL).fetchdf()
+        assert got.type_a.tolist() == want.type_a.tolist()
+        assert got.type_b.tolist() == want.type_b.tolist()
+        assert got.n_users.tolist() == want.n_users.tolist()
+        # pair support <= min of the two marginals
+        marg = dict(zip(*[distinct_users_per_type(SF)[c]
+                          for c in ("event_type", "n_users")]))
+        for _, r in got.iterrows():
+            assert r.n_users <= min(marg[r.type_a], marg[r.type_b])
+
+    def test_single_type_user_contributes_no_pairs(self, ray_session,
+                                                   tmp_path):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import type_cooccurrence
+
+        ts = pd.to_datetime(["2024-01-01"] * 4)
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["view", "view", "view", "click"]),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = type_cooccurrence(str(d))
+        assert got.to_dict("records") == [
+            {"type_a": "click", "type_b": "view", "n_users": 1}]
+
+    def test_late_shipments_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.oracles import \
+            late_shipment_priority_sql
+        from yetisearch_ray.pipelines.relational import \
+            late_shipment_priority
+
+        got = late_shipment_priority(SF)
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        want = con.execute(late_shipment_priority_sql(30)).fetchdf()
+        assert got.o_orderpriority.tolist() == want.o_orderpriority.tolist()
+        assert got.n_orders.tolist() == want.n_orders.tolist()
+
+    def test_rank_eval_metric_identities(self, ray_session):
+        from yetisearch_ray.pipelines.fts_documents import rank_eval
+
+        got = rank_eval(SF)
+        assert (got.hits <= 10).all() and (got.hits >= 0).all()
+        assert np.allclose(got.precision_k, got.hits / 10.0)
+        # rr is 0 iff no hits; ndcg in [0, 1]
+        assert ((got.rr > 0) == (got.hits > 0)).all()
+        assert ((got.ndcg >= 0) & (got.ndcg <= 1.0 + 1e-9)).all()
+        assert (got.hits <= got.n_rel).all()
