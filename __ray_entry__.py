@@ -551,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), k=20, min_count=5),
         # corpus vocabulary diagnostics (tokens/terms/hapax/TTR)
         "text_vocab_stats": lambda sf: textstats.vocab_stats(_docs(sf)),
+        # Zipf-law slope/intercept over the term-frequency head
+        "text_zipf": lambda sf: textstats.zipf_fit(_docs(sf), top_n=1000),
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
@@ -570,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall + pruning bars pinned in pytest)
         "ann_ivfpq_topk": _ann_ivfpq,
         "ann_multi_query": lambda sf: _ann_multi_query(sf),
+        # fixed-radius similarity search (FAISS range_search shape)
+        "ann_range_search": lambda sf: ann.range_search(
+            _emb(sf), _query_vec(sf), threshold=0.2).to_pandas(),
         # hybrid retrieval: BM25-OR arm + dense cosine arm, RRF-fused
         "hybrid_rrf_topk": lambda sf: hybrid.hybrid_rrf_topk(sf),
         # retrieve-then-rerank: BM25 candidates, dense cosine re-score
@@ -768,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": oracles.REPETITION_SQL,
         "text_collocations": oracles.collocations_sql(k=20, min_count=5),
         "text_vocab_stats": oracles.VOCAB_STATS_SQL,
+        "text_zipf": oracles.zipf_fit_sql(top_n=1000),
         "cur_source_quota": oracles.QUOTA_SQL,
         "cur_pack_bins": oracles.PACK_BINS_SQL,
         "cur_pii_scan": oracles.pii_scan_sql(PII_PATTERNS),
@@ -780,6 +786,8 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
         # ann
         "ann_cosine_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
+        "ann_range_search": oracles.ann_range_search_sql(
+            query_vec_id=1, threshold=0.2),
         "ann_ivf_topk": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_ivf_partitioned": oracles.ann_topk_sql(query_vec_id=1, k=10),
         "ann_lsh_topk": oracles.lsh_topk_sql(query_vec_id=1, k=10),

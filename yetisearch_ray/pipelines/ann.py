@@ -658,3 +658,33 @@ def ivfpq_search(out_dir, query_vec, *, k=10, nprobe=4, round_to=6):
     if len(frames) > 1:
         ds = ds.union(*frames[1:])
     return ds.sort(["adc_dist", id_col]).limit(k)
+
+
+def range_search(ds, query_vec, *, threshold=0.2, vec_col="embedding",
+                 id_col="vec_id", round_to=6):
+    """Radius (range) similarity search: ALL vectors with cosine
+    similarity >= ``threshold`` to the query — the fixed-radius
+    counterpart of ``cosine_topk`` (FAISS ``range_search`` shape).
+
+    Distributed shape: per-batch GEMM against the (tiny, closure-
+    captured) query vector, the threshold filter applied inside the
+    batch so only matches ever leave the task, then one global sort of
+    the (bounded-by-result-size) match set.  Unlike top-k there is no
+    k-dependent prune: output volume is governed by the radius, which
+    is the operator's contract.  Returns (id, cosine), cosine rounded,
+    ordered cosine DESC / id ASC."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _normalize(_batch_vectors(t, vec_col))
+        sims = m @ q
+        keep = sims >= threshold  # raw-precision filter (oracle parity)
+        ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            id_col: pa.array(ids),
+            "cosine": pa.array(np.round(sims[keep], round_to), pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["cosine", id_col], descending=[True, False])

@@ -2535,3 +2535,37 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
                 AND l.l_shipdate > o.o_orderdate
                                    + INTERVAL {grace_days} DAY)
 GROUP BY 1 ORDER BY 1"""
+
+
+def ann_range_search_sql(query_vec_id: int = 1, threshold: float = 0.2,
+                         round_to: int = 6) -> str:
+    """Ground truth for ann.range_search: every vector with raw cosine
+    >= threshold to the query vector, rounded for display only."""
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {query_vec_id})
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+             {round_to}) AS cosine
+FROM embeddings e, q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) >= {threshold}
+ORDER BY cosine DESC, vec_id ASC"""
+
+
+def zipf_fit_sql(top_n: int = 1000, round_to: int = 6) -> str:
+    """Ground truth for textstats.zipf_fit: regr_slope/intercept of
+    ln(freq) ~ ln(rank) over the top_n most-frequent whitespace terms
+    (rank order freq DESC, term ASC)."""
+    return f"""
+WITH uni AS (
+  SELECT u.t AS term, count(*) AS n
+  FROM (SELECT {TOKENS_EXPR} AS toks FROM documents), unnest(toks) AS u(t)
+  GROUP BY u.t
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS r FROM uni
+)
+SELECT count(*)::BIGINT AS n_fit,
+       round(regr_slope(ln(n), ln(r)), {round_to}) AS slope,
+       round(regr_intercept(ln(n), ln(r)), {round_to}) AS intercept
+FROM ranked WHERE r <= {top_n}"""

@@ -935,3 +935,55 @@ def vocab_stats(ds, *, text_col="text"):
         "type_token_ratio": pd.array(
             [round(vocab / total, 6) if total else 0.0], dtype="float64"),
     })
+
+
+def zipf_fit(ds, *, text_col="text", top_n=1000):
+    """Zipf-law fit over the term-frequency distribution: least-squares
+    slope/intercept of ln(freq) ~ ln(rank) for the ``top_n``
+    most-frequent RE2-whitespace terms (rank order freq DESC, term ASC).
+    A healthy natural-language corpus sits near slope -1; the slope is
+    a cheap corpus-drift / synthetic-text alarm a pretraining pipeline
+    tracks next to ``vocab_stats``.
+
+    Distributed shape: the same map-side-combined unigram partials and
+    vocabulary-bounded groupby as ``vocab_stats``, then a distributed
+    (freq, term) sort + ``limit(top_n)`` — only the fitted head reaches
+    the driver, never the vocabulary.  One row
+    (n_fit, slope, intercept)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        toks = flat.filter(pc.not_equal(flat, ""))
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        d = toks.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table({"term": pa.array(uniq[u], pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    head = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("term").sum("n")
+            .sort(["sum(n)", "term"], descending=[True, False])
+            .limit(top_n).to_pandas())
+    f = head["sum(n)"].to_numpy(dtype=np.float64)
+    x = np.log(np.arange(1, f.size + 1, dtype=np.float64))
+    y = np.log(f)
+    # closed-form simple regression (matches SQL regr_slope/intercept)
+    mx, my = x.mean(), y.mean()
+    slope = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+    intercept = float(my - slope * mx)
+    return pd.DataFrame({
+        "n_fit": pd.array([int(f.size)], dtype="int64"),
+        "slope": pd.array([round(slope, 6)], dtype="float64"),
+        "intercept": pd.array([round(intercept, 6)], dtype="float64"),
+    })
