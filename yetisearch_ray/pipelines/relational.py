@@ -530,3 +530,54 @@ def late_shipment_priority(sf_dir: str, *, grace_days: int = 30,
            .aggregate(Count(alias_name="n_orders")).to_pandas())
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def pricing_rollup(sf_dir: str):
+    """Hierarchical (ROLLUP) aggregate: lineitem quantity/revenue sums
+    at three levels — (returnflag, linestatus), (returnflag), and grand
+    total — the GROUPING SETS shape of TPC-H Q1's report rollup.
+
+    Distributed shape: ONE corpus pass computes the finest-level
+    aggregate (map-side partial sums ride the one small groupby); the
+    coarser levels are derived from that aggregate-sized frame
+    driver-side — re-scanning the fact table per level is the
+    anti-pattern.  NULL group keys are encoded as '' (ANSI ROLLUP uses
+    NULL; '' keeps the hash-compare deterministic).  Columns
+    (l_returnflag, l_linestatus, sum_qty, sum_revenue)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "revenue": rev,
+        })
+
+    fine = (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Sum("revenue", alias_name="sum_revenue"))
+            .to_pandas())
+    mid = (fine.groupby("l_returnflag", as_index=False)
+           [["sum_qty", "sum_revenue"]].sum())
+    mid["l_linestatus"] = ""
+    top = pd.DataFrame({
+        "l_returnflag": [""], "l_linestatus": [""],
+        "sum_qty": [fine["sum_qty"].sum()],
+        "sum_revenue": [fine["sum_revenue"].sum()],
+    })
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["sum_revenue"] = out["sum_revenue"].round(4)
+    return (out[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue"]]
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
