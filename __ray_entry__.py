@@ -629,6 +629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_join": events.window_self_join,
         # GROUPING SETS / ROLLUP hierarchical aggregate
         "rel_rollup": relational.pricing_rollup,
+        # blocked fuzzy self-join (record linkage / entity resolution)
+        "rel_fuzzy_join": lambda sf: relational.fuzzy_name_join(sf),
     }
 
 
@@ -816,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_late_shipments": oracles.late_shipment_priority_sql(30),
         "ev_window_join": oracles.window_self_join_sql(5),
         "rel_rollup": oracles.PRICING_ROLLUP_SQL,
+        "rel_fuzzy_join": oracles.fuzzy_name_join_sql(2),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -2595,3 +2595,17 @@ SELECT coalesce(l_returnflag, '') AS l_returnflag,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY 1, 2"""
+
+
+def fuzzy_name_join_sql(max_dist: int = 2) -> str:
+    """Ground truth for relational.fuzzy_name_join: brand-blocked
+    self-join on levenshtein(p_name) <= max_dist, each pair once."""
+    return f"""
+SELECT a.p_partkey::BIGINT AS p_partkey_a,
+       b.p_partkey::BIGINT AS p_partkey_b,
+       a.p_brand,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}
+ORDER BY p_partkey_a, p_partkey_b"""

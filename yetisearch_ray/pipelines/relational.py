@@ -581,3 +581,62 @@ def pricing_rollup(sf_dir: str):
     return (out[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue"]]
             .sort_values(["l_returnflag", "l_linestatus"])
             .reset_index(drop=True))
+
+
+def fuzzy_name_join(sf_dir: str, *, max_dist: int = 2):
+    """Blocked fuzzy self-join (record linkage): pairs of parts in the
+    SAME brand block whose names are within ``max_dist`` edit distance
+    — the blocking + pairwise-comparison shape of entity resolution
+    (reference similarity kernel: ``functions/similarity.levenshtein``,
+    cited to src/Utils/Levenshtein.php in its docstring).
+
+    Distributed shape: blocking IS the scale story — one brand-keyed
+    shuffle bounds the quadratic term to block size; inside each block
+    the distance matrix is computed once over DISTINCT names (typically
+    ≪ rows) with an early-exit length prefilter, then expanded to id
+    pairs, so per-block cost is O(names² · len) + O(pairs), never
+    O(rows²·len).  Columns (p_partkey_a, p_partkey_b, p_brand, dist)."""
+    import itertools
+
+    import ray.data as rd
+
+    from ..functions.similarity import levenshtein, levenshtein_within
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_brand"])
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        brand = g["p_brand"].iloc[0]
+        ids_by_name: dict = {}
+        for pk, nm in zip(g["p_partkey"].to_numpy(), g["p_name"]):
+            ids_by_name.setdefault(nm, []).append(int(pk))
+        names = sorted(ids_by_name)
+        a_out, b_out, d_out = [], [], []
+
+        def emit(ids_a, ids_b, d, same):
+            pairs = (itertools.combinations(sorted(ids_a), 2) if same
+                     else itertools.product(ids_a, ids_b))
+            for x, y in pairs:
+                lo, hi = (x, y) if x < y else (y, x)
+                a_out.append(lo)
+                b_out.append(hi)
+                d_out.append(d)
+
+        for i, na in enumerate(names):
+            if len(ids_by_name[na]) > 1:
+                emit(ids_by_name[na], None, 0, True)
+            for nb in names[i + 1:]:
+                if levenshtein_within(na, nb, max_dist):
+                    emit(ids_by_name[na], ids_by_name[nb],
+                         levenshtein(na, nb), False)
+        return pd.DataFrame({
+            "p_partkey_a": pd.array(a_out, dtype="int64"),
+            "p_partkey_b": pd.array(b_out, dtype="int64"),
+            "p_brand": [brand] * len(a_out),
+            "dist": pd.array(d_out, dtype="int64"),
+        })
+
+    out = (ds.groupby("p_brand")
+           .map_groups(block_pairs, batch_format="pandas").to_pandas())
+    return (out.sort_values(["p_partkey_a", "p_partkey_b"])
+            .reset_index(drop=True))
