@@ -553,6 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_stats": lambda sf: textstats.vocab_stats(_docs(sf)),
         # Zipf-law slope/intercept over the term-frequency head
         "text_zipf": lambda sf: textstats.zipf_fit(_docs(sf), top_n=1000),
+        # all-pairs sparse TF-IDF similarity join (batch more-like-this)
+        "text_doc_similarity": lambda sf: textstats.doc_similarity_topk(
+            _docs(sf), k=3),
         "text_keywords": lambda sf: textstats.extract_keywords(
             _docs(sf)).to_pandas(),                               # rows-only
         # --- similarity search ---
@@ -780,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations": oracles.collocations_sql(k=20, min_count=5),
         "text_vocab_stats": oracles.VOCAB_STATS_SQL,
         "text_zipf": oracles.zipf_fit_sql(top_n=1000),
+        "text_doc_similarity": oracles.doc_similarity_sql(k=3),
         "cur_source_quota": oracles.QUOTA_SQL,
         "cur_pack_bins": oracles.PACK_BINS_SQL,
         "cur_pii_scan": oracles.pii_scan_sql(PII_PATTERNS),

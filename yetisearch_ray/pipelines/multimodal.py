@@ -73,7 +73,7 @@ class DecodeStage:
         return out.append_column("features", col)
 
 
-def decode_features(ds, *, feature_dim=16, concurrency=2, batch_size=256,
+def decode_features(ds, *, feature_dim=16, concurrency=(1, 2), batch_size=256,
                     strict=False):
     """Actor-pool decode: small batches (large binary rows), setup once
     per actor."""
@@ -150,7 +150,7 @@ class ResizeStage:
         return out
 
 
-def resize_images(ds, *, target_w=16, target_h=16, concurrency=2,
+def resize_images(ds, *, target_w=16, target_h=16, concurrency=(1, 2),
                   batch_size=128, strict=False):
     """Actor-pool resize: small batches (large binary rows), stage state
     built once per actor."""
@@ -266,7 +266,7 @@ class WavDecodeStage:
         return out.append_column("rms_windows", col)
 
 
-def decode_wav_features(ds, *, n_windows=8, concurrency=2, batch_size=128):
+def decode_wav_features(ds, *, n_windows=8, concurrency=(1, 2), batch_size=128):
     """Actor-pool WAV decode: small batches (binary rows), one decoder
     instance per actor."""
     return ds.map_batches(
@@ -364,7 +364,7 @@ class PpmDecodeStage:
         return out.append_column("brightness", pa.array(bright, pa.float64()))
 
 
-def decode_ppm_features(ds, *, concurrency=2, batch_size=128):
+def decode_ppm_features(ds, *, concurrency=(1, 2), batch_size=128):
     """Actor-pool PPM decode: small batches (binary rows)."""
     return ds.map_batches(PpmDecodeStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
@@ -395,7 +395,7 @@ class PpmResizeStage:
         return out.append_column("payload", pa.array(resized, pa.binary()))
 
 
-def resize_ppm(ds, *, target_w=8, target_h=8, concurrency=2, batch_size=128):
+def resize_ppm(ds, *, target_w=8, target_h=8, concurrency=(1, 2), batch_size=128):
     """Actor-pool real PPM resize."""
     return ds.map_batches(
         PpmResizeStage,

@@ -2609,3 +2609,36 @@ FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}
 ORDER BY p_partkey_a, p_partkey_b"""
+
+
+def doc_similarity_sql(k: int = 3, maxdf_ratio: float = 1.0,
+                       round_to: int = 6) -> str:
+    """Ground truth for textstats.doc_similarity_topk: TF-IDF
+    (w = tf·ln(N/df), maxdf-capped, L2-normalized) all-pairs cosine,
+    top-k per doc ranked by ROUNDED cosine DESC, neighbour id ASC."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.t AS term
+  FROM (SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents),
+       unnest(toks) AS u(t)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+nn AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (SELECT doc_id, term, tf * ln(nn.n / df.df) AS w
+      FROM tf JOIN df USING (term), nn
+      WHERE df.df <= {maxdf_ratio} * nn.n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nz FROM w GROUP BY doc_id),
+wn AS (SELECT w.doc_id, term, w / nz AS w
+       FROM w JOIN nrm USING (doc_id) WHERE nz > 0),
+sim AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(sum(a.w * b.w), {round_to}) AS cosine
+        FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+rk AS (SELECT doc_a, doc_b, cosine,
+              row_number() OVER (PARTITION BY doc_a
+                                 ORDER BY cosine DESC, doc_b ASC) AS rank
+       FROM sim)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, cosine,
+       rank::BIGINT AS rank
+FROM rk WHERE rank <= {k} ORDER BY doc_a, rank"""

@@ -987,3 +987,146 @@ def zipf_fit(ds, *, text_col="text", top_n=1000):
         "slope": pd.array([round(slope, 6)], dtype="float64"),
         "intercept": pd.array([round(intercept, 6)], dtype="float64"),
     })
+
+
+def doc_similarity_topk(ds, *, text_col="text", id_col="doc_id", k=3,
+                        maxdf_ratio=1.0, round_to=6):
+    """All-pairs sparse TF-IDF cosine similarity, top-``k`` neighbours
+    per document — the batch "more-like-this" / similarity-join shape
+    (reference analog: SearchEngine::moreLikeThis per doc, here over
+    the whole corpus at once).
+
+    Model: w(d,t) = tf · ln(N/df_t) over RE2-whitespace terms with
+    df_t ≤ maxdf_ratio·N (the standard maxdf cap — THE scale knob: a
+    term of document frequency f generates O(f²) partial products, so
+    the cap bounds the pair exchange; dropped terms are the stopword
+    head, which carries ~no idf weight anyway).  Cosine = dot of
+    L2-normalized vectors; ranking by ROUNDED cosine (``round_to``)
+    DESC then neighbour id ASC, so float summation order cannot flip
+    ranks between engines.
+
+    Distributed shape: pass 1 = one tokenization → vocabulary-bounded
+    (term, df) aggregate, broadcast as an idf dict; pass 2 =
+    re-tokenize, emit L2-normalized (term, id, w) postings map-side;
+    pair stage = term-keyed groupby emitting per-term partial products
+    (id_a < id_b) whose volume the maxdf cap bounds; one pair-keyed
+    sum groupby; mirror + per-doc top-k on the (bounded) pair
+    aggregate.  The corpus itself never reaches the driver.
+    Columns (doc_a, doc_b, cosine, rank)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _tokens(t: pa.Table):
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        return pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        split = _tokens(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        offs = np.asarray(split.offsets)
+        lens = np.diff(offs)
+        doc_rep = np.repeat(ids, lens)
+        flat = split.flatten()
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.asarray(flat.to_pylist(), dtype=object)[mask]
+        doc_rep = doc_rep[mask]
+        if toks.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        key = pd.DataFrame({"d": doc_rep, "t": toks})
+        g = key.groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+        return pa.table({id_col: pa.array(g["d"].to_numpy(np.int64)),
+                         "term": pa.array(g["t"], pa.string()),
+                         "tf": pa.array(g["tf"].to_numpy(np.int64))})
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+    n_docs = int(ds.count())
+    dfs = tf.groupby("term").count().to_pandas()  # vocabulary-bounded
+    dfs = dfs[dfs["count()"] <= maxdf_ratio * n_docs]
+    idf = {t: float(np.log(n_docs / c))
+           for t, c in zip(dfs["term"], dfs["count()"])}
+    idf_ref = ray.put(idf)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        idf_map = ray.get(idf_ref)
+        split = _tokens(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_term, out_w = [], [], []
+        for i in range(len(t)):
+            toks = [x for x in split[i].as_py() if x]
+            if not toks:
+                continue
+            cnt: dict = {}
+            for x in toks:
+                cnt[x] = cnt.get(x, 0) + 1
+            ws = {x: c * idf_map[x] for x, c in cnt.items() if x in idf_map}
+            nz = float(np.sqrt(sum(v * v for v in ws.values())))
+            if nz <= 0.0:
+                continue
+            for x, v in ws.items():
+                out_id.append(int(ids[i]))
+                out_term.append(x)
+                out_w.append(v / nz)
+        return pa.table({"term": pa.array(out_term, pa.string()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "w": pa.array(out_w, pa.float64())})
+
+    postings = ds.map_batches(weigh, batch_format="pyarrow")
+
+    def term_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.float64)
+        order = np.argsort(ids)
+        ids, w = ids[order], w[order]
+        n = ids.size
+        if n < 2:
+            return pd.DataFrame({"pair": pd.array([], dtype="int64"),
+                                 "p": pd.array([], dtype="float64")})
+        iu = np.triu_indices(n, 1)
+        # pack (doc_a, doc_b) into ONE int64 shuffle key (doc ids are
+        # 32-bit here; the packed key halves the exchange width and the
+        # groupby hashes one column instead of two — same trick as
+        # dedup.dedup_paragraphs)
+        pair = (ids[iu[0]] << 32) | ids[iu[1]]
+        return pd.DataFrame({"pair": pair, "p": w[iu[0]] * w[iu[1]]})
+
+    dots = (postings.groupby("term")
+            .map_groups(term_pairs, batch_format="pandas")
+            .groupby("pair").aggregate(Sum("p", alias_name="dot")))
+
+    def mirror(t: pa.Table) -> pa.Table:
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        a = (pair >> 32).astype(np.int64)
+        b = (pair & 0xFFFFFFFF).astype(np.int64)
+        cos = pc.round(t["dot"], ndigits=round_to).combine_chunks()
+        return pa.table({
+            "doc_a": pa.concat_arrays([pa.array(a), pa.array(b)]),
+            "doc_b": pa.concat_arrays([pa.array(b), pa.array(a)]),
+            "cosine": pa.concat_arrays([cos] * 2),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "doc_b"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.reset_index(drop=True)
+
+    out = (dots.map_batches(mirror, batch_format="pyarrow")
+           .groupby("doc_a").map_groups(topk, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "cosine": pd.array([], dtype="float64"),
+                             "rank": pd.array([], dtype="int64")})
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["doc_a", "doc_b", "cosine", "rank"]]
+            .sort_values(["doc_a", "rank"]).reset_index(drop=True))
