@@ -1104,3 +1104,46 @@ class TestRound3LateOps:
         assert ((got.rr > 0) == (got.hits > 0)).all()
         assert ((got.ndcg >= 0) & (got.ndcg <= 1.0 + 1e-9)).all()
         assert (got.hits <= got.n_rel).all()
+
+
+class TestDocSimilarity:
+    def test_matches_duckdb_on_slice(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines.oracles import doc_similarity_sql
+        from yetisearch_ray.pipelines.textstats import doc_similarity_topk
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet") \
+            .filter(expr="doc_id < 80")
+        got = doc_similarity_topk(ds, k=3)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = con.execute(
+            doc_similarity_sql(k=3, where="doc_id < 80")).fetchdf()
+        assert got.doc_a.tolist() == want.doc_a.tolist()
+        assert got.doc_b.tolist() == want.doc_b.tolist()
+        assert got["rank"].tolist() == want["rank"].tolist()
+        assert np.allclose(got.cosine, want.cosine, atol=1e-6)
+        # structural: ranks are 1..k per doc, no self pairs
+        assert (got.doc_a != got.doc_b).all()
+        assert (got.groupby("doc_a")["rank"].min() == 1).all()
+
+    def test_duplicate_docs_are_top_neighbours(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+        from yetisearch_ray.pipelines.textstats import doc_similarity_topk
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["red widget spins fast", "red widget spins fast",
+                     "blue bolt holds tight", "green gear turns slow"],
+        })
+        f = tmp_path / "docs.parquet"
+        pq.write_table(t, f)
+        got = doc_similarity_topk(rd.read_parquet(str(f)), k=1)
+        top = dict(zip(got.doc_a, got.doc_b))
+        assert top[0] == 1 and top[1] == 0
+        assert got[got.doc_a == 0].cosine.iloc[0] == 1.0

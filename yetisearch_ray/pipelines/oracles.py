@@ -2612,18 +2612,21 @@ ORDER BY p_partkey_a, p_partkey_b"""
 
 
 def doc_similarity_sql(k: int = 3, maxdf_ratio: float = 1.0,
-                       round_to: int = 6) -> str:
+                       round_to: int = 6, where: str = "TRUE") -> str:
     """Ground truth for textstats.doc_similarity_topk: TF-IDF
     (w = tf·ln(N/df), maxdf-capped, L2-normalized) all-pairs cosine,
-    top-k per doc ranked by ROUNDED cosine DESC, neighbour id ASC."""
+    top-k per doc ranked by ROUNDED cosine DESC, neighbour id ASC.
+    ``where`` bounds the corpus slice (the pair volume is quadratic in
+    per-term df, so driver entries run on a bounded subset)."""
     return f"""
-WITH tok AS (
+WITH corpus AS (SELECT * FROM documents WHERE {where}),
+tok AS (
   SELECT doc_id, u.t AS term
-  FROM (SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents),
+  FROM (SELECT doc_id, {TOKENS_EXPR} AS toks FROM corpus),
        unnest(toks) AS u(t)
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-nn AS (SELECT count(*) AS n FROM documents),
+nn AS (SELECT count(*) AS n FROM corpus),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 w AS (SELECT doc_id, term, tf * ln(nn.n / df.df) AS w
       FROM tf JOIN df USING (term), nn
