@@ -637,6 +637,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": relational.pricing_rollup,
         # blocked fuzzy self-join (record linkage / entity resolution)
         "rel_fuzzy_join": lambda sf: relational.fuzzy_name_join(sf),
+        # per-group numeric dispersion profile (Welford partials)
+        "rel_group_stats": relational.group_dispersion,
+        # windowed exact COUNT(DISTINCT user) per tumbling window
+        "ev_window_distinct": events.window_distinct_users,
     }
 
 
@@ -827,6 +831,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_window_join": oracles.window_self_join_sql(5),
         "rel_rollup": oracles.PRICING_ROLLUP_SQL,
         "rel_fuzzy_join": oracles.fuzzy_name_join_sql(2),
+        "rel_group_stats": oracles.GROUP_DISPERSION_SQL,
+        "ev_window_distinct": oracles.window_distinct_sql(360),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

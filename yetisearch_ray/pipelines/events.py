@@ -481,3 +481,35 @@ def window_self_join(sf_dir: str, *, within_minutes: int = 5):
            .aggregate(Count(alias_name="n_pairs")).to_pandas())
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def window_distinct_users(sf_dir: str, *, width_minutes: int = 360):
+    """Exact distinct-user cardinality per tumbling window — the
+    windowed COUNT(DISTINCT) every traffic dashboard runs.
+
+    Distributed shape: window derivation + per-batch (window, user)
+    dedup map-side (each batch contributes at most its distinct pairs),
+    one global pair-dedup groupby, then a window-keyed count over the
+    deduped aggregate — the second exchange moves one row per distinct
+    (window, user), never the stream.  Columns
+    (window_start, n_users)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], multiple=width_minutes,
+                              unit="minute")
+        return pa.table({"window_start": w, "user_id": t["user_id"]}) \
+            .group_by(["window_start", "user_id"]).aggregate([])
+
+    pairs = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["window_start", "user_id"])
+             .aggregate(Count(alias_name="_n")))
+    out = (pairs.select_columns(["window_start"])
+           .groupby("window_start")
+           .aggregate(Count(alias_name="n_users")).to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)

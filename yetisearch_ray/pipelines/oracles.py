@@ -2645,3 +2645,22 @@ rk AS (SELECT doc_a, doc_b, cosine,
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, cosine,
        rank::BIGINT AS rank
 FROM rk WHERE rank <= {k} ORDER BY doc_a, rank"""
+
+
+# Ground truth for relational.group_dispersion (stddev_samp matches
+# Ray's Std ddof=1 default).
+GROUP_DISPERSION_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(avg(l_extendedprice), 4) AS mean_price,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def window_distinct_sql(width_minutes: int = 360) -> str:
+    """Ground truth for events.window_distinct_users."""
+    return f"""
+SELECT time_bucket(INTERVAL {width_minutes} MINUTE, ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1 ORDER BY 1"""

@@ -640,3 +640,31 @@ def fuzzy_name_join(sf_dir: str, *, max_dist: int = 2):
            .map_groups(block_pairs, batch_format="pandas").to_pandas())
     return (out.sort_values(["p_partkey_a", "p_partkey_b"])
             .reset_index(drop=True))
+
+
+def group_dispersion(sf_dir: str):
+    """Per-group dispersion statistics over lineitem prices: count,
+    mean, sample standard deviation, min, max per return flag — the
+    numeric-profile shape every column-profiler / data-quality pass
+    emits.
+
+    Distributed shape: a single groupby with Ray's native streaming
+    aggregates (Welford-style partial merge for Std — map-side partials,
+    one tiny exchange); the driver sees |groups| rows.  Columns
+    (l_returnflag, n, mean_price, std_price, min_price, max_price)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Mean, Min, Std
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = (ds.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n"),
+                      Mean("l_extendedprice", alias_name="mean_price"),
+                      Std("l_extendedprice", alias_name="std_price"),
+                      Min("l_extendedprice", alias_name="min_price"),
+                      Max("l_extendedprice", alias_name="max_price"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    for c in ("mean_price", "std_price", "min_price", "max_price"):
+        out[c] = out[c].round(4)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
