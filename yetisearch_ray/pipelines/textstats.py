@@ -1054,28 +1054,25 @@ def doc_similarity_topk(ds, *, text_col="text", id_col="doc_id", k=3,
     idf_ref = ray.put(idf)
 
     def weigh(t: pa.Table) -> pa.Table:
+        # vectorized: same (doc, term, tf) derivation as tf_partial,
+        # then a dict-map idf join + per-doc L2 norm via groupby
+        # transform — no per-row Python
         idf_map = ray.get(idf_ref)
-        split = _tokens(t)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_id, out_term, out_w = [], [], []
-        for i in range(len(t)):
-            toks = [x for x in split[i].as_py() if x]
-            if not toks:
-                continue
-            cnt: dict = {}
-            for x in toks:
-                cnt[x] = cnt.get(x, 0) + 1
-            ws = {x: c * idf_map[x] for x, c in cnt.items() if x in idf_map}
-            nz = float(np.sqrt(sum(v * v for v in ws.values())))
-            if nz <= 0.0:
-                continue
-            for x, v in ws.items():
-                out_id.append(int(ids[i]))
-                out_term.append(x)
-                out_w.append(v / nz)
-        return pa.table({"term": pa.array(out_term, pa.string()),
-                         id_col: pa.array(out_id, pa.int64()),
-                         "w": pa.array(out_w, pa.float64())})
+        g = tf_partial(t).to_pandas()
+        g["idf"] = g["term"].map(idf_map)
+        g = g.dropna(subset=["idf"])
+        if g.empty:
+            return pa.table({"term": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        g["w"] = g["tf"].to_numpy(np.float64) * g["idf"].to_numpy()
+        w2 = g["w"] * g["w"]
+        nz = np.sqrt(w2.groupby(g[id_col]).transform("sum").to_numpy())
+        g = g[nz > 0.0]
+        wn = g["w"].to_numpy() / nz[nz > 0.0]
+        return pa.table({"term": pa.array(g["term"], pa.string()),
+                         id_col: pa.array(g[id_col].to_numpy(np.int64)),
+                         "w": pa.array(wn, pa.float64())})
 
     postings = ds.map_batches(weigh, batch_format="pyarrow")
 
