@@ -455,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # offline search-quality eval (ES _rank_eval shape): P@k /
         # recall@k / MRR / nDCG@k per query vs the AND-set judgments
         "fts_rank_eval": lambda sf: ftsd.rank_eval(sf),
+        # highlighted snippets over the BM25 page (single-term so the
+        # snippet algorithm is SQL-replicable exactly)
+        "fts_highlight": lambda sf: ftsd.highlight_topk(sf),
         "fts_fuzzy_topk": lambda sf: ftsd.fuzzy_topk(sf),          # rows-only
         "fts_two_pass": lambda sf: ftsd.two_pass_topk(sf),
         "fts_index_stats": lambda sf: ftsd.index_stats_by_lang(sf),
@@ -754,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_explain_score": oracles.explain_score_sql(
             ["src7", "value", "window"], doc_id=7),
         "fts_rank_eval": oracles.rank_eval_sql(ftsd.RANK_EVAL_QUERIES),
+        "fts_highlight": oracles.highlight_topk_sql("merge", k=10),
         # code corpus (driver compares at sf0.01; glob pinned accordingly)
         "code_sha256": oracles.code_sha256_sql(_CODE_GLOB_001),
         "code_term_df_top100": oracles.term_df_sql(corpus=code, top=100),

@@ -655,3 +655,24 @@ def rank_eval(sf_dir: str, specs=RANK_EVAL_QUERIES, k: int = 10) -> pd.DataFrame
     df["n_rel"] = df["n_rel"].astype("int64")
     df["hits"] = df["hits"].astype("int64")
     return df
+
+
+def highlight_topk(sf_dir: str, term: str = "merge", k: int = 10) -> pd.DataFrame:
+    """BM25 top-k with highlighted snippets (reference
+    SearchEngine::highlight/snippet, src/Search/SearchEngine.php:973-1110):
+    single-term query so the snippet construction — first-occurrence
+    window, word-boundary trim, 160-char clamp, '...' affixes,
+    ``\\b(term s?)\\b`` marking — is SQL-replicable term-for-term.
+    Columns (doc_id, score, highlight)."""
+    eng = get_engine(sf_dir)
+    out = eng.search(term, mode="or", limit=k, normalize=False,
+                     highlight=True).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = out["score"].abs().round(5)
+    # deterministic page order on the ROUNDED score (matches the
+    # oracle's outer sort; raw-score ordering decides top-k membership
+    # identically on both sides, but tie order within the page must be
+    # rounding-stable)
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["doc_id", "score", "highlight"]]

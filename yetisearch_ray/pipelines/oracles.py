@@ -2664,3 +2664,51 @@ def window_distinct_sql(width_minutes: int = 360) -> str:
 SELECT time_bucket(INTERVAL {width_minutes} MINUTE, ts) AS window_start,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def highlight_topk_sql(term: str, k: int = 10, round_to: int = 5) -> str:
+    """Ground truth for fts_documents.highlight_topk: the BM25 page
+    joined with the raw text, snippet rebuilt with string/regexp
+    functions mirroring ``make_snippet`` exactly for a single-term
+    query (find window -> word-boundary trim -> 160-char clamp ->
+    '...' affixes -> global ``\\b(term s?)\\b`` marking).  For ASCII
+    text ``fold_text == lower``, and ``find(term+'s') >= find(term)``
+    always, so the first-occurrence scan reduces to one strpos."""
+    inner = bm25_topk_sql([term], k=k, round_to=round_to)
+    return f"""
+WITH page AS ({inner}),
+snip AS (
+  SELECT p.doc_id, p.score, d.text,
+         strpos(lower(d.text), '{term}') AS pos1
+  FROM page p JOIN documents d USING (doc_id)
+),
+win AS (
+  SELECT doc_id, score, text, pos1,
+         greatest(0, pos1 - 1 - 50) AS start0
+  FROM snip
+),
+trimmed AS (
+  SELECT doc_id, score, text, pos1,
+         CASE WHEN start0 > 0
+                   AND strpos(substr(lower(text), start0 + 1), ' ') > 0
+                   AND start0 + strpos(substr(lower(text), start0 + 1), ' ')
+                       - 1 < pos1 - 1
+              THEN start0 + strpos(substr(lower(text), start0 + 1), ' ')
+              ELSE start0 END AS s0
+  FROM win
+),
+built AS (
+  SELECT doc_id, score,
+         CASE WHEN pos1 = 0 THEN substr(text, 1, 160)
+              ELSE (CASE WHEN s0 > 0 THEN '...' ELSE '' END)
+                   || substr(text, s0 + 1, 160)
+                   || (CASE WHEN s0 + 160 < length(text) THEN '...'
+                            ELSE '' END)
+         END AS snippet
+  FROM trimmed
+)
+SELECT b.doc_id, b.score,
+       regexp_replace(b.snippet, '\\b({term}s?)\\b',
+                      '<mark>\\1</mark>', 'gi') AS highlight
+FROM built b JOIN page p USING (doc_id)
+ORDER BY -p.score ASC, b.doc_id ASC"""
