@@ -644,6 +644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_group_stats": relational.group_dispersion,
         # windowed exact COUNT(DISTINCT user) per tumbling window
         "ev_window_distinct": events.window_distinct_users,
+        # per-user inter-arrival gap stats (SQL lag() shape)
+        "ev_gap_stats": events.user_gap_stats,
+        # event-type transition counts (SQL lead() / Markov shape)
+        "ev_transitions": events.transition_matrix,
     }
 
 
@@ -837,6 +841,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_fuzzy_join": oracles.fuzzy_name_join_sql(2),
         "rel_group_stats": oracles.GROUP_DISPERSION_SQL,
         "ev_window_distinct": oracles.window_distinct_sql(360),
+        "ev_gap_stats": oracles.USER_GAP_STATS_SQL,
+        "ev_transitions": oracles.TRANSITION_MATRIX_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -513,3 +513,69 @@ def window_distinct_users(sf_dir: str, *, width_minutes: int = 360):
            .aggregate(Count(alias_name="n_users")).to_pandas())
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("window_start").reset_index(drop=True)
+
+
+def user_gap_stats(sf_dir: str):
+    """Per-user inter-arrival statistics: event count, mean and max gap
+    in seconds between consecutive events (the SQL ``lag()`` window
+    shape; liveness/engagement profiling).
+
+    Distributed shape: one user-keyed shuffle; inside each group a
+    sorted vectorized diff — per-user state never leaves the task, the
+    driver sees one row per user.  Single-event users report 0 gaps
+    (SQL: avg/max over an empty lag set -> NULL, mirrored as 0.0 via
+    coalesce in the oracle).  Columns
+    (user_id, n_events, mean_gap_sec, max_gap_sec)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        d = g["ts"].diff().dropna().dt.total_seconds().to_numpy()
+        return pd.DataFrame({
+            "user_id": pd.array([int(g["user_id"].iloc[0])], dtype="int64"),
+            "n_events": pd.array([len(g)], dtype="int64"),
+            "mean_gap_sec": pd.array(
+                [round(float(d.mean()), 4) if d.size else 0.0],
+                dtype="float64"),
+            "max_gap_sec": pd.array(
+                [round(float(d.max()), 4) if d.size else 0.0],
+                dtype="float64"),
+        })
+
+    out = (ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def transition_matrix(sf_dir: str):
+    """Event-type transition counts: for each consecutive (by ts, ties
+    by event_id) pair of events of the SAME user, count
+    (type_from, type_to) — the Markov-chain / next-action shape (SQL
+    ``lead()`` window).
+
+    Distributed shape: user-keyed shuffle, vectorized shift per group
+    emitting transition pairs, then one tiny pair-count groupby.
+    Columns (type_from, type_to, n)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+
+    def shifts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if et.size < 2:
+            return pd.DataFrame({"type_from": pd.Series([], dtype=str),
+                                 "type_to": pd.Series([], dtype=str)})
+        return pd.DataFrame({"type_from": et[:-1], "type_to": et[1:]})
+
+    out = (ds.groupby("user_id").map_groups(shifts, batch_format="pandas")
+           .groupby(["type_from", "type_to"])
+           .aggregate(Count(alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["type_from", "type_to"]).reset_index(drop=True)

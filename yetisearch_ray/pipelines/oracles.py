@@ -2712,3 +2712,30 @@ SELECT b.doc_id, b.score,
                       '<mark>\\1</mark>', 'gi') AS highlight
 FROM built b JOIN page p USING (doc_id)
 ORDER BY -p.score ASC, b.doc_id ASC"""
+
+
+# Ground truth for events.user_gap_stats (lag() window shape).
+USER_GAP_STATS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
+       coalesce(round(avg(gap), 4), 0.0) AS mean_gap_sec,
+       coalesce(round(max(gap), 4), 0.0) AS max_gap_sec
+FROM g GROUP BY user_id ORDER BY user_id"""
+
+
+# Ground truth for events.transition_matrix (lead() window shape).
+TRANSITION_MATRIX_SQL = """
+WITH nxt AS (
+  SELECT user_id, event_type AS type_from,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS type_to
+  FROM events
+)
+SELECT type_from, type_to, count(*)::BIGINT AS n
+FROM nxt WHERE type_to IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
