@@ -648,6 +648,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_gap_stats": events.user_gap_stats,
         # event-type transition counts (SQL lead() / Markov shape)
         "ev_transitions": events.transition_matrix,
+        # running (cumulative) totals per type (unbounded-preceding)
+        "ev_running_total": events.daily_running_total,
+        # global percent_rank via value-histogram prefix sums
+        "rel_percent_rank": lambda sf: relational.percent_rank_nchars(sf),
     }
 
 
@@ -843,6 +847,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_window_distinct": oracles.window_distinct_sql(360),
         "ev_gap_stats": oracles.USER_GAP_STATS_SQL,
         "ev_transitions": oracles.TRANSITION_MATRIX_SQL,
+        "ev_running_total": oracles.DAILY_RUNNING_TOTAL_SQL,
+        "rel_percent_rank": oracles.percent_rank_sql(),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -579,3 +579,32 @@ def transition_matrix(sf_dir: str):
            .aggregate(Count(alias_name="n")).to_pandas())
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["type_from", "type_to"]).reset_index(drop=True)
+
+
+def daily_running_total(sf_dir: str):
+    """Per-type daily value sums with a running (cumulative) total —
+    the unbounded-preceding window frame (SQL
+    ``SUM(...) OVER (... ROWS UNBOUNDED PRECEDING)``).
+
+    Distributed shape: one (event_type, day) shuffle-aggregate; the
+    cumulative scan runs over that aggregate-sized frame (|days| ×
+    |types| rows).  Columns (event_type, day, day_value, running)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"event_type": t["event_type"], "day": day,
+                         "value": t["value"]})
+
+    daily = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("value", alias_name="day_value")).to_pandas())
+    daily = daily.sort_values(["event_type", "day"]).reset_index(drop=True)
+    daily["running"] = (daily.groupby("event_type")["day_value"].cumsum()
+                        .round(4))
+    daily["day_value"] = daily["day_value"].round(4)
+    return daily[["event_type", "day", "day_value", "running"]]

@@ -2739,3 +2739,23 @@ WITH nxt AS (
 SELECT type_from, type_to, count(*)::BIGINT AS n
 FROM nxt WHERE type_to IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# Ground truth for events.daily_running_total (unbounded-preceding
+# window frame).
+DAILY_RUNNING_TOTAL_SQL = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  sum(value) AS day_value
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day, round(day_value, 4) AS day_value,
+       round(sum(day_value) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running
+FROM d ORDER BY event_type, day"""
+
+
+def percent_rank_sql(round_to: int = 6) -> str:
+    """Ground truth for relational.percent_rank_nchars."""
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+       round(percent_rank() OVER (ORDER BY n_chars), {round_to}) AS pr
+FROM documents ORDER BY doc_id"""

@@ -668,3 +668,41 @@ def group_dispersion(sf_dir: str):
     for c in ("mean_price", "std_price", "min_price", "max_price"):
         out[c] = out[c].round(4)
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def percent_rank_nchars(sf_dir: str, *, round_to: int = 6):
+    """Global ``percent_rank()`` of every document by ``n_chars`` —
+    full-table window ranking WITHOUT a global sort: the exact
+    value-histogram prefix-sum pattern.  One (value → count) groupby
+    (bounded by the distinct-value count), a driver-side cumsum over
+    that tiny histogram, and a broadcast rank lookup applied map-side —
+    rank(v) = #rows with value < v + 1 (ties share the rank), so
+    percent_rank = (rank-1)/(N-1) matches the SQL window exactly while
+    the corpus never sorts or leaves its partitions.
+    Columns (doc_id, n_chars, pr)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    hist = ds.groupby("n_chars").aggregate(Count(alias_name="c")).to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    n_total = int(hist["c"].sum())
+    below = np.concatenate([[0], np.cumsum(hist["c"].to_numpy())[:-1]])
+    pr_map = {int(v): round(float(b) / (n_total - 1), round_to)
+              for v, b in zip(hist["n_chars"], below)} if n_total > 1 else \
+             {int(v): 0.0 for v in hist["n_chars"]}
+    ref = ray.put(pr_map)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        pr = np.fromiter((m[int(x)] for x in v), np.float64, v.size)
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "pr": pa.array(pr, pa.float64())})
+
+    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
