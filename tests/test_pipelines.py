@@ -1147,3 +1147,64 @@ class TestDocSimilarity:
         top = dict(zip(got.doc_a, got.doc_b))
         assert top[0] == 1 and top[1] == 0
         assert got[got.doc_a == 0].cosine.iloc[0] == 1.0
+
+
+class TestWindowShapes:
+    def test_window_self_join_strict_ordering(self, ray_session, tmp_path):
+        """Equal-timestamp pairs count once (ordered by event_id); events
+        exactly at the window boundary are included; cross-user pairs
+        never form."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import window_self_join
+
+        ts = pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:00",  # u1 tie pair
+            "2024-01-01 00:05:00",                          # u1 boundary
+            "2024-01-01 00:10:01",                          # u1 outside
+            "2024-01-01 00:00:00",                          # u2 isolated
+        ])
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "c", "d", "a"]),
+            "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = window_self_join(str(d), within_minutes=5)
+        pairs = {(r.type_a, r.type_b): r.n_pairs for r in got.itertuples()}
+        # (a,b) tie pair once; a->c and b->c at the 5-min boundary;
+        # c->d is 5:01 apart -> excluded; u2 isolated
+        assert pairs == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_percent_rank_tie_semantics(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.oracles import percent_rank_sql
+        from yetisearch_ray.pipelines.relational import percent_rank_nchars
+
+        got = percent_rank_nchars(SF)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = con.execute(percent_rank_sql()).fetchdf()
+        assert np.allclose(got.pr, want.pr, atol=1e-6)
+        # ties share a rank: equal n_chars -> equal pr
+        for _, g in got.groupby("n_chars"):
+            assert g.pr.nunique() == 1
+        assert got.pr.min() == 0.0 and got.pr.max() <= 1.0
+
+    def test_transition_counts_sum(self, ray_session):
+        """Total transitions = total events - number of users (each user
+        contributes n_i - 1 transitions)."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import transition_matrix
+
+        got = transition_matrix(SF)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+        n_events = t.num_rows
+        n_users = len(set(t["user_id"].to_pylist()))
+        assert int(got.n.sum()) == n_events - n_users
