@@ -652,6 +652,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_running_total": events.daily_running_total,
         # global percent_rank via value-histogram prefix sums
         "rel_percent_rank": lambda sf: relational.percent_rank_nchars(sf),
+        # semi-structured ETL: JSON props -> per-type numeric stats
+        "ev_json_extract": events.props_stats_per_type,
+        # LEFT OUTER join + COALESCE (zero-order customers included)
+        "rel_left_join": lambda sf: relational.customer_order_counts(sf),
     }
 
 
@@ -849,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_transitions": oracles.TRANSITION_MATRIX_SQL,
         "ev_running_total": oracles.DAILY_RUNNING_TOTAL_SQL,
         "rel_percent_rank": oracles.percent_rank_sql(),
+        "ev_json_extract": oracles.PROPS_STATS_SQL,
+        "rel_left_join": oracles.customer_order_counts_sql(20),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -608,3 +608,41 @@ def daily_running_total(sf_dir: str):
                         .round(4))
     daily["day_value"] = daily["day_value"].round(4)
     return daily[["event_type", "day", "day_value", "running"]]
+
+
+def props_stats_per_type(sf_dir: str):
+    """Semi-structured ETL: parse the JSON ``props`` column, extract the
+    numeric ``k`` field, aggregate per event type (the
+    JSON-column-to-metrics shape every log pipeline runs).
+
+    Distributed shape: extraction is a VECTORIZED Arrow regex
+    (``extract_regex`` over the fixed-schema payload — no per-row
+    json.loads in the hot path; a malformed row falls back to null and
+    is dropped, matching SQL json_extract -> NULL), followed by one
+    tiny per-type aggregate.  Columns (event_type, n, k_mean, k_max)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Mean
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        arr = t["props"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        m = pc.extract_regex(arr, pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        out = pa.table({"event_type": t["event_type"], "k": k})
+        return out.filter(pc.is_valid(k))
+
+    out = (ds.map_batches(extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Mean("k", alias_name="k_mean"),
+                      Max("k", alias_name="k_max"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["k_mean"] = out["k_mean"].round(6)
+    out["k_max"] = out["k_max"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -2759,3 +2759,24 @@ def percent_rank_sql(round_to: int = 6) -> str:
 SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
        round(percent_rank() OVER (ORDER BY n_chars), {round_to}) AS pr
 FROM documents ORDER BY doc_id"""
+
+
+# Ground truth for events.props_stats_per_type (JSON extraction shape).
+PROPS_STATS_SQL = """
+WITH x AS (SELECT event_type,
+                  json_extract(props, '$.k')::BIGINT AS k
+           FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(k), 6) AS k_mean, max(k)::BIGINT AS k_max
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type"""
+
+
+def customer_order_counts_sql(k: int = 20) -> str:
+    """Ground truth for relational.customer_order_counts (LEFT OUTER +
+    COALESCE)."""
+    return f"""
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       coalesce(count(o.o_orderkey), 0)::BIGINT AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2 ORDER BY c_custkey LIMIT {k}"""

@@ -706,3 +706,40 @@ def percent_rank_nchars(sf_dir: str, *, round_to: int = 6):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_chars"] = out["n_chars"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def customer_order_counts(sf_dir: str, *, k: int = 20,
+                          num_partitions: int = 8):
+    """LEFT OUTER join: every customer with their order count, zero
+    included — the classic outer-join + COALESCE report (complements
+    the anti-join "customers without orders" entry).
+
+    Distributed shape: the order side is pre-aggregated to
+    (custkey, n) BEFORE the join (aggregate-sized), then a left_outer
+    hash join against customers, nulls coalesced to 0 map-side.
+    Returns the first ``k`` customers by custkey.
+    Columns (c_custkey, c_name, n_orders)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dedup import _strip_meta
+
+    cust = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]))
+    counts = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"])) \
+        .groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    j = cust.join(counts, join_type="left_outer",
+                  num_partitions=num_partitions,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fix(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t["n_orders"], pa.scalar(0, t["n_orders"].type))
+        return pa.table({"c_custkey": t["c_custkey"], "c_name": t["c_name"],
+                         "n_orders": pc.cast(n, pa.int64())})
+
+    out = (j.map_batches(fix, batch_format="pyarrow")
+           .sort("c_custkey").limit(k).to_pandas())
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
