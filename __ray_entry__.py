@@ -656,6 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_json_extract": events.props_stats_per_type,
         # LEFT OUTER join + COALESCE (zero-order customers included)
         "rel_left_join": lambda sf: relational.customer_order_counts(sf),
+        # composite aggregates from one-pass moment partials
+        "rel_group_corr": lambda sf: relational.group_price_qty_corr(sf),
     }
 
 
@@ -855,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_percent_rank": oracles.percent_rank_sql(),
         "ev_json_extract": oracles.PROPS_STATS_SQL,
         "rel_left_join": oracles.customer_order_counts_sql(20),
+        "rel_group_corr": oracles.GROUP_CORR_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

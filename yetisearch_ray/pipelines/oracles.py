@@ -2780,3 +2780,13 @@ SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
        coalesce(count(o.o_orderkey), 0)::BIGINT AS n_orders
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2 ORDER BY c_custkey LIMIT {k}"""
+
+
+# Ground truth for relational.group_price_qty_corr (corr() + weighted
+# mean from the same one-pass moments).
+GROUP_CORR_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(sum(l_quantity * l_discount) / sum(l_quantity), 6)
+         AS wavg_discount
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""

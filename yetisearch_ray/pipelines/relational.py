@@ -743,3 +743,58 @@ def customer_order_counts(sf_dir: str, *, k: int = 20,
     out["c_custkey"] = out["c_custkey"].astype("int64")
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
+
+
+def group_price_qty_corr(sf_dir: str, *, round_to: int = 6):
+    """Per-group Pearson correlation (price vs quantity) plus a
+    quantity-weighted mean discount — composite aggregates assembled
+    from map-side moment partials (sum x, y, xy, x², w, wx), the
+    pattern for ANY algebraic aggregate Ray lacks natively.
+
+    Distributed shape: ONE pass computes all six partials per batch
+    (vectorized), one tiny per-group exchange, and the closed-form
+    corr/weighted-mean arithmetic runs on the |groups|-row aggregate.
+    Columns (l_returnflag, n, corr_price_qty, wavg_discount)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity",
+                 "l_discount"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        y = t["l_quantity"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy": pa.array(y * y),
+            "wd": pa.array(y * d),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("wd", alias_name="wd"))
+           .to_pandas())
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    cov = agg["sxy"].to_numpy() - sx * sy / n
+    vx = agg["sxx"].to_numpy() - sx * sx / n
+    vy = agg["syy"].to_numpy() - sy * sy / n
+    corr = cov / np.sqrt(vx * vy)
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n": agg["n"].astype("int64"),
+        "corr_price_qty": np.round(corr, round_to),
+        "wavg_discount": np.round(agg["wd"].to_numpy() / sy, round_to),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
