@@ -658,6 +658,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_left_join": lambda sf: relational.customer_order_counts(sf),
         # composite aggregates from one-pass moment partials
         "rel_group_corr": lambda sf: relational.group_price_qty_corr(sf),
+        # daily-volume z-score anomaly flags (alerting shape)
+        "ev_zscore_anomaly": events.zscore_anomalies,
+        # hour-of-day seasonality profile (diurnal pattern)
+        "ev_hourly_profile": events.hourly_profile,
+        # truncated exponential moving average (exponential smoothing)
+        "ev_daily_ema": events.daily_ema,
     }
 
 
@@ -858,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
         "ev_json_extract": oracles.PROPS_STATS_SQL,
         "rel_left_join": oracles.customer_order_counts_sql(20),
         "rel_group_corr": oracles.GROUP_CORR_SQL,
+        "ev_zscore_anomaly": oracles.zscore_anomaly_sql(2.0),
+        "ev_hourly_profile": oracles.HOURLY_PROFILE_SQL,
+        "ev_daily_ema": oracles.daily_ema_sql(0.3, 14),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

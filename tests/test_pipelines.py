@@ -1208,3 +1208,56 @@ class TestWindowShapes:
         n_events = t.num_rows
         n_users = len(set(t["user_id"].to_pylist()))
         assert int(got.n.sum()) == n_events - n_users
+
+
+class TestSeasonalityAndAnomaly:
+    def test_hourly_profile_totals(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import hourly_profile
+
+        got = hourly_profile(SF)
+        n_events = pq.read_table(f"{SF}/events.parquet",
+                                 columns=["event_id"]).num_rows
+        assert int(got.n.sum()) == n_events
+        assert got.hod.between(0, 23).all()
+        # (type, hod) keys are unique
+        assert not got.duplicated(["event_type", "hod"]).any()
+
+    def test_zscore_anomaly_planted(self, ray_session, tmp_path):
+        """A day with 10x the baseline volume is flagged; baseline days
+        are not."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import zscore_anomalies
+
+        days = pd.date_range("2024-01-01", periods=20, freq="D")
+        rows = []
+        eid = 0
+        for i, d in enumerate(days):
+            burst = 50 if i == 10 else 5
+            for j in range(burst):
+                rows.append((eid, d + pd.Timedelta(minutes=j), 1, "view",
+                             1.0, "{}"))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value", "props"])
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = zscore_anomalies(str(d))
+        assert len(got) == 1
+        assert got.n.iloc[0] == 50 and got.z.iloc[0] > 2.0
+
+    def test_daily_ema_first_row_identity(self, ray_session):
+        """The first observed day of every type has ema == n (window of
+        one); every ema lies within the type's [min n, max n]."""
+        from yetisearch_ray.pipelines.events import daily_ema
+
+        got = daily_ema(SF)
+        for _, g in got.groupby("event_type"):
+            g = g.sort_values("day")
+            assert abs(g.ema.iloc[0] - g.n.iloc[0]) < 1e-9
+            assert (g.ema >= g.n.min() - 1e-9).all()
+            assert (g.ema <= g.n.max() + 1e-9).all()

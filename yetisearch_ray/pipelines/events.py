@@ -646,3 +646,106 @@ def props_stats_per_type(sf_dir: str):
     out["k_mean"] = out["k_mean"].round(6)
     out["k_max"] = out["k_max"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def zscore_anomalies(sf_dir: str, *, z_thresh: float = 2.0):
+    """Volume-anomaly detection: per-type daily event counts, flagged
+    where the count sits more than ``z_thresh`` population standard
+    deviations from that type's own daily mean — the alerting shape
+    every ops/metrics pipeline runs nightly.
+
+    Distributed shape: one (event_type, day) shuffle-aggregate over the
+    raw stream; the per-type mean/std and the z-test then run over that
+    aggregate (|types| x |days| rows — tiny), never touching raw
+    events again.  Columns (event_type, day, n, z)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    daily = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    daily["n"] = daily["n"].astype("int64")
+    g = daily.groupby("event_type")["n"]
+    mu = g.transform("mean")
+    sd = g.transform(lambda s: float(np.std(s.to_numpy(), ddof=0)))
+    daily["z"] = ((daily["n"] - mu) / sd).round(6)
+    out = daily[(sd > 0) & (daily["z"].abs() > z_thresh)]
+    return (out[["event_type", "day", "n", "z"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+def hourly_profile(sf_dir: str):
+    """Hour-of-day seasonality profile: per (event_type, hour-of-day)
+    event count and mean value — the diurnal-pattern shape behind every
+    traffic dashboard and load forecaster.
+
+    Distributed shape: hour extraction is a vectorized Arrow temporal
+    kernel inside ``map_batches``; one (type, hod) shuffle-aggregate
+    with map-side combine emits at most |types| x 24 rows.
+    Columns (event_type, hod, n, v_mean)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        hod = pc.cast(pc.hour(t["ts"]), pa.int64())
+        return pa.table({"event_type": t["event_type"], "hod": hod,
+                         "value": t["value"]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["event_type", "hod"])
+           .aggregate(Count(alias_name="n"),
+                      Mean("value", alias_name="v_mean"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["hod"] = out["hod"].astype("int64")
+    out["v_mean"] = out["v_mean"].round(6)
+    return (out.sort_values(["event_type", "hod"])
+            .reset_index(drop=True))
+
+
+def daily_ema(sf_dir: str, *, alpha: float = 0.3, window: int = 14):
+    """Truncated exponential moving average over per-type daily counts:
+    ema_i = sum_{d=0..w-1} (1-a)^d * n_{i-d} / sum_d (1-a)^d over the
+    type's OBSERVED days in order — the exponential-smoothing shape
+    (finite window keeps it expressible as a bounded self-join for the
+    SQL oracle and as one causal convolution here).
+
+    Distributed shape: one (event_type, day) shuffle-aggregate; the EMA
+    is a per-type ``np.convolve`` with the fixed geometric weight
+    vector over the aggregate-sized frame (|types| x |days| rows).
+    Columns (event_type, day, n, ema)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    daily = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    daily["n"] = daily["n"].astype("int64")
+    daily = daily.sort_values(["event_type", "day"]).reset_index(drop=True)
+    w = np.power(1.0 - alpha, np.arange(window, dtype=np.float64))
+
+    def ema(s: pd.Series) -> pd.Series:
+        n = s.to_numpy(np.float64)
+        num = np.convolve(n, w)[:n.size]
+        den = np.convolve(np.ones_like(n), w)[:n.size]
+        return pd.Series(np.round(num / den, 6), index=s.index)
+
+    daily["ema"] = daily.groupby("event_type")["n"].transform(ema)
+    return daily[["event_type", "day", "n", "ema"]]

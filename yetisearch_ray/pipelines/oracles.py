@@ -2790,3 +2790,48 @@ SELECT l_returnflag, count(*)::BIGINT AS n,
        round(sum(l_quantity * l_discount) / sum(l_quantity), 6)
          AS wavg_discount
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def zscore_anomaly_sql(z_thresh: float = 2.0) -> str:
+    """Ground truth for events.zscore_anomalies: per-type daily counts
+    flagged where |z| (population std) exceeds the threshold."""
+    return f"""
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, avg(n) AS m, stddev_pop(n) AS sd
+      FROM d GROUP BY 1)
+SELECT d.event_type, day, n::BIGINT AS n,
+       round((n - m) / sd, 6) AS z
+FROM d JOIN s USING (event_type)
+WHERE sd > 0 AND abs((n - m) / sd) > {z_thresh}
+ORDER BY d.event_type, day"""
+
+
+# Ground truth for events.hourly_profile (diurnal seasonality shape).
+HOURLY_PROFILE_SQL = """
+SELECT event_type, hour(ts)::BIGINT AS hod, count(*)::BIGINT AS n,
+       round(avg(value), 6) AS v_mean
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def daily_ema_sql(alpha: float = 0.3, window: int = 14) -> str:
+    """Ground truth for events.daily_ema: truncated exponential moving
+    average as a bounded self-join on per-type day rank (weight
+    (1-alpha)^(rank delta), renormalized over the visible window)."""
+    return f"""
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM d)
+SELECT a.event_type, a.day, a.n::BIGINT AS n,
+       round(sum(b.n * power({1.0 - alpha}, a.rn - b.rn))
+             / sum(power({1.0 - alpha}, a.rn - b.rn)), 6) AS ema
+FROM r a JOIN r b
+  ON a.event_type = b.event_type
+ AND b.rn BETWEEN a.rn - {window - 1} AND a.rn
+GROUP BY a.event_type, a.day, a.n
+ORDER BY a.event_type, a.day"""
