@@ -664,6 +664,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_hourly_profile": events.hourly_profile,
         # truncated exponential moving average (exponential smoothing)
         "ev_daily_ema": events.daily_ema,
+        # per-doc n-gram novelty (first-occurrence attribution)
+        "text_ngram_novelty": lambda sf: textstats.ngram_novelty(_docs(sf)),
+        # decorrelated correlated subquery (above class average)
+        "rel_above_avg": relational.above_class_average,
+        # higher-moment composite aggregates (two-pass central moments)
+        "rel_skew_kurt": relational.group_skew_kurt,
     }
 
 
@@ -867,6 +873,9 @@ def oracle_sql() -> dict[str, str]:
         "ev_zscore_anomaly": oracles.zscore_anomaly_sql(2.0),
         "ev_hourly_profile": oracles.HOURLY_PROFILE_SQL,
         "ev_daily_ema": oracles.daily_ema_sql(0.3, 14),
+        "text_ngram_novelty": oracles.ngram_novelty_sql(5),
+        "rel_above_avg": oracles.above_class_average_sql(4),
+        "rel_skew_kurt": oracles.GROUP_SKEW_KURT_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

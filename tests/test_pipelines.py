@@ -1261,3 +1261,85 @@ class TestSeasonalityAndAnomaly:
             assert abs(g.ema.iloc[0] - g.n.iloc[0]) < 1e-9
             assert (g.ema >= g.n.min() - 1e-9).all()
             assert (g.ema <= g.n.max() + 1e-9).all()
+
+
+class TestNoveltyAndMoments:
+    def test_ngram_novelty_edges(self, ray_session, tmp_path):
+        """First doc is 100% novel; an exact copy later is 0% novel; a
+        doc with fewer than n tokens emits no row."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import ngram_novelty
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, base, "too short"], pa.string()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "documents.parquet")
+        got = ngram_novelty(rd.read_parquet(str(d / "documents.parquet")))
+        by = got.set_index("doc_id")
+        assert by.loc[1, "novelty"] == 1.0
+        assert by.loc[2, "novelty"] == 0.0
+        assert 3 not in by.index
+        # 8 tokens -> 4 distinct 5-grams
+        assert by.loc[1, "n_grams"] == 4
+
+    def test_ngram_novelty_repeated_text_distinct(self, ray_session,
+                                                  tmp_path):
+        """Repetition inside one doc dedups: 'a b c d e a b c d e'
+        yields 6 windows but only 6 DISTINCT grams? — no: windows are
+        (a b c d e), (b c d e a), (c d e a b), (d e a b c), (e a b c d),
+        (a b c d e) -> 5 distinct."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import ngram_novelty
+
+        t = pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["a b c d e a b c d e"], pa.string()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "documents.parquet")
+        got = ngram_novelty(rd.read_parquet(str(d / "documents.parquet")))
+        assert got.n_grams.iloc[0] == 5
+        assert got.n_novel.iloc[0] == 5
+
+    def test_skew_kurt_matches_scipy_free_reference(self, ray_session):
+        """Spot-check one group's skewness against a direct numpy
+        recompute of the bias-corrected formula."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.relational import group_skew_kurt
+
+        got = group_skew_kurt(SF)
+        t = pq.read_table(f"{SF}/lineitem.parquet",
+                          columns=["l_returnflag", "l_extendedprice"])
+        df = t.to_pandas()
+        g0 = got.l_returnflag.iloc[0]
+        x = df[df.l_returnflag == g0].l_extendedprice.to_numpy()
+        n = x.size
+        d = x - x.mean()
+        m2, m3 = (d**2).mean(), (d**3).mean()
+        want = (m3 / m2**1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+        assert abs(got.skew_price.iloc[0] - want) < 1e-4
+
+    def test_above_avg_counts(self, ray_session):
+        """Every class has 0 < n_above < class size and positive mean
+        excess."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.relational import above_class_average
+
+        got = above_class_average(SF)
+        t = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderpriority"]).to_pandas()
+        sizes = t.o_orderpriority.value_counts()
+        for r in got.itertuples():
+            assert 0 < r.n_above < sizes[r.o_orderpriority]
+            assert r.avg_excess > 0

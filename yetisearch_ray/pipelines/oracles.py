@@ -2835,3 +2835,53 @@ FROM r a JOIN r b
  AND b.rn BETWEEN a.rn - {window - 1} AND a.rn
 GROUP BY a.event_type, a.day, a.n
 ORDER BY a.event_type, a.day"""
+
+
+def ngram_novelty_sql(n: int = 5) -> str:
+    """Ground truth for textstats.ngram_novelty: distinct word n-grams
+    per doc, first occurrence by min doc_id, novelty = novel/total."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[\\t\\n\\f\\r ]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(ts) - {n - 1}, 0) + 1),
+             i -> array_to_string(ts[i:i+{n - 1}], ' '))) AS g
+    FROM toks)
+),
+firsts AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+nov AS (SELECT fd AS doc_id, count(*) AS n_novel FROM firsts GROUP BY fd)
+SELECT t.doc_id::BIGINT AS doc_id, t.n_grams::BIGINT AS n_grams,
+       coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
+       round(coalesce(nov.n_novel, 0) / t.n_grams::DOUBLE, 6) AS novelty
+FROM tot t LEFT JOIN nov USING (doc_id) ORDER BY doc_id"""
+
+
+def above_class_average_sql(round_to: int = 4) -> str:
+    """Ground truth for relational.above_class_average (decorrelated
+    correlated subquery; excess = avg(selected) - class mean, the same
+    algebra the Ray side uses)."""
+    return f"""
+WITH m AS (SELECT o_orderpriority, avg(o_totalprice) AS mp
+           FROM orders GROUP BY 1)
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_above,
+       round(avg(o.o_totalprice) - max(m.mp), {round_to}) AS avg_excess
+FROM orders o JOIN m USING (o_orderpriority)
+WHERE o.o_totalprice > m.mp
+GROUP BY 1 ORDER BY 1"""
+
+
+# Ground truth for relational.group_skew_kurt (DuckDB's bias-corrected
+# sample skewness / excess kurtosis).
+GROUP_SKEW_KURT_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(skewness(l_extendedprice), 6) AS skew_price,
+       round(kurtosis(l_extendedprice), 6) AS kurt_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""

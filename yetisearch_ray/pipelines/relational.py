@@ -798,3 +798,109 @@ def group_price_qty_corr(sf_dir: str, *, round_to: int = 6):
         "wavg_discount": np.round(agg["wd"].to_numpy() / sy, round_to),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def above_class_average(sf_dir: str, *, round_to: int = 4):
+    """Orders priced above their own priority class's average — the
+    correlated-subquery shape (``WHERE x > (SELECT avg(x) ... same
+    class)``) decorrelated into a broadcast aggregate.
+
+    Distributed shape: pass 1 computes the |classes|-row mean table
+    (one tiny shuffle-aggregate), which is broadcast via ``ray.put``;
+    pass 2 filters map-side against the looked-up class mean and feeds
+    one final per-class aggregate — the raw table never joins or
+    sorts.  ``avg_excess`` is the mean of qualifying prices minus the
+    class mean (algebraically identical on both sides so float
+    summation order can't flip the rounding).
+    Columns (o_orderpriority, n_above, avg_excess)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    means = ds.groupby("o_orderpriority") \
+        .aggregate(Mean("o_totalprice", alias_name="mp")).to_pandas()
+    mp = {r.o_orderpriority: float(r.mp) for r in means.itertuples()}
+    ref = ray.put(mp)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        pr = t["o_orderpriority"].to_pylist()
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        thr = np.fromiter((m[p] for p in pr), np.float64, len(pr))
+        keep = x > thr
+        return pa.table({
+            "o_orderpriority": pa.array(np.asarray(pr, object)[keep]),
+            "o_totalprice": pa.array(x[keep], pa.float64()),
+        })
+
+    out = (ds.map_batches(flag, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_above"),
+                      Mean("o_totalprice", alias_name="avg_sel"))
+           .to_pandas())
+    out["n_above"] = out["n_above"].astype("int64")
+    out["avg_excess"] = (out["avg_sel"]
+                         - out["o_orderpriority"].map(mp)).round(round_to)
+    return (out[["o_orderpriority", "n_above", "avg_excess"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def group_skew_kurt(sf_dir: str, *, round_to: int = 6):
+    """Per-group sample skewness and excess kurtosis of lineitem prices
+    (DuckDB/SQL bias-corrected definitions) — higher-moment composite
+    aggregates via numerically-clean TWO-PASS central moments.
+
+    Distributed shape: pass 1 is one tiny per-group mean aggregate
+    (broadcast); pass 2 accumulates per-batch partials of
+    (x-mu)^2/3/4 + count (vectorized), one |groups|-row exchange, and
+    the closed-form bias corrections run on the aggregate.  Centering
+    before exponentiation avoids the raw-moment cancellation that
+    makes one-pass m3/m4 unusable at scale.
+    Columns (l_returnflag, n, skew_price, kurt_price)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    means = ds.groupby("l_returnflag").mean("l_extendedprice").to_pandas()
+    mu = {r.l_returnflag: float(r[1]) for r in means.itertuples(index=False)}
+    ref = ray.put(mu)
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        flags = t["l_returnflag"].to_pylist()
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        mus = np.fromiter((m[f] for f in flags), np.float64, len(flags))
+        d = x - mus
+        d2 = d * d
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "one": pa.array(np.ones_like(d), pa.float64()),
+                         "s2": pa.array(d2, pa.float64()),
+                         "s3": pa.array(d2 * d, pa.float64()),
+                         "s4": pa.array(d2 * d2, pa.float64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("one", alias_name="n"),
+                      Sum("s2", alias_name="s2"),
+                      Sum("s3", alias_name="s3"),
+                      Sum("s4", alias_name="s4"))
+           .to_pandas())
+    n = agg["n"].to_numpy(np.float64)
+    m2 = agg["s2"].to_numpy(np.float64) / n
+    m3 = agg["s3"].to_numpy(np.float64) / n
+    m4 = agg["s4"].to_numpy(np.float64) / n
+    g1 = m3 / np.power(m2, 1.5)
+    g2 = m4 / (m2 * m2) - 3.0
+    skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+    kurt = ((n - 1.0) / ((n - 2.0) * (n - 3.0))) * ((n + 1.0) * g2 + 6.0)
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n": n.astype(np.int64),
+        "skew_price": np.round(skew, round_to),
+        "kurt_price": np.round(kurt, round_to),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)

@@ -1127,3 +1127,98 @@ def doc_similarity_topk(ds, *, text_col="text", id_col="doc_id", k=3,
     out["rank"] = out["rank"].astype("int64")
     return (out[["doc_a", "doc_b", "cosine", "rank"]]
             .sort_values(["doc_a", "rank"]).reset_index(drop=True))
+
+
+def ngram_novelty(ds, *, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  num_partitions: int | None = None):
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams whose corpus-wide first occurrence (min doc_id) is the
+    doc itself — the "how much new text does this doc add" curation
+    signal (the dup-fraction complement used alongside exact-substring
+    dedup in RefinedWeb/Lee-et-al-style pipelines).
+
+    Distributed shape: gram construction is fully VECTORIZED — one flat
+    whitespace-token array per batch, n shifted zero-copy slices joined
+    with ``binary_join_element_wise``, windows crossing doc boundaries
+    masked with one numpy compare — no per-row Python.  Per-batch
+    distinct (doc_id, gram) pairs shuffle ONCE keyed by gram for the
+    min-doc_id first-occurrence aggregate; novel counts per doc then
+    hash-join back onto per-doc distinct-gram totals, which are
+    computed map-side with NO shuffle (a doc lives in one row, so
+    per-batch distinct is exact).  Grams shuffle as strings for oracle
+    identity; at 100 TB swap the key for a 128-bit hash to cut exchange
+    bytes (collision odds negligible).
+    Columns (doc_id, n_grams, n_novel, novelty); docs with fewer than
+    ``n`` tokens produce no grams and are excluded (both sides)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from .dedup import _default_join_partitions, _join_ready
+
+    num_partitions = _default_join_partitions(num_partitions)
+
+    def _gram_pairs(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        counts = np.diff(split.offsets.to_numpy(zero_copy_only=False))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(ids, counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+        m = len(flat)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.string())})
+        if m < n:
+            return empty
+        parts = [flat.slice(k, m - n + 1) for k in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_idx[: m - n + 1] == doc_idx[n - 1:]
+        if not valid.any():
+            return empty
+        tb = pa.table({
+            "doc_id": pa.array(doc_idx[: m - n + 1][valid], pa.int64()),
+            "gram": grams.filter(pa.array(valid)),
+        })
+        return tb.group_by(["doc_id", "gram"]).aggregate([])
+
+    def _totals(t: pa.Table) -> pa.Table:
+        g = _gram_pairs(t)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "n_grams": pa.array(c.astype(np.int64), pa.int64())})
+
+    gram_ds = ds.map_batches(_gram_pairs, batch_format="pyarrow")
+    novel = _join_ready(
+        gram_ds.groupby("gram")
+        .aggregate(Min("doc_id", alias_name="fd"))
+        .groupby("fd").aggregate(Count(alias_name="n_novel")),
+        num_partitions)
+    totals = _join_ready(ds.map_batches(_totals, batch_format="pyarrow"),
+                         num_partitions)
+    j = totals.join(novel, join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=("doc_id",), right_on=("fd",))
+
+    def fix(t: pa.Table) -> pa.Table:
+        nn = pc.coalesce(t["n_novel"], pa.scalar(0, t["n_novel"].type))
+        nn = pc.cast(nn, pa.int64())
+        ng = t["n_grams"]
+        nov = pc.round(pc.divide(pc.cast(nn, pa.float64()),
+                                 pc.cast(ng, pa.float64())), ndigits=6)
+        return pa.table({"doc_id": t["doc_id"], "n_grams": ng,
+                         "n_novel": nn, "novelty": nov})
+
+    out = j.map_batches(fix, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_grams"] = out["n_grams"].astype("int64")
+    out["n_novel"] = out["n_novel"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
