@@ -670,6 +670,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_above_avg": relational.above_class_average,
         # higher-moment composite aggregates (two-pass central moments)
         "rel_skew_kurt": relational.group_skew_kurt,
+        # ES function_score gauss decay on a stored numeric column
+        "fts_decay_topk": lambda sf: ftsd.decay_topk(sf),
+        # ES adjacency_matrix: filter + pairwise-intersection counts
+        "fts_adjacency_matrix": lambda sf: ftsd.adjacency_matrix(sf),
     }
 
 
@@ -876,6 +880,9 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_novelty": oracles.ngram_novelty_sql(5),
         "rel_above_avg": oracles.above_class_average_sql(4),
         "rel_skew_kurt": oracles.GROUP_SKEW_KURT_SQL,
+        "fts_decay_topk": oracles.decay_topk_sql(
+            ["vector", "stream"], origin=300.0, scale=120.0, k=20),
+        "fts_adjacency_matrix": oracles.adjacency_matrix_sql(),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

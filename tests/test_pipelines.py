@@ -1343,3 +1343,57 @@ class TestNoveltyAndMoments:
         for r in got.itertuples():
             assert 0 < r.n_above < sizes[r.o_orderpriority]
             assert r.avg_excess > 0
+
+
+class TestDecayAndAdjacency:
+    def test_decay_changes_ranking(self, ray_session):
+        """The gauss decay must actually reorder vs plain OR BM25 (docs
+        near origin n_chars promoted) and never produce scores above
+        the undecayed ones."""
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+
+        plain = ftsd.or_topk(SF, ("vector", "stream"), k=20)
+        dec = ftsd.decay_topk(SF, ("vector", "stream"), origin=300.0,
+                              scale=120.0, k=20)
+        assert list(dec.doc_id) != list(plain.doc_id)
+        ps = dict(zip(plain.doc_id, plain.score))
+        for r in dec.itertuples():
+            if r.doc_id in ps:
+                assert r.score <= ps[r.doc_id] + 1e-9
+
+    def test_decay_identity_at_infinite_scale(self, ray_session):
+        """With a huge scale the decay factor ~1 everywhere: ranking
+        equals plain OR."""
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+
+        plain = ftsd.or_topk(SF, ("vector", "stream"), k=10)
+        dec = ftsd.decay_topk(SF, ("vector", "stream"), origin=300.0,
+                              scale=1e9, k=10)
+        assert list(dec.doc_id) == list(plain.doc_id)
+
+    def test_adjacency_matrix_brute_force(self, ray_session):
+        """Counts equal a direct tokenization of the corpus."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.fts_documents import adjacency_matrix
+
+        got = adjacency_matrix(SF)
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text", "source"]).to_pandas()
+        import re as _re
+        import unicodedata
+
+        def toks(s):
+            s = unicodedata.normalize("NFKD", s.lower())
+            s = "".join(c for c in s if not unicodedata.combining(c))
+            return set(x for x in _re.split(r"[^a-z0-9]+", s) if x)
+
+        sets = {}
+        for name, term in (("a", "vector"), ("b", "stream"),
+                           ("c", "merge")):
+            sets[name] = {r.doc_id for r in t.itertuples()
+                          if term in toks(r.text) | toks(r.source)}
+        by = dict(zip(got.key, got.doc_count))
+        assert by["a"] == len(sets["a"])
+        assert by.get("a&b", 0) == len(sets["a"] & sets["b"])
+        assert by.get("b&c", 0) == len(sets["b"] & sets["c"])

@@ -676,3 +676,47 @@ def highlight_topk(sf_dir: str, term: str = "merge", k: int = 10) -> pd.DataFram
     out = out.sort_values(["score", "doc_id"],
                           ascending=[False, True]).reset_index(drop=True)
     return out[["doc_id", "score", "highlight"]]
+
+
+def decay_topk(sf_dir: str, terms=("vector", "stream"), origin: float = 300.0,
+               scale: float = 120.0, offset: float = 0.0,
+               k: int = 20) -> pd.DataFrame:
+    """OR query with an ES function_score GAUSS DECAY on the stored
+    ``n_chars`` column: score *= exp(-max(0,|v-origin|-offset)^2 /
+    (2*scale^2)), applied over the FULL match set before pagination
+    (engine ``decay_column``) so mid-length docs outrank longer ones
+    regardless of raw BM25 page order.  Oracle:
+    ``oracles.decay_topk_sql(...)``."""
+    return _as_result(get_engine(sf_dir).search(
+        " ".join(terms), mode="or", decay_column="n_chars",
+        decay_origin=origin, decay_scale=scale, decay_offset=offset,
+        limit=k, normalize=False))
+
+
+def adjacency_matrix(sf_dir: str,
+                     filters=(("a", "vector"), ("b", "stream"),
+                              ("c", "merge"))) -> pd.DataFrame:
+    """ES ``adjacency_matrix`` aggregation: document counts for every
+    named term filter and every pairwise intersection (key "x&y",
+    x < y), empty buckets omitted — the co-occurrence matrix over match
+    SETS rather than scores.
+
+    Match sets come from posting lookups (no scoring/pagination — the
+    engine ``match_ids`` path); intersections are sorted-array
+    ``np.intersect1d``.  On a sharded index the same algebra runs
+    per-shard and the counts add, since doc ranges are disjoint.
+    Columns (key, doc_count)."""
+    eng = get_engine(sf_dir)
+    sets = {name: eng.match_ids(q, mode="or") for name, q in filters}
+    names = [n for n, _ in filters]
+    rows = []
+    for i, a in enumerate(names):
+        if sets[a].size:
+            rows.append((a, int(sets[a].size)))
+        for b in names[i + 1:]:
+            n = int(np.intersect1d(sets[a], sets[b]).size)
+            if n:
+                rows.append((f"{a}&{b}", n))
+    out = pd.DataFrame(rows, columns=["key", "doc_count"])
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values("key").reset_index(drop=True)

@@ -2885,3 +2885,65 @@ SELECT l_returnflag, count(*)::BIGINT AS n,
        round(skewness(l_extendedprice), 6) AS skew_price,
        round(kurtosis(l_extendedprice), 6) AS kurt_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def decay_topk_sql(terms, *, origin: float = 300.0, scale: float = 120.0,
+                   offset: float = 0.0, corpus: str = DOCUMENTS_CORPUS,
+                   w0: float = 1.0, w1: float = 1.0, k: int = 20,
+                   round_to: int = 5) -> str:
+    """Ground truth for fts_documents.decay_topk: OR BM25 multiplied by
+    an ES gauss decay on n_chars, over the full match set."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tfw FROM (
+    SELECT doc_id, term, fld,
+           count(*) * (CASE fld WHEN 0 THEN {w0} ELSE {w1} END) AS w
+    FROM tokf WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc_id, term, fld
+  ) GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         greatest(ln((stats.n - df.df + 0.5) / (df.df + 0.5)), 0.000001)
+              * (tf.tfw * ({K1} + 1)) /
+                (tf.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+),
+scored AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id),
+dec AS (
+  SELECT s.doc_id,
+         s.s * exp(-pow(greatest(abs(d.n_chars - {origin}) - {offset}, 0), 2)
+                   / (2 * {scale} * {scale})) AS s
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, round(abs(s), {round_to}) AS score
+FROM dec ORDER BY -s ASC, doc_id ASC LIMIT {k}"""
+
+
+def adjacency_matrix_sql(filters=(("a", "vector"), ("b", "stream"),
+                                  ("c", "merge")),
+                         corpus: str = DOCUMENTS_CORPUS) -> str:
+    """Ground truth for fts_documents.adjacency_matrix: per-filter and
+    pairwise-intersection doc counts over distinct (doc, term) match
+    sets, empty buckets omitted (ES adjacency_matrix contract)."""
+    names = [n for n, _ in filters]
+    sets = "".join(
+        f",\nf_{n} AS (SELECT DISTINCT doc_id FROM tokf WHERE term = '{t}')"
+        for n, t in filters)
+    arms = [f"SELECT '{n}' AS key, (SELECT count(*) FROM f_{n}) AS doc_count"
+            for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            arms.append(
+                f"SELECT '{a}&{b}', (SELECT count(*) FROM f_{a} "
+                f"JOIN f_{b} USING (doc_id))")
+    union = "\nUNION ALL ".join(arms)
+    return f"""{_base_ctes(corpus)}{sets}
+SELECT key, doc_count::BIGINT AS doc_count FROM ({union})
+WHERE doc_count > 0 ORDER BY key"""

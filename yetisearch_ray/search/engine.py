@@ -1144,6 +1144,10 @@ class SearchEngine:
         rank_column: str | None = None,
         rank_weight: float = 0.0,
         rank_mode: str = "add",
+        decay_column: str | None = None,
+        decay_origin: float = 0.0,
+        decay_scale: float = 0.0,
+        decay_offset: float = 0.0,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -1163,6 +1167,8 @@ class SearchEngine:
                          tuple(sorted((term_boosts or {}).items())),
                          dismax, tie_breaker,
                          rank_column, rank_weight, rank_mode,
+                         decay_column, decay_origin, decay_scale,
+                         decay_offset,
                          self.index.mutation_version)
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -1289,6 +1295,18 @@ class SearchEngine:
             s = (s * (1.0 + rank_weight * f) if rank_mode == "multiply"
                  else s + rank_weight * f)
             rank = -s
+        if decay_column and decay_scale > 0 and doc_ids.size:
+            # ES function_score gauss decay (extension): multiply the
+            # score by exp(-max(0, |v-origin|-offset)^2 / (2*scale^2))
+            # over the FULL match set, BEFORE sorting/pagination, so
+            # decay can promote docs from outside the BM25 page.
+            vals = np.asarray(self.index.meta_for(decay_column, doc_ids),
+                              np.float64)
+            d = np.maximum(
+                np.abs(vals - float(decay_origin)) - float(decay_offset),
+                0.0)
+            rank = -(np.abs(rank)
+                     * np.exp(-(d * d) / (2.0 * float(decay_scale) ** 2)))
         distances = None
         if geo_filters and doc_ids.size:
             doc_ids, rank, distances = self._apply_geo(doc_ids, rank, geo_filters)
@@ -2216,6 +2234,23 @@ class SearchEngine:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids = doc_ids[keep]
         return int(doc_ids.size)
+
+    def match_ids(self, query: str, *, mode: str = "smart",
+                  filters=None, language: str | None = None) -> np.ndarray:
+        """Live doc_ids matching ``query`` (analyzer applied, tombstones
+        and filters honored) — the match SET without scoring/pagination;
+        feeds set-algebra aggregations (adjacency matrix)."""
+        weights = self._field_weight_vector(self.default_weights)
+        cq = compile_query(query, self.analyzer, mode=mode)
+        if not cq.phrases:
+            return np.empty(0, np.uint64)
+        doc_ids, _ = self._score(cq, weights)
+        if doc_ids.size and self.index.tombstones.size:
+            doc_ids = doc_ids[~np.isin(doc_ids, self.index.tombstones)]
+        if doc_ids.size:
+            keep = self._apply_filters(doc_ids, filters, language)
+            doc_ids = doc_ids[keep]
+        return doc_ids
 
     def explain(self, query: str, *, mode: str = "smart",
                 fuzzy: bool = False, fuzzy_mode: str = "correction",
