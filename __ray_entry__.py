@@ -674,6 +674,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_decay_topk": lambda sf: ftsd.decay_topk(sf),
         # ES adjacency_matrix: filter + pairwise-intersection counts
         "fts_adjacency_matrix": lambda sf: ftsd.adjacency_matrix(sf),
+        # ES composite aggregation with after-key paging
+        "agg_composite_page": lambda sf: relational.composite_page(sf),
+        # TPC-H Q16 shape: distinct suppliers per brand (join + dedup)
+        "rel_brand_suppliers": lambda sf: relational.brand_supplier_counts(sf),
+        # ES rare_terms: long-tail dictionary scan (df <= 2)
+        "fts_rare_terms": lambda sf: ftsd.rare_terms(sf),
     }
 
 
@@ -883,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_decay_topk": oracles.decay_topk_sql(
             ["vector", "stream"], origin=300.0, scale=120.0, k=20),
         "fts_adjacency_matrix": oracles.adjacency_matrix_sql(),
+        "agg_composite_page": oracles.composite_page_sql(10, ("en", "src3")),
+        "rel_brand_suppliers": oracles.BRAND_SUPPLIERS_SQL,
+        "fts_rare_terms": oracles.rare_terms_sql(100, 50),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

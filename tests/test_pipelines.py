@@ -1397,3 +1397,47 @@ class TestDecayAndAdjacency:
         assert by["a"] == len(sets["a"])
         assert by.get("a&b", 0) == len(sets["a"] & sets["b"])
         assert by.get("b&c", 0) == len(sets["b"] & sets["c"])
+
+
+class TestCompositeBrandRare:
+    def test_composite_page_cursor_chain(self, ray_session):
+        """Paging with after = last key of the previous page never
+        repeats or skips buckets (the ES composite resumability
+        contract)."""
+        import duckdb
+
+        from yetisearch_ray.pipelines.relational import composite_page
+
+        all_buckets = duckdb.sql(
+            f"SELECT lang, source FROM read_parquet('{SF}/documents.parquet')"
+            " GROUP BY lang, source ORDER BY lang, source").fetchall()
+        seen = []
+        after = ("", "")
+        while True:
+            page = composite_page(SF, size=7, after=after)
+            if len(page) == 0:
+                break
+            seen += [(r.lang, r.source) for r in page.itertuples()]
+            after = seen[-1]
+        assert seen == [(a, b) for a, b in all_buckets]
+
+    def test_brand_suppliers_bounds(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.relational import brand_supplier_counts
+
+        got = brand_supplier_counts(SF)
+        want = duckdb.sql(
+            f"SELECT p_brand, count(DISTINCT l_suppkey) FROM "
+            f"read_parquet('{SF}/lineitem.parquet') li JOIN "
+            f"read_parquet('{SF}/part.parquet') p ON p_partkey = l_partkey "
+            f"GROUP BY 1 ORDER BY 1").fetchall()
+        assert [(r.p_brand, r.n_suppliers) for r in got.itertuples()] == \
+            [(a, b) for a, b in want]
+
+    def test_rare_terms_planted_dup(self, ray_session):
+        from yetisearch_ray.pipelines.fts_documents import rare_terms
+
+        got = rare_terms(SF, max_df=100)
+        assert "dup" in set(got.term)
+        assert (got.df <= 100).all()

@@ -720,3 +720,29 @@ def adjacency_matrix(sf_dir: str,
     out = pd.DataFrame(rows, columns=["key", "doc_count"])
     out["doc_count"] = out["doc_count"].astype("int64")
     return out.sort_values("key").reset_index(drop=True)
+
+
+def rare_terms(sf_dir: str, *, max_df: int = 100, k: int = 50,
+               field: int = 1) -> pd.DataFrame:
+    """ES ``rare_terms`` aggregation over the body field: terms whose
+    document frequency is at most ``max_df`` — the long-tail complement
+    of a top-N terms facet (typo/entity mining).
+
+    Served from the segment DICTIONARY, not the corpus: the postings
+    layout stores (term, field, df) per segment, so this is a
+    column-pruned metadata scan (hot-term splits store disjoint doc
+    lists — summing partials restores true df), no posting decode and
+    no corpus re-scan.  Columns (term, df), ordered (df, term)."""
+    import pyarrow.dataset as pads
+
+    eng = get_engine(sf_dir)
+    post_dir = os.path.join(eng.index.index_dir, "postings")
+    t = pads.dataset(post_dir, format="parquet").to_table(
+        columns=["term", "field", "df"])
+    df = t.to_pandas()
+    df = df[df["field"] == field]
+    df = df.groupby("term", as_index=False)["df"].sum()
+    df = df[df["df"] <= max_df]
+    df["df"] = df["df"].astype("int64")
+    return (df.sort_values(["df", "term"]).head(k)
+            .reset_index(drop=True)[["term", "df"]])

@@ -2947,3 +2947,33 @@ def adjacency_matrix_sql(filters=(("a", "vector"), ("b", "stream"),
     return f"""{_base_ctes(corpus)}{sets}
 SELECT key, doc_count::BIGINT AS doc_count FROM ({union})
 WHERE doc_count > 0 ORDER BY key"""
+
+
+def composite_page_sql(size: int = 10, after=("en", "src3")) -> str:
+    """Ground truth for relational.composite_page (ES composite
+    after-key paging; lexicographic tuple cut)."""
+    a0, a1 = after
+    return f"""
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM documents
+GROUP BY lang, source
+HAVING lang > '{a0}' OR (lang = '{a0}' AND source > '{a1}')
+ORDER BY lang, source LIMIT {size}"""
+
+
+# Ground truth for relational.brand_supplier_counts (TPC-H Q16 shape).
+BRAND_SUPPLIERS_SQL = """
+SELECT p_brand, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand ORDER BY p_brand"""
+
+
+def rare_terms_sql(max_df: int = 2, k: int = 50,
+                   corpus: str = DOCUMENTS_CORPUS) -> str:
+    """Ground truth for fts_documents.rare_terms: body-field terms with
+    document frequency <= max_df, ordered (df, term)."""
+    return f"""{_base_ctes(corpus)}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM tokf WHERE fld = 1
+GROUP BY term HAVING count(DISTINCT doc_id) <= {max_df}
+ORDER BY df, term LIMIT {k}"""

@@ -904,3 +904,82 @@ def group_skew_kurt(sf_dir: str, *, round_to: int = 6):
         "kurt_price": np.round(kurt, round_to),
     })
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def composite_page(sf_dir: str, *, keys=("lang", "source"), size: int = 10,
+                   after=("en", "src3")):
+    """ES ``composite`` aggregation page: multi-key buckets ordered by
+    the key tuple, returning ``size`` buckets strictly AFTER the
+    ``after`` key — the resumable cursor over an unbounded bucket space
+    (the only ES agg that pages deterministically).
+
+    Distributed shape: one shuffle-aggregate bounded by the composite
+    cardinality; the after-key cut and page sort run on that aggregate.
+    At 100 TB the bucket table itself can be large — the same after-key
+    predicate pushes into the aggregate output as a map-side filter, so
+    only the tail of the bucket space reaches the driver.
+    Columns (*keys, doc_count)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    k0, k1 = keys
+    a0, a1 = after
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(keys))
+    agg = ds.groupby(list(keys)).aggregate(Count(alias_name="doc_count"))
+
+    def page_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        gt0 = pc.greater(t[k0], a0)
+        eq0 = pc.equal(t[k0], a0)
+        gt1 = pc.greater(t[k1], a1)
+        return t.filter(pc.or_(gt0, pc.and_(eq0, gt1)))
+
+    out = agg.map_batches(page_filter, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:  # exhausted cursor: keep the declared schema
+        return pd.DataFrame({k0: pd.Series(dtype=str),
+                             k1: pd.Series(dtype=str),
+                             "doc_count": pd.Series(dtype="int64")})
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return (out.sort_values(list(keys)).head(size)
+            .reset_index(drop=True))
+
+
+def brand_supplier_counts(sf_dir: str, *, num_partitions: int | None = None):
+    """Distinct suppliers per part brand (TPC-H Q16 shape): the
+    join-then-COUNT-DISTINCT report.
+
+    Distributed shape: lineitem first collapses to its DISTINCT
+    (partkey, suppkey) pairs (map-side combine + one pair-keyed
+    groupby — the fact table never reaches the join at raw
+    cardinality), hash-joins the part dimension, re-dedups on
+    (brand, suppkey), and counts per brand.  Every exchange after the
+    first is bounded by |parts x suppliers-per-part|, not |lineitem|.
+    Columns (p_brand, n_suppliers)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dedup import _default_join_partitions, _join_ready, _strip_meta
+
+    num_partitions = _default_join_partitions(num_partitions)
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]))
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = (li.map_batches(batch_distinct, batch_format="pyarrow")
+             .groupby(["l_partkey", "l_suppkey"])
+             .aggregate(Count(alias_name="_n"))
+             .drop_columns(["_n"]))
+    part = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]))
+    j = _join_ready(pairs, num_partitions).join(
+        _join_ready(part, num_partitions), join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",), right_on=("p_partkey",))
+    bs = (j.groupby(["p_brand", "l_suppkey"])
+          .aggregate(Count(alias_name="_n"))
+          .groupby("p_brand").aggregate(Count(alias_name="n_suppliers"))
+          .to_pandas())
+    bs["n_suppliers"] = bs["n_suppliers"].astype("int64")
+    return bs.sort_values("p_brand").reset_index(drop=True)
