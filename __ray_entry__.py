@@ -680,6 +680,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_brand_suppliers": lambda sf: relational.brand_supplier_counts(sf),
         # ES rare_terms: long-tail dictionary scan (df <= 2)
         "fts_rare_terms": lambda sf: ftsd.rare_terms(sf),
+        # filtered vector search (metadata predicate + cosine top-k)
+        "ann_filtered_topk": lambda sf: ann.cosine_topk(
+            _emb(sf).filter(expr="label == 2"), _query_vec(sf),
+            k=10).to_pandas(),
+        # per-label centroid-distance outliers (embedding screening)
+        "emb_outliers": lambda sf: ann.centroid_outliers(_emb(sf)),
+        # global sessionization summary (scalar rollup)
+        "ev_session_stats": events.session_stats,
     }
 
 
@@ -892,6 +900,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_composite_page": oracles.composite_page_sql(10, ("en", "src3")),
         "rel_brand_suppliers": oracles.BRAND_SUPPLIERS_SQL,
         "fts_rare_terms": oracles.rare_terms_sql(100, 50),
+        "ann_filtered_topk": oracles.ann_filtered_topk_sql(1, 2, 10),
+        "emb_outliers": oracles.centroid_outliers_sql(2.0),
+        "ev_session_stats": oracles.session_stats_sql(30),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

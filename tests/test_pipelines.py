@@ -1441,3 +1441,56 @@ class TestCompositeBrandRare:
         got = rare_terms(SF, max_df=100)
         assert "dup" in set(got.term)
         assert (got.df <= 100).all()
+
+
+class TestOutliersSessionsFiltered:
+    def test_centroid_outliers_planted(self, ray_session, tmp_path):
+        """A vector far from its label's tight cluster is flagged."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.ann import centroid_outliers
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(0, 0.01, (40, 8))
+        vecs = np.vstack([base, np.full((1, 8), 5.0)])
+        t = pa.table({
+            "vec_id": pa.array(range(41), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 41, pa.int32()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "embeddings.parquet")
+        got = centroid_outliers(rd.read_parquet(str(d / "embeddings.parquet")))
+        assert 40 in set(got.vec_id)
+        flagged = got.set_index("vec_id")
+        assert flagged.loc[40, "z"] > 2.0
+
+    def test_session_stats_invariants(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import (session_stats,
+                                                     session_windows)
+
+        stats = session_stats(SF)
+        sw = session_windows(SF)
+        assert int(stats.n_sessions.iloc[0]) == len(sw)
+        assert stats.max_events.iloc[0] == sw.n_events.max()
+
+    def test_filtered_topk_only_label(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.ann import cosine_topk
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        import pyarrow.parquet as pq
+        q = pq.read_table(f"{SF}/embeddings.parquet",
+                          filters=[("vec_id", "==", 1)])["embedding"] \
+            .to_pylist()[0]
+        got = cosine_topk(ds.filter(expr="label == 2"), q, k=10).to_pandas()
+        labels = pq.read_table(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "label"]).to_pandas()
+        lab = dict(zip(labels.vec_id, labels.label))
+        assert all(lab[v] == 2 for v in got.vec_id)

@@ -688,3 +688,103 @@ def range_search(ds, query_vec, *, threshold=0.2, vec_col="embedding",
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["cosine", id_col], descending=[True, False])
+
+
+def centroid_outliers(ds, *, z_thresh: float = 2.0, vec_col="embedding",
+                      id_col="vec_id", label_col="label", round_to=6):
+    """Embedding-quality screening: per-label Euclidean distance to the
+    label centroid, flagging vectors more than ``z_thresh`` population
+    standard deviations above/below that label's mean distance — the
+    mislabeled/corrupt-vector detector run before training on an
+    embedding corpus.
+
+    Distributed shape: pass 1 reduces per-batch per-label vector SUMS
+    (one small (labels x dim) exchange — never raw vectors) to driver
+    centroids, broadcast via ``ray.put``; pass 2 computes distances and
+    per-label moment partials map-side (one |labels|-row exchange);
+    pass 3 re-applies the broadcast (mean, std) and collects ONLY the
+    flagged rows.  The vector table itself never sorts, joins, or
+    reaches the driver.  Columns (vec_id, label, dist, z)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def label_sums(t: pa.Table) -> pa.Table:
+        m = _batch_vectors(t, vec_col)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((u.size, m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv)
+        return pa.table({
+            "label": pa.array(u, pa.int64()),
+            "s": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def merge_sums(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum(np.stack([np.asarray(x, np.float64) for x in g["s"]]),
+                   axis=0)
+        return pd.DataFrame({"label": [int(g["label"].iloc[0])],
+                             "s": [s.tolist()],
+                             "n": [int(g["n"].sum())]})
+
+    cent_df = (ds.map_batches(label_sums, batch_format="pyarrow")
+               .groupby("label").map_groups(merge_sums,
+                                            batch_format="pandas")
+               .to_pandas())
+    centroids = {int(r.label): np.asarray(r.s, np.float64) / int(r.n)
+                 for r in cent_df.itertuples()}
+    c_ref = ray.put(centroids)
+
+    def dists(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _batch_vectors(t, vec_col)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = np.stack([c[int(x)] for x in lab])
+        d = np.linalg.norm(m - cm, axis=1)
+        return pa.table({id_col: t[id_col],
+                         "label": pa.array(lab, pa.int64()),
+                         "dist": pa.array(d, pa.float64())})
+
+    dist_ds = ds.map_batches(dists, batch_format="pyarrow")
+    mom = (dist_ds.map_batches(
+        lambda t: pa.table({
+            "label": t["label"],
+            "one": pa.array(np.ones(len(t), np.float64), pa.float64()),
+            "d1": t["dist"],
+            "d2": pa.array(t["dist"].to_numpy(zero_copy_only=False) ** 2,
+                           pa.float64())}),
+        batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("one", alias_name="n"),
+                   Sum("d1", alias_name="d1"),
+                   Sum("d2", alias_name="d2")).to_pandas())
+    stats = {}
+    for r in mom.itertuples():
+        mu = r.d1 / r.n
+        var = max(r.d2 / r.n - mu * mu, 0.0)
+        stats[int(r.label)] = (mu, float(np.sqrt(var)))
+    s_ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(s_ref)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        mu = np.fromiter((st[int(x)][0] for x in lab), np.float64, lab.size)
+        sd = np.fromiter((st[int(x)][1] for x in lab), np.float64, lab.size)
+        ok = sd > 0
+        z = np.zeros_like(d)
+        z[ok] = (d[ok] - mu[ok]) / sd[ok]
+        keep = ok & (np.abs(z) > z_thresh)
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(keep)),
+            "label": t["label"].filter(pa.array(keep)),
+            "dist": pa.array(np.round(d[keep], round_to), pa.float64()),
+            "z": pa.array(np.round(z[keep], round_to), pa.float64()),
+        })
+
+    out = dist_ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    out[id_col] = out[id_col].astype("int64")
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

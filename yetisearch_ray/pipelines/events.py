@@ -749,3 +749,47 @@ def daily_ema(sf_dir: str, *, alpha: float = 0.3, window: int = 14):
 
     daily["ema"] = daily.groupby("event_type")["n"].transform(ema)
     return daily[["event_type", "day", "n", "ema"]]
+
+
+def session_stats(sf_dir: str, *, gap_minutes: int = 30,
+                  round_to: int = 4):
+    """Global sessionization summary: number of sessions, mean session
+    duration, mean/max events per session, under the same >=gap break
+    rule as ``session_windows`` — the health-dashboard scalar rollup.
+
+    Distributed shape: one per-user ``map_groups`` emits ONE ROW PER
+    SESSION (duration, size); the raw stream and even the session table
+    never reach the driver — a final scalar aggregate returns one row.
+    Columns (n_sessions, mean_duration_sec, mean_events, max_events)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Mean
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].to_numpy())
+        brk = np.empty(t.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (t[1:] - t[:-1]) >= gap
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], t.size] - 1
+        dur = (t[ends] - t[starts]) / np.timedelta64(1, "s")
+        n = np.r_[starts[1:], t.size] - starts
+        return pd.DataFrame({
+            "duration_sec": pd.array(dur.astype(np.float64),
+                                     dtype="float64"),
+            "n_events": pd.array(n.astype(np.int64), dtype="int64")})
+
+    per = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    agg = (per.aggregate(Count(alias_name="n_sessions"),
+                         Mean("duration_sec", alias_name="mean_duration_sec"),
+                         Mean("n_events", alias_name="mean_events"),
+                         Max("n_events", alias_name="max_events")))
+    return pd.DataFrame({
+        "n_sessions": pd.array([agg["n_sessions"]], dtype="int64"),
+        "mean_duration_sec": [round(float(agg["mean_duration_sec"]), round_to)],
+        "mean_events": [round(float(agg["mean_events"]), 6)],
+        "max_events": pd.array([agg["max_events"]], dtype="int64"),
+    })

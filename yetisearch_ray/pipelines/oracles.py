@@ -2977,3 +2977,72 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM tokf WHERE fld = 1
 GROUP BY term HAVING count(DISTINCT doc_id) <= {max_df}
 ORDER BY df, term LIMIT {k}"""
+
+
+def ann_filtered_topk_sql(query_vec_id: int = 1, label: int = 2,
+                          k: int = 10, round_to: int = 6) -> str:
+    """Ground truth for the filtered vector search entry: brute-force
+    cosine top-k restricted to a label predicate."""
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {query_vec_id})
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+             {round_to}) AS cosine
+FROM embeddings e, q WHERE e.label = {label}
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
+def centroid_outliers_sql(z_thresh: float = 2.0, round_to: int = 6) -> str:
+    """Ground truth for ann.centroid_outliers: per-label centroid
+    (element-wise avg), Euclidean distance, per-label population
+    z-score over distances, |z| > threshold flagged."""
+    return f"""
+WITH x AS (
+  SELECT vec_id, label,
+         unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM x GROUP BY label, pos),
+d AS (
+  SELECT x.vec_id, x.label, sqrt(sum(pow(x.v - cent.c, 2))) AS dist
+  FROM x JOIN cent ON cent.label = x.label AND cent.pos = x.pos
+  GROUP BY x.vec_id, x.label
+),
+st AS (SELECT label, avg(dist) AS m, stddev_pop(dist) AS sd
+       FROM d GROUP BY label)
+SELECT d.vec_id::BIGINT AS vec_id, d.label::BIGINT AS label,
+       round(d.dist, {round_to}) AS dist,
+       round((d.dist - st.m) / st.sd, {round_to}) AS z
+FROM d JOIN st USING (label)
+WHERE st.sd > 0 AND abs((d.dist - st.m) / st.sd) > {z_thresh}
+ORDER BY vec_id"""
+
+
+def session_stats_sql(gap_minutes: int = 30, round_to: int = 4) -> str:
+    """Ground truth for events.session_stats: the SESSION_WINDOWS_SQL
+    sessionization collapsed to one global summary row."""
+    return f"""
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {gap_minutes} MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+sess AS (
+  SELECT user_id, sid, epoch(max(ts) - min(ts)) AS duration_sec,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       round(avg(duration_sec), {round_to}) AS mean_duration_sec,
+       round(avg(n_events), 6) AS mean_events,
+       max(n_events)::BIGINT AS max_events
+FROM sess"""
