@@ -688,6 +688,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_outliers": lambda sf: ann.centroid_outliers(_emb(sf)),
         # global sessionization summary (scalar rollup)
         "ev_session_stats": events.session_stats,
+        # lang-id evaluation: labeled-vs-predicted confusion matrix
+        "text_langid_confusion":
+            lambda sf: textstats.langid_confusion(_docs(sf)),
+        # embedding-space class separation (pairwise centroid cosine)
+        "emb_label_separation": lambda sf: ann.label_separation(_emb(sf)),
     }
 
 
@@ -903,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered_topk": oracles.ann_filtered_topk_sql(1, 2, 10),
         "emb_outliers": oracles.centroid_outliers_sql(2.0),
         "ev_session_stats": oracles.session_stats_sql(30),
+        "text_langid_confusion": oracles.langid_confusion_sql(
+            LANG_MARKERS, _LANG_ORDER),
+        "emb_label_separation": oracles.label_separation_sql(6),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1494,3 +1494,36 @@ class TestOutliersSessionsFiltered:
                                columns=["vec_id", "label"]).to_pandas()
         lab = dict(zip(labels.vec_id, labels.label))
         assert all(lab[v] == 2 for v in got.vec_id)
+
+
+class TestConfusionAndSeparation:
+    def test_confusion_totals_and_domain(self, ray_session):
+        """Cell counts sum to the corpus size; predictions stay in the
+        marker-language domain (+ 'und'); (lang, pred) keys unique.
+        (The synthetic corpus text is English-ish for every label, so
+        diagonal dominance is NOT expected here.)"""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import (_LANG_ORDER,
+                                                        langid_confusion)
+
+        got = langid_confusion(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+        n_docs = pq.read_table(f"{SF}/documents.parquet",
+                               columns=["doc_id"]).num_rows
+        assert int(got.n.sum()) == n_docs
+        assert set(got.pred_lang) <= set(_LANG_ORDER) | {"und"}
+        assert not got.duplicated(["lang", "pred_lang"]).any()
+
+    def test_label_separation_bounds_and_coverage(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.ann import label_separation
+
+        got = label_separation(rd.read_parquet(f"{SF}/embeddings.parquet"))
+        assert (got.centroid_cosine.abs() <= 1.0 + 1e-9).all()
+        assert (got.label_a < got.label_b).all()
+        labels = set(got.label_a) | set(got.label_b)
+        n = len(labels)
+        assert len(got) == n * (n - 1) // 2

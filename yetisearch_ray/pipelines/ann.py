@@ -690,24 +690,13 @@ def range_search(ds, query_vec, *, threshold=0.2, vec_col="embedding",
     return scored.sort(["cosine", id_col], descending=[True, False])
 
 
-def centroid_outliers(ds, *, z_thresh: float = 2.0, vec_col="embedding",
-                      id_col="vec_id", label_col="label", round_to=6):
-    """Embedding-quality screening: per-label Euclidean distance to the
-    label centroid, flagging vectors more than ``z_thresh`` population
-    standard deviations above/below that label's mean distance — the
-    mislabeled/corrupt-vector detector run before training on an
-    embedding corpus.
-
-    Distributed shape: pass 1 reduces per-batch per-label vector SUMS
-    (one small (labels x dim) exchange — never raw vectors) to driver
-    centroids, broadcast via ``ray.put``; pass 2 computes distances and
-    per-label moment partials map-side (one |labels|-row exchange);
-    pass 3 re-applies the broadcast (mean, std) and collects ONLY the
-    flagged rows.  The vector table itself never sorts, joins, or
-    reaches the driver.  Columns (vec_id, label, dist, z)."""
+def _label_centroids(ds, *, vec_col="embedding",
+                     label_col="label") -> dict[int, np.ndarray]:
+    """Per-label mean vector via distributed partial sums: per-batch
+    per-label vector SUMS + counts (one (labels x dim) exchange — raw
+    vectors never shuffle), merged per label, divided on the driver.
+    Returns {label: centroid} (aggregate-sized)."""
     import pandas as pd
-    import ray
-    from ray.data.aggregate import Sum
 
     def label_sums(t: pa.Table) -> pa.Table:
         m = _batch_vectors(t, vec_col)
@@ -733,8 +722,29 @@ def centroid_outliers(ds, *, z_thresh: float = 2.0, vec_col="embedding",
                .groupby("label").map_groups(merge_sums,
                                             batch_format="pandas")
                .to_pandas())
-    centroids = {int(r.label): np.asarray(r.s, np.float64) / int(r.n)
-                 for r in cent_df.itertuples()}
+    return {int(r.label): np.asarray(r.s, np.float64) / int(r.n)
+            for r in cent_df.itertuples()}
+
+
+def centroid_outliers(ds, *, z_thresh: float = 2.0, vec_col="embedding",
+                      id_col="vec_id", label_col="label", round_to=6):
+    """Embedding-quality screening: per-label Euclidean distance to the
+    label centroid, flagging vectors more than ``z_thresh`` population
+    standard deviations above/below that label's mean distance — the
+    mislabeled/corrupt-vector detector run before training on an
+    embedding corpus.
+
+    Distributed shape: pass 1 reduces per-batch per-label vector SUMS
+    (one small (labels x dim) exchange — never raw vectors) to driver
+    centroids, broadcast via ``ray.put``; pass 2 computes distances and
+    per-label moment partials map-side (one |labels|-row exchange);
+    pass 3 re-applies the broadcast (mean, std) and collects ONLY the
+    flagged rows.  The vector table itself never sorts, joins, or
+    reaches the driver.  Columns (vec_id, label, dist, z)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    centroids = _label_centroids(ds, vec_col=vec_col, label_col=label_col)
     c_ref = ray.put(centroids)
 
     def dists(t: pa.Table) -> pa.Table:
@@ -788,3 +798,32 @@ def centroid_outliers(ds, *, z_thresh: float = 2.0, vec_col="embedding",
     out[id_col] = out[id_col].astype("int64")
     out["label"] = out["label"].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def label_separation(ds, *, vec_col="embedding", label_col="label",
+                     round_to: int = 6):
+    """Clustering-quality report: cosine similarity between every pair
+    of label centroids (a < b) — the separation matrix that tells you
+    whether an embedding space actually distinguishes its classes.
+
+    Distributed shape: the only distributed work is the
+    partial-vector-sum centroid pass (``_label_centroids``); the
+    |labels|^2/2 pairwise cosines are driver arithmetic on the
+    aggregate.  Columns (label_a, label_b, centroid_cosine)."""
+    import itertools
+
+    import pandas as pd
+
+    cents = _label_centroids(ds, vec_col=vec_col, label_col=label_col)
+    labels = sorted(cents)
+    rows = []
+    for a, b in itertools.combinations(labels, 2):
+        ca, cb = cents[a], cents[b]
+        denom = np.linalg.norm(ca) * np.linalg.norm(cb)
+        cos = float(ca @ cb / denom) if denom else 0.0
+        rows.append((a, b, round(cos, round_to)))
+    out = pd.DataFrame(rows,
+                       columns=["label_a", "label_b", "centroid_cosine"])
+    out["label_a"] = out["label_a"].astype("int64")
+    out["label_b"] = out["label_b"].astype("int64")
+    return out

@@ -3046,3 +3046,34 @@ SELECT count(*)::BIGINT AS n_sessions,
        round(avg(n_events), 6) AS mean_events,
        max(n_events)::BIGINT AS max_events
 FROM sess"""
+
+
+def langid_confusion_sql(markers: dict, order) -> str:
+    """Ground truth for textstats.langid_confusion: the lang_id_sql
+    predictor joined back to the labeled lang column, counted."""
+    inner = lang_id_sql(markers, order)
+    return f"""
+SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
+FROM ({inner}) p JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def label_separation_sql(round_to: int = 6) -> str:
+    """Ground truth for ann.label_separation: per-label centroids via
+    positional unnest + avg, pairwise centroid cosine (a < b)."""
+    return f"""
+WITH x AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(avgv ORDER BY pos) AS c FROM (
+    SELECT label, pos, avg(v) AS avgv FROM x GROUP BY label, pos)
+  GROUP BY label
+)
+SELECT a.label::BIGINT AS label_a, b.label::BIGINT AS label_b,
+       round(list_cosine_similarity(a.c, b.c), {round_to})
+         AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_a, label_b"""

@@ -1222,3 +1222,42 @@ def ngram_novelty(ds, *, n: int = 5, text_col: str = "text",
     out["n_grams"] = out["n_grams"].astype("int64")
     out["n_novel"] = out["n_novel"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def langid_confusion(ds, *, text_col="text", id_col="doc_id",
+                     lang_col="lang"):
+    """Language-ID evaluation: confusion matrix of the corpus's labeled
+    ``lang`` column vs the marker-based predictor — the
+    quality-monitoring report every lang-filter stage ships with.
+
+    Distributed shape: one vectorized predict pass (the same ``is_in``
+    + segmented-sum kernel as ``language_id``) carrying the true label
+    through the batch, then one (true, pred)-keyed shuffle-aggregate
+    bounded by |langs|^2.  Columns (lang, pred_lang, n)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    marker_arrs = {lang: pa.array(list(ws), pa.string())
+                   for lang, ws in LANG_MARKERS.items()}
+
+    def fn(t: pa.Table) -> pa.Table:
+        _, values, offs = _split_tokens(t[text_col])
+        counts = np.stack([
+            _seg_sum(np.asarray(
+                pc.is_in(values, value_set=marker_arrs[lang])
+            ).astype(np.int64), offs)
+            for lang in _LANG_ORDER
+        ])
+        best = np.argmax(counts, axis=0)
+        langs = np.array(_LANG_ORDER, dtype=object)
+        preds = np.where(counts.max(axis=0) > 0, langs[best], "und")
+        return pa.table({"lang": t[lang_col],
+                         "pred_lang": pa.array(preds.tolist(), pa.string())})
+
+    out = (ds.map_batches(fn, batch_format="pyarrow")
+           .groupby(["lang", "pred_lang"])
+           .aggregate(Count(alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["lang", "pred_lang"])
+            .reset_index(drop=True))
