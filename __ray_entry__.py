@@ -693,6 +693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: textstats.langid_confusion(_docs(sf)),
         # embedding-space class separation (pairwise centroid cosine)
         "emb_label_separation": lambda sf: ann.label_separation(_emb(sf)),
+        # generation-pinned snapshot search (time travel at gen 0)
+        "fts_time_travel": lambda sf: ftsd.time_travel_topk(sf),
     }
 
 
@@ -911,6 +913,11 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_confusion": oracles.langid_confusion_sql(
             LANG_MARKERS, _LANG_ORDER),
         "emb_label_separation": oracles.label_separation_sql(6),
+        "fts_time_travel": oracles.bm25_topk_sql(
+            ["vector", "stream"], k=20,
+            corpus=("SELECT doc_id, source AS f0, text AS f1, lang "
+                    "FROM documents WHERE doc_id < "
+                    "(SELECT (max(doc_id)+1)//2 FROM documents)")),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1527,3 +1527,41 @@ class TestConfusionAndSeparation:
         labels = set(got.label_a) | set(got.label_b)
         n = len(labels)
         assert len(got) == n * (n - 1) // 2
+
+
+class TestTimeTravel:
+    def test_snapshot_excludes_later_generation(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.fts_documents import (
+            _two_gen_index_dir, time_travel_topk)
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        got = time_travel_topk(SF)
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        thr = (int(t["doc_id"].to_numpy().max()) + 1) // 2
+        assert (got.doc_id < thr).all()
+        # the unpinned reader over the same two-gen index sees BOTH halves
+        eng_full = SearchEngine(open_index(_two_gen_index_dir(SF)))
+        full = eng_full.search("vector stream", mode="or", limit=100,
+                               normalize=False).to_pandas()
+        assert (full.doc_id >= thr).any()
+        # pinned stats reconstruct the snapshot corpus
+        eng0 = SearchEngine(open_index(_two_gen_index_dir(SF),
+                                       max_generation=0))
+        assert eng0.index.n_docs < eng_full.index.n_docs
+
+    def test_pinned_prefix_expansion(self, ray_session):
+        """Dictionary scans respect the generation pin: expansions come
+        only from gen-0 segments (df sums differ from the full index
+        when gen 1 adds occurrences)."""
+        from yetisearch_ray.pipelines.fts_documents import (
+            _two_gen_index_dir, time_travel_topk)
+        from yetisearch_ray.search.engine import open_index
+
+        time_travel_topk(SF)  # ensure fixture built
+        r0 = open_index(_two_gen_index_dir(SF), max_generation=0)
+        rf = open_index(_two_gen_index_dir(SF))
+        e0 = set(r0.expand_prefix("s", max_terms=1 << 20))
+        ef = set(rf.expand_prefix("s", max_terms=1 << 20))
+        assert e0 <= ef

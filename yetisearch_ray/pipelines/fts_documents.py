@@ -746,3 +746,56 @@ def rare_terms(sf_dir: str, *, max_df: int = 100, k: int = 50,
     df["df"] = df["df"].astype("int64")
     return (df.sort_values(["df", "term"]).head(k)
             .reset_index(drop=True)[["term", "df"]])
+
+
+def _two_gen_index_dir(sf_dir: str) -> str:
+    return documents_index_dir(sf_dir) + "_gen2"
+
+
+def time_travel_topk(sf_dir: str, terms=("vector", "stream"),
+                     k: int = 20) -> pd.DataFrame:
+    """Generation-pinned (time-travel) search: query a two-generation
+    index AS OF generation 0 — only gen-0 segments are visible and the
+    BM25 corpus stats (N, avgdl) are reconstructed from the manifest's
+    per-(gen:part) metrics, so the page is rank+score identical to an
+    index built from just the snapshot docs (what the SQL oracle
+    computes).  This is the snapshot-read every resumable/incremental
+    pipeline needs: queries pin a generation while appends land.
+
+    The fixture index holds docs with doc_id < (max+1)//2 in gen 0 and
+    the rest appended as gen 1.  Oracle:
+    ``oracles.bm25_topk_sql(..., corpus=<first-half documents>)``."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    idx_dir = _two_gen_index_dir(sf_dir)
+    if not (Manifest.exists(idx_dir)
+            and Manifest.load(idx_dir).data.get("status") == "committed"
+            and 1 in Manifest.load(idx_dir).generations()):
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        thr = (int(ds.max("doc_id")) + 1) // 2
+
+        def cast_ids(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("doc_id")
+            return t.set_column(i, "doc_id",
+                                pc.cast(t["doc_id"], pa.uint64()))
+
+        cfg = IndexConfig(
+            fields=[("source", "source"), ("text", "text")],
+            language_column="lang",
+            store_columns=["text", "lang", "source", "n_chars"],
+            num_partitions=8,
+            content_hash_column="text",
+        )
+        base = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+                .filter(expr=f"doc_id < {thr}")
+                .map_batches(cast_ids, batch_format="pyarrow"))
+        build_index(base, idx_dir, cfg, input_fingerprint=f"{sf_dir}:gen0")
+        delta = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+                 .filter(expr=f"doc_id >= {thr}")
+                 .map_batches(cast_ids, batch_format="pyarrow"))
+        build_index(delta, idx_dir, cfg, append=True,
+                    input_fingerprint=f"{sf_dir}:gen1")
+    eng = SearchEngine(open_index(idx_dir, max_generation=0))
+    return _as_result(eng.search(" ".join(terms), mode="or", limit=k,
+                                 normalize=False))

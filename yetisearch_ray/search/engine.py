@@ -65,9 +65,17 @@ _EMPTY = Posting(np.empty(0, np.uint64), np.empty(0, np.uint64), None)
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, cache_terms: int = 4096):
+    def __init__(self, index_dir: str, cache_terms: int = 4096,
+                 max_generation: int | None = None):
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
+        # generation-pinned (time-travel / snapshot) reads: only segment
+        # files of generation <= max_generation are visible, and corpus
+        # stats (N, avgdl) are reconstructed from the manifest's
+        # per-(gen:part) metrics so BM25 at the snapshot is identical to
+        # an index built from just those docs.  Valid until
+        # optimize_index() compacts generations away.
+        self.max_generation = max_generation
         cfg = self.manifest.config
         self.fields = [tuple(f) for f in cfg["fields"]]  # [(name, src_col)]
         self.nfields = len(self.fields)
@@ -77,6 +85,15 @@ class IndexReader:
         st = self.manifest.stats
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
+        if max_generation is not None:
+            nd = td = 0
+            for k, v in (self.manifest.data.get("partitions") or {}).items():
+                gen = int(k.split(":")[0]) if ":" in k else 0
+                if gen <= max_generation and v.get("status") == "committed":
+                    nd += int(v.get("n_docs", 0))
+                    td += int(v.get("sum_dl", 0))
+            self.n_docs = nd
+            self.avgdl = (td / nd) if nd else 1.0
         # tombstones: deletes are logical until optimize_index() compacts
         # (N/avgdl intentionally reflect the pre-delete corpus until then,
         # mirroring "stats lag physical state" of segment architectures)
@@ -99,6 +116,7 @@ class IndexReader:
             "tombv": md.get("tombstone_version", 0),
             "ntomb": len(md.get("tombstones", [])),
             "stats": md.get("stats"),
+            "maxgen": max_generation,
         }, sort_keys=True, default=str)
         self.mutation_version = _hashlib.md5(state.encode()).hexdigest()[:16]
         self._cache: OrderedDict[str, dict[int, Posting]] = OrderedDict()
@@ -211,6 +229,9 @@ class IndexReader:
             pattern = os.path.join(self.index_dir, "postings",
                                    f"part={part:05d}*.parquet")
             files.extend(sorted(_glob.glob(pattern)))
+        if self.max_generation is not None:
+            files = [f for f in files
+                     if self._file_gen(f) <= self.max_generation]
         if not files:
             return None
         tabs = [pq.read_table(f, filters=[("term", "==", term)]) for f in files]
@@ -244,6 +265,30 @@ class IndexReader:
             self._cache.popitem(last=False)
         return out
 
+    @staticmethod
+    def _file_gen(path: str) -> int:
+        """Segment generation from the ``part=NNNNN-gGGG.parquet`` name
+        (legacy un-tagged files are generation 0)."""
+        m = re.search(r"-g(\d+)\.parquet$", path)
+        return int(m.group(1)) if m else 0
+
+    def _dict_dataset(self):
+        """pyarrow dataset over the postings dir, generation-filtered
+        when this reader is generation-pinned."""
+        post_dir = os.path.join(self.index_dir, "postings")
+        if not os.path.isdir(post_dir):
+            return None
+        if self.max_generation is None:
+            return pads.dataset(post_dir, format="parquet")
+        import glob as _glob
+
+        files = [f for f in sorted(_glob.glob(
+            os.path.join(post_dir, "*.parquet")))
+            if self._file_gen(f) <= self.max_generation]
+        if not files:
+            return None
+        return pads.dataset(files, format="parquet")
+
     def expand_prefix(self, prefix: str, max_terms: int = 128) -> list[str]:
         """Terms starting with prefix — scans every partition's dictionary
         columns (term,df) with a range filter.  (At scale this is served by
@@ -251,10 +296,9 @@ class IndexReader:
         equivalent.)"""
         lo, hi = prefix, prefix + "￿"
         found: dict[str, int] = {}
-        post_dir = os.path.join(self.index_dir, "postings")
-        if not os.path.isdir(post_dir):
+        dataset = self._dict_dataset()
+        if dataset is None:
             return []
-        dataset = pads.dataset(post_dir, format="parquet")
         flt = (pads.field("term") >= lo) & (pads.field("term") < hi)
         t = dataset.to_table(columns=["term", "df"], filter=flt)
         for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
@@ -283,10 +327,9 @@ class IndexReader:
         rx = _re.compile(
             "^" + "".join(".*" if c == "*" else "." if c == "?"
                           else _re.escape(c) for c in pattern) + "$")
-        post_dir = os.path.join(self.index_dir, "postings")
-        if not os.path.isdir(post_dir):
+        dataset = self._dict_dataset()
+        if dataset is None:
             return []
-        dataset = pads.dataset(post_dir, format="parquet")
         flt = None
         if lit:
             flt = ((pads.field("term") >= lit)
@@ -349,8 +392,9 @@ class IndexReader:
         return self._docs_ds.to_table(columns=columns, filter=flt)
 
 
-def open_index(index_dir: str) -> IndexReader:
-    return IndexReader(index_dir)
+def open_index(index_dir: str,
+               max_generation: int | None = None) -> IndexReader:
+    return IndexReader(index_dir, max_generation=max_generation)
 
 
 # ==========================================================================
