@@ -70,7 +70,8 @@ def _engine(args):
         from .search.sharded import open_sharded
 
         return open_sharded(args.index, n_shards=n_shards)
-    return SearchEngine(open_index(args.index))
+    gen = getattr(args, "as_of_generation", None)
+    return SearchEngine(open_index(args.index, max_generation=gen))
 
 
 def cmd_search(args):
@@ -357,6 +358,10 @@ def main(argv=None):
             s.add_argument("--highlight", action="store_true")
             s.add_argument("--sharded", type=int, default=0, metavar="N",
                            help="serve via N term-partition shard actors")
+            s.add_argument("--as-of-generation", dest="as_of_generation",
+                           type=int, default=None, metavar="G",
+                           help="time-travel: pin reads to segment "
+                                "generations <= G (snapshot search)")
             s.add_argument("--exclude", default=None, metavar="T1,T2",
                            help="boolean NOT: drop docs containing these terms")
             s.add_argument("--collapse", default=None, metavar="COLUMN",
