@@ -695,6 +695,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_separation": lambda sf: ann.label_separation(_emb(sf)),
         # generation-pinned snapshot search (time travel at gen 0)
         "fts_time_travel": lambda sf: ftsd.time_travel_topk(sf),
+        # tokenizer fertility per language (subwords per word)
+        "text_fertility": lambda sf: textstats.fertility_by_lang(_docs(sf)),
+        # ES percentile_ranks: exact inverse percentiles in one pass
+        "rel_percentile_ranks": relational.percentile_ranks,
     }
 
 
@@ -918,6 +922,8 @@ def oracle_sql() -> dict[str, str]:
             corpus=("SELECT doc_id, source AS f0, text AS f1, lang "
                     "FROM documents WHERE doc_id < "
                     "(SELECT (max(doc_id)+1)//2 FROM documents)")),
+        "text_fertility": oracles.FERTILITY_SQL,
+        "rel_percentile_ranks": oracles.percentile_ranks_sql(),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1565,3 +1565,26 @@ class TestTimeTravel:
         e0 = set(r0.expand_prefix("s", max_terms=1 << 20))
         ef = set(rf.expand_prefix("s", max_terms=1 << 20))
         assert e0 <= ef
+
+
+class TestFertilityPercentileRanks:
+    def test_fertility_consistent_with_token_counts(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import (fertility_by_lang,
+                                                        token_counts)
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        f = fertility_by_lang(ds)
+        tc = token_counts(rd.read_parquet(f"{SF}/documents.parquet")) \
+            .to_pandas()
+        assert int(f.n_tokens.sum()) == int(tc.n_tokens.sum())
+        assert int(f.n_subwords.sum()) == int(tc.n_subwords.sum())
+        assert (f.fertility >= 1.0 - 1e-9).all()  # pieces >= words
+
+    def test_percentile_ranks_monotone(self, ray_session):
+        from yetisearch_ray.pipelines.relational import percentile_ranks
+
+        got = percentile_ranks(SF)
+        assert (got.frac.diff().dropna() >= 0).all()
+        assert ((got.frac >= 0) & (got.frac <= 1)).all()

@@ -3077,3 +3077,27 @@ SELECT a.label::BIGINT AS label_a, b.label::BIGINT AS label_b,
          AS centroid_cosine
 FROM cent a JOIN cent b ON a.label < b.label
 ORDER BY label_a, label_b"""
+
+
+# Ground truth for textstats.fertility_by_lang (per-lang subword/word).
+FERTILITY_SQL = f"""
+SELECT lang, sum(len({TOKENS_EXPR}))::BIGINT AS n_tokens,
+       sum(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')))::BIGINT
+         AS n_subwords,
+       round(sum(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')))::DOUBLE
+             / sum(len({TOKENS_EXPR})), 6) AS fertility
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
+def percentile_ranks_sql(thresholds=(50000.0, 150000.0, 300000.0),
+                         round_to: int = 6) -> str:
+    """Ground truth for relational.percentile_ranks (ES
+    percentile_ranks: fraction of rows at or below each value)."""
+    arms = " UNION ALL ".join(
+        f"SELECT {float(v)} AS threshold, "
+        f"round(sum(CASE WHEN o_totalprice <= {float(v)} THEN 1 ELSE 0 "
+        f"END)::DOUBLE / count(*), {round_to}) AS frac FROM orders"
+        for v in thresholds)
+    return f"SELECT * FROM ({arms}) ORDER BY threshold"

@@ -983,3 +983,41 @@ def brand_supplier_counts(sf_dir: str, *, num_partitions: int | None = None):
           .to_pandas())
     bs["n_suppliers"] = bs["n_suppliers"].astype("int64")
     return bs.sort_values("p_brand").reset_index(drop=True)
+
+
+def percentile_ranks(sf_dir: str, *, thresholds=(50000.0, 150000.0,
+                                                 300000.0),
+                     round_to: int = 6):
+    """ES ``percentile_ranks`` (inverse percentiles): for each given
+    value, the fraction of orders priced at or below it — exact, in ONE
+    streaming pass.
+
+    Distributed shape: each batch emits one row of indicator SUMS (a
+    |thresholds|-wide vectorized compare), a single tiny aggregate
+    finishes — no sort, no histogram, no per-value scan.
+    Columns (threshold, frac)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    thr = np.asarray(thresholds, np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        le = (x[:, None] <= thr[None, :]).sum(axis=0)
+        cols = {"n": pa.array([np.int64(x.size)], pa.int64())}
+        for i in range(thr.size):
+            cols[f"c{i}"] = pa.array([np.int64(le[i])], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"c{i}", alias_name=f"c{i}") for i in range(thr.size)]
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    n = int(row["n"])
+    out = pd.DataFrame({
+        "threshold": thr,
+        "frac": [round(int(row[f"c{i}"]) / n, round_to)
+                 for i in range(thr.size)],
+    })
+    return out

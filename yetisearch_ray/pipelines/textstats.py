@@ -1261,3 +1261,37 @@ def langid_confusion(ds, *, text_col="text", id_col="doc_id",
     out["n"] = out["n"].astype("int64")
     return (out.sort_values(["lang", "pred_lang"])
             .reset_index(drop=True))
+
+
+def fertility_by_lang(ds, *, text_col="text", lang_col="lang"):
+    """Tokenizer-fertility report: per language, total whitespace words,
+    total BPE-ish subword pieces, and fertility = subwords/word — the
+    multilingual-tokenizer health metric (high fertility = the language
+    is being shredded and pays more sequence length per word).
+
+    Distributed shape: both counts are single-regex Arrow kernels per
+    batch (the ``token_counts`` kernels) with the lang label carried
+    through; one |langs|-row shuffle-aggregate of the sums.
+    Columns (lang, n_tokens, n_subwords, fertility)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        n_tok = pc.cast(pc.count_substring_regex(arr, pattern=r"\S+"),
+                        pa.int64())
+        n_sub = pc.cast(pc.count_substring_regex(arr,
+                                                 pattern=BPE_ISH_PATTERN),
+                        pa.int64())
+        return pa.table({"lang": t[lang_col], "n_tokens": n_tok,
+                         "n_subwords": n_sub})
+
+    out = (ds.map_batches(fn, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_subwords", alias_name="n_subwords"))
+           .to_pandas())
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_subwords"] = out["n_subwords"].astype("int64")
+    out["fertility"] = (out["n_subwords"] / out["n_tokens"]).round(6)
+    return out.sort_values("lang").reset_index(drop=True)
