@@ -699,6 +699,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fertility": lambda sf: textstats.fertility_by_lang(_docs(sf)),
         # ES percentile_ranks: exact inverse percentiles in one pass
         "rel_percentile_ranks": relational.percentile_ranks,
+        # query-time synonym expansion (== OR over the expanded set)
+        "fts_synonym_topk": lambda sf: ftsd.synonym_topk(sf),
+        # growth accounting: first-seen users per day + cumulative
+        "ev_new_users": events.new_users_daily,
     }
 
 
@@ -924,6 +928,9 @@ def oracle_sql() -> dict[str, str]:
                     "(SELECT (max(doc_id)+1)//2 FROM documents)")),
         "text_fertility": oracles.FERTILITY_SQL,
         "rel_percentile_ranks": oracles.percentile_ranks_sql(),
+        "fts_synonym_topk": oracles.bm25_topk_sql(
+            ["merge", "stream", "buffer"], k=20),
+        "ev_new_users": oracles.NEW_USERS_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1588,3 +1588,28 @@ class TestFertilityPercentileRanks:
         got = percentile_ranks(SF)
         assert (got.frac.diff().dropna() >= 0).all()
         assert ((got.frac >= 0) & (got.frac <= 1)).all()
+
+
+class TestSynonymsNewUsers:
+    def test_synonym_equals_expanded_or(self, ray_session):
+        """Synonym arm == literal OR over the expanded term set."""
+        from yetisearch_ray.pipelines.fts_documents import (or_topk,
+                                                            synonym_topk)
+
+        syn = synonym_topk(SF, base=("merge", "stream"),
+                           synonyms={"stream": ["buffer"]}, k=20)
+        orx = or_topk(SF, ("merge", "stream", "buffer"), k=20)
+        assert list(syn.doc_id) == list(orx.doc_id)
+        assert np.allclose(syn.score, orx.score, atol=1e-6)
+
+    def test_new_users_total(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import new_users_daily
+
+        got = new_users_daily(SF)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+        n_users = len(set(t["user_id"].to_pylist()))
+        assert int(got.n_new.sum()) == n_users
+        assert int(got.cum_users.iloc[-1]) == n_users
+        assert (got.cum_users.diff().dropna() > 0).all()

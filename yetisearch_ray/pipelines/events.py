@@ -793,3 +793,29 @@ def session_stats(sf_dir: str, *, gap_minutes: int = 30,
         "mean_events": [round(float(agg["mean_events"]), 6)],
         "max_events": pd.array([agg["max_events"]], dtype="int64"),
     })
+
+
+def new_users_daily(sf_dir: str):
+    """Growth accounting: per day, the number of FIRST-TIME users and
+    the cumulative registered-user curve — the running-COUNT-DISTINCT
+    shape solved without any distinct scan: first-seen day per user is
+    one groupby-min, the daily counts and cumsum run on that
+    |users|-row aggregate.  Columns (day, n_new, cum_users)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    first = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="fd")))
+    daily = (first.groupby("fd").aggregate(Count(alias_name="n_new"))
+             .to_pandas())
+    daily = daily.sort_values("fd").reset_index(drop=True)
+    daily["n_new"] = daily["n_new"].astype("int64")
+    daily["cum_users"] = daily["n_new"].cumsum().astype("int64")
+    return daily.rename(columns={"fd": "day"})[["day", "n_new", "cum_users"]]

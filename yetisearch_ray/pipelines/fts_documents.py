@@ -799,3 +799,24 @@ def time_travel_topk(sf_dir: str, terms=("vector", "stream"),
     eng = SearchEngine(open_index(idx_dir, max_generation=0))
     return _as_result(eng.search(" ".join(terms), mode="or", limit=k,
                                  normalize=False))
+
+
+_SYN_ENGINES: dict[str, SearchEngine] = {}
+
+
+def synonym_topk(sf_dir: str, base=("merge", "stream"),
+                 synonyms={"stream": ["buffer"]}, k: int = 20
+                 ) -> pd.DataFrame:
+    """OR query with query-time synonym expansion (engine ``synonyms``:
+    each synonym becomes an extra OR arm, reference Synonyms semantics)
+    — so the result is provably identical to an OR over the expanded
+    term set, which is exactly what the oracle computes.  Oracle:
+    ``oracles.bm25_topk_sql(expanded_terms)``."""
+    idx_dir = documents_index_dir(sf_dir)
+    eng = _SYN_ENGINES.get(idx_dir)
+    if eng is None:
+        get_engine(sf_dir)  # ensure the index is built
+        eng = SearchEngine(open_index(idx_dir), synonyms=synonyms)
+        _SYN_ENGINES[idx_dir] = eng
+    return _as_result(eng.search(" ".join(base), mode="or", limit=k,
+                                 normalize=False))

@@ -3101,3 +3101,14 @@ def percentile_ranks_sql(thresholds=(50000.0, 150000.0, 300000.0),
         f"END)::DOUBLE / count(*), {round_to}) AS frac FROM orders"
         for v in thresholds)
     return f"SELECT * FROM ({arms}) ORDER BY threshold"
+
+
+# Ground truth for events.new_users_daily (first-seen + cumulative).
+NEW_USERS_SQL = """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, count(*) AS n_new FROM f GROUP BY day)
+SELECT day, n_new::BIGINT AS n_new,
+       sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_users
+FROM d ORDER BY day"""
