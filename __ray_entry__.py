@@ -703,6 +703,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_synonym_topk": lambda sf: ftsd.synonym_topk(sf),
         # growth accounting: first-seen users per day + cumulative
         "ev_new_users": events.new_users_daily,
+        # RANGE-frame window (value-range neighborhood counts)
+        "rel_range_frame": relational.price_neighborhood_counts,
+        # ES histogram aggregation (fixed-width numeric buckets)
+        "ev_value_histogram": events.value_histogram,
     }
 
 
@@ -931,6 +935,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_synonym_topk": oracles.bm25_topk_sql(
             ["merge", "stream", "buffer"], k=20),
         "ev_new_users": oracles.NEW_USERS_SQL,
+        "rel_range_frame": oracles.range_frame_sql(5000.0, 50),
+        "ev_value_histogram": oracles.value_histogram_sql(10.0),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1613,3 +1613,31 @@ class TestSynonymsNewUsers:
         assert int(got.n_new.sum()) == n_users
         assert int(got.cum_users.iloc[-1]) == n_users
         assert (got.cum_users.diff().dropna() > 0).all()
+
+
+class TestRangeFrameHistogram:
+    def test_range_frame_self_inclusive(self, ray_session):
+        """Every row counts itself; counts never exceed the class size."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.relational import \
+            price_neighborhood_counts
+
+        got = price_neighborhood_counts(SF, width=5000.0, k=50)
+        assert (got.n_near >= 1).all()
+        sizes = pq.read_table(f"{SF}/orders.parquet",
+                              columns=["o_orderpriority"]).to_pandas() \
+            .o_orderpriority.value_counts()
+        for r in got.itertuples():
+            assert r.n_near <= sizes[r.o_orderpriority]
+
+    def test_value_histogram_totals(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import value_histogram
+
+        got = value_histogram(SF)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["value"])
+        assert int(got.n.sum()) == t.num_rows
+        v = t["value"].to_numpy()
+        assert abs(got.value_sum.sum() - v.sum()) < 1e-2

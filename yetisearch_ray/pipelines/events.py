@@ -819,3 +819,33 @@ def new_users_daily(sf_dir: str):
     daily["n_new"] = daily["n_new"].astype("int64")
     daily["cum_users"] = daily["n_new"].cumsum().astype("int64")
     return daily.rename(columns={"fd": "day"})[["day", "n_new", "cum_users"]]
+
+
+def value_histogram(sf_dir: str, *, interval: float = 10.0):
+    """ES ``histogram`` aggregation over the value column: fixed-width
+    buckets keyed by floor(value/interval)*interval, with count and
+    value sum per bucket.
+
+    Distributed shape: bucket assignment is one vectorized Arrow
+    floor-divide inside ``map_batches``; one bucket-keyed
+    shuffle-aggregate with map-side combine.  Columns
+    (bucket, n, value_sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / interval) * interval
+        return pa.table({"bucket": pa.array(b, pa.float64()),
+                         "value": t["value"]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="value_sum"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["value_sum"] = out["value_sum"].round(4)
+    return out.sort_values("bucket").reset_index(drop=True)

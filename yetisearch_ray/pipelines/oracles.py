@@ -3112,3 +3112,22 @@ SELECT day, n_new::BIGINT AS n_new,
        sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
          AS cum_users
 FROM d ORDER BY day"""
+
+
+def range_frame_sql(width: float = 5000.0, k: int = 50) -> str:
+    """Ground truth for relational.price_neighborhood_counts (RANGE
+    window frame)."""
+    return f"""
+SELECT o_orderkey::BIGINT AS o_orderkey, o_orderpriority,
+       count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN {width} PRECEDING
+                      AND {width} FOLLOWING)::BIGINT AS n_near
+FROM orders ORDER BY o_orderkey LIMIT {k}"""
+
+
+def value_histogram_sql(interval: float = 10.0) -> str:
+    """Ground truth for events.value_histogram (ES histogram agg)."""
+    return f"""
+SELECT floor(value / {interval}) * {interval} AS bucket,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1 ORDER BY 1"""

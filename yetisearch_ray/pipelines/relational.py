@@ -1021,3 +1021,38 @@ def percentile_ranks(sf_dir: str, *, thresholds=(50000.0, 150000.0,
                  for i in range(thr.size)],
     })
     return out
+
+
+def price_neighborhood_counts(sf_dir: str, *, width: float = 5000.0,
+                              k: int = 50):
+    """SQL RANGE-frame window: for each order, how many orders of the
+    same priority class are priced within ±``width`` — the value-range
+    window frame (``RANGE BETWEEN w PRECEDING AND w FOLLOWING``), which
+    unlike ROWS frames cannot be computed by row offsets.
+
+    Distributed shape: one shuffle groups each priority class; inside
+    the group a sorted ``searchsorted`` double-pointer computes every
+    row's neighborhood count in O(n log n) — no per-row rescan, no
+    self-join blowup.  Returns the first ``k`` orders by key.
+    Columns (o_orderkey, o_orderpriority, n_near)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def near(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["o_totalprice"].to_numpy(np.float64))
+        x = g["o_totalprice"].to_numpy(np.float64)
+        n = (np.searchsorted(p, x + width, side="right")
+             - np.searchsorted(p, x - width, side="left"))
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_orderpriority": g["o_orderpriority"],
+            "n_near": pd.array(n.astype(np.int64), dtype="int64"),
+        })
+
+    out = (ds.groupby("o_orderpriority")
+           .map_groups(near, batch_format="pandas").to_pandas())
+    return (out.sort_values("o_orderkey").head(k)
+            .reset_index(drop=True))
