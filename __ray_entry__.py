@@ -707,6 +707,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_frame": relational.price_neighborhood_counts,
         # ES histogram aggregation (fixed-width numeric buckets)
         "ev_value_histogram": events.value_histogram,
+        # full CUBE grouping sets from one finest-level pass
+        "rel_cube": relational.pricing_cube,
+        # exact-percentile quality gate (keep the top 30% docs)
+        "cur_quality_prune": lambda sf: curation.quality_prune(_docs(sf)),
     }
 
 
@@ -937,6 +941,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_new_users": oracles.NEW_USERS_SQL,
         "rel_range_frame": oracles.range_frame_sql(5000.0, 50),
         "ev_value_histogram": oracles.value_histogram_sql(10.0),
+        "rel_cube": oracles.PRICING_CUBE_SQL,
+        "cur_quality_prune": oracles.quality_prune_sql(STOPWORDS["en"], 0.7),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1641,3 +1641,35 @@ class TestRangeFrameHistogram:
         assert int(got.n.sum()) == t.num_rows
         v = t["value"].to_numpy()
         assert abs(got.value_sum.sum() - v.sum()) < 1e-2
+
+
+class TestCubeQualityPrune:
+    def test_cube_marginals_consistent(self, ray_session):
+        from yetisearch_ray.pipelines.relational import pricing_cube
+
+        got = pricing_cube(SF)
+        fine = got[(got.l_returnflag != "") & (got.l_linestatus != "")]
+        top = got[(got.l_returnflag == "") & (got.l_linestatus == "")]
+        assert len(top) == 1
+        assert abs(fine.sum_qty.sum() - top.sum_qty.iloc[0]) < 1e-6
+        by_status = got[(got.l_returnflag == "") & (got.l_linestatus != "")]
+        assert abs(by_status.sum_qty.sum() - top.sum_qty.iloc[0]) < 1e-6
+
+    def test_quality_prune_keeps_top(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.curation import quality_prune
+        from yetisearch_ray.pipelines.textstats import quality_scores
+
+        kept = quality_prune(rd.read_parquet(f"{SF}/documents.parquet"),
+                             q=0.7)
+        all_q = quality_scores(
+            rd.read_parquet(f"{SF}/documents.parquet")).to_pandas()
+        n = len(all_q)
+        # kept fraction ~30% (ties at the threshold may widen it)
+        assert len(kept) >= int(0.3 * n) - 1
+        # every kept quality >= every dropped quality
+        dropped = set(all_q.doc_id) - set(kept.doc_id)
+        if dropped:
+            dmax = all_q[all_q.doc_id.isin(dropped)].quality.max()
+            assert (kept.quality >= dmax - 1e-9).all()

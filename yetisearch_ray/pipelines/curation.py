@@ -779,3 +779,35 @@ def curate_corpus_v2(ds, *, targets: dict | None = None,
         return kept.sort(id_col)
     return export_training_sequences(kept, seq_len=seq_len,
                                      text_col=text_col, id_col=id_col)
+
+
+def quality_prune(ds, *, q: float = 0.7, text_col="text",
+                  id_col="doc_id"):
+    """Quality-quantile pruning: keep only docs whose composite quality
+    score reaches the corpus's exact ``q``-th percentile — the
+    keep-the-top-(1-q) curation gate, with the threshold computed
+    EXACTLY and distributedly (histogram-narrowing percentile_disc, no
+    global sort) rather than from a sample.
+
+    Distributed shape: the vectorized quality pass feeds
+    ``sketches.quantiles_disc`` for the threshold (log-pass narrowing),
+    then a map-side filter re-streams the scored docs — the corpus
+    never sorts and only surviving (doc_id, quality) rows leave.
+    Columns (doc_id, quality)."""
+    import pyarrow.compute as pc
+
+    from .textstats import quality_scores
+    from .sketches import quantiles_disc
+
+    scored = quality_scores(ds, text_col=text_col, id_col=id_col)
+    thr = float(quantiles_disc(scored, "quality", qs=(q,),
+                               round_to=12)["value"].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["quality"], thr)
+        f = t.filter(m)
+        return pa.table({id_col: f[id_col], "quality": f["quality"]})
+
+    out = scored.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out[id_col] = out[id_col].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -3131,3 +3131,26 @@ def value_histogram_sql(interval: float = 10.0) -> str:
 SELECT floor(value / {interval}) * {interval} AS bucket,
        count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1 ORDER BY 1"""
+
+
+# Ground truth for relational.pricing_cube (full CUBE grouping sets).
+PRICING_CUBE_SQL = """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY 1, 2"""
+
+
+def quality_prune_sql(stopwords, q: float = 0.7) -> str:
+    """Ground truth for curation.quality_prune: the quality_sql scores
+    gated at their exact percentile_disc(q)."""
+    inner = quality_sql(stopwords)
+    return f"""
+WITH f AS ({inner}),
+thr AS (SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY quality) AS t
+        FROM f)
+SELECT f.doc_id::BIGINT AS doc_id, f.quality
+FROM f, thr WHERE f.quality >= thr.t ORDER BY f.doc_id"""

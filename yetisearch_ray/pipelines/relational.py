@@ -1056,3 +1056,55 @@ def price_neighborhood_counts(sf_dir: str, *, width: float = 5000.0,
            .map_groups(near, batch_format="pandas").to_pandas())
     return (out.sort_values("o_orderkey").head(k)
             .reset_index(drop=True))
+
+
+def pricing_cube(sf_dir: str):
+    """Full CUBE aggregate: lineitem quantity/revenue sums at all FOUR
+    grouping sets — (flag, status), (flag), (status), and grand total —
+    the cross-marginal report ROLLUP can't produce.
+
+    Distributed shape: same as ``pricing_rollup`` — ONE corpus pass
+    computes the finest-level aggregate; all three marginals are
+    re-aggregations of that |groups|-row frame (exact for SUM), never a
+    second fact-table scan.  NULL keys encode as ''.
+    Columns (l_returnflag, l_linestatus, sum_qty, sum_revenue)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "revenue": rev,
+        })
+
+    fine = (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Sum("revenue", alias_name="sum_revenue"))
+            .to_pandas())
+    by_flag = (fine.groupby("l_returnflag", as_index=False)
+               [["sum_qty", "sum_revenue"]].sum())
+    by_flag["l_linestatus"] = ""
+    by_status = (fine.groupby("l_linestatus", as_index=False)
+                 [["sum_qty", "sum_revenue"]].sum())
+    by_status["l_returnflag"] = ""
+    top = pd.DataFrame({
+        "l_returnflag": [""], "l_linestatus": [""],
+        "sum_qty": [fine["sum_qty"].sum()],
+        "sum_revenue": [fine["sum_revenue"].sum()],
+    })
+    out = pd.concat([fine, by_flag, by_status, top], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["sum_revenue"] = out["sum_revenue"].round(4)
+    return (out[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue"]]
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
