@@ -711,6 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cube": relational.pricing_cube,
         # exact-percentile quality gate (keep the top 30% docs)
         "cur_quality_prune": lambda sf: curation.quality_prune(_docs(sf)),
+        # runtime-filter join (broadcast Bloom prune + exact semi-join)
+        "rel_bloom_join": relational.bloom_filtered_revenue,
+        # argmax / DISTINCT ON: each user's latest event row
+        "ev_latest_event": events.latest_event_per_user,
     }
 
 
@@ -943,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_value_histogram": oracles.value_histogram_sql(10.0),
         "rel_cube": oracles.PRICING_CUBE_SQL,
         "cur_quality_prune": oracles.quality_prune_sql(STOPWORDS["en"], 0.7),
+        "rel_bloom_join": oracles.bloom_join_sql("1-URGENT"),
+        "ev_latest_event": oracles.LATEST_EVENT_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1673,3 +1673,47 @@ class TestCubeQualityPrune:
         if dropped:
             dmax = all_q[all_q.doc_id.isin(dropped)].quality.max()
             assert (kept.quality >= dmax - 1e-9).all()
+
+
+class TestBloomJoinLatest:
+    def test_bloom_prunes_but_answer_exact(self, ray_session):
+        """Tiny Bloom (high FP rate) must still give the exact answer —
+        the semi-join removes false positives."""
+        import duckdb
+
+        from yetisearch_ray.pipelines.relational import \
+            bloom_filtered_revenue
+
+        got = bloom_filtered_revenue(SF, bloom_bits=1 << 10)  # 128 B
+        want = duckdb.sql(
+            f"SELECT l_returnflag, count(*), "
+            f"round(sum(l_extendedprice * (1 - l_discount)), 4) FROM "
+            f"read_parquet('{SF}/lineitem.parquet') li JOIN "
+            f"read_parquet('{SF}/orders.parquet') o "
+            f"ON o_orderkey = l_orderkey "
+            f"WHERE o_orderpriority = '1-URGENT' "
+            f"GROUP BY 1 ORDER BY 1").fetchall()
+        assert [(r.l_returnflag, r.n) for r in got.itertuples()] == \
+            [(a, b) for a, b, _ in want]
+        assert np.allclose(got.revenue, [c for _, _, c in want], atol=1e-3)
+
+    def test_latest_event_tie_break(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import latest_event_per_user
+
+        ts = pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-02"])
+        t = pa.table({
+            "event_id": pa.array([5, 9, 1], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = latest_event_per_user(str(d))
+        by = got.set_index("user_id")
+        assert by.loc[1, "event_type"] == "b"  # ts tie -> max event_id
+        assert by.loc[2, "event_type"] == "c"

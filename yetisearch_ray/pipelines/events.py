@@ -849,3 +849,33 @@ def value_histogram(sf_dir: str, *, interval: float = 10.0):
     out["n"] = out["n"].astype("int64")
     out["value_sum"] = out["value_sum"].round(4)
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str):
+    """SQL argmax / DISTINCT ON shape: each user's LATEST event row
+    (ties on ts broken by event_id desc) — the current-state snapshot
+    every CDC/profile pipeline derives from an append-only log.
+
+    Distributed shape: one user-keyed shuffle, per-group vectorized
+    lexsort-argmax — the log never globally sorts.
+    Columns (user_id, ts, event_type, value)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        i = np.lexsort((g["event_id"].to_numpy(),
+                        g["ts"].to_numpy()))[-1]
+        r = g.iloc[[i]]
+        return pd.DataFrame({
+            "user_id": r["user_id"].astype("int64"),
+            "ts": r["ts"],
+            "event_type": r["event_type"],
+            "value": r["value"].round(4),
+        })
+
+    out = (ds.groupby("user_id")
+           .map_groups(latest, batch_format="pandas").to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -3154,3 +3154,24 @@ thr AS (SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY quality) AS t
         FROM f)
 SELECT f.doc_id::BIGINT AS doc_id, f.quality
 FROM f, thr WHERE f.quality >= thr.t ORDER BY f.doc_id"""
+
+
+def bloom_join_sql(priority: str = "1-URGENT") -> str:
+    """Ground truth for relational.bloom_filtered_revenue (the plain
+    join the runtime filter must reproduce exactly)."""
+    return f"""
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '{priority}'
+GROUP BY 1 ORDER BY 1"""
+
+
+# Ground truth for events.latest_event_per_user (argmax window shape).
+LATEST_EVENT_SQL = """
+SELECT user_id::BIGINT AS user_id, ts, event_type,
+       round(value, 4) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id"""
