@@ -715,6 +715,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_bloom_join": relational.bloom_filtered_revenue,
         # argmax / DISTINCT ON: each user's latest event row
         "ev_latest_event": events.latest_event_per_user,
+        # source-corpus profile: per-language file stats
+        "code_lang_stats": relational.code_lang_stats,
+        # hot-repo skew report (top repos by file count)
+        "code_repo_topk": relational.code_repo_topk,
+        # repo-layout report: per-module files + language spread
+        "code_dir_stats": relational.code_dir_stats,
     }
 
 
@@ -949,6 +955,9 @@ def oracle_sql() -> dict[str, str]:
         "cur_quality_prune": oracles.quality_prune_sql(STOPWORDS["en"], 0.7),
         "rel_bloom_join": oracles.bloom_join_sql("1-URGENT"),
         "ev_latest_event": oracles.LATEST_EVENT_SQL,
+        "code_lang_stats": oracles.code_lang_stats_sql(_CODE_GLOB_001),
+        "code_repo_topk": oracles.code_repo_topk_sql(_CODE_GLOB_001, 10),
+        "code_dir_stats": oracles.code_dir_stats_sql(_CODE_GLOB_001, 50),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1717,3 +1717,30 @@ class TestBloomJoinLatest:
         by = got.set_index("user_id")
         assert by.loc[1, "event_type"] == "b"  # ts tie -> max event_id
         assert by.loc[2, "event_type"] == "c"
+
+
+class TestCodeCorpusAnalytics:
+    def test_lang_stats_totals(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.relational import code_lang_stats
+        from yetisearch_ray.sources.corpus import corpus_path
+
+        got = code_lang_stats(SF)
+        n = duckdb.sql(f"SELECT count(*) FROM "
+                       f"read_parquet('{corpus_path(SF)}')").fetchone()[0]
+        assert int(got.n_files.sum()) == n
+        assert (got.avg_chars > 0).all()
+
+    def test_repo_topk_ordering(self, ray_session):
+        from yetisearch_ray.pipelines.relational import code_repo_topk
+
+        got = code_repo_topk(SF, k=10)
+        assert (got.n_files.diff().dropna() <= 0).all()
+
+    def test_dir_stats_lang_bound(self, ray_session):
+        from yetisearch_ray.pipelines.relational import code_dir_stats
+
+        got = code_dir_stats(SF)
+        assert (got.n_langs <= got.n_files).all()
+        assert (got.n_langs >= 1).all()

@@ -3175,3 +3175,28 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
 WHERE rn = 1 ORDER BY user_id"""
+
+
+def code_lang_stats_sql(parquet_glob: str) -> str:
+    """Ground truth for relational.code_lang_stats."""
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_files,
+       sum(length(content))::BIGINT AS total_chars,
+       round(avg(length(content)), 4) AS avg_chars
+FROM read_parquet('{parquet_glob}') GROUP BY lang ORDER BY lang"""
+
+
+def code_repo_topk_sql(parquet_glob: str, k: int = 10) -> str:
+    """Ground truth for relational.code_repo_topk."""
+    return f"""
+SELECT repo, count(*)::BIGINT AS n_files
+FROM read_parquet('{parquet_glob}') GROUP BY repo
+ORDER BY n_files DESC, repo LIMIT {k}"""
+
+
+def code_dir_stats_sql(parquet_glob: str, k: int = 50) -> str:
+    """Ground truth for relational.code_dir_stats."""
+    return f"""
+SELECT split_part(path, '/', 2) AS module, count(*)::BIGINT AS n_files,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM read_parquet('{parquet_glob}') GROUP BY 1 ORDER BY module LIMIT {k}"""

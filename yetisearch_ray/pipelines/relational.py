@@ -1190,3 +1190,84 @@ def bloom_filtered_revenue(sf_dir: str, *, priority: str = "1-URGENT",
     out["n"] = out["n"].astype("int64")
     out["revenue"] = out["revenue"].round(4)
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def code_lang_stats(sf_dir: str):
+    """Source-corpus profile: per language, file count, total content
+    bytes (chars), and mean file size — the ingest-side corpus report
+    for the code table.  One column-pruned pass + a |langs|-row
+    aggregate.  Columns (lang, n_files, total_chars, avg_chars)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from ..sources.corpus import corpus_path
+
+    ds = rd.read_parquet(corpus_path(sf_dir), columns=["lang", "content"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t["content"].combine_chunks()),
+                    pa.int64())
+        return pa.table({"lang": t["lang"], "n_chars": n})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_files"),
+                      Sum("n_chars", alias_name="total_chars"),
+                      Mean("n_chars", alias_name="avg_chars"))
+           .to_pandas())
+    out["n_files"] = out["n_files"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    out["avg_chars"] = out["avg_chars"].round(4)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def code_repo_topk(sf_dir: str, *, k: int = 10):
+    """Top repositories by file count (ties by repo asc) — the skew
+    report that drives hot-repo partition splitting at ingest.
+    Columns (repo, n_files)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..sources.corpus import corpus_path
+
+    ds = rd.read_parquet(corpus_path(sf_dir), columns=["repo"])
+    out = (ds.groupby("repo").aggregate(Count(alias_name="n_files"))
+           .to_pandas())
+    out["n_files"] = out["n_files"].astype("int64")
+    return (out.sort_values(["n_files", "repo"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def code_dir_stats(sf_dir: str, *, k: int = 50):
+    """Repository-layout report: per second-level path segment
+    (``src/<module>``), file count and distinct-language count — the
+    directory-structure profile (vectorized Arrow path split, one
+    module-keyed aggregate + a distinct-pair pass).
+    Columns (module, n_files, n_langs)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..sources.corpus import corpus_path
+
+    ds = rd.read_parquet(corpus_path(sf_dir), columns=["path", "lang"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["path"].combine_chunks(), pattern="/")
+        mod = pc.list_element(parts, 1)
+        return pa.table({"module": mod, "lang": t["lang"]})
+
+    mods = ds.map_batches(derive, batch_format="pyarrow")
+    files = mods.groupby("module").aggregate(Count(alias_name="n_files"))
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["module", "lang"]).aggregate([])
+
+    langs = (mods.map_batches(batch_distinct, batch_format="pyarrow")
+             .groupby(["module", "lang"]).aggregate(Count(alias_name="_n"))
+             .groupby("module").aggregate(Count(alias_name="n_langs")))
+    f = files.to_pandas()
+    l_ = langs.to_pandas()
+    out = f.merge(l_, on="module")
+    out["n_files"] = out["n_files"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    return (out.sort_values("module").head(k).reset_index(drop=True))
