@@ -1727,8 +1727,9 @@ class TestCodeCorpusAnalytics:
         from yetisearch_ray.sources.corpus import corpus_path
 
         got = code_lang_stats(SF)
-        n = duckdb.sql(f"SELECT count(*) FROM "
-                       f"read_parquet('{corpus_path(SF)}')").fetchone()[0]
+        n = duckdb.sql(
+            f"SELECT count(*) FROM "
+            f"read_parquet('{corpus_path(SF)}/*.parquet')").fetchone()[0]
         assert int(got.n_files.sum()) == n
         assert (got.avg_chars > 0).all()
 
