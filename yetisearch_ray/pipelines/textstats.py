@@ -1197,6 +1197,16 @@ def ngram_novelty(ds, *, n: int = 5, text_col: str = "text",
                          "n_grams": pa.array(c.astype(np.int64), pa.int64())})
 
     gram_ds = ds.map_batches(_gram_pairs, batch_format="pyarrow")
+    # a corpus with ZERO grams (every doc shorter than n tokens) leaves
+    # only empty blocks, which the hash join cannot type — detect with a
+    # streaming limit(1) probe (early-stops on the first nonempty block,
+    # so the common case pays ~one batch of recompute)
+    if gram_ds.limit(1).count() == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "n_grams": pd.Series(dtype="int64"),
+            "n_novel": pd.Series(dtype="int64"),
+            "novelty": pd.Series(dtype="float64")})
     novel = _join_ready(
         gram_ds.groupby("gram")
         .aggregate(Min("doc_id", alias_name="fd"))
