@@ -721,6 +721,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_repo_topk": relational.code_repo_topk,
         # repo-layout report: per-module files + language spread
         "code_dir_stats": relational.code_dir_stats,
+        # forward as-of join (earliest order at-or-after each event)
+        "ev_asof_next": lambda sf: events.asof_join_orders(
+            sf, direction="forward"),
+        # one-row corpus datasheet (release-report scalars)
+        "cur_datasheet": lambda sf: curation.datasheet(_docs(sf)),
     }
 
 
@@ -958,6 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "code_lang_stats": oracles.code_lang_stats_sql(_CODE_GLOB_001),
         "code_repo_topk": oracles.code_repo_topk_sql(_CODE_GLOB_001, 10),
         "code_dir_stats": oracles.code_dir_stats_sql(_CODE_GLOB_001, 50),
+        "ev_asof_next": oracles.ASOF_FORWARD_SQL,
+        "cur_datasheet": oracles.datasheet_sql(STOPWORDS["en"]),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1745,3 +1745,50 @@ class TestCodeCorpusAnalytics:
         got = code_dir_stats(SF)
         assert (got.n_langs <= got.n_files).all()
         assert (got.n_langs >= 1).all()
+
+
+class TestAsofForwardDatasheet:
+    def test_forward_vs_backward_directions(self, ray_session, tmp_path):
+        """Backward picks the order before, forward the one after."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import asof_join_orders
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-06-15"]),
+                           pa.timestamp("us")),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }), d / "events.parquet")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([100, 200], pa.int64()),
+            "o_custkey": pa.array([7, 7], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F"]),
+            "o_totalprice": pa.array([1.0, 2.0], pa.float64()),
+            "o_orderdate": pa.array(pd.to_datetime(
+                ["2024-06-01", "2024-07-01"]), pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2),
+        }), d / "orders.parquet")
+        back = asof_join_orders(str(d))
+        fwd = asof_join_orders(str(d), direction="forward")
+        assert back.o_orderkey.iloc[0] == 100
+        assert fwd.o_orderkey.iloc[0] == 200
+
+    def test_datasheet_consistency(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.curation import datasheet
+
+        got = datasheet(rd.read_parquet(f"{SF}/documents.parquet"))
+        n, langs = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT lang) FROM "
+            f"read_parquet('{SF}/documents.parquet')").fetchone()
+        assert got.n_docs.iloc[0] == n
+        assert got.n_langs.iloc[0] == langs
+        assert 0 <= got.mean_quality.iloc[0] <= 1

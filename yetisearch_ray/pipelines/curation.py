@@ -811,3 +811,58 @@ def quality_prune(ds, *, q: float = 0.7, text_col="text",
     out = scored.map_batches(keep, batch_format="pyarrow").to_pandas()
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def datasheet(ds, *, text_col="text", id_col="doc_id"):
+    """One-row corpus DATASHEET (the "datasheets for datasets" summary a
+    training-data release ships): document count, language/source
+    cardinalities, total whitespace tokens, exact-duplicate group
+    count, and mean composite quality.
+
+    Distributed shape: three aggregate-sized passes — (1) one
+    vectorized count/token pass with map-side partials, (2) an
+    md5-keyed dup groupby (hashes shuffle, never text), (3) the quality
+    kernel reduced by one Mean — nothing but scalars reaches the
+    driver.  Columns (n_docs, n_langs, n_sources, total_tokens,
+    dup_groups, mean_quality)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from .textstats import quality_scores
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        ntok = pc.cast(pc.count_substring_regex(arr, pattern=r"\S+"),
+                       pa.int64())
+        return pa.table({"lang": t["lang"], "source": t["source"],
+                         "n_tok": ntok})
+
+    base = ds.map_batches(partial, batch_format="pyarrow")
+    n_docs = base.count()
+    total_tokens = int(base.sum("n_tok"))
+    n_langs = base.groupby("lang").aggregate(Count(alias_name="_n")).count()
+    n_sources = (base.groupby("source")
+                 .aggregate(Count(alias_name="_n")).count())
+
+    def hashes(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in t[text_col].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    dup_groups = int(
+        ds.map_batches(hashes, batch_format="pyarrow")
+        .groupby("h").aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1").count())
+    mq = quality_scores(ds, text_col=text_col, id_col=id_col) \
+        .aggregate(Mean("quality", alias_name="mq"))["mq"]
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "n_langs": pd.array([n_langs], dtype="int64"),
+        "n_sources": pd.array([n_sources], dtype="int64"),
+        "total_tokens": pd.array([total_tokens], dtype="int64"),
+        "dup_groups": pd.array([dup_groups], dtype="int64"),
+        "mean_quality": [round(float(mq), 6)],
+    })

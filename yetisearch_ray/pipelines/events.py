@@ -141,9 +141,12 @@ def session_windows(sf_dir: str, *, gap_minutes: int = 30, min_events: int = 1):
     return pdf.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
-def asof_join_orders(sf_dir: str):
+def asof_join_orders(sf_dir: str, *, direction: str = "backward"):
     """For each event: the latest order of customer ``user_id`` placed
-    at-or-before the event ts (as-of backward join).
+    at-or-before the event ts (as-of backward join), or with
+    ``direction="forward"`` the EARLIEST order at-or-after it (ties on
+    the date resolve to max o_orderkey backward / min forward, matching
+    the SQL oracles).
 
     Scale shape: the small side (orders) is deduped + sorted ONCE on the
     driver, BROADCAST via ``ray.put``, and pre-split into a
@@ -157,10 +160,11 @@ def asof_join_orders(sf_dir: str):
 
     orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderkey", "o_orderdate"])
-    # keep the LAST order per (custkey, date) so ties resolve to max
-    # o_orderkey — done once driver-side, not per group
-    orders = (orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-              .groupby(["o_custkey", "o_orderdate"], as_index=False).last())
+    # collapse date ties ONCE driver-side: backward keeps the max
+    # o_orderkey per (custkey, date), forward the min
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    grp = orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
+    orders = grp.last() if direction == "backward" else grp.first()
     orders_ref = ray.put(orders)
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -179,7 +183,7 @@ def asof_join_orders(sf_dir: str):
             return g[cols]
         j = pd.merge_asof(g, mine[["o_orderdate", "o_orderkey"]],
                           left_on="ts", right_on="o_orderdate",
-                          direction="backward")
+                          direction=direction)
         j["o_orderkey"] = j["o_orderkey"].astype("Int64")
         j["o_orderdate"] = j["o_orderdate"].astype("datetime64[us]")
         # identical column order + dtypes on every branch: Ray unions the

@@ -3200,3 +3200,32 @@ def code_dir_stats_sql(parquet_glob: str, k: int = 50) -> str:
 SELECT split_part(path, '/', 2) AS module, count(*)::BIGINT AS n_files,
        count(DISTINCT lang)::BIGINT AS n_langs
 FROM read_parquet('{parquet_glob}') GROUP BY 1 ORDER BY module LIMIT {k}"""
+
+
+# Ground truth for events.asof_join_orders(direction="forward"):
+# earliest order at-or-after each event (ties -> min o_orderkey).
+ASOF_FORWARD_SQL = """
+SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
+       COALESCE((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+                 ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1),
+                -1)::BIGINT AS o_orderkey
+FROM events e ORDER BY event_id"""
+
+
+def datasheet_sql(stopwords) -> str:
+    """Ground truth for curation.datasheet (one-row corpus report)."""
+    inner = quality_sql(stopwords)
+    return f"""
+WITH q AS ({inner}),
+d AS (SELECT count(*) AS dup_groups FROM (
+        SELECT text FROM documents GROUP BY text HAVING count(*) > 1)),
+t AS (SELECT count(*)::BIGINT AS n_docs,
+             count(DISTINCT lang)::BIGINT AS n_langs,
+             count(DISTINCT source)::BIGINT AS n_sources,
+             sum(len({TOKENS_EXPR}))::BIGINT AS total_tokens
+      FROM documents)
+SELECT t.n_docs, t.n_langs, t.n_sources, t.total_tokens,
+       d.dup_groups::BIGINT AS dup_groups,
+       (SELECT round(avg(quality), 6) FROM q) AS mean_quality
+FROM t, d"""
