@@ -726,6 +726,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, direction="forward"),
         # one-row corpus datasheet (release-report scalars)
         "cur_datasheet": lambda sf: curation.datasheet(_docs(sf)),
+        # k-NN self-join (neighbor-graph construction)
+        "ann_knn_join": lambda sf: ann.knn_join(_emb(sf), k=3),
+        # lexical diversity (type-token ratio) per source bucket
+        "text_ttr_by_source": lambda sf: textstats.ttr_by_source(_docs(sf)),
+        # day-over-day percent change (lag arithmetic window)
+        "ev_pct_change": events.daily_pct_change,
     }
 
 
@@ -965,6 +971,9 @@ def oracle_sql() -> dict[str, str]:
         "code_dir_stats": oracles.code_dir_stats_sql(_CODE_GLOB_001, 50),
         "ev_asof_next": oracles.ASOF_FORWARD_SQL,
         "cur_datasheet": oracles.datasheet_sql(STOPWORDS["en"]),
+        "ann_knn_join": oracles.knn_join_sql(3),
+        "text_ttr_by_source": oracles.TTR_BY_SOURCE_SQL,
+        "ev_pct_change": oracles.DAILY_PCT_CHANGE_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1792,3 +1792,33 @@ class TestAsofForwardDatasheet:
         assert got.n_docs.iloc[0] == n
         assert got.n_langs.iloc[0] == langs
         assert 0 <= got.mean_quality.iloc[0] <= 1
+
+
+class TestKnnJoinTtrPct:
+    def test_knn_join_symmetry_top1(self, ray_session):
+        """Each vector has exactly k neighbor rows; cosine within
+        [-1, 1]; no self edges."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.ann import knn_join
+
+        got = knn_join(rd.read_parquet(f"{SF}/embeddings.parquet"), k=3)
+        assert (got.vec_id != got.neighbor_id).all()
+        assert got.groupby("vec_id").size().eq(3).all()
+        assert got.cosine.between(-1.0 - 1e-9, 1.0 + 1e-9).all()
+
+    def test_ttr_bounds(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import ttr_by_source
+
+        got = ttr_by_source(rd.read_parquet(f"{SF}/documents.parquet"))
+        assert (got.ttr > 0).all() and (got.ttr <= 1.0).all()
+        assert (got.n_terms <= got.n_tokens).all()
+
+    def test_pct_change_recompute(self, ray_session):
+        from yetisearch_ray.pipelines.events import daily_pct_change
+
+        got = daily_pct_change(SF)
+        for _, g in got.groupby("event_type"):
+            assert g.day.is_monotonic_increasing

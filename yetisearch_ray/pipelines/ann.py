@@ -827,3 +827,56 @@ def label_separation(ds, *, vec_col="embedding", label_col="label",
     out["label_a"] = out["label_a"].astype("int64")
     out["label_b"] = out["label_b"].astype("int64")
     return out
+
+
+def knn_join(ds, *, k: int = 3, vec_col="embedding", id_col="vec_id",
+             round_to: int = 6):
+    """k-NN SELF-join: for EVERY vector, its ``k`` nearest neighbors by
+    cosine (self excluded) — the neighbor-graph construction step under
+    SemDeDup/SSL-curation and graph-based ANN indexes.
+
+    Distributed shape: the full vector matrix is broadcast ONCE
+    (``ray.put``) and each batch runs one GEMM against it with a local
+    per-row top-(k+1) prune — the same block-pair schedule as
+    ``cosine_topk_batch``; only (n x k) id/score rows leave the tasks.
+    This exact mode is O(N^2/B) GEMMs: the 100 TB path bucket-joins via
+    IVF partitions first (``ivf_build``) and runs the same kernel per
+    probed bucket.  Columns (vec_id, neighbor_id, cosine), ranked per
+    vec_id."""
+    import ray
+
+    all_df = ds.to_pandas()
+    ids = all_df[id_col].to_numpy(np.int64)
+    m = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
+    mn = _normalize(m)
+    ref = ray.put((ids, mn))
+
+    def score(t: pa.Table) -> pa.Table:
+        aids, am = ray.get(ref)
+        q = _normalize(_batch_vectors(t, vec_col))
+        my = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = q @ am.T                        # (batch, N)
+        # self-exclusion by id, then per-row top-k
+        out_v, out_n, out_c = [], [], []
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            cand = np.flatnonzero(aids != my[r])
+            # deterministic cut AND order: (rounded cosine desc, id asc)
+            # — ties straddling the k boundary resolve to lowest ids,
+            # matching the SQL row_number() oracle
+            order = np.lexsort((aids[cand],
+                                -np.round(row[cand], round_to)))
+            take = cand[order[:k]]
+            out_v.append(np.full(k, my[r], np.int64)[:take.size])
+            out_n.append(aids[take])
+            out_c.append(np.round(row[take], round_to))
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_v), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (out.sort_values([id_col, "cosine", "neighbor_id"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))

@@ -883,3 +883,33 @@ def latest_event_per_user(sf_dir: str):
     out = (ds.groupby("user_id")
            .map_groups(latest, batch_format="pandas").to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def daily_pct_change(sf_dir: str):
+    """Day-over-day percent change of per-type daily counts (the lag
+    arithmetic window: (n - lag(n)) / lag(n)) — first day per type has
+    no prior and is omitted, matching the SQL lag() NULL drop.
+
+    Distributed shape: one (event_type, day) shuffle-aggregate; the lag
+    arithmetic runs on that aggregate-sized frame.
+    Columns (event_type, day, n, pct_change)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    daily = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    daily["n"] = daily["n"].astype("int64")
+    daily = daily.sort_values(["event_type", "day"]).reset_index(drop=True)
+    prev = daily.groupby("event_type")["n"].shift(1)
+    daily["pct_change"] = ((daily["n"] - prev) / prev).round(6)
+    out = daily.dropna(subset=["pct_change"])
+    return out[["event_type", "day", "n", "pct_change"]] \
+        .reset_index(drop=True)

@@ -3229,3 +3229,49 @@ SELECT t.n_docs, t.n_langs, t.n_sources, t.total_tokens,
        d.dup_groups::BIGINT AS dup_groups,
        (SELECT round(avg(quality), 6) FROM q) AS mean_quality
 FROM t, d"""
+
+
+def knn_join_sql(k: int = 3, round_to: int = 6) -> str:
+    """Ground truth for ann.knn_join: per-vector top-k neighbors by
+    (rounded cosine desc, neighbor id asc), self excluded."""
+    return f"""
+WITH s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]),
+               {round_to}) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id)
+        AS rn FROM s)
+SELECT vec_id::BIGINT AS vec_id, neighbor_id::BIGINT AS neighbor_id,
+       cosine
+FROM r WHERE rn <= {k} ORDER BY vec_id, cosine DESC, neighbor_id"""
+
+
+# Ground truth for textstats.ttr_by_source (lexical diversity).
+TTR_BY_SOURCE_SQL = f"""
+WITH tok AS (
+  SELECT source, u.term
+  FROM (SELECT source, {TOKENS_EXPR} AS ts FROM documents),
+       unnest(ts) AS u(term)
+  WHERE u.term <> ''
+)
+SELECT source, count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_tokens,
+       round(count(DISTINCT term)::DOUBLE / count(*), 6) AS ttr
+FROM tok GROUP BY source ORDER BY source"""
+
+
+# Ground truth for events.daily_pct_change (lag arithmetic window).
+DAILY_PCT_CHANGE_SQL = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, day, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY day) AS p
+      FROM d)
+SELECT event_type, day, n::BIGINT AS n,
+       round((n - p) / p::DOUBLE, 6) AS pct_change
+FROM l WHERE p IS NOT NULL ORDER BY event_type, day"""

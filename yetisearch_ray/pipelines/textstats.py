@@ -1305,3 +1305,50 @@ def fertility_by_lang(ds, *, text_col="text", lang_col="lang"):
     out["n_subwords"] = out["n_subwords"].astype("int64")
     out["fertility"] = (out["n_subwords"] / out["n_tokens"]).round(6)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def ttr_by_source(ds, *, text_col="text", src_col="source"):
+    """Lexical diversity per source: distinct terms, total tokens, and
+    type-token ratio per source bucket — the source-quality diagnostic
+    (low TTR = templated/boilerplate feeds).
+
+    Distributed shape: per-batch distinct (source, term) partials (the
+    vocabulary-bounded map-side combine), one (source, term)-keyed
+    groupby for the global distinct, a |sources|-row count rollup, and
+    an independent token-count aggregate — text never shuffles, terms
+    do once.  Columns (source, n_terms, n_tokens, ttr)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        counts = np.diff(split.offsets.to_numpy(zero_copy_only=False))
+        src = np.repeat(
+            np.asarray(t[src_col].to_pylist(), dtype=object), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tb = pa.table({"source": pa.array(src[keep], pa.string()),
+                       "term": flat.filter(pa.array(keep))})
+        return tb.group_by(["source", "term"]).aggregate([])
+
+    terms = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["source", "term"]).aggregate(Count(alias_name="_n"))
+             .groupby("source").aggregate(Count(alias_name="n_terms"))
+             .to_pandas())
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        n = pc.cast(pc.count_substring_regex(arr, pattern=r"\S+"),
+                    pa.int64())
+        return pa.table({"source": t[src_col], "n_tok": n})
+
+    toks = (ds.map_batches(tok_counts, batch_format="pyarrow")
+            .groupby("source").aggregate(Sum("n_tok", alias_name="n_tokens"))
+            .to_pandas())
+    out = terms.merge(toks, on="source")
+    out["n_terms"] = out["n_terms"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["ttr"] = (out["n_terms"] / out["n_tokens"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
