@@ -732,6 +732,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ttr_by_source": lambda sf: textstats.ttr_by_source(_docs(sf)),
         # day-over-day percent change (lag arithmetic window)
         "ev_pct_change": events.daily_pct_change,
+        # int8 scalar-quantization error report (two aggregate passes)
+        "emb_sq8_error": lambda sf: ann.sq8_error(_emb(sf)),
+        # hot-key-salted join, answer-identical to the plain join
+        "rel_salted_join": relational.salted_join_revenue,
     }
 
 
@@ -974,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_join": oracles.knn_join_sql(3),
         "text_ttr_by_source": oracles.TTR_BY_SOURCE_SQL,
         "ev_pct_change": oracles.DAILY_PCT_CHANGE_SQL,
+        "emb_sq8_error": oracles.sq8_error_sql(6),
+        "rel_salted_join": oracles.SALTED_JOIN_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

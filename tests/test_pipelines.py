@@ -1822,3 +1822,36 @@ class TestKnnJoinTtrPct:
         got = daily_pct_change(SF)
         for _, g in got.groupby("event_type"):
             assert g.day.is_monotonic_increasing
+
+
+class TestSq8SaltedJoin:
+    def test_sq8_error_small(self, ray_session):
+        """int8 grid error is bounded by half a quantization step."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.ann import sq8_error
+
+        got = sq8_error(rd.read_parquet(f"{SF}/embeddings.parquet"))
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["embedding"]).to_pandas()
+        m = np.stack(t.embedding.to_numpy()).astype(np.float64)
+        max_step = (m.max(axis=0) - m.min(axis=0)).max() / 255.0
+        assert (got.mae <= max_step / 2 + 1e-12).all()
+        assert (got.mae >= 0).all()
+
+    def test_salted_join_equals_plain(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.relational import salted_join_revenue
+
+        got = salted_join_revenue(SF, salt=4)
+        want = duckdb.sql(
+            f"SELECT o_orderpriority, count(*), "
+            f"round(sum(l_extendedprice * (1 - l_discount)), 4) FROM "
+            f"read_parquet('{SF}/lineitem.parquet') li JOIN "
+            f"read_parquet('{SF}/orders.parquet') o "
+            f"ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1").fetchall()
+        assert [(r.o_orderpriority, r.n_lines) for r in got.itertuples()] \
+            == [(a, b) for a, b, _ in want]
+        assert np.allclose(got.revenue, [c for _, _, c in want], atol=1e-2)

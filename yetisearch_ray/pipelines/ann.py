@@ -880,3 +880,59 @@ def knn_join(ds, *, k: int = 3, vec_col="embedding", id_col="vec_id",
     return (out.sort_values([id_col, "cosine", "neighbor_id"],
                             ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+def sq8_error(ds, *, vec_col="embedding", label_col="label",
+              round_to: int = 6):
+    """Scalar-quantization (int8) error report: quantize every vector
+    to 8 bits per dimension against the corpus-wide per-dim min/max
+    grid and report the mean absolute reconstruction error per label —
+    the memory-vs-recall tradeoff report run before shipping a
+    quantized ANN index.
+
+    Distributed shape: pass 1 reduces per-batch per-dim MIN/MAX
+    partials (one (2 x dim) exchange); pass 2 quantizes map-side
+    against the broadcast grid and emits per-label error sums — raw
+    vectors never shuffle.  Quantization uses floor(x+0.5) so the SQL
+    oracle's rounding semantics match bit-for-bit.
+    Columns (label, n, mae)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        m = _batch_vectors(t, vec_col)
+        return pa.table({
+            "lo": pa.array([m.min(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+            "hi": pa.array([m.max(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack([np.asarray(x) for x in mm["lo"]]), axis=0)
+    hi = np.max(np.stack([np.asarray(x) for x in mm["hi"]]), axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    ref = ray.put((lo, scale))
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        l_, s_ = ray.get(ref)
+        m = _batch_vectors(t, vec_col)
+        q = np.floor((m - l_) / s_ + 0.5)
+        recon = l_ + q * s_
+        err = np.abs(m - recon).mean(axis=1)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"label": pa.array(lab, pa.int64()),
+                         "e": pa.array(err, pa.float64()),
+                         "one": pa.array(np.ones_like(err), pa.float64())})
+
+    agg = (ds.map_batches(err_partial, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("e", alias_name="e"),
+                      Sum("one", alias_name="n")).to_pandas())
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "mae": (agg["e"] / agg["n"]).round(round_to),
+    })
+    return out.sort_values("label").reset_index(drop=True)

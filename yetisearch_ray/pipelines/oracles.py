@@ -3275,3 +3275,36 @@ l AS (SELECT event_type, day, n,
 SELECT event_type, day, n::BIGINT AS n,
        round((n - p) / p::DOUBLE, 6) AS pct_change
 FROM l WHERE p IS NOT NULL ORDER BY event_type, day"""
+
+
+def sq8_error_sql(round_to: int = 6) -> str:
+    """Ground truth for ann.sq8_error: per-dim min/max grid, int8
+    quantize with floor(x+0.5), per-label mean absolute error."""
+    return f"""
+WITH x AS (
+  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+g AS (SELECT pos, min(v) AS lo,
+             CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / 255.0
+                  ELSE 1.0 END AS s
+      FROM x GROUP BY pos),
+e AS (
+  SELECT x.vec_id, x.label,
+         avg(abs(x.v - (g.lo + floor((x.v - g.lo) / g.s + 0.5) * g.s)))
+           AS err
+  FROM x JOIN g USING (pos) GROUP BY x.vec_id, x.label
+)
+SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+       round(avg(err), {round_to}) AS mae
+FROM e GROUP BY label ORDER BY label"""
+
+
+# Ground truth for relational.salted_join_revenue (the plain join the
+# salted plan must reproduce exactly).
+SALTED_JOIN_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1"""

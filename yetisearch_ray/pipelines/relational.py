@@ -1271,3 +1271,69 @@ def code_dir_stats(sf_dir: str, *, k: int = 50):
     out["n_files"] = out["n_files"].astype("int64")
     out["n_langs"] = out["n_langs"].astype("int64")
     return (out.sort_values("module").head(k).reset_index(drop=True))
+
+
+def salted_join_revenue(sf_dir: str, *, salt: int = 4,
+                        num_partitions: int | None = None):
+    """Skew-mitigated (SALTED) big⋈small join: lineitem revenue per
+    order priority, with the fact side salted ``hash(row) % salt`` and
+    the dimension side replicated once per salt value, so one hot join
+    key can never pin a single aggregator — the standard hot-key
+    defense; answer bit-identical to the plain join (the SQL oracle).
+
+    Distributed shape: the fact table pre-aggregates revenue per
+    (orderkey, salt) map-side, joins on the composite (key, salt), and
+    the per-priority rollup collapses the salt away.
+    Columns (o_orderpriority, n_lines, revenue)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _default_join_partitions, _join_ready, _strip_meta
+
+    nparts = _default_join_partitions(num_partitions)
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount"]))
+
+    def fact(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = (k * 1000003 + ln) % salt  # deterministic per-row salt
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.table({"l_orderkey": pa.array(k, pa.int64()),
+                         "salt": pa.array(s, pa.int64()),
+                         "rev": pa.array(rev, pa.float64()),
+                         "one": pa.array(np.ones_like(rev), pa.float64())})
+
+    pre = (li.map_batches(fact, batch_format="pyarrow")
+           .groupby(["l_orderkey", "salt"])
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("one", alias_name="n")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        return pa.table({
+            "o_orderkey": pa.array(np.repeat(k, salt), pa.int64()),
+            "salt": pa.array(np.tile(np.arange(salt, dtype=np.int64),
+                                     k.size), pa.int64()),
+            "o_orderpriority": pa.array(np.repeat(pr, salt)),
+        })
+
+    dim = orders.map_batches(replicate, batch_format="pyarrow")
+    j = _join_ready(pre, nparts).join(
+        _join_ready(dim, nparts), join_type="inner",
+        num_partitions=nparts,
+        on=("l_orderkey", "salt"), right_on=("o_orderkey", "salt"))
+    out = (j.groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_lines"),
+                      Sum("rev", alias_name="revenue")).to_pandas())
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["revenue"] = out["revenue"].round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
