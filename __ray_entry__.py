@@ -736,6 +736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_sq8_error": lambda sf: ann.sq8_error(_emb(sf)),
         # hot-key-salted join, answer-identical to the plain join
         "rel_salted_join": relational.salted_join_revenue,
+        # character-class profile per language (encoding screening)
+        "text_charclass": lambda sf: textstats.charclass_by_lang(_docs(sf)),
+        # weekly funnel conversion-rate time series
+        "ev_weekly_conversion": events.weekly_conversion,
     }
 
 
@@ -980,6 +984,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_pct_change": oracles.DAILY_PCT_CHANGE_SQL,
         "emb_sq8_error": oracles.sq8_error_sql(6),
         "rel_salted_join": oracles.SALTED_JOIN_SQL,
+        "text_charclass": oracles.CHARCLASS_SQL,
+        "ev_weekly_conversion": oracles.weekly_conversion_sql(),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1855,3 +1855,23 @@ class TestSq8SaltedJoin:
         assert [(r.o_orderpriority, r.n_lines) for r in got.itertuples()] \
             == [(a, b) for a, b, _ in want]
         assert np.allclose(got.revenue, [c for _, _, c in want], atol=1e-2)
+
+
+class TestCharclassConversion:
+    def test_charclass_ratios_bounded(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import charclass_by_lang
+
+        got = charclass_by_lang(rd.read_parquet(f"{SF}/documents.parquet"))
+        for c in ("ascii_ratio", "digit_ratio", "ws_ratio"):
+            assert got[c].between(0, 1).all()
+        s = got.ascii_ratio + got.digit_ratio + got.ws_ratio
+        assert (s <= 1.0 + 1e-9).all()
+
+    def test_weekly_conversion_bounds(self, ray_session):
+        from yetisearch_ray.pipelines.events import weekly_conversion
+
+        got = weekly_conversion(SF)
+        assert (got.n_both <= got.n_from).all()
+        assert got.conversion.between(0, 1).all()

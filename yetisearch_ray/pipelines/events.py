@@ -913,3 +913,62 @@ def daily_pct_change(sf_dir: str):
     out = daily.dropna(subset=["pct_change"])
     return out[["event_type", "day", "n", "pct_change"]] \
         .reset_index(drop=True)
+
+
+def weekly_conversion(sf_dir: str, *, from_type: str = "view",
+                      to_type: str = "purchase", round_to: int = 6):
+    """Weekly funnel conversion: per week, distinct users who did
+    ``from_type``, distinct users who did BOTH types that week, and the
+    conversion rate — the cohorted KPI time series.
+
+    Distributed shape: map-side distinct (week, user, type) triples,
+    one triple-keyed groupby, then a per-(week,user) flag rollup and a
+    |weeks|-row aggregate — raw events shuffle once as distinct
+    triples.  Columns (week, n_from, n_both, conversion)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([from_type, to_type]))
+        f = t.filter(keep)
+        wk = pc.floor_temporal(f["ts"], unit="week")
+        tb = pa.table({"week": wk, "user_id": f["user_id"],
+                       "event_type": f["event_type"]})
+        return tb.group_by(["week", "user_id", "event_type"]).aggregate([])
+
+    triples = (ds.map_batches(derive, batch_format="pyarrow")
+               .groupby(["week", "user_id", "event_type"])
+               .aggregate(Count(alias_name="_n")))
+
+    def flags(t: pa.Table) -> pa.Table:
+        is_from = pc.cast(pc.equal(t["event_type"], from_type), pa.int64())
+        is_to = pc.cast(pc.equal(t["event_type"], to_type), pa.int64())
+        return pa.table({"week": t["week"], "user_id": t["user_id"],
+                         "f": is_from, "t": is_to})
+
+    per_user = (triples.map_batches(flags, batch_format="pyarrow")
+                .groupby(["week", "user_id"])
+                .aggregate(Max("f", alias_name="f"),
+                           Max("t", alias_name="t")))
+
+    def both(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        return pa.table({"week": t["week"],
+                         "n_from": pa.array(f.astype(np.int64), pa.int64()),
+                         "n_both": pa.array((f & tt).astype(np.int64),
+                                            pa.int64())})
+
+    agg = (per_user.map_batches(both, batch_format="pyarrow")
+           .groupby("week")
+           .aggregate(Sum("n_from", alias_name="n_from"),
+                      Sum("n_both", alias_name="n_both")).to_pandas())
+    agg = agg[agg["n_from"] > 0]
+    agg["n_from"] = agg["n_from"].astype("int64")
+    agg["n_both"] = agg["n_both"].astype("int64")
+    agg["conversion"] = (agg["n_both"] / agg["n_from"]).round(round_to)
+    return agg.sort_values("week").reset_index(drop=True)

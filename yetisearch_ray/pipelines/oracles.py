@@ -3308,3 +3308,34 @@ SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 GROUP BY 1 ORDER BY 1"""
+
+
+# Ground truth for textstats.charclass_by_lang.
+CHARCLASS_SQL = """
+SELECT lang, sum(length(text))::BIGINT AS n_chars,
+       round(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::DOUBLE
+             / sum(length(text)), 6) AS ascii_ratio,
+       round(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))::DOUBLE
+             / sum(length(text)), 6) AS digit_ratio,
+       round(sum(length(regexp_replace(text, '[^\\t\\n\\f\\r ]', '', 'g')))::DOUBLE
+             / sum(length(text)), 6) AS ws_ratio
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
+def weekly_conversion_sql(from_type: str = "view",
+                          to_type: str = "purchase",
+                          round_to: int = 6) -> str:
+    """Ground truth for events.weekly_conversion."""
+    return f"""
+WITH u AS (
+  SELECT date_trunc('week', ts) AS week, user_id,
+         max(CASE WHEN event_type = '{from_type}' THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN event_type = '{to_type}' THEN 1 ELSE 0 END) AS t
+  FROM events WHERE event_type IN ('{from_type}', '{to_type}')
+  GROUP BY 1, 2
+)
+SELECT week, sum(f)::BIGINT AS n_from,
+       sum(CASE WHEN f = 1 AND t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       round(sum(CASE WHEN f = 1 AND t = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / sum(f), {round_to}) AS conversion
+FROM u GROUP BY week HAVING sum(f) > 0 ORDER BY week"""

@@ -1352,3 +1352,43 @@ def ttr_by_source(ds, *, text_col="text", src_col="source"):
     out["n_tokens"] = out["n_tokens"].astype("int64")
     out["ttr"] = (out["n_terms"] / out["n_tokens"]).round(6)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def charclass_by_lang(ds, *, text_col="text", lang_col="lang",
+                      round_to: int = 6):
+    """Character-class profile per language: total chars, ASCII-letter
+    ratio, digit ratio, whitespace ratio — the encoding/garbage
+    detector run per language bucket before filtering decisions.
+
+    Distributed shape: three vectorized regex-count kernels per batch,
+    one |langs|-row aggregate of the sums.
+    Columns (lang, n_chars, ascii_ratio, digit_ratio, ws_ratio)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        total = pc.cast(pc.utf8_length(arr), pa.int64())
+        letters = pc.cast(pc.count_substring_regex(arr, pattern="[A-Za-z]"),
+                          pa.int64())
+        digits = pc.cast(pc.count_substring_regex(arr, pattern="[0-9]"),
+                         pa.int64())
+        ws = pc.cast(pc.count_substring_regex(arr, pattern="[\\t\\n\\f\\r ]"),
+                     pa.int64())
+        return pa.table({"lang": t[lang_col], "n": total, "a": letters,
+                         "d": digits, "w": ws})
+
+    agg = (ds.map_batches(fn, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n"), Sum("a", alias_name="a"),
+                      Sum("d", alias_name="d"), Sum("w", alias_name="w"))
+           .to_pandas())
+    out = pd.DataFrame({
+        "lang": agg["lang"],
+        "n_chars": agg["n"].astype("int64"),
+        "ascii_ratio": (agg["a"] / agg["n"]).round(round_to),
+        "digit_ratio": (agg["d"] / agg["n"]).round(round_to),
+        "ws_ratio": (agg["w"] / agg["n"]).round(round_to),
+    })
+    return out.sort_values("lang").reset_index(drop=True)
