@@ -740,6 +740,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_charclass": lambda sf: textstats.charclass_by_lang(_docs(sf)),
         # weekly funnel conversion-rate time series
         "ev_weekly_conversion": events.weekly_conversion,
+        # TPC-H Q10 shape: three-table join, returned-item revenue
+        "rel_returned_revenue": relational.returned_item_revenue,
+        # DAU/MAU stickiness per month
+        "ev_stickiness": events.stickiness,
     }
 
 
@@ -986,6 +990,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_salted_join": oracles.SALTED_JOIN_SQL,
         "text_charclass": oracles.CHARCLASS_SQL,
         "ev_weekly_conversion": oracles.weekly_conversion_sql(),
+        "rel_returned_revenue": oracles.returned_revenue_sql(20),
+        "ev_stickiness": oracles.STICKINESS_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

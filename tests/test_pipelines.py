@@ -1875,3 +1875,30 @@ class TestCharclassConversion:
         got = weekly_conversion(SF)
         assert (got.n_both <= got.n_from).all()
         assert got.conversion.between(0, 1).all()
+
+
+class TestQ10Stickiness:
+    def test_returned_revenue_top1(self, ray_session):
+        import duckdb
+
+        from yetisearch_ray.pipelines.relational import returned_item_revenue
+
+        got = returned_item_revenue(SF, k=5)
+        want = duckdb.sql(
+            f"SELECT c_custkey FROM read_parquet('{SF}/lineitem.parquet') l "
+            f"JOIN read_parquet('{SF}/orders.parquet') o "
+            f"ON o_orderkey = l_orderkey "
+            f"JOIN read_parquet('{SF}/customer.parquet') c "
+            f"ON c_custkey = o_custkey "
+            f"WHERE l_returnflag = 'R' GROUP BY 1 "
+            f"ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, 1 "
+            f"LIMIT 5").fetchall()
+        assert list(got.c_custkey) == [x for (x,) in want]
+
+    def test_stickiness_bounds(self, ray_session):
+        from yetisearch_ray.pipelines.events import stickiness
+
+        got = stickiness(SF)
+        assert (got.stickiness > 0).all()
+        assert (got.stickiness <= 1.0 + 1e-9).all()
+        assert (got.avg_dau <= got.mau).all()

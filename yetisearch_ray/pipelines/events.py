@@ -972,3 +972,38 @@ def weekly_conversion(sf_dir: str, *, from_type: str = "view",
     agg["n_both"] = agg["n_both"].astype("int64")
     agg["conversion"] = (agg["n_both"] / agg["n_from"]).round(round_to)
     return agg.sort_values("week").reset_index(drop=True)
+
+
+def stickiness(sf_dir: str, *, round_to: int = 6):
+    """DAU/MAU stickiness per month: average daily-active users divided
+    by monthly-active users — the engagement KPI.
+
+    Distributed shape: map-side distinct (day, user) pairs feed one
+    pair-keyed groupby; daily actives and monthly actives reduce from
+    that aggregate, never from raw events.
+    Columns (month, avg_dau, mau, stickiness)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        tb = pa.table({"day": day, "user_id": t["user_id"]})
+        return tb.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["day", "user_id"]).aggregate(Count(alias_name="_n"))
+             .to_pandas())
+    pairs["month"] = pairs["day"].dt.to_period("M").dt.to_timestamp()
+    dau = (pairs.groupby(["month", "day"]).size()
+           .groupby("month").mean())
+    mau = pairs.groupby("month")["user_id"].nunique()
+    out = pd.DataFrame({
+        "month": dau.index,
+        "avg_dau": dau.round(round_to).to_numpy(),
+        "mau": mau.loc[dau.index].astype("int64").to_numpy(),
+    })
+    out["stickiness"] = (out["avg_dau"] / out["mau"]).round(round_to)
+    return out.sort_values("month").reset_index(drop=True)

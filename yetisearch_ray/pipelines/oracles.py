@@ -3339,3 +3339,31 @@ SELECT week, sum(f)::BIGINT AS n_from,
        round(sum(CASE WHEN f = 1 AND t = 1 THEN 1 ELSE 0 END)::DOUBLE
              / sum(f), {round_to}) AS conversion
 FROM u GROUP BY week HAVING sum(f) > 0 ORDER BY week"""
+
+
+def returned_revenue_sql(k: int = 20) -> str:
+    """Ground truth for relational.returned_item_revenue (Q10 shape)."""
+    return f"""
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT {k}"""
+
+
+# Ground truth for events.stickiness (DAU/MAU per month).
+STICKINESS_SQL = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events),
+d AS (SELECT date_trunc('month', day) AS month, day,
+             count(*) AS dau
+      FROM du GROUP BY 1, 2),
+m AS (SELECT date_trunc('month', day) AS month,
+             count(DISTINCT user_id) AS mau
+      FROM du GROUP BY 1)
+SELECT d.month, round(avg(d.dau), 6) AS avg_dau,
+       max(m.mau)::BIGINT AS mau,
+       round(avg(d.dau) / max(m.mau), 6) AS stickiness
+FROM d JOIN m USING (month)
+GROUP BY d.month ORDER BY d.month"""

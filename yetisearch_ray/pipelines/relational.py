@@ -1337,3 +1337,62 @@ def salted_join_revenue(sf_dir: str, *, salt: int = 4,
     out["n_lines"] = out["n_lines"].astype("int64")
     out["revenue"] = out["revenue"].round(4)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def returned_item_revenue(sf_dir: str, *, k: int = 20,
+                          num_partitions: int | None = None):
+    """TPC-H Q10 shape: top customers by revenue from RETURNED items —
+    a three-table join (lineitem ⋈ orders ⋈ customer) with the fact
+    side filtered and pre-aggregated before any exchange.
+
+    Distributed shape: lineitem filters returnflag='R' at the read and
+    collapses to per-order revenue map-side; the orders join carries
+    custkey only; the per-customer rollup is aggregate-sized before the
+    customer-name broadcast attaches.  Columns (c_custkey, c_name,
+    revenue)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _default_join_partitions, _join_ready, _strip_meta
+
+    nparts = _default_join_partitions(num_partitions)
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]).filter(expr="l_returnflag == 'R'"))
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+             * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(r, pa.float64())})
+
+    per_order = (li.map_batches(rev, batch_format="pyarrow")
+                 .groupby("l_orderkey").aggregate(Sum("rev",
+                                                      alias_name="rev")))
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]))
+    j = _join_ready(per_order, nparts).join(
+        _join_ready(orders, nparts), join_type="inner",
+        num_partitions=nparts, on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = j.groupby("o_custkey").aggregate(Sum("rev",
+                                                    alias_name="revenue"))
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    names_ref = ray.put(dict(zip(cust.c_custkey, cust.c_name)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = t["o_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "c_name": pa.array([names.get(x) for x in keys], pa.string()),
+            "revenue": pc.round(t["revenue"], ndigits=4),
+        })
+
+    out = (per_cust.map_batches(attach, batch_format="pyarrow")
+           .sort(["revenue", "c_custkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.reset_index(drop=True)
