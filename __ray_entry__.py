@@ -744,6 +744,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_returned_revenue": relational.returned_item_revenue,
         # DAU/MAU stickiness per month
         "ev_stickiness": events.stickiness,
+        # TPC-H Q6 shape: one-pass filtered-band aggregate
+        "rel_q6_revenue": relational.q6_band_revenue,
+        # embedding L2-norm health report per label
+        "emb_norm_stats": lambda sf: ann.norm_stats(_emb(sf)),
     }
 
 
@@ -992,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_weekly_conversion": oracles.weekly_conversion_sql(),
         "rel_returned_revenue": oracles.returned_revenue_sql(20),
         "ev_stickiness": oracles.STICKINESS_SQL,
+        "rel_q6_revenue": oracles.q6_band_revenue_sql(),
+        "emb_norm_stats": oracles.NORM_STATS_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1902,3 +1902,25 @@ class TestQ10Stickiness:
         assert (got.stickiness > 0).all()
         assert (got.stickiness <= 1.0 + 1e-9).all()
         assert (got.avg_dau <= got.mau).all()
+
+
+class TestQ6NormStats:
+    def test_q6_nonzero_and_bounded(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.relational import q6_band_revenue
+
+        got = q6_band_revenue(SF)
+        total = pq.read_table(f"{SF}/lineitem.parquet",
+                              columns=["l_quantity"]).num_rows
+        assert 0 <= got.n_lines.iloc[0] <= total
+        assert got.revenue.iloc[0] >= 0
+
+    def test_norm_stats_positive(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.ann import norm_stats
+
+        got = norm_stats(rd.read_parquet(f"{SF}/embeddings.parquet"))
+        assert (got.norm_mean > 0).all()
+        assert (got.norm_std >= 0).all()

@@ -936,3 +936,40 @@ def sq8_error(ds, *, vec_col="embedding", label_col="label",
         "mae": (agg["e"] / agg["n"]).round(round_to),
     })
     return out.sort_values("label").reset_index(drop=True)
+
+
+def norm_stats(ds, *, vec_col="embedding", label_col="label",
+               round_to: int = 6):
+    """Embedding-norm health report: per label, mean and population std
+    of the L2 norms (norm collapse / exploding-embedding detector).
+
+    Distributed shape: norms and their moment partials compute
+    map-side; one |labels|-row exchange.
+    Columns (label, n, norm_mean, norm_std)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_vectors(t, vec_col)
+        nm = np.linalg.norm(m, axis=1)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"label": pa.array(lab, pa.int64()),
+                         "one": pa.array(np.ones_like(nm), pa.float64()),
+                         "s1": pa.array(nm, pa.float64()),
+                         "s2": pa.array(nm * nm, pa.float64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("one", alias_name="n"),
+                      Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2")).to_pandas())
+    n = agg["n"].to_numpy(np.float64)
+    mu = agg["s1"].to_numpy(np.float64) / n
+    var = np.maximum(agg["s2"].to_numpy(np.float64) / n - mu * mu, 0.0)
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "n": n.astype(np.int64),
+        "norm_mean": np.round(mu, round_to),
+        "norm_std": np.round(np.sqrt(var), round_to),
+    })
+    return out.sort_values("label").reset_index(drop=True)

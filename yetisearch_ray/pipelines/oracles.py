@@ -3367,3 +3367,28 @@ SELECT d.month, round(avg(d.dau), 6) AS avg_dau,
        round(avg(d.dau) / max(m.mau), 6) AS stickiness
 FROM d JOIN m USING (month)
 GROUP BY d.month ORDER BY d.month"""
+
+
+def q6_band_revenue_sql(lo: float = 0.04, hi: float = 0.06,
+                        max_qty: float = 24.0, year: int = 1995) -> str:
+    """Ground truth for relational.q6_band_revenue (TPC-H Q6 shape)."""
+    return f"""
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_discount BETWEEN {lo} AND {hi} AND l_quantity < {max_qty}
+  AND year(l_shipdate) = {year}"""
+
+
+# Ground truth for ann.norm_stats (per-label L2-norm moments).
+NORM_STATS_SQL = """
+WITH x AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                      v -> v * v))) AS nm
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+       round(avg(nm), 6) AS norm_mean,
+       round(stddev_pop(nm), 6) AS norm_std
+FROM x GROUP BY label ORDER BY label"""

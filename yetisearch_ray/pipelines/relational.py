@@ -1396,3 +1396,39 @@ def returned_item_revenue(sf_dir: str, *, k: int = 20,
            .limit(k).to_pandas())
     out["c_custkey"] = out["c_custkey"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def q6_band_revenue(sf_dir: str, *, lo: float = 0.04, hi: float = 0.06,
+                    max_qty: float = 24.0, year: int = 1995):
+    """TPC-H Q6 shape: potential revenue from lineitems in a discount
+    band, below a quantity cap, shipped in one year — the canonical
+    one-pass filtered aggregate (predicate pushdown + map-side partial
+    sums; nothing shuffles but one scalar row).
+    Columns (revenue, n_lines)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d <= hi) & (q < max_qty) & (yr == year)
+        return pa.table({
+            "rev": pa.array([float((p[keep] * d[keep]).sum())],
+                            pa.float64()),
+            "n": pa.array([np.int64(keep.sum())], pa.int64()),
+        })
+
+    row = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("n", alias_name="n")))
+    return pd.DataFrame({
+        "revenue": [round(float(row["rev"]), 4)],
+        "n_lines": pd.array([int(row["n"])], dtype="int64"),
+    })
