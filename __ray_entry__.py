@@ -748,6 +748,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q6_revenue": relational.q6_band_revenue,
         # embedding L2-norm health report per label
         "emb_norm_stats": lambda sf: ann.norm_stats(_emb(sf)),
+        # cross-source vocabulary overlap (redundancy map)
+        "text_source_overlap":
+            lambda sf: textstats.source_vocab_overlap(_docs(sf)),
     }
 
 
@@ -998,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_stickiness": oracles.STICKINESS_SQL,
         "rel_q6_revenue": oracles.q6_band_revenue_sql(),
         "emb_norm_stats": oracles.NORM_STATS_SQL,
+        "text_source_overlap": oracles.SOURCE_OVERLAP_SQL,
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

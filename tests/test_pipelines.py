@@ -1924,3 +1924,16 @@ class TestQ6NormStats:
         got = norm_stats(rd.read_parquet(f"{SF}/embeddings.parquet"))
         assert (got.norm_mean > 0).all()
         assert (got.norm_std >= 0).all()
+
+
+class TestSourceOverlap:
+    def test_jaccard_bounds_and_symmetric_keying(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import source_vocab_overlap
+
+        got = source_vocab_overlap(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+        assert (got.source_a < got.source_b).all()
+        assert got.jaccard.between(0, 1).all()
+        assert (got.n_shared >= 1).all()

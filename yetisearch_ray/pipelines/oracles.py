@@ -3392,3 +3392,23 @@ SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
        round(avg(nm), 6) AS norm_mean,
        round(stddev_pop(nm), 6) AS norm_std
 FROM x GROUP BY label ORDER BY label"""
+
+
+# Ground truth for textstats.source_vocab_overlap.
+SOURCE_OVERLAP_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT source, u.term
+  FROM (SELECT source, {TOKENS_EXPR} AS ts FROM documents),
+       unnest(ts) AS u(term)
+  WHERE u.term <> ''
+),
+v AS (SELECT source, count(*) AS nv FROM tok GROUP BY source),
+sh AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS n_shared
+       FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared::BIGINT AS n_shared,
+       round(n_shared / (va.nv + vb.nv - n_shared)::DOUBLE, 6) AS jaccard
+FROM sh JOIN v va ON va.source = sh.source_a
+JOIN v vb ON vb.source = sh.source_b
+ORDER BY source_a, source_b"""

@@ -1392,3 +1392,60 @@ def charclass_by_lang(ds, *, text_col="text", lang_col="lang",
         "ws_ratio": (agg["w"] / agg["n"]).round(round_to),
     })
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def source_vocab_overlap(ds, *, text_col="text", src_col="source",
+                         round_to: int = 6):
+    """Cross-source vocabulary overlap: for every source pair (a < b),
+    the shared-term count and Jaccard similarity of their vocabularies
+    — the redundancy map that tells a curation pipeline which feeds are
+    re-publishing the same material.
+
+    Distributed shape: distinct (source, term) pairs shuffle once
+    (vocabulary-bounded); a per-TERM ``map_groups`` emits that term's
+    <= C(|sources|, 2) source pairs (bounded by the source cardinality,
+    never the corpus); one pair-keyed count and a broadcast of the
+    |sources|-row vocab sizes finish.  Columns (source_a, source_b,
+    n_shared, jaccard); zero-overlap pairs are omitted."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        counts = np.diff(split.offsets.to_numpy(zero_copy_only=False))
+        src = np.repeat(
+            np.asarray(t[src_col].to_pylist(), dtype=object), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tb = pa.table({"source": pa.array(src[keep], pa.string()),
+                       "term": flat.filter(pa.array(keep))})
+        return tb.group_by(["source", "term"]).aggregate([])
+
+    tok = (ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["source", "term"]).aggregate(Count(alias_name="_n")))
+    vocab = (tok.groupby("source").aggregate(Count(alias_name="nv"))
+             .to_pandas())
+    nv = dict(zip(vocab["source"], vocab["nv"].astype(int)))
+
+    def combos(g: pd.DataFrame) -> pd.DataFrame:
+        ss = sorted(g["source"].unique())
+        combo = list(itertools.combinations(ss, 2))
+        if not combo:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=str),
+                                 "source_b": pd.Series([], dtype=str)})
+        a, b = zip(*combo)
+        return pd.DataFrame({"source_a": list(a), "source_b": list(b)})
+
+    sh = (tok.groupby("term").map_groups(combos, batch_format="pandas")
+          .groupby(["source_a", "source_b"])
+          .aggregate(Count(alias_name="n_shared")).to_pandas())
+    sh["n_shared"] = sh["n_shared"].astype("int64")
+    union = (sh["source_a"].map(nv) + sh["source_b"].map(nv)
+             - sh["n_shared"])
+    sh["jaccard"] = (sh["n_shared"] / union).round(round_to)
+    return (sh.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
