@@ -751,6 +751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-source vocabulary overlap (redundancy map)
         "text_source_overlap":
             lambda sf: textstats.source_vocab_overlap(_docs(sf)),
+        # ES multi_match best_fields (per-field dis_max)
+        "fts_best_fields": lambda sf: ftsd.best_fields_topk(sf),
     }
 
 
@@ -1002,6 +1004,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_q6_revenue": oracles.q6_band_revenue_sql(),
         "emb_norm_stats": oracles.NORM_STATS_SQL,
         "text_source_overlap": oracles.SOURCE_OVERLAP_SQL,
+        "fts_best_fields": oracles.best_fields_sql(
+            ["dup", "stream"], tie=0.0, k=20),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

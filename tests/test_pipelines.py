@@ -1937,3 +1937,19 @@ class TestSourceOverlap:
         assert (got.source_a < got.source_b).all()
         assert got.jaccard.between(0, 1).all()
         assert (got.n_shared >= 1).all()
+
+
+class TestBestFields:
+    def test_best_fields_vs_single_field(self, ray_session):
+        """best_fields score >= each single-field score per doc (tie=0),
+        and the top doc matches the better field's top doc."""
+        from yetisearch_ray.pipelines.fts_documents import (best_fields_topk,
+                                                            get_engine)
+
+        got = best_fields_topk(SF, terms=("dup", "stream"), k=20)
+        eng = get_engine(SF)
+        f1 = eng.search("dup stream", mode="or", in_fields=["text"],
+                        limit=1000, normalize=False).to_pandas()
+        by1 = dict(zip(f1.doc_id.astype("int64"), f1.score.abs()))
+        for r in got.itertuples():
+            assert r.score >= by1.get(r.doc_id, 0.0) - 1e-9

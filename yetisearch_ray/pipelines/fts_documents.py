@@ -820,3 +820,35 @@ def synonym_topk(sf_dir: str, base=("merge", "stream"),
         _SYN_ENGINES[idx_dir] = eng
     return _as_result(eng.search(" ".join(base), mode="or", limit=k,
                                  normalize=False))
+
+
+def best_fields_topk(sf_dir: str, terms=("dup", "stream"),
+                     tie: float = 0.0, k: int = 20) -> pd.DataFrame:
+    """ES ``multi_match`` type=best_fields: score each doc per FIELD
+    independently (field-restricted tf/df, whole-corpus stats — the
+    engine's pinned in_fields semantics), take the best field's score
+    plus ``tie`` times the other's — the per-field dis_max, vs the
+    engine's default cross-field blended tf.
+
+    Composed from two field-restricted engine passes over the full
+    match set (MAX_RESULTS-bounded page at test scale; at 100 TB the
+    same max-merge runs as a two-sided outer join keyed by doc).
+    Oracle: ``oracles.best_fields_sql(...)``."""
+    eng = get_engine(sf_dir)
+    q = " ".join(terms)
+    f0 = eng.search(q, mode="or", in_fields=["source"], limit=1000,
+                    normalize=False).to_pandas()[["doc_id", "score"]]
+    f1 = eng.search(q, mode="or", in_fields=["text"], limit=1000,
+                    normalize=False).to_pandas()[["doc_id", "score"]]
+    m = f0.merge(f1, on="doc_id", how="outer",
+                 suffixes=("_0", "_1")).fillna(0.0)
+    best = np.maximum(m["score_0"], m["score_1"])
+    rest = np.minimum(m["score_0"], m["score_1"])
+    # order by the UNROUNDED blend (the oracle's ORDER BY), round only
+    # for display/compare
+    m["blend"] = best + tie * rest
+    m["doc_id"] = m["doc_id"].astype("int64")
+    m = (m.sort_values(["blend", "doc_id"], ascending=[False, True])
+         .head(k).reset_index(drop=True))
+    m["score"] = m["blend"].round(5)
+    return m[["doc_id", "score"]]

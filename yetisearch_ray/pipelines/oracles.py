@@ -3412,3 +3412,48 @@ SELECT source_a, source_b, n_shared::BIGINT AS n_shared,
 FROM sh JOIN v va ON va.source = sh.source_a
 JOIN v vb ON vb.source = sh.source_b
 ORDER BY source_a, source_b"""
+
+
+def best_fields_sql(terms, *, corpus: str = DOCUMENTS_CORPUS,
+                    tie: float = 0.0, k: int = 20,
+                    round_to: int = 5) -> str:
+    """Ground truth for fts_documents.best_fields_topk: per-field
+    BM25 (field-restricted tf/df, whole-corpus stats), best field +
+    tie * other, over the union match set."""
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+
+    def field_cte(fld: int, name: str) -> str:
+        return f"""
+df{fld} AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE fld = {fld} AND term IN (SELECT term FROM qterms) GROUP BY term
+),
+tf{fld} AS (
+  SELECT doc_id, term, count(*) * 1.0 AS tfw
+  FROM tokf WHERE fld = {fld} AND term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+{name} AS (
+  SELECT tf{fld}.doc_id,
+         sum( greatest(ln((stats.n - df{fld}.df + 0.5)
+                          / (df{fld}.df + 0.5)), 0.000001)
+              * (tf{fld}.tfw * ({K1} + 1)) /
+                (tf{fld}.tfw + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+            ) AS s
+  FROM tf{fld} JOIN df{fld} USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf{fld}.doc_id
+)"""
+
+    return f"""{_base_ctes(corpus)},
+qterms AS (SELECT unnest({terms_sql}) AS term),{field_cte(0, 's0')},{field_cte(1, 's1')},
+u AS (
+  SELECT coalesce(s0.doc_id, s1.doc_id) AS doc_id,
+         coalesce(s0.s, 0) AS a, coalesce(s1.s, 0) AS b
+  FROM s0 FULL OUTER JOIN s1 ON s0.doc_id = s1.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(greatest(a, b) + {float(tie)} * least(a, b), {round_to})
+         AS score
+FROM u
+ORDER BY -(greatest(a, b) + {float(tie)} * least(a, b)) ASC, doc_id ASC
+LIMIT {k}"""
