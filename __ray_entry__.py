@@ -753,6 +753,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: textstats.source_vocab_overlap(_docs(sf)),
         # ES multi_match best_fields (per-field dis_max)
         "fts_best_fields": lambda sf: ftsd.best_fields_topk(sf),
+        # robust dispersion: per-group median + MAD
+        "rel_group_mad": relational.group_mad,
+        # deterministic readability proxy (FK-style grade)
+        "text_readability": lambda sf: textstats.readability(_docs(sf)),
     }
 
 
@@ -1006,6 +1010,8 @@ def oracle_sql() -> dict[str, str]:
         "text_source_overlap": oracles.SOURCE_OVERLAP_SQL,
         "fts_best_fields": oracles.best_fields_sql(
             ["dup", "stream"], tie=0.0, k=20),
+        "rel_group_mad": oracles.GROUP_MAD_SQL,
+        "text_readability": oracles.readability_sql(6),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1953,3 +1953,45 @@ class TestBestFields:
         by1 = dict(zip(f1.doc_id.astype("int64"), f1.score.abs()))
         for r in got.itertuples():
             assert r.score >= by1.get(r.doc_id, 0.0) - 1e-4
+
+
+class TestMadReadability:
+    def test_mad_robust_to_outlier(self, ray_session, tmp_path):
+        """MAD ignores a single extreme outlier that would wreck std."""
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.relational import group_mad
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        vals = [10.0] * 9 + [1e9]
+        pq.write_table(pa.table({
+            "l_returnflag": pa.array(["A"] * 10),
+            "l_extendedprice": pa.array(vals, pa.float64()),
+        }), d / "lineitem.parquet")
+        got = group_mad(str(d))
+        assert got.median_price.iloc[0] == 10.0
+        assert got.mad_price.iloc[0] == 0.0
+
+    def test_readability_monotone_in_sentence_length(self, ray_session,
+                                                     tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import readability
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["aa bb. cc dd.",
+                              "aa bb cc dd ee ff gg hh."], pa.string()),
+        }), d / "documents.parquet")
+        got = readability(rd.read_parquet(str(d / "documents.parquet")))
+        by = got.set_index("doc_id")
+        assert by.loc[1, "n_sentences"] == 2
+        assert by.loc[2, "n_sentences"] == 1
+        assert by.loc[2, "wps"] > by.loc[1, "wps"]
+        for i in (1, 2):
+            want = 0.39 * by.loc[i, "wps"] + 11.8 * by.loc[i, "cpw"] - 15.59
+            assert abs(by.loc[i, "fk_proxy"] - want) < 1e-4

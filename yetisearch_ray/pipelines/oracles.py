@@ -3457,3 +3457,33 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM u
 ORDER BY -(greatest(a, b) + {float(tie)} * least(a, b)) ASC, doc_id ASC
 LIMIT {k}"""
+
+
+# Ground truth for relational.group_mad (robust dispersion pair).
+GROUP_MAD_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(median(l_extendedprice), 4) AS median_price,
+       round(mad(l_extendedprice), 4) AS mad_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def readability_sql(round_to: int = 6) -> str:
+    """Ground truth for textstats.readability (RE2-parity counts)."""
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text,
+             '[^.!?]*[^.!?\\s][^.!?]*'), x -> x <> ''))::BIGINT
+           AS n_sentences,
+         len(list_filter(regexp_extract_all(text, '\\S+'),
+             x -> x <> ''))::BIGINT AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_chars
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, n_sentences,
+       round(n_words / n_sentences::DOUBLE, {round_to}) AS wps,
+       round(n_chars / n_words::DOUBLE, {round_to}) AS cpw,
+       round(0.39 * (n_words / n_sentences::DOUBLE)
+             + 11.8 * (n_chars / n_words::DOUBLE) - 15.59, {round_to})
+         AS fk_proxy
+FROM f WHERE n_sentences > 0 AND n_words > 0 ORDER BY doc_id"""

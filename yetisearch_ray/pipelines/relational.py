@@ -1432,3 +1432,35 @@ def q6_band_revenue(sf_dir: str, *, lo: float = 0.04, hi: float = 0.06,
         "revenue": [round(float(row["rev"]), 4)],
         "n_lines": pd.array([int(row["n"])], dtype="int64"),
     })
+
+
+def group_mad(sf_dir: str, *, round_to: int = 4):
+    """Per-group MEDIAN and MEDIAN ABSOLUTE DEVIATION of lineitem
+    prices — the robust dispersion pair (outlier-insensitive, unlike
+    mean/std), interpolated-median semantics matching SQL ``median`` /
+    ``mad``.
+
+    Distributed shape: one group shuffle, exact per-group numpy medians
+    inside ``map_groups`` (two sorted passes per group); for a single
+    huge group the histogram-narrowing selection in
+    ``sketches.quantiles_disc`` is the fallback.
+    Columns (l_returnflag, n, median_price, mad_price)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["l_extendedprice"].to_numpy(np.float64)
+        med = float(np.median(x))
+        m = float(np.median(np.abs(x - med)))
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "n": pd.array([x.size], dtype="int64"),
+            "median_price": [round(med, round_to)],
+            "mad_price": [round(m, round_to)],
+        })
+
+    out = (ds.groupby("l_returnflag")
+           .map_groups(mad, batch_format="pandas").to_pandas())
+    return out.sort_values("l_returnflag").reset_index(drop=True)
