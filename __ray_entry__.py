@@ -757,6 +757,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_group_mad": relational.group_mad,
         # deterministic readability proxy (FK-style grade)
         "text_readability": lambda sf: textstats.readability(_docs(sf)),
+        # per-day bounce rate (single-event session fraction)
+        "ev_bounce_rate": events.bounce_rate,
+        # exact-duplicate rate per source (feed health)
+        "cur_dup_by_source":
+            lambda sf: curation.dup_rate_by_source(_docs(sf)),
+        # ES _terms_enum: prefix-ranged dictionary enumeration
+        "fts_terms_enum": lambda sf: ftsd.terms_enum(sf),
     }
 
 
@@ -1012,6 +1019,9 @@ def oracle_sql() -> dict[str, str]:
             ["dup", "stream"], tie=0.0, k=20),
         "rel_group_mad": oracles.GROUP_MAD_SQL,
         "text_readability": oracles.readability_sql(6),
+        "ev_bounce_rate": oracles.bounce_rate_sql(30),
+        "cur_dup_by_source": oracles.DUP_RATE_BY_SOURCE_SQL,
+        "fts_terms_enum": oracles.terms_enum_sql("s", 20),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -1995,3 +1995,42 @@ class TestMadReadability:
         for i in (1, 2):
             want = 0.39 * by.loc[i, "wps"] + 11.8 * by.loc[i, "cpw"] - 15.59
             assert abs(by.loc[i, "fk_proxy"] - want) < 1e-4
+
+
+class TestBounceDupTermsEnum:
+    def test_bounce_rate_totals(self, ray_session):
+        from yetisearch_ray.pipelines.events import (bounce_rate,
+                                                     session_windows)
+
+        got = bounce_rate(SF)
+        sw = session_windows(SF)
+        assert int(got.n_sessions.sum()) == len(sw)
+        assert int(got.n_bounce.sum()) == int((sw.n_events == 1).sum())
+        assert got.bounce_rate.between(0, 1).all()
+
+    def test_dup_rate_planted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.curation import dup_rate_by_source
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(["same", "same", "uniq", "other"]),
+            "source": pa.array(["a", "a", "a", "b"]),
+        }), d / "documents.parquet")
+        got = dup_rate_by_source(
+            rd.read_parquet(str(d / "documents.parquet")))
+        by = got.set_index("source")
+        assert by.loc["a", "n_dup_docs"] == 2
+        assert abs(by.loc["a", "dup_rate"] - 2 / 3) < 1e-6
+        assert by.loc["b", "n_dup_docs"] == 0
+
+    def test_terms_enum_prefix_and_order(self, ray_session):
+        from yetisearch_ray.pipelines.fts_documents import terms_enum
+
+        got = terms_enum(SF, prefix="s", k=20)
+        assert got.term.str.startswith("s").all()
+        assert (got.df.diff().dropna() <= 0).all()

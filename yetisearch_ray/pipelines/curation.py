@@ -12,6 +12,7 @@ boundaries; PII scan/redact and hash-split are embarrassingly parallel
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -866,3 +867,46 @@ def datasheet(ds, *, text_col="text", id_col="doc_id"):
         "dup_groups": pd.array([dup_groups], dtype="int64"),
         "mean_quality": [round(float(mq), 6)],
     })
+
+
+def dup_rate_by_source(ds, *, text_col="text", src_col="source",
+                       round_to: int = 6):
+    """Exact-duplicate rate per source: docs whose text also occurs
+    elsewhere IN THE SAME SOURCE, as a fraction of that source's docs —
+    the feed-health metric that tells you which upstream is
+    re-publishing.
+
+    Distributed shape: (source, md5) pairs shuffle once (hashes, never
+    text); group sizes > 1 mark duplicates; a |sources|-row rollup
+    finishes.  Columns (source, n_docs, n_dup_docs, dup_rate)."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def hashes(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in t[text_col].to_pylist()]
+        return pa.table({"source": t[src_col],
+                         "h": pa.array(hs, pa.string())})
+
+    groups = (ds.map_batches(hashes, batch_format="pyarrow")
+              .groupby(["source", "h"]).aggregate(Count(alias_name="n")))
+
+    def mark(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            "n_dup": pa.array(np.where(n > 1, n, 0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    agg = (groups.map_batches(mark, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_dup", alias_name="n_dup_docs")).to_pandas())
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["n_dup_docs"] = agg["n_dup_docs"].astype("int64")
+    agg["dup_rate"] = (agg["n_dup_docs"] / agg["n_docs"]).round(round_to)
+    return agg.sort_values("source").reset_index(drop=True)

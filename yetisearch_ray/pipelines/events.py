@@ -1007,3 +1007,45 @@ def stickiness(sf_dir: str, *, round_to: int = 6):
     })
     out["stickiness"] = (out["avg_dau"] / out["mau"]).round(round_to)
     return out.sort_values("month").reset_index(drop=True)
+
+
+def bounce_rate(sf_dir: str, *, gap_minutes: int = 30,
+                round_to: int = 6):
+    """Per-day bounce rate: of the sessions STARTING each day, the
+    fraction containing exactly one event — the engagement-quality KPI
+    derived from the same >=gap sessionization as ``session_windows``.
+
+    Distributed shape: the per-user ``map_groups`` emits one row per
+    session (start day, size); a |days|-row aggregate finishes.
+    Columns (day, n_sessions, n_bounce, bounce_rate)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].to_numpy())
+        brk = np.empty(t.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (t[1:] - t[:-1]) >= gap
+        starts = np.flatnonzero(brk)
+        n = np.r_[starts[1:], t.size] - starts
+        day = t[starts].astype("datetime64[D]").astype("datetime64[us]")
+        return pd.DataFrame({
+            "day": day,
+            "one": pd.array(np.ones(starts.size, np.int64),
+                            dtype="int64"),
+            "bounce": pd.array((n == 1).astype(np.int64), dtype="int64"),
+        })
+
+    agg = (ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+           .groupby("day")
+           .aggregate(Sum("one", alias_name="n_sessions"),
+                      Sum("bounce", alias_name="n_bounce")).to_pandas())
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["n_bounce"] = agg["n_bounce"].astype("int64")
+    agg["bounce_rate"] = (agg["n_bounce"] / agg["n_sessions"]) \
+        .round(round_to)
+    return agg.sort_values("day").reset_index(drop=True)

@@ -852,3 +852,29 @@ def best_fields_topk(sf_dir: str, terms=("dup", "stream"),
          .head(k).reset_index(drop=True))
     m["score"] = m["blend"].round(5)
     return m[["doc_id", "score"]]
+
+
+def terms_enum(sf_dir: str, *, prefix: str = "s", k: int = 20
+               ) -> pd.DataFrame:
+    """ES ``_terms_enum``: dictionary terms starting with ``prefix``,
+    ranked by corpus docfreq (df desc, term asc) — served from the
+    segment dictionaries with a term-range pushdown (the same scan
+    ``expand_prefix`` uses), no posting decode.
+
+    df here is the union-of-fields docfreq the dictionary stores per
+    (term, field) — summed across fields and hot-term splits, matching
+    the tokf-distinct oracle.  Columns (term, df)."""
+    eng = get_engine(sf_dir)
+    terms = eng.index.expand_prefix(prefix, max_terms=k)
+    import pyarrow.dataset as pads
+
+    post_dir = os.path.join(eng.index.index_dir, "postings")
+    dset = pads.dataset(post_dir, format="parquet")
+    flt = (pads.field("term") >= prefix) & \
+          (pads.field("term") < prefix + "￿")
+    t = dset.to_table(columns=["term", "df"], filter=flt).to_pandas()
+    t = t.groupby("term", as_index=False)["df"].sum()
+    t = t[t["term"].isin(terms)]
+    t["df"] = t["df"].astype("int64")
+    return (t.sort_values(["df", "term"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -3487,3 +3487,56 @@ SELECT doc_id::BIGINT AS doc_id, n_sentences,
              + 11.8 * (n_chars / n_words::DOUBLE) - 15.59, {round_to})
          AS fk_proxy
 FROM f WHERE n_sentences > 0 AND n_words > 0 ORDER BY doc_id"""
+
+
+def bounce_rate_sql(gap_minutes: int = 30, round_to: int = 6) -> str:
+    """Ground truth for events.bounce_rate (per-day single-event
+    session fraction, SESSION_WINDOWS_SQL sessionization)."""
+    return f"""
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {gap_minutes} MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+sess AS (SELECT user_id, sid, min(ts) AS session_start,
+                count(*) AS n
+         FROM s GROUP BY user_id, sid)
+SELECT date_trunc('day', session_start) AS day,
+       count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+             {round_to}) AS bounce_rate
+FROM sess GROUP BY 1 ORDER BY 1"""
+
+
+# Ground truth for curation.dup_rate_by_source.
+DUP_RATE_BY_SOURCE_SQL = """
+WITH g AS (SELECT source, text, count(*) AS n
+           FROM documents GROUP BY source, text)
+SELECT source, sum(n)::BIGINT AS n_docs,
+       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs,
+       round(sum(CASE WHEN n > 1 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+         AS dup_rate
+FROM g GROUP BY source ORDER BY source"""
+
+
+def terms_enum_sql(prefix: str = "s", k: int = 20,
+                   corpus: str = DOCUMENTS_CORPUS) -> str:
+    """Ground truth for fts_documents.terms_enum: per-(term, field)
+    distinct-doc counts summed across fields (the dictionary df
+    semantics), prefix range, top-k by (df desc, term asc)."""
+    return f"""{_base_ctes(corpus)},
+pf AS (
+  SELECT term, fld, count(DISTINCT doc_id) AS df FROM tokf
+  WHERE term >= '{prefix}' AND term < '{prefix}￿'
+  GROUP BY term, fld
+)
+SELECT term, sum(df)::BIGINT AS df FROM pf GROUP BY term
+ORDER BY df DESC, term LIMIT {k}"""
