@@ -764,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: curation.dup_rate_by_source(_docs(sf)),
         # ES _terms_enum: prefix-ranged dictionary enumeration
         "fts_terms_enum": lambda sf: ftsd.terms_enum(sf),
+        # power-user curve: per-user event-count histogram
+        "ev_activity_histogram": events.user_activity_histogram,
     }
 
 
@@ -1022,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_bounce_rate": oracles.bounce_rate_sql(30),
         "cur_dup_by_source": oracles.DUP_RATE_BY_SOURCE_SQL,
         "fts_terms_enum": oracles.terms_enum_sql("s", 20),
+        "ev_activity_histogram": oracles.activity_histogram_sql(10),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

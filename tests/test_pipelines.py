@@ -2034,3 +2034,15 @@ class TestBounceDupTermsEnum:
         got = terms_enum(SF, prefix="s", k=20)
         assert got.term.str.startswith("s").all()
         assert (got.df.diff().dropna() <= 0).all()
+
+
+class TestActivityHistogram:
+    def test_totals(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import user_activity_histogram
+
+        got = user_activity_histogram(SF)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+        assert int(got.total_events.sum()) == t.num_rows
+        assert int(got.n_users.sum()) == len(set(t["user_id"].to_pylist()))

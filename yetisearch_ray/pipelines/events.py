@@ -1049,3 +1049,34 @@ def bounce_rate(sf_dir: str, *, gap_minutes: int = 30,
     agg["bounce_rate"] = (agg["n_bounce"] / agg["n_sessions"]) \
         .round(round_to)
     return agg.sort_values("day").reset_index(drop=True)
+
+
+def user_activity_histogram(sf_dir: str, *, interval: int = 10):
+    """Power-user curve: distribution of per-user event counts in
+    fixed-width buckets (floor(n/interval)*interval) — the engagement
+    histogram behind "how heavy is our heavy tail".
+
+    Distributed shape: one user-keyed count aggregate, then a
+    bucket-keyed rollup of that |users|-row frame — raw events shuffle
+    once as (user, count) partials.  Columns (bucket, n_users,
+    total_events)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    per_user = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (n // interval) * interval
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "one": pa.array(np.ones_like(n), pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    out = (per_user.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("one", alias_name="n_users"),
+                      Sum("n", alias_name="total_events")).to_pandas())
+    for c in ("bucket", "n_users", "total_events"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

@@ -3540,3 +3540,12 @@ pf AS (
 )
 SELECT term, sum(df)::BIGINT AS df FROM pf GROUP BY term
 ORDER BY df DESC, term LIMIT {k}"""
+
+
+def activity_histogram_sql(interval: int = 10) -> str:
+    """Ground truth for events.user_activity_histogram."""
+    return f"""
+WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT (n // {interval}) * {interval} AS bucket,
+       count(*)::BIGINT AS n_users, sum(n)::BIGINT AS total_events
+FROM u GROUP BY 1 ORDER BY 1"""
