@@ -766,6 +766,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_terms_enum": lambda sf: ftsd.terms_enum(sf),
         # power-user curve: per-user event-count histogram
         "ev_activity_histogram": events.user_activity_histogram,
+        # time-to-conversion latency distribution
+        "ev_time_to_convert": events.time_to_convert,
+        # monthly composition trend (priority share)
+        "rel_priority_share": relational.priority_share_trend,
     }
 
 
@@ -1025,6 +1029,8 @@ def oracle_sql() -> dict[str, str]:
         "cur_dup_by_source": oracles.DUP_RATE_BY_SOURCE_SQL,
         "fts_terms_enum": oracles.terms_enum_sql("s", 20),
         "ev_activity_histogram": oracles.activity_histogram_sql(10),
+        "ev_time_to_convert": oracles.time_to_convert_sql(),
+        "rel_priority_share": oracles.priority_share_sql(),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -2046,3 +2046,35 @@ class TestActivityHistogram:
         t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
         assert int(got.total_events.sum()) == t.num_rows
         assert int(got.n_users.sum()) == len(set(t["user_id"].to_pylist()))
+
+
+class TestTimeToConvertShare:
+    def test_time_to_convert_planted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import time_to_convert
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                             "2024-01-01 00:30", "2024-01-02 00:00"])
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["view", "purchase", "purchase",
+                                    "view"]),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }), d / "events.parquet")
+        got = time_to_convert(str(d))
+        # user 1 converts in 3600 s; user 2's purchase precedes the view
+        assert got.n_converted.iloc[0] == 1
+        assert got.mean_sec.iloc[0] == 3600.0
+
+    def test_priority_share_bounds(self, ray_session):
+        from yetisearch_ray.pipelines.relational import priority_share_trend
+
+        got = priority_share_trend(SF)
+        assert (got.n_priority <= got.n_total).all()
+        assert got.share.between(0, 1).all()

@@ -1080,3 +1080,46 @@ def user_activity_histogram(sf_dir: str, *, interval: int = 10):
     for c in ("bucket", "n_users", "total_events"):
         out[c] = out[c].astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def time_to_convert(sf_dir: str, *, from_type: str = "view",
+                    to_type: str = "purchase", round_to: int = 4):
+    """Time-to-conversion distribution: per converting user, seconds
+    from their FIRST ``from_type`` to the first ``to_type`` at-or-after
+    it; reported as one summary row (n_converted, mean, median, max) —
+    the latency-funnel KPI.
+
+    Distributed shape: per-user ``map_groups`` emits one delta per
+    converting user; the |users|-row frame reduces to one row (median
+    exact on the aggregate).  Columns (n_converted, mean_sec,
+    median_sec, max_sec)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def delta(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.loc[g.event_type == from_type, "ts"]
+        if f.empty:
+            return pd.DataFrame({"d": pd.Series([], dtype="float64")})
+        t0 = f.min()
+        t = g.loc[(g.event_type == to_type) & (g.ts >= t0), "ts"]
+        if t.empty:
+            return pd.DataFrame({"d": pd.Series([], dtype="float64")})
+        d = (t.min() - t0).total_seconds()
+        return pd.DataFrame({"d": pd.array([d], dtype="float64")})
+
+    deltas = (ds.groupby("user_id")
+              .map_groups(delta, batch_format="pandas").to_pandas())
+    d = deltas["d"].to_numpy(np.float64)
+    if d.size == 0:
+        return pd.DataFrame({"n_converted": pd.array([0], dtype="int64"),
+                             "mean_sec": [float("nan")],
+                             "median_sec": [float("nan")],
+                             "max_sec": [float("nan")]})
+    return pd.DataFrame({
+        "n_converted": pd.array([d.size], dtype="int64"),
+        "mean_sec": [round(float(d.mean()), round_to)],
+        "median_sec": [round(float(np.median(d)), round_to)],
+        "max_sec": [round(float(d.max()), round_to)],
+    })

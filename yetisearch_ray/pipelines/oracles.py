@@ -3549,3 +3549,35 @@ WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
 SELECT (n // {interval}) * {interval} AS bucket,
        count(*)::BIGINT AS n_users, sum(n)::BIGINT AS total_events
 FROM u GROUP BY 1 ORDER BY 1"""
+
+
+def time_to_convert_sql(from_type: str = "view",
+                        to_type: str = "purchase",
+                        round_to: int = 4) -> str:
+    """Ground truth for events.time_to_convert."""
+    return f"""
+WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = '{from_type}' GROUP BY user_id),
+c AS (SELECT f.user_id,
+             epoch(min(e.ts) - f.t0) AS d
+      FROM f JOIN events e ON e.user_id = f.user_id
+       AND e.event_type = '{to_type}' AND e.ts >= f.t0
+      GROUP BY f.user_id, f.t0)
+SELECT count(*)::BIGINT AS n_converted,
+       round(avg(d), {round_to}) AS mean_sec,
+       round(median(d), {round_to}) AS median_sec,
+       round(max(d), {round_to}) AS max_sec
+FROM c"""
+
+
+def priority_share_sql(priority: str = "1-URGENT",
+                       round_to: int = 6) -> str:
+    """Ground truth for relational.priority_share_trend."""
+    return f"""
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*)::BIGINT AS n_total,
+       sum(CASE WHEN o_orderpriority = '{priority}' THEN 1 ELSE 0
+           END)::BIGINT AS n_priority,
+       round(sum(CASE WHEN o_orderpriority = '{priority}' THEN 1 ELSE 0
+                 END)::DOUBLE / count(*), {round_to}) AS share
+FROM orders GROUP BY 1 ORDER BY 1"""

@@ -1464,3 +1464,33 @@ def group_mad(sf_dir: str, *, round_to: int = 4):
     out = (ds.groupby("l_returnflag")
            .map_groups(mad, batch_format="pandas").to_pandas())
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def priority_share_trend(sf_dir: str, *, priority: str = "1-URGENT",
+                         round_to: int = 6):
+    """Monthly share of one order-priority class — the composition
+    trend (conditional count over total per time bucket).
+
+    Distributed shape: one (month)-keyed aggregate carrying both the
+    conditional and total counts as map-side partials.
+    Columns (month, n_total, n_priority, share)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        isp = pc.cast(pc.equal(t["o_orderpriority"], priority), pa.int64())
+        ones = pa.array(np.ones(len(t), np.int64), pa.int64())
+        return pa.table({"month": month, "one": ones, "p": isp})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Sum("one", alias_name="n_total"),
+                      Sum("p", alias_name="n_priority")).to_pandas())
+    out["n_total"] = out["n_total"].astype("int64")
+    out["n_priority"] = out["n_priority"].astype("int64")
+    out["share"] = (out["n_priority"] / out["n_total"]).round(round_to)
+    return out.sort_values("month").reset_index(drop=True)
