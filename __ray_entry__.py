@@ -770,6 +770,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_time_to_convert": events.time_to_convert,
         # monthly composition trend (priority share)
         "rel_priority_share": relational.priority_share_trend,
+        # revenue concentration: HHI + top-10 share
+        "rel_customer_hhi": relational.customer_hhi,
+        # unigram-distribution drift between two sources (JS divergence)
+        "text_js_divergence":
+            lambda sf: textstats.source_js_divergence(_docs(sf)),
     }
 
 
@@ -1031,6 +1036,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_activity_histogram": oracles.activity_histogram_sql(10),
         "ev_time_to_convert": oracles.time_to_convert_sql(),
         "rel_priority_share": oracles.priority_share_sql(),
+        "rel_customer_hhi": oracles.CUSTOMER_HHI_SQL,
+        "text_js_divergence": oracles.js_divergence_sql("src0", "src1"),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

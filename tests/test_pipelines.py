@@ -2078,3 +2078,36 @@ class TestTimeToConvertShare:
         got = priority_share_trend(SF)
         assert (got.n_priority <= got.n_total).all()
         assert got.share.between(0, 1).all()
+
+
+class TestHhiJs:
+    def test_hhi_bounds(self, ray_session):
+        from yetisearch_ray.pipelines.relational import customer_hhi
+
+        got = customer_hhi(SF)
+        n = got.n_customers.iloc[0]
+        assert 1.0 / n - 1e-9 <= got.hhi.iloc[0] <= 1.0
+        assert 0 < got.top10_share.iloc[0] <= 1.0
+
+    def test_js_identity_and_symmetry(self, ray_session, tmp_path):
+        """JS(a, a) == 0; JS in [0, ln 2]."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import source_js_divergence
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c", "a b c", "x y z"]),
+            "source": pa.array(["s1", "s2", "s3"]),
+        }), d / "documents.parquet")
+        same = source_js_divergence(
+            rd.read_parquet(str(d / "documents.parquet")),
+            src_a="s1", src_b="s2")
+        assert same.js_div.iloc[0] == 0.0
+        diff = source_js_divergence(
+            rd.read_parquet(str(d / "documents.parquet")),
+            src_a="s1", src_b="s3")
+        assert abs(diff.js_div.iloc[0] - np.log(2)) < 1e-6

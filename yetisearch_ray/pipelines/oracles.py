@@ -3581,3 +3581,46 @@ SELECT date_trunc('month', o_orderdate) AS month,
        round(sum(CASE WHEN o_orderpriority = '{priority}' THEN 1 ELSE 0
                  END)::DOUBLE / count(*), {round_to}) AS share
 FROM orders GROUP BY 1 ORDER BY 1"""
+
+
+# Ground truth for relational.customer_hhi.
+CUSTOMER_HHI_SQL = """
+WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1),
+t AS (SELECT count(*) AS n, sum(rev) AS s1, sum(rev * rev) AS s2 FROM pc),
+topk AS (SELECT sum(rev) AS s FROM (
+           SELECT rev FROM pc ORDER BY rev DESC, o_custkey LIMIT 10))
+SELECT t.n::BIGINT AS n_customers,
+       round(t.s2 / (t.s1 * t.s1), 6) AS hhi,
+       round(topk.s / t.s1, 6) AS top10_share
+FROM t, topk"""
+
+
+def js_divergence_sql(src_a: str = "src0", src_b: str = "src1",
+                      round_to: int = 6) -> str:
+    """Ground truth for textstats.source_js_divergence (natural-log
+    JS divergence over unigram distributions)."""
+    return f"""
+WITH tok AS (
+  SELECT source, u.term
+  FROM (SELECT source, {TOKENS_EXPR} AS ts FROM documents
+        WHERE source IN ('{src_a}', '{src_b}')),
+       unnest(ts) AS u(term)
+  WHERE u.term <> ''
+),
+c AS (SELECT term,
+             sum(CASE WHEN source = '{src_a}' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN source = '{src_b}' THEN 1 ELSE 0 END) AS nb
+      FROM tok GROUP BY term),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c),
+d AS (SELECT (na / ta::DOUBLE) AS p, (nb / tb::DOUBLE) AS q
+      FROM c, tot)
+SELECT '{src_a}' AS source_a, '{src_b}' AS source_b,
+       (SELECT count(*) FROM c)::BIGINT AS n_terms,
+       round(sum(CASE WHEN p > 0
+                      THEN 0.5 * p * ln(p / (0.5 * (p + q)))
+                      ELSE 0 END)
+             + sum(CASE WHEN q > 0
+                        THEN 0.5 * q * ln(q / (0.5 * (p + q)))
+                        ELSE 0 END), {round_to}) AS js_div
+FROM d"""

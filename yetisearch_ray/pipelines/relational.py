@@ -1494,3 +1494,42 @@ def priority_share_trend(sf_dir: str, *, priority: str = "1-URGENT",
     out["n_priority"] = out["n_priority"].astype("int64")
     out["share"] = (out["n_priority"] / out["n_total"]).round(round_to)
     return out.sort_values("month").reset_index(drop=True)
+
+
+def customer_hhi(sf_dir: str, *, round_to: int = 6):
+    """Revenue-concentration report: the Herfindahl–Hirschman index of
+    customer order-revenue shares plus the top-10 share — "how
+    concentrated is our demand" in two numbers.
+
+    Distributed shape: one customer-keyed revenue aggregate; HHI's
+    sum-of-squared-shares needs only Σrev and Σrev² over that
+    |customers|-row frame (map-side partials), and the top-10 share a
+    bounded sort+limit.  Columns (n_customers, hhi, top10_share)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    per_cust = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="rev"))
+
+    def moments(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([np.int64(r.size)], pa.int64()),
+            "s1": pa.array([float(r.sum())], pa.float64()),
+            "s2": pa.array([float((r * r).sum())], pa.float64()),
+        })
+
+    agg = per_cust.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"))
+    total, s2, n = float(agg["s1"]), float(agg["s2"]), int(agg["n"])
+    hhi = s2 / (total * total)
+    top10 = (per_cust.sort(["rev", "o_custkey"], descending=[True, False])
+             .limit(10).to_pandas()["rev"].sum())
+    return pd.DataFrame({
+        "n_customers": pd.array([n], dtype="int64"),
+        "hhi": [round(hhi, round_to)],
+        "top10_share": [round(float(top10) / total, round_to)],
+    })

@@ -1494,3 +1494,61 @@ def readability(ds, *, text_col="text", id_col="doc_id",
     out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def source_js_divergence(ds, *, src_a: str = "src0", src_b: str = "src1",
+                         text_col="text", src_col="source",
+                         round_to: int = 6):
+    """Distribution-shift report: Jensen–Shannon divergence (natural
+    log) between two sources' unigram term distributions — the drift
+    metric run when a new feed joins a training mix.
+
+    Distributed shape: per-source term counts shuffle once
+    (vocabulary-bounded, sources pre-filtered map-side); the JS sum
+    runs over the joint |vocab|-row aggregate.
+    Columns (source_a, source_b, n_terms, js_div)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[src_col], value_set=pa.array([src_a, src_b]))
+        f = t.filter(keep)
+        if f.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        arr = pc.fill_null(f[text_col], "").combine_chunks()
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        cnt = np.diff(split.offsets.to_numpy(zero_copy_only=False))
+        src = np.repeat(np.asarray(f[src_col].to_pylist(), dtype=object),
+                        cnt)
+        keep2 = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tb = pa.table({"source": pa.array(src[keep2], pa.string()),
+                       "term": flat.filter(pa.array(keep2))})
+        g = tb.group_by(["source", "term"]).aggregate([("term", "count")])
+        return pa.table({"source": g["source"], "term": g["term"],
+                         "n": pc.cast(g["term_count"], pa.int64())})
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby(["source", "term"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    piv = agg.pivot_table(index="term", columns="source", values="n",
+                          fill_value=0)
+    a = piv.get(src_a, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    b = piv.get(src_b, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    p = a / a.sum()
+    q = b / b.sum()
+    m = 0.5 * (p + q)
+
+    def kl(x, y):
+        mask = x > 0
+        return float((x[mask] * np.log(x[mask] / y[mask])).sum())
+
+    js = 0.5 * kl(p, m) + 0.5 * kl(q, m)
+    return pd.DataFrame({
+        "source_a": [src_a], "source_b": [src_b],
+        "n_terms": pd.array([len(piv)], dtype="int64"),
+        "js_div": [round(js, round_to)],
+    })
