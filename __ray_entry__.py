@@ -775,6 +775,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-distribution drift between two sources (JS divergence)
         "text_js_divergence":
             lambda sf: textstats.source_js_divergence(_docs(sf)),
+        # engagement diversity: per-user event-type entropy
+        "ev_user_entropy": events.user_type_entropy,
+        # token-length histogram (tokenizer health)
+        "text_wordlen_hist":
+            lambda sf: textstats.wordlen_histogram(_docs(sf)),
     }
 
 
@@ -1038,6 +1043,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_priority_share": oracles.priority_share_sql(),
         "rel_customer_hhi": oracles.CUSTOMER_HHI_SQL,
         "text_js_divergence": oracles.js_divergence_sql("src0", "src1"),
+        "ev_user_entropy": oracles.user_entropy_sql(50),
+        "text_wordlen_hist": oracles.wordlen_histogram_sql(30),
         # relational
         "rel_pricing_summary": oracles.PRICING_SUMMARY_SQL,
         "rel_top_customers": oracles.TOP_CUSTOMERS_SQL,

@@ -2111,3 +2111,30 @@ class TestHhiJs:
             rd.read_parquet(str(d / "documents.parquet")),
             src_a="s1", src_b="s3")
         assert abs(diff.js_div.iloc[0] - np.log(2)) < 1e-6
+
+
+class TestEntropyWordlen:
+    def test_entropy_bounds(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from yetisearch_ray.pipelines.events import user_type_entropy
+
+        got = user_type_entropy(SF)
+        n_types = len(set(pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_type"])["event_type"].to_pylist()))
+        assert (got.entropy >= 0).all()
+        assert (got.entropy <= np.log(n_types) + 1e-9).all()
+
+    def test_wordlen_totals(self, ray_session):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.textstats import (token_counts,
+                                                        wordlen_histogram)
+
+        got = wordlen_histogram(rd.read_parquet(f"{SF}/documents.parquet"))
+        tc = token_counts(rd.read_parquet(f"{SF}/documents.parquet")) \
+            .to_pandas()
+        # histogram token totals == whitespace-ish token totals (the
+        # histogram splits on the RE2 \s class too)
+        assert int(got.n.sum()) == int(tc.n_tokens.sum())

@@ -1123,3 +1123,37 @@ def time_to_convert(sf_dir: str, *, from_type: str = "view",
         "median_sec": [round(float(np.median(d)), round_to)],
         "max_sec": [round(float(d.max()), round_to)],
     })
+
+
+def user_type_entropy(sf_dir: str, *, k: int = 50, round_to: int = 6):
+    """Engagement-diversity report: Shannon entropy (natural log) of
+    each user's event-type distribution — 0 for single-type users,
+    ln(|types|) for uniform ones.  Returns the first ``k`` users by id.
+
+    Distributed shape: map-side distinct-pair counts feed one
+    (user, type) groupby; the per-user entropy folds over that
+    aggregate in a second tiny groupby.
+    Columns (user_id, n_events, entropy)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = (ds.groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="n")))
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.float64)
+        p = n / n.sum()
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame({
+            "user_id": pd.array([int(g["user_id"].iloc[0])],
+                                dtype="int64"),
+            "n_events": pd.array([int(n.sum())], dtype="int64"),
+            "entropy": [round(h, round_to)],
+        })
+
+    out = (counts.groupby("user_id")
+           .map_groups(ent, batch_format="pandas").to_pandas())
+    return (out.sort_values("user_id").head(k)
+            .reset_index(drop=True))

@@ -3624,3 +3624,29 @@ SELECT '{src_a}' AS source_a, '{src_b}' AS source_b,
                         THEN 0.5 * q * ln(q / (0.5 * (p + q)))
                         ELSE 0 END), {round_to}) AS js_div
 FROM d"""
+
+
+def user_entropy_sql(k: int = 50, round_to: int = 6) -> str:
+    """Ground truth for events.user_type_entropy."""
+    return f"""
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id::BIGINT AS user_id, max(t.tot)::BIGINT AS n_events,
+       round(-sum((c.n / t.tot::DOUBLE)
+                  * ln(c.n / t.tot::DOUBLE)), {round_to}) AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id ORDER BY user_id LIMIT {k}"""
+
+
+def wordlen_histogram_sql(max_len: int = 30) -> str:
+    """Ground truth for textstats.wordlen_histogram."""
+    return f"""
+WITH tok AS (
+  SELECT least(length(u.term), {max_len}) AS token_len
+  FROM (SELECT {TOKENS_EXPR} AS ts FROM documents),
+       unnest(ts) AS u(term)
+  WHERE u.term <> ''
+)
+SELECT token_len::BIGINT AS token_len, count(*)::BIGINT AS n
+FROM tok GROUP BY 1 ORDER BY 1"""

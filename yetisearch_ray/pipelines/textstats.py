@@ -1552,3 +1552,37 @@ def source_js_divergence(ds, *, src_a: str = "src0", src_b: str = "src1",
         "n_terms": pd.array([len(piv)], dtype="int64"),
         "js_div": [round(js, round_to)],
     })
+
+
+def wordlen_histogram(ds, *, text_col="text", max_len: int = 30):
+    """Global token-length histogram (lengths above ``max_len`` clamp
+    into the top bucket) — the tokenizer-health diagnostic that shows
+    concatenation bugs as a long-length hump.
+
+    Distributed shape: per-batch vectorized ``utf8_length`` + bincount
+    partials (one (max_len)-wide row per batch), one tiny aggregate.
+    Columns (token_len, n)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "").combine_chunks()
+        split = pc.split_pattern_regex(arr, pattern="[\\t\\n\\f\\r ]+")
+        flat = split.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        ln = np.minimum(
+            np.asarray(pc.utf8_length(flat), dtype=np.int64), max_len)
+        bc = np.bincount(ln, minlength=max_len + 1)
+        cols = {f"b{i}": pa.array([np.int64(bc[i])], pa.int64())
+                for i in range(1, max_len + 1)}
+        return pa.table(cols)
+
+    aggs = [Sum(f"b{i}", alias_name=f"b{i}")
+            for i in range(1, max_len + 1)]
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    lens = list(range(1, max_len + 1))
+    ns = [int(row[f"b{i}"]) for i in lens]
+    out = pd.DataFrame({"token_len": pd.array(lens, dtype="int64"),
+                        "n": pd.array(ns, dtype="int64")})
+    return out[out["n"] > 0].reset_index(drop=True)
