@@ -780,6 +780,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-length histogram (tokenizer health)
         "text_wordlen_hist":
             lambda sf: textstats.wordlen_histogram(_docs(sf)),
+        # TPC-H Q14 shape: promo revenue share (broadcast dim set)
+        "rel_q14_promo": relational.q14_promo_share,
+        # TPC-H Q17 shape: aggregate-then-rejoin correlated subquery
+        "rel_q17_small_qty": relational.q17_small_quantity_revenue,
+        # TPC-H Q18 shape: groupby-HAVING then rejoin top-k
+        "rel_q18_large_orders": relational.q18_large_orders,
+        # TPC-H Q11 shape: group share vs broadcast global total
+        "rel_q11_value_share": relational.q11_value_share,
     }
 
 
@@ -1072,4 +1080,8 @@ def oracle_sql() -> dict[str, str]:
         "cur_gopher_rules": oracles.gopher_rules_sql(1),
         "cur_rebalance_mix": oracles.rebalance_mix_sql(
             {"src0": 0.5, "src1": 0.3, "src2": 0.2}),
+        "rel_q14_promo": oracles.q14_promo_share_sql(),
+        "rel_q17_small_qty": oracles.q17_small_quantity_sql(),
+        "rel_q18_large_orders": oracles.q18_large_orders_sql(),
+        "rel_q11_value_share": oracles.q11_value_share_sql(),
     }

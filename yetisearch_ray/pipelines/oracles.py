@@ -3650,3 +3650,63 @@ WITH tok AS (
 )
 SELECT token_len::BIGINT AS token_len, count(*)::BIGINT AS n
 FROM tok GROUP BY 1 ORDER BY 1"""
+
+
+def q14_promo_share_sql(year: int = 1996, month: int = 3,
+                        round_to: int = 6) -> str:
+    """Ground truth for relational.q14_promo_share (TPC-H Q14 shape)."""
+    return f"""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)),
+             {round_to}) AS promo_revenue_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = {year} AND month(l_shipdate) = {month}"""
+
+
+def q17_small_quantity_sql(brand: str = "Brand#23", frac: float = 0.5,
+                           round_to: int = 4) -> str:
+    """Ground truth for relational.q17_small_quantity_revenue."""
+    return f"""
+WITH avgq AS (
+  SELECT l_partkey AS pk, {frac} * avg(l_quantity) AS thr
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}'
+  GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, {round_to}) AS avg_yearly,
+       count(*)::BIGINT AS n_small_lines
+FROM lineitem JOIN avgq ON l_partkey = pk
+WHERE l_quantity < thr"""
+
+
+def q18_large_orders_sql(min_qty: float = 180.0, k: int = 20) -> str:
+    """Ground truth for relational.q18_large_orders (TPC-H Q18 shape)."""
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {min_qty}
+)
+SELECT o_orderkey, c_name, o_orderdate, o_totalprice,
+       round(total_qty, 4) AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {k}"""
+
+
+def q11_value_share_sql(mult: float = 1.5, round_to: int = 6) -> str:
+    """Ground truth for relational.q11_value_share (TPC-H Q11 shape)."""
+    return f"""
+WITH pv AS (
+  SELECT l_partkey, sum(l_extendedprice) AS raw_value
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT sum(raw_value) AS t, count(*) AS n FROM pv)
+SELECT l_partkey, round(raw_value, 4) AS value,
+       round(raw_value / t, {round_to}) AS share
+FROM pv, tot
+WHERE raw_value > {mult} * t / n
+ORDER BY raw_value DESC, l_partkey"""

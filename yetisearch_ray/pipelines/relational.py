@@ -1533,3 +1533,201 @@ def customer_hhi(sf_dir: str, *, round_to: int = 6):
         "hhi": [round(hhi, round_to)],
         "top10_share": [round(float(top10) / total, round_to)],
     })
+
+
+def q14_promo_share(sf_dir: str, *, year: int = 1996, month: int = 3,
+                    round_to: int = 6):
+    """TPC-H Q14 shape: share of one month's discounted revenue that
+    came from PROMO-type parts.
+
+    Distributed shape: the part dimension collapses to a *promo-partkey
+    set* (filtered, single-column read) broadcast once via ``ray.put``;
+    the lineitem scan is then a zero-shuffle map-side partial
+    (``pc.is_in`` membership + two conditional sums) reduced to one
+    scalar row.  At a scale where even the promo-key set outgrows a
+    broadcast, flip to the ``order_revenue_topk`` big-big hash-join
+    shape — the predicate and sums are unchanged.
+    Columns (promo_revenue_pct, total_revenue)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    promo = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+    ).filter(expr="p_type == 'PROMO'").to_pandas()["p_partkey"].to_numpy()
+    promo_ref = ray.put(np.sort(promo.astype(np.int64)))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(promo_ref)
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        mo = pc.month(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        keep = (yr == year) & (mo == month)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = p * (1.0 - d)
+        idx = np.searchsorted(keys, pk).clip(0, max(keys.size - 1, 0))
+        is_promo = (keys[idx] == pk) if keys.size \
+            else np.zeros(pk.size, dtype=bool)
+        return pa.table({
+            "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
+            "total": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    row = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("promo", alias_name="promo"),
+                      Sum("total", alias_name="total")))
+    total = float(row["total"])
+    return pd.DataFrame({
+        "promo_revenue_pct": [round(100.0 * float(row["promo"]) / total,
+                                    round_to)],
+        "total_revenue": [round(total, 4)],
+    })
+
+
+def q17_small_quantity_revenue(sf_dir: str, *, brand: str = "Brand#23",
+                               frac: float = 0.5, round_to: int = 4):
+    """TPC-H Q17 shape: average yearly revenue lost if small orders
+    (quantity below ``frac`` × the part's average) of one brand's parts
+    were no longer taken — the canonical *aggregate-then-rejoin*
+    correlated subquery.
+
+    Distributed shape: pass 1 computes per-partkey avg quantity
+    restricted to the brand's partkeys (groupby over a
+    brand-semi-joined lineitem — the brand key set broadcast once);
+    the per-part threshold table (|brand parts| rows) is broadcast
+    back and pass 2 is a zero-shuffle filtered partial sum.
+    Columns (avg_yearly, n_small_lines)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Mean, Sum
+
+    bkeys = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+    ).filter(expr=f"p_brand == '{brand}'").to_pandas()["p_partkey"]
+    bkeys = np.sort(bkeys.to_numpy(np.int64))
+    bref = ray.put(bkeys)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def keep_brand(t: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, pk).clip(0, max(keys.size - 1, 0))
+        mask = (keys[idx] == pk) if keys.size else np.zeros(pk.size, bool)
+        return t.filter(pa.array(mask))
+
+    brand_lines = li.map_batches(keep_brand, batch_format="pyarrow")
+    avg_qty = brand_lines.groupby("l_partkey").aggregate(
+        Mean("l_quantity", alias_name="avg_qty")).to_pandas()
+    thr = {int(k): frac * float(v)
+           for k, v in zip(avg_qty["l_partkey"], avg_qty["avg_qty"])}
+    tkeys = np.array(sorted(thr), dtype=np.int64)
+    tvals = np.array([thr[int(k)] for k in tkeys], dtype=np.float64)
+    tref = ray.put((tkeys, tvals))
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(tref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, pk).clip(0, max(keys.size - 1, 0))
+        if keys.size:
+            small = (keys[idx] == pk) & (q < vals[idx])
+        else:
+            small = np.zeros(pk.size, bool)
+        return pa.table({
+            "rev": pa.array([float(p[small].sum())], pa.float64()),
+            "n": pa.array([np.int64(small.sum())], pa.int64()),
+        })
+
+    row = (li.map_batches(small_partial, batch_format="pyarrow")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("n", alias_name="n")))
+    return pd.DataFrame({
+        "avg_yearly": [round(float(row["rev"]) / 7.0, round_to)],
+        "n_small_lines": pd.array([int(row["n"])], dtype="int64"),
+    })
+
+
+def q18_large_orders(sf_dir: str, *, min_qty: float = 180.0, k: int = 20):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (groupby-HAVING), joined back to orders + customer for
+    the top-k report — the canonical having-then-rejoin.
+
+    Distributed shape: one lineitem groupby-sum (map-side combined);
+    the HAVING survivor set is *small by construction* (the threshold
+    prunes it), so it broadcasts back over the orders scan instead of a
+    second shuffle; customer names attach via the existing broadcast
+    small-dim pattern.  Columns (o_orderkey, c_name, o_orderdate,
+    o_totalprice, total_qty)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    per_order = li.groupby("l_orderkey").aggregate(
+        Sum("l_quantity", alias_name="total_qty"))
+    big = per_order.filter(expr=f"total_qty > {min_qty}").to_pandas()
+    qty = {int(k_): float(v) for k_, v in
+           zip(big["l_orderkey"], big["total_qty"])}
+    okeys = np.array(sorted(qty), dtype=np.int64)
+    oref = ray.put(okeys)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = ray.get(oref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ok).clip(0, max(keys.size - 1, 0))
+        mask = (keys[idx] == ok) if keys.size else np.zeros(ok.size, bool)
+        return t.filter(pa.array(mask))
+
+    surv = orders.map_batches(keep, batch_format="pyarrow").to_pandas()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"]).to_pandas()
+    out = surv.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["total_qty"] = out["o_orderkey"].map(qty).round(4)
+    out = (out.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(k))
+    return out[["o_orderkey", "c_name", "o_orderdate", "o_totalprice",
+                "total_qty"]].reset_index(drop=True)
+
+
+def q11_value_share(sf_dir: str, *, mult: float = 1.5, round_to: int = 6):
+    """TPC-H Q11 shape: partkeys whose total order value exceeds a
+    *multiple of the global per-part average* — per-group aggregate
+    gated by a broadcast global scalar (scale-invariant threshold, so
+    the survivor set is a stable head fraction at every sf).
+
+    Distributed shape: one partkey groupby-sum (map-side combined);
+    the global total/count is a second tiny aggregate over the
+    per-part frame (no extra pass over lineitem); the HAVING filter
+    streams.  Columns (l_partkey, value, share)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice"])
+    per_part = li.groupby("l_partkey").aggregate(
+        Sum("l_extendedprice", alias_name="value"))
+    agg = per_part.aggregate(Sum("value", alias_name="t"),
+                             Count(alias_name="n"))
+    total, n_parts = float(agg["t"]), int(agg["n"])
+    thr = mult * total / n_parts
+    out = per_part.filter(expr=f"value > {thr}").to_pandas()
+    out["share"] = (out["value"] / total).round(round_to)
+    out["value"] = out["value"].round(4)
+    return (out.sort_values(["value", "l_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
