@@ -788,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q18_large_orders": relational.q18_large_orders,
         # TPC-H Q11 shape: group share vs broadcast global total
         "rel_q11_value_share": relational.q11_value_share,
+        # ES boosting query: negative-term demotion (pre-pagination)
+        "fts_boosting_topk": lambda sf: ftsd.boosting_topk(sf),
     }
 
 
@@ -1084,4 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q17_small_qty": oracles.q17_small_quantity_sql(),
         "rel_q18_large_orders": oracles.q18_large_orders_sql(),
         "rel_q11_value_share": oracles.q11_value_share_sql(),
+        "fts_boosting_topk": oracles.bm25_topk_sql(
+            ["vector", "stream"], k=20, negative_term="merge",
+            negative_boost=0.4),
     }

@@ -2138,3 +2138,55 @@ class TestEntropyWordlen:
         # histogram token totals == whitespace-ish token totals (the
         # histogram splits on the RE2 \s class too)
         assert int(got.n.sum()) == int(tc.n_tokens.sum())
+
+
+class TestTpchShapesAndBoosting:
+    def test_q18_threshold_monotone(self, ray_session):
+        """A higher HAVING threshold can only shrink the survivor set,
+        and every reported total_qty must exceed the threshold."""
+        from yetisearch_ray.pipelines import relational
+
+        lo = relational.q18_large_orders(SF, min_qty=150.0, k=1000)
+        hi = relational.q18_large_orders(SF, min_qty=200.0, k=1000)
+        assert len(hi) <= len(lo)
+        assert (lo.total_qty > 150.0).all()
+        assert set(hi.o_orderkey) <= set(lo.o_orderkey)
+
+    def test_q11_share_sums_below_one(self, ray_session):
+        from yetisearch_ray.pipelines import relational
+
+        out = relational.q11_value_share(SF, mult=1.5)
+        assert 0 < out.share.sum() <= 1.0 + 1e-9
+        assert (out.value.diff().dropna() <= 1e-6).all()  # desc order
+
+    def test_q14_bounds(self, ray_session):
+        from yetisearch_ray.pipelines import relational
+
+        out = relational.q14_promo_share(SF)
+        pct = float(out.promo_revenue_pct.iloc[0])
+        assert 0.0 <= pct <= 100.0
+        assert float(out.total_revenue.iloc[0]) > 0
+
+    def test_boosting_demotes_never_excludes(self, ray_session):
+        """Every plain-OR match stays in the (widened) boosted result
+        set; docs containing the negative term score exactly
+        negative_boost x their plain score; others are unchanged."""
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+
+        plain = ftsd.or_topk(SF, ("vector", "stream"), k=1000)
+        boosted = ftsd.boosting_topk(SF, ("vector", "stream"),
+                                     negative="merge", negative_boost=0.4,
+                                     k=1000)
+        assert set(boosted.doc_id) == set(plain.doc_id)
+        neg = set(ftsd.get_engine(SF).match_ids("merge").tolist())
+        ps = dict(zip(plain.doc_id, plain.score))
+        for r in boosted.itertuples():
+            want = ps[r.doc_id] * (0.4 if r.doc_id in neg else 1.0)
+            assert abs(r.score - want) < 1e-3
+
+    def test_boosting_changes_page_order(self, ray_session):
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+
+        plain = ftsd.or_topk(SF, ("vector", "stream"), k=20)
+        boosted = ftsd.boosting_topk(SF, ("vector", "stream"), k=20)
+        assert list(plain.doc_id) != list(boosted.doc_id)

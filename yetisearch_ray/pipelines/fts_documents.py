@@ -878,3 +878,17 @@ def terms_enum(sf_dir: str, *, prefix: str = "s", k: int = 20
     t["df"] = t["df"].astype("int64")
     return (t.sort_values(["df", "term"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def boosting_topk(sf_dir: str, terms=("vector", "stream"),
+                  negative: str = "merge", negative_boost: float = 0.4,
+                  k: int = 20) -> pd.DataFrame:
+    """ES ``boosting`` query: OR match on ``terms`` with docs that also
+    contain ``negative`` DEMOTED (score × negative_boost), never
+    excluded — applied over the full match set before pagination
+    (engine ``negative_terms``), so demoted docs can fall out of the
+    page and clean docs rise in.  Contrast with ``not_topk``, which
+    removes them.  Oracle: ``oracles.bm25_topk_sql(negative_term=...)``."""
+    return _as_result(get_engine(sf_dir).search(
+        " ".join(terms), mode="or", negative_terms=[negative],
+        negative_boost=negative_boost, limit=k, normalize=False))

@@ -56,7 +56,9 @@ def bm25_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
                   offset: int = 0, min_match: int = 1,
                   boosts: dict | None = None, dismax: bool = False,
                   tie_breaker: float = 0.0,
-                  rank_boost: tuple | None = None) -> str:
+                  rank_boost: tuple | None = None,
+                  negative_term: str | None = None,
+                  negative_boost: float = 0.5) -> str:
     terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
     if boosts:
         # query-time term boosts (engine Phrase.boost): multiply that
@@ -80,6 +82,14 @@ def bm25_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
         rb_join = f"JOIN {rb_tbl} rb ON rb.doc_id = s.doc_id"
     else:
         sexpr, rb_join = "s.s", ""
+    if negative_term:
+        # ES boosting query (engine negative_terms): multiply the
+        # positive score where the doc contains the negative term in
+        # ANY field — demotion, not exclusion
+        sexpr = (f"({sexpr} * (CASE WHEN s.doc_id IN "
+                 f"(SELECT DISTINCT doc_id FROM tokf WHERE term = "
+                 f"'{negative_term}') THEN {float(negative_boost)} "
+                 f"ELSE 1.0 END))")
     where = f"WHERE s.nterms = {len(terms)}" if require_all else ""
     if min_match > 1:
         # ES minimum_should_match: docs matching >= N of the OR terms;

@@ -1192,6 +1192,8 @@ class SearchEngine:
         decay_origin: float = 0.0,
         decay_scale: float = 0.0,
         decay_offset: float = 0.0,
+        negative_terms=None,
+        negative_boost: float = 0.5,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -1213,6 +1215,7 @@ class SearchEngine:
                          rank_column, rank_weight, rank_mode,
                          decay_column, decay_origin, decay_scale,
                          decay_offset,
+                         tuple(negative_terms or ()), negative_boost,
                          self.index.mutation_version)
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -1351,6 +1354,21 @@ class SearchEngine:
                 0.0)
             rank = -(np.abs(rank)
                      * np.exp(-(d * d) / (2.0 * float(decay_scale) ** 2)))
+        if negative_terms and doc_ids.size:
+            # ES `boosting` query (extension): docs matching ANY of the
+            # negative terms keep their positive score multiplied by
+            # negative_boost — a demotion, never an exclusion.  Applied
+            # over the FULL match set BEFORE sorting/pagination, so a
+            # demoted doc can fall out of (and a clean doc rise into)
+            # the page, exactly like the decay multiplier above.
+            neg = np.zeros(doc_ids.size, dtype=bool)
+            for nt in negative_terms:
+                ids = self.match_ids(str(nt), mode="or")
+                if ids.size:
+                    neg |= np.isin(doc_ids, ids)
+            s = np.abs(rank)
+            s[neg] *= float(negative_boost)
+            rank = -s
         distances = None
         if geo_filters and doc_ids.size:
             doc_ids, rank, distances = self._apply_geo(doc_ids, rank, geo_filters)
