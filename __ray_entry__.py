@@ -790,6 +790,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q11_value_share": relational.q11_value_share,
         # ES boosting query: negative-term demotion (pre-pagination)
         "fts_boosting_topk": lambda sf: ftsd.boosting_topk(sf),
+        # chi-square independence: segment x priority contingency
+        "rel_chi2_seg_priority": relational.segment_priority_chi2,
+        # Gini coefficient of customer revenue (sort-free exact Lorenz)
+        "rel_revenue_gini": relational.revenue_gini,
     }
 
 
@@ -1089,4 +1093,6 @@ def oracle_sql() -> dict[str, str]:
         "fts_boosting_topk": oracles.bm25_topk_sql(
             ["vector", "stream"], k=20, negative_term="merge",
             negative_boost=0.4),
+        "rel_chi2_seg_priority": oracles.CHI2_SQL,
+        "rel_revenue_gini": oracles.GINI_SQL,
     }

@@ -2190,3 +2190,27 @@ class TestTpchShapesAndBoosting:
         plain = ftsd.or_topk(SF, ("vector", "stream"), k=20)
         boosted = ftsd.boosting_topk(SF, ("vector", "stream"), k=20)
         assert list(plain.doc_id) != list(boosted.doc_id)
+
+
+class TestChi2Gini:
+    def test_chi2_marginals_consistent(self, ray_session):
+        """Observed cell counts sum to the orders row count; expected
+        sums match observed sums (property of the contingency table)."""
+        import ray.data as rd
+        from yetisearch_ray.pipelines import relational
+
+        out = relational.segment_priority_chi2(SF)
+        n_orders = rd.read_parquet(f"{SF}/orders.parquet").count()
+        assert int(out.observed.sum()) == n_orders
+        assert abs(out.expected.sum() - out.observed.sum()) < 1e-2
+        assert (out.chi2 >= 0).all() and out.chi2.nunique() == 1
+
+    def test_gini_bounds_and_invariance(self, ray_session):
+        """Gini lies in [0,1); bucket count must not change the exact
+        result (partition-invariance of the Lorenz decomposition)."""
+        from yetisearch_ray.pipelines import relational
+
+        a = relational.revenue_gini(SF, n_buckets=16)
+        b = relational.revenue_gini(SF, n_buckets=512)
+        assert 0.0 <= float(a.gini.iloc[0]) < 1.0
+        assert float(a.gini.iloc[0]) == float(b.gini.iloc[0])

@@ -3720,3 +3720,51 @@ SELECT l_partkey, round(raw_value, 4) AS value,
 FROM pv, tot
 WHERE raw_value > {mult} * t / n
 ORDER BY raw_value DESC, l_partkey"""
+
+
+CHI2_SQL = """
+WITH joined AS (
+  SELECT c_mktsegment, o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cells AS (
+  SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS observed
+  FROM joined GROUP BY 1, 2
+),
+marg AS (
+  SELECT c.c_mktsegment, c.o_orderpriority, c.observed,
+         sum(c.observed) OVER (PARTITION BY c.c_mktsegment) AS row_t,
+         sum(c.observed) OVER (PARTITION BY c.o_orderpriority) AS col_t,
+         sum(c.observed) OVER () AS n
+  FROM cells c
+),
+ex AS (
+  SELECT c_mktsegment, o_orderpriority, observed,
+         row_t * col_t / n AS expected,
+         (observed - row_t * col_t / n)
+           / sqrt(row_t * col_t / n) AS sr
+  FROM marg
+)
+SELECT c_mktsegment, o_orderpriority, observed,
+       round(expected, 4) AS expected,
+       round(sr, 4) AS std_residual,
+       round(sum(sr * sr) OVER (), 4) AS chi2
+FROM ex
+ORDER BY c_mktsegment, o_orderpriority"""
+
+
+GINI_SQL = """
+WITH pc AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders GROUP BY o_custkey
+),
+rn AS (
+  SELECT rev, row_number() OVER (ORDER BY rev) AS r,
+         count(*) OVER () AS n, sum(rev) OVER () AS total
+  FROM pc
+)
+SELECT max(n)::BIGINT AS n_customers,
+       round(2.0 * sum(r * rev) / (max(n) * max(total))
+             - (max(n) + 1.0) / max(n), 6) AS gini,
+       round(max(total) / max(n), 6) AS mean_rev
+FROM rn"""

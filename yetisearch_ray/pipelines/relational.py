@@ -1731,3 +1731,138 @@ def q11_value_share(sf_dir: str, *, mult: float = 1.5, round_to: int = 6):
     return (out.sort_values(["value", "l_partkey"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+def segment_priority_chi2(sf_dir: str, *, round_to: int = 4):
+    """Chi-square test of independence between customer market segment
+    and order priority — the contingency-table association report
+    (observed, expected, standardized residual per cell) plus the
+    global chi2 statistic repeated per row for a flat schema.
+
+    Distributed shape: the customer dimension broadcasts once as
+    sorted (custkey, segment-code) arrays (same small-dim assumption
+    as ``top_customers``); the orders scan emits map-side partial
+    contingency counts, so the exchange carries |segments × priorities|
+    rows per batch; marginals and the statistic are computed on the
+    tiny final table.  Columns (c_mktsegment, o_orderpriority,
+    observed, expected, std_residual, chi2)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_mktsegment"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    order_ck = np.argsort(ck)
+    ck = ck[order_ck]
+    segs = sorted(cust["c_mktsegment"].unique())
+    seg_code = {s: i for i, s in enumerate(segs)}
+    codes = cust["c_mktsegment"].map(seg_code).to_numpy(np.int64)[order_ck]
+    ref = ray.put((ck, codes))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, cd = ray.get(ref)
+        okc = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, okc).clip(0, keys.size - 1)
+        seg = cd[idx]
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"seg": seg, "pri": pri})
+        g = df.groupby(["seg", "pri"], sort=False).size().reset_index(
+            name="n")
+        return pa.table({
+            "seg": pa.array(g["seg"].to_numpy(np.int64)),
+            "pri": pa.array(g["pri"].astype(str)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+        })
+
+    cell = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["seg", "pri"])
+            .aggregate(Sum("n", alias_name="observed")).to_pandas())
+    cell["c_mktsegment"] = cell["seg"].map({v: k for k, v in
+                                            seg_code.items()})
+    piv = cell.pivot_table(index="c_mktsegment", columns="pri",
+                           values="observed", fill_value=0,
+                           aggfunc="sum")
+    obs = piv.to_numpy(np.float64)
+    row_t = obs.sum(axis=1, keepdims=True)
+    col_t = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    exp = row_t @ col_t / n
+    resid = (obs - exp) / np.sqrt(exp)
+    chi2 = float((resid * resid).sum())
+    rows = []
+    for i, s in enumerate(piv.index):
+        for j, p in enumerate(piv.columns):
+            rows.append((s, p, int(obs[i, j]), round(float(exp[i, j]),
+                                                     round_to),
+                         round(float(resid[i, j]), round_to),
+                         round(chi2, round_to)))
+    out = pd.DataFrame(rows, columns=["c_mktsegment", "o_orderpriority",
+                                      "observed", "expected",
+                                      "std_residual", "chi2"])
+    out["observed"] = out["observed"].astype("int64")
+    return (out.sort_values(["c_mktsegment", "o_orderpriority"])
+            .reset_index(drop=True))
+
+
+def revenue_gini(sf_dir: str, *, n_buckets: int = 256, round_to: int = 6):
+    """Gini coefficient of per-customer order revenue — the inequality
+    summary (0 = equal, 1 = one customer owns everything), computed
+    EXACTLY without a global sort.
+
+    Distributed shape: (1) per-customer revenue groupby; (2) a bounded
+    value-bucket histogram (``n_buckets`` rows) gives each bucket its
+    global below-count offset (driver cumsum over the tiny histogram);
+    (3) one bucket-key shuffle where each bucket group sorts locally
+    and emits its partial Lorenz sum Σ(global_rank × value) — exact
+    because buckets partition the value range, so global rank = bucket
+    offset + local rank (ties are rank-sum invariant).
+    Columns (n_customers, gini, mean_rev)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="rev"))
+    g = per_cust.aggregate(Min("rev", alias_name="lo"),
+                           Max("rev", alias_name="hi"),
+                           Sum("rev", alias_name="total"),
+                           Count(alias_name="n"))
+    lo, hi = float(g["lo"]), float(g["hi"])
+    total, n = float(g["total"]), int(g["n"])
+    width = max((hi - lo) / n_buckets, 1e-12)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False)
+        b = np.minimum(((r - lo) / width).astype(np.int64), n_buckets - 1)
+        return pa.table({"bucket": pa.array(b), "rev": t["rev"]})
+
+    bk = per_cust.map_batches(bucketize, batch_format="pyarrow")
+    hist = bk.groupby("bucket").aggregate(Count(alias_name="c")).to_pandas()
+    hist = hist.sort_values("bucket").reset_index(drop=True)
+    below = np.concatenate([[0], np.cumsum(hist["c"].to_numpy())[:-1]])
+    off = {int(b): int(o) for b, o in zip(hist["bucket"], below)}
+    oref = ray.put(off)
+
+    def lorenz_partial(gdf: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        x = np.sort(gdf["rev"].to_numpy(np.float64))
+        base = offs[int(gdf["bucket"].iloc[0])]
+        ranks = base + np.arange(1, x.size + 1, dtype=np.float64)
+        return pd.DataFrame({"s": [float((ranks * x).sum())]})
+
+    s = float(bk.groupby("bucket")
+              .map_groups(lorenz_partial, batch_format="pandas")
+              .to_pandas()["s"].sum())
+    gini = 2.0 * s / (n * total) - (n + 1.0) / n
+    return pd.DataFrame({
+        "n_customers": pd.array([n], dtype="int64"),
+        "gini": [round(gini, round_to)],
+        "mean_rev": [round(total / n, round_to)],
+    })
