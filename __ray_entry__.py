@@ -794,6 +794,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_chi2_seg_priority": relational.segment_priority_chi2,
         # Gini coefficient of customer revenue (sort-free exact Lorenz)
         "rel_revenue_gini": relational.revenue_gini,
+        # per-source stopword density (boilerplate detector)
+        "text_stopword_density":
+            lambda sf: textstats.stopword_density_by_source(_docs(sf)),
+        # simplified silhouette per label (cluster quality)
+        "emb_silhouette": lambda sf: ann.silhouette_by_label(_emb(sf)),
     }
 
 
@@ -1095,4 +1100,7 @@ def oracle_sql() -> dict[str, str]:
             negative_boost=0.4),
         "rel_chi2_seg_priority": oracles.CHI2_SQL,
         "rel_revenue_gini": oracles.GINI_SQL,
+        "text_stopword_density": oracles.stopword_density_sql(
+            STOPWORDS["en"]),
+        "emb_silhouette": oracles.silhouette_sql(),
     }

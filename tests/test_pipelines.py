@@ -2214,3 +2214,46 @@ class TestChi2Gini:
         b = relational.revenue_gini(SF, n_buckets=512)
         assert 0.0 <= float(a.gini.iloc[0]) < 1.0
         assert float(a.gini.iloc[0]) == float(b.gini.iloc[0])
+
+
+class TestSilhouetteStopdensity:
+    def test_silhouette_in_range(self, ray_session):
+        import ray.data as rd
+        from yetisearch_ray.pipelines import ann
+
+        out = ann.silhouette_by_label(
+            rd.read_parquet(f"{SF}/embeddings.parquet"))
+        assert ((out.mean_silhouette >= -1.0)
+                & (out.mean_silhouette <= 1.0)).all()
+        assert int(out.n.sum()) == rd.read_parquet(
+            f"{SF}/embeddings.parquet").count()
+
+    def test_silhouette_perfect_clusters(self, ray_session):
+        """Two tight, well-separated blobs => silhouette near 1."""
+        import pyarrow as pa
+        import ray.data as rd
+        import numpy as np
+        from yetisearch_ray.pipelines import ann
+
+        rng = np.random.default_rng(7)
+        a = rng.normal(0, 0.01, (50, 8)) + np.r_[10.0, [0.0] * 7]
+        b = rng.normal(0, 0.01, (50, 8)) - np.r_[10.0, [0.0] * 7]
+        t = pa.table({
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in
+                                   np.vstack([a, b])],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 50 + [1] * 50, pa.int32()),
+        })
+        out = ann.silhouette_by_label(rd.from_arrow(t))
+        assert (out.mean_silhouette > 0.99).all()
+
+    def test_stopword_density_totals(self, ray_session):
+        import ray.data as rd
+        from yetisearch_ray.pipelines import textstats
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet")
+        out = textstats.stopword_density_by_source(docs)
+        assert int(out.n_docs.sum()) == docs.count()
+        assert ((out.mean_stop_ratio >= 0) & (out.mean_stop_ratio <= 1)).all()
+        assert ((out.high_frac >= 0) & (out.high_frac <= 1)).all()

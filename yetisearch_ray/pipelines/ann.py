@@ -973,3 +973,59 @@ def norm_stats(ds, *, vec_col="embedding", label_col="label",
         "norm_std": np.round(np.sqrt(var), round_to),
     })
     return out.sort_values("label").reset_index(drop=True)
+
+
+def silhouette_by_label(ds, *, vec_col="embedding", label_col="label",
+                        round_to: int = 6):
+    """Per-label mean SIMPLIFIED SILHOUETTE (centroid-based: a = dist
+    to own centroid, b = min dist to any other centroid, s =
+    (b-a)/max(a,b)) — the cluster-quality report run after any
+    labeling/clustering pass, O(N x labels) instead of the O(N^2)
+    exact silhouette.
+
+    Distributed shape: centroids via ``_label_centroids`` (one
+    labels x dim exchange), broadcast as a matrix; per-batch distances
+    are one GEMM (|batch| x labels) with the d^2 = |x|^2+|c|^2-2xc
+    identity; per-label partial sums shuffle (label, sum, n) rows
+    only.  Columns (label, n, mean_silhouette)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    cents = _label_centroids(ds, vec_col=vec_col, label_col=label_col)
+    labels = np.array(sorted(cents), dtype=np.int64)
+    C = np.stack([cents[int(l)] for l in labels])
+    cref = ray.put((labels, C, (C * C).sum(axis=1)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        labs, cm, c2 = ray.get(cref)
+        x = _batch_vectors(t, vec_col)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = np.maximum((x * x).sum(axis=1)[:, None] + c2[None, :]
+                        - 2.0 * (x @ cm.T), 0.0)
+        d = np.sqrt(d2)
+        own_idx = np.searchsorted(labs, lab)
+        rows = np.arange(d.shape[0])
+        a = d[rows, own_idx]
+        masked = d.copy()
+        masked[rows, own_idx] = np.inf
+        b = masked.min(axis=1)
+        s = np.where(np.maximum(a, b) > 0,
+                     (b - a) / np.maximum(a, b), 0.0)
+        u, inv = np.unique(lab, return_inverse=True)
+        return pa.table({
+            "label": pa.array(u, pa.int64()),
+            "s_sum": pa.array(np.bincount(inv, weights=s), pa.float64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("s_sum", alias_name="s"),
+                      Sum("n", alias_name="n")).to_pandas())
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "mean_silhouette": (agg["s"] / agg["n"]).round(round_to),
+    })
+    return out.sort_values("label").reset_index(drop=True)

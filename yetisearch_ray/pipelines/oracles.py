@@ -3768,3 +3768,64 @@ SELECT max(n)::BIGINT AS n_customers,
              - (max(n) + 1.0) / max(n), 6) AS gini,
        round(max(total) / max(n), 6) AS mean_rev
 FROM rn"""
+
+
+def stopword_density_sql(stopwords, high_thresh: float = 0.4,
+                         round_to: int = 6) -> str:
+    """Ground truth for textstats.stopword_density_by_source."""
+    sw = ", ".join("'" + w.replace("'", "''") + "'"
+                   for w in sorted(stopwords))
+    return f"""
+WITH t AS (
+  SELECT source, {TOKENS_EXPR} AS toks FROM documents
+),
+q AS (
+  SELECT source,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> x IN ({sw})))::DOUBLE
+                   / len(toks) END AS ratio
+  FROM t
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(ratio), {round_to}) AS mean_stop_ratio,
+       round(avg(CASE WHEN ratio > {high_thresh} THEN 1.0 ELSE 0.0 END),
+             {round_to}) AS high_frac
+FROM q GROUP BY source ORDER BY source"""
+
+
+def silhouette_sql(round_to: int = 6) -> str:
+    """Ground truth for ann.silhouette_by_label (simplified/centroid
+    silhouette; euclidean via list_distance)."""
+    return f"""
+WITH x AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos,
+         vec_id
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(avgv ORDER BY pos) AS c FROM (
+    SELECT label, pos, avg(v) AS avgv FROM x GROUP BY label, pos)
+  GROUP BY label
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         list_distance(e.embedding::DOUBLE[], c.c) AS dist,
+         c.label AS clabel
+  FROM embeddings e CROSS JOIN cent c
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN dist END) AS a,
+         min(CASE WHEN clabel <> label THEN dist END) AS b
+  FROM d GROUP BY vec_id, label
+),
+s AS (
+  SELECT label,
+         CASE WHEN greatest(a, b) > 0
+              THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sil
+  FROM ab
+)
+SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+       round(avg(sil), {round_to}) AS mean_silhouette
+FROM s GROUP BY label ORDER BY label"""

@@ -1586,3 +1586,57 @@ def wordlen_histogram(ds, *, text_col="text", max_len: int = 30):
     out = pd.DataFrame({"token_len": pd.array(lens, dtype="int64"),
                         "n": pd.array(ns, dtype="int64")})
     return out[out["n"] > 0].reset_index(drop=True)
+
+
+def stopword_density_by_source(ds, *, text_col="text",
+                               source_col="source",
+                               high_thresh: float = 0.4,
+                               round_to: int = 6):
+    """Per-source stopword-density report: mean per-doc (en) stopword
+    ratio and the fraction of docs above ``high_thresh`` — the
+    boilerplate/navigational-text detector run per crawl source before
+    mixing (a source whose docs are mostly stopwords is template
+    chrome, not prose).
+
+    Distributed shape: tokenization + membership are the same Arrow
+    kernels as ``quality_scores`` (``_split_tokens`` + ``pc.is_in``);
+    per-batch per-source partial sums shuffle (source, sums) rows
+    only.  Columns (source, n_docs, mean_stop_ratio, high_frac)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    stop_set = pa.array(sorted(_EN_STOP), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, values, offs = _split_tokens(t[text_col])
+        n_tok = np.diff(offs)
+        is_stop = np.asarray(pc.is_in(values, value_set=stop_set))
+        sw = _seg_sum(is_stop.astype(np.int64), offs)
+        ratio = np.where(n_tok > 0, sw / np.maximum(n_tok, 1), 0.0)
+        src = t[source_col].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(u.astype(str)),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64),
+                               pa.int64()),
+            "ratio_sum": pa.array(np.bincount(inv, weights=ratio),
+                                  pa.float64()),
+            "n_high": pa.array(
+                np.bincount(inv, weights=(ratio > high_thresh)
+                            .astype(np.float64)).astype(np.int64),
+                pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("ratio_sum", alias_name="rs"),
+                      Sum("n_high", alias_name="nh")).to_pandas())
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": agg["n_docs"].astype("int64"),
+        "mean_stop_ratio": (agg["rs"] / agg["n_docs"]).round(round_to),
+        "high_frac": (agg["nh"] / agg["n_docs"]).round(round_to),
+    })
+    return out.sort_values("source").reset_index(drop=True)
