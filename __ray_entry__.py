@@ -799,6 +799,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: textstats.stopword_density_by_source(_docs(sf)),
         # simplified silhouette per label (cluster quality)
         "emb_silhouette": lambda sf: ann.silhouette_by_label(_emb(sf)),
+        # Lucene span_first: positional gate on the first occurrence
+        "fts_span_first": lambda sf: ftsd.span_first_topk(sf),
+        # ES constant_score: filter-context fixed-score match
+        "fts_constant_score": lambda sf: ftsd.constant_score_topk(sf),
     }
 
 
@@ -1103,4 +1107,6 @@ def oracle_sql() -> dict[str, str]:
         "text_stopword_density": oracles.stopword_density_sql(
             STOPWORDS["en"]),
         "emb_silhouette": oracles.silhouette_sql(),
+        "fts_span_first": oracles.span_first_sql("merge", 20, 20),
+        "fts_constant_score": oracles.constant_score_sql("window", 1.7, 20),
     }

@@ -2257,3 +2257,40 @@ class TestSilhouetteStopdensity:
         assert int(out.n_docs.sum()) == docs.count()
         assert ((out.mean_stop_ratio >= 0) & (out.mean_stop_ratio <= 1)).all()
         assert ((out.high_frac >= 0) & (out.high_frac <= 1)).all()
+
+
+class TestSpanFirstConstantScore:
+    def test_span_first_subset_and_monotone(self, ray_session):
+        """span_first results are a subset of the plain term match;
+        widening max_pos only grows the allowed set."""
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+
+        eng = ftsd.get_engine(SF)
+        plain = set(eng.match_ids("merge").tolist())
+        tight = ftsd.span_first_topk(SF, "merge", max_pos=5, k=1000)
+        wide = ftsd.span_first_topk(SF, "merge", max_pos=50, k=1000)
+        assert set(tight.doc_id) <= set(wide.doc_id) <= plain
+        assert len(tight) < len(wide)
+
+    def test_restrict_ids_prunes_not_rescores(self, ray_session):
+        """Scores under restrict_ids equal the unrestricted scores for
+        surviving docs (match-set prune, not a rescore)."""
+        import numpy as np
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+
+        eng = ftsd.get_engine(SF)
+        full = eng.search("merge", limit=50, normalize=False).to_pandas()
+        keep = full.doc_id.to_numpy()[::2]
+        r = eng.search("merge", restrict_ids=keep.astype(np.uint64),
+                       limit=50, normalize=False).to_pandas()
+        assert set(r.doc_id) <= set(keep)
+        fm = dict(zip(full.doc_id, full.score))
+        for row in r.itertuples():
+            assert abs(row.score - fm[row.doc_id]) < 1e-9
+
+    def test_constant_score_flat(self, ray_session):
+        from yetisearch_ray.pipelines import fts_documents as ftsd
+
+        out = ftsd.constant_score_topk(SF, "window", boost=2.5, k=10)
+        assert (out.score == 2.5).all()
+        assert list(out.doc_id) == sorted(out.doc_id)

@@ -892,3 +892,40 @@ def boosting_topk(sf_dir: str, terms=("vector", "stream"),
     return _as_result(get_engine(sf_dir).search(
         " ".join(terms), mode="or", negative_terms=[negative],
         negative_boost=negative_boost, limit=k, normalize=False))
+
+
+def span_first_topk(sf_dir: str, term: str = "merge", max_pos: int = 20,
+                    k: int = 20) -> pd.DataFrame:
+    """Lucene ``span_first``: docs where ``term`` occurs within the
+    first ``max_pos`` token positions of the text field, BM25-scored
+    normally (positional gate prunes the match set only).  The first
+    position per doc comes straight off the posting's flat positions
+    array (vectorized: positions[tf-prefix starts]); the gated id set
+    feeds the engine's ``restrict_ids`` allowlist.
+    Oracle: ``oracles.span_first_sql``."""
+    eng = get_engine(sf_dir)
+    groups = eng.analyzer.match_terms(term)
+    tok = groups[0][0] if groups and groups[0] else term
+    post = eng.index.postings(tok).get(1)  # field 1 = text
+    if post is None or post.positions is None or not post.doc_ids.size:
+        ids = np.empty(0, np.uint64)
+    else:
+        tfs = post.tfs.astype(np.int64)
+        starts = np.cumsum(tfs) - tfs
+        first = post.positions[starts]
+        ids = post.doc_ids[first < max_pos]
+    return _as_result(eng.search(term, restrict_ids=ids, limit=k,
+                                 normalize=False))
+
+
+def constant_score_topk(sf_dir: str, term: str = "window",
+                        boost: float = 1.7, k: int = 20) -> pd.DataFrame:
+    """ES ``constant_score``: filter-context match (no BM25), every
+    matching doc scores exactly ``boost``; deterministic page = first
+    ``k`` by doc_id.  Oracle: ``oracles.constant_score_sql``."""
+    eng = get_engine(sf_dir)
+    ids = np.sort(eng.match_ids(term))[:k]
+    return pd.DataFrame({
+        "doc_id": pd.array(ids.astype(np.int64), dtype="int64"),
+        "score": np.full(ids.size, float(boost)),
+    })

@@ -58,7 +58,8 @@ def bm25_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
                   tie_breaker: float = 0.0,
                   rank_boost: tuple | None = None,
                   negative_term: str | None = None,
-                  negative_boost: float = 0.5) -> str:
+                  negative_boost: float = 0.5,
+                  allow_cte: str | None = None) -> str:
     terms_sql = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
     if boosts:
         # query-time term boosts (engine Phrase.boost): multiply that
@@ -91,6 +92,12 @@ def bm25_topk_sql(terms, *, corpus: str = DOCUMENTS_CORPUS, w0: float = 1.0,
                  f"'{negative_term}') THEN {float(negative_boost)} "
                  f"ELSE 1.0 END))")
     where = f"WHERE s.nterms = {len(terms)}" if require_all else ""
+    if allow_cte:
+        # doc-id allowlist (engine restrict_ids): the caller supplies a
+        # CTE body named `allowed` with a doc_id column; match-set
+        # prune only, scoring unaffected
+        pred = "s.doc_id IN (SELECT doc_id FROM allowed)"
+        where = f"{where} AND {pred}" if where else f"WHERE {pred}"
     if min_match > 1:
         # ES minimum_should_match: docs matching >= N of the OR terms;
         # scoring identical to plain OR (engine.py CompiledQuery
@@ -132,7 +139,8 @@ contrib AS (
 scored AS (
   SELECT doc_id, {score_agg} AS s, count(*) AS nterms
   FROM contrib GROUP BY doc_id
-)
+){"," if allow_cte else ""}
+{f"allowed AS ({allow_cte})" if allow_cte else ""}
 SELECT s.doc_id::BIGINT AS doc_id, round(abs({sexpr}), {round_to}) AS score
 FROM scored s {rb_join} {lang_join} {where}
 ORDER BY -{sexpr} ASC, s.doc_id ASC LIMIT {k}{off}"""
@@ -3829,3 +3837,47 @@ s AS (
 SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
        round(avg(sil), {round_to}) AS mean_silhouette
 FROM s GROUP BY label ORDER BY label"""
+
+
+def span_first_sql(term: str = "merge", max_pos: int = 20, k: int = 20,
+                   corpus: str = DOCUMENTS_CORPUS,
+                   round_to: int = 5) -> str:
+    """Ground truth for fts_documents.span_first_topk: BM25 for
+    ``term`` over docs whose FIRST text-field occurrence is at a
+    0-based token position < max_pos (positions count non-empty
+    tokens, matching the index tokenizer)."""
+    t1 = _TOK.format(col="f1")
+    allow = f"""
+  SELECT doc_id FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+             AS tpos
+    FROM (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM (SELECT doc_id, {t1} AS toks FROM corpus)
+    ) WHERE term <> ''
+  ) WHERE term = '{term}' AND tpos < {max_pos}
+  GROUP BY doc_id
+"""
+    return bm25_topk_sql([term], corpus=corpus, k=k, round_to=round_to,
+                         allow_cte=allow)
+
+
+def constant_score_sql(term: str = "window", boost: float = 1.7,
+                       k: int = 20, corpus: str = DOCUMENTS_CORPUS) -> str:
+    """Ground truth for fts_documents.constant_score_topk."""
+    t0 = _TOK.format(col="f0")
+    t1 = _TOK.format(col="f1")
+    return f"""
+WITH corpus AS ({corpus}),
+tokf AS (
+  SELECT doc_id, u.term FROM corpus, unnest({t0}) AS u(term)
+    WHERE u.term <> ''
+  UNION ALL
+  SELECT doc_id, u.term FROM corpus, unnest({t1}) AS u(term)
+    WHERE u.term <> ''
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id, {float(boost)} AS score
+FROM tokf WHERE term = '{term}'
+ORDER BY doc_id LIMIT {k}"""

@@ -1194,6 +1194,7 @@ class SearchEngine:
         decay_offset: float = 0.0,
         negative_terms=None,
         negative_boost: float = 0.5,
+        restrict_ids=None,
     ) -> pa.Table:
         limit = min(int(limit), MAX_RESULTS)
         # ---- query cache (reference QueryCache §2.3: TTL + LRU, keyed on
@@ -1216,6 +1217,9 @@ class SearchEngine:
                          decay_column, decay_origin, decay_scale,
                          decay_offset,
                          tuple(negative_terms or ()), negative_boost,
+                         (None if restrict_ids is None
+                          else tuple(np.sort(np.asarray(
+                              restrict_ids, np.uint64)).tolist())),
                          self.index.mutation_version)
             hit = self._result_cache.get(cache_key)
             if hit is not None:
@@ -1325,6 +1329,13 @@ class SearchEngine:
         if doc_ids.size and self.index.tombstones.size:
             live = ~np.isin(doc_ids, self.index.tombstones)
             doc_ids, rank = doc_ids[live], rank[live]
+        if restrict_ids is not None and doc_ids.size:
+            # ES `ids` / terms-by-_id filter (extension): prune the
+            # match set to an explicit doc-id allowlist; scoring
+            # (df/idf/dl) is unaffected, like exclude_terms.
+            allow = np.asarray(restrict_ids, dtype=np.uint64)
+            keep = np.isin(doc_ids, allow)
+            doc_ids, rank = doc_ids[keep], rank[keep]
         if doc_ids.size:
             keep = self._apply_filters(doc_ids, filters, language)
             doc_ids, rank = doc_ids[keep], rank[keep]
