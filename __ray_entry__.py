@@ -803,6 +803,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_span_first": lambda sf: ftsd.span_first_topk(sf),
         # ES constant_score: filter-context fixed-score match
         "fts_constant_score": lambda sf: ftsd.constant_score_topk(sf),
+        # weekly churn-rate series (complement of W-o-W retention)
+        "ev_weekly_churn": events.weekly_churn,
+        # per-user NTILE(4) rolled up per tile
+        "ev_user_quartiles": events.user_value_quartiles,
+        # boilerplate-prefix duplicate clusters
+        "dedup_prefix_clusters":
+            lambda sf: dedup.prefix_dup_clusters(_docs(sf)),
     }
 
 
@@ -1109,4 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_silhouette": oracles.silhouette_sql(),
         "fts_span_first": oracles.span_first_sql("merge", 20, 20),
         "fts_constant_score": oracles.constant_score_sql("window", 1.7, 20),
+        "ev_weekly_churn": oracles.WEEKLY_CHURN_SQL,
+        "ev_user_quartiles": oracles.user_quartiles_sql(),
+        "dedup_prefix_clusters": oracles.prefix_dup_sql(),
     }

@@ -2294,3 +2294,40 @@ class TestSpanFirstConstantScore:
         out = ftsd.constant_score_topk(SF, "window", boost=2.5, k=10)
         assert (out.score == 2.5).all()
         assert list(out.doc_id) == sorted(out.doc_id)
+
+
+class TestChurnQuartilesPrefix:
+    def test_churn_rate_bounds(self, ray_session):
+        from yetisearch_ray.pipelines import events
+
+        out = events.weekly_churn(SF)
+        assert ((out.churn_rate >= 0) & (out.churn_rate <= 1)).all()
+        assert (out.churned <= out.active_prev).all()
+
+    def test_quartile_sizes_balanced(self, ray_session):
+        """NTILE guarantees: totals add to the event count and tile
+        sizes differ by at most |users| (one extra per user)."""
+        import ray.data as rd
+        from yetisearch_ray.pipelines import events
+
+        out = events.user_value_quartiles(SF)
+        n_events = rd.read_parquet(f"{SF}/events.parquet").count()
+        assert int(out.n.sum()) == n_events
+        assert list(out.tile) == [1, 2, 3, 4]
+        assert (out.n.diff().dropna() <= 0).all()  # sizes non-increasing
+        # quartiles are value-ordered, so means must rise
+        assert (out.mean_value.diff().dropna() > 0).all()
+
+    def test_prefix_clusters_planted(self, ray_session):
+        """Plant 5 docs sharing a 100-char prefix: they must surface as
+        one cluster of >= 5."""
+        import pyarrow as pa
+        import ray.data as rd
+        from yetisearch_ray.pipelines import dedup
+
+        pref = "z" * 100
+        texts = [pref + f" tail {i}" for i in range(5)] + \
+            [f"unique doc number {i} with own start" for i in range(20)]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+        out = dedup.prefix_dup_clusters(ds, min_size=2, k=10)
+        assert int(out.n.max()) >= 5

@@ -1260,3 +1260,34 @@ def best_survivors(ds, *, threshold=0.5, id_col="doc_id",
            .groupby("cluster_id").map_groups(final, batch_format="pandas"))
     pdf = out.to_pandas().sort_values("cluster_id").reset_index(drop=True)
     return pdf[["cluster_id", id_col, "quality"]]
+
+
+def prefix_dup_clusters(ds, *, prefix_chars: int = 100, min_size: int = 2,
+                        k: int = 20, text_col: str = "text"):
+    """Boilerplate-prefix duplicate clusters: docs sharing their first
+    ``prefix_chars`` CHARACTERS (md5 of the prefix) — the cheap
+    template/header detector run before heavier near-dup passes (a
+    crawl source whose docs all start identically is chrome, and exact
+    prefix grouping finds it in one shuffle of (hash, 1) rows).
+    Columns (prefix_hash, n) — clusters of >= min_size, largest
+    first."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t[text_col], 0, prefix_chars)
+        h = _md5_batch(pref.to_pylist())
+        df = pd.DataFrame({"prefix_hash": h})
+        g = df.groupby("prefix_hash").size().reset_index(name="n")
+        return pa.table({"prefix_hash": pa.array(g["prefix_hash"]),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("prefix_hash")
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg = agg[agg["n"] >= min_size]
+    agg["n"] = agg["n"].astype("int64")
+    return (agg.sort_values(["n", "prefix_hash"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))

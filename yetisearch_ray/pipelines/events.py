@@ -1157,3 +1157,99 @@ def user_type_entropy(sf_dir: str, *, k: int = 50, round_to: int = 6):
            .map_groups(ent, batch_format="pandas").to_pandas())
     return (out.sort_values("user_id").head(k)
             .reset_index(drop=True))
+
+
+def weekly_churn(sf_dir: str, *, round_to: int = 6):
+    """Weekly churn-rate series: of the users active in week W, the
+    fraction with NO event in week W+1 (reported against W+1, the week
+    they went missing).  The complement of week-over-week retention.
+
+    Distributed shape: per-batch distinct (user_id, week) pairs
+    (map-side combine) -> one global pair-dedup groupby -> a per-user
+    ``map_groups`` that emits (next_week, churned 0/1) for every
+    active week below the global max (per-user state stays in the
+    group task) -> a final |weeks|-row aggregate.  Columns
+    (week, active_prev, churned, churn_rate)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(t["ts"], unit="week")
+        return pa.table({"user_id": t["user_id"], "wk": wk}) \
+            .group_by(["user_id", "wk"]).aggregate([])
+
+    pairs = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["user_id", "wk"]).aggregate(Count(alias_name="_n")))
+    max_wk = pairs.aggregate(Max("wk", alias_name="m"))["m"]
+    max_wk64 = np.datetime64(max_wk, "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        wks = np.sort(g["wk"].to_numpy().astype("datetime64[us]"))
+        cur = wks[wks < max_wk64]
+        if not cur.size:
+            return pd.DataFrame({"week": pd.Series(dtype="datetime64[us]"),
+                                 "churned": pd.Series(dtype="int64")})
+        nxt = cur + np.timedelta64(7, "D").astype("timedelta64[us]")
+        present = np.isin(nxt, wks)
+        return pd.DataFrame({"week": nxt,
+                             "churned": (~present).astype("int64")})
+
+    rows = pairs.groupby("user_id").map_groups(per_user,
+                                               batch_format="pandas")
+    out = (rows.groupby("week")
+           .aggregate(Count(alias_name="active_prev"),
+                      Sum("churned", alias_name="churned")).to_pandas())
+    out["active_prev"] = out["active_prev"].astype("int64")
+    out["churned"] = out["churned"].astype("int64")
+    out["churn_rate"] = (out["churned"] / out["active_prev"]).round(round_to)
+    return out.sort_values("week").reset_index(drop=True)
+
+
+def user_value_quartiles(sf_dir: str, *, tiles: int = 4,
+                         round_to: int = 6):
+    """Per-user NTILE(4) over event values, rolled up per tile: each
+    user's events are split into equal quartiles by (value, event_id)
+    order, then tile 1..4 aggregates across all users — the
+    within-entity window-function shape (SQL ``NTILE(4) OVER
+    (PARTITION BY user_id ORDER BY value, event_id)``).
+
+    Distributed shape: one user-key shuffle; the tile assignment is a
+    vectorized argsort inside ``map_groups`` (SQL NTILE sizing: the
+    first n%k tiles get one extra row); only (tile, partial sums)
+    leave the group.  Columns (tile, n, mean_value)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["value"].to_numpy()))
+        v = g["value"].to_numpy(np.float64)[order]
+        n = v.size
+        base, extra = divmod(n, tiles)
+        sizes = np.full(tiles, base, np.int64)
+        sizes[:extra] += 1
+        tile = np.repeat(np.arange(1, tiles + 1), sizes)[:n]
+        df = pd.DataFrame({"tile": tile, "v": v})
+        a = df.groupby("tile").agg(n=("v", "size"), s=("v", "sum"))
+        a = a[a["n"] > 0].reset_index()
+        return pd.DataFrame({"tile": a["tile"].astype("int64"),
+                             "n": a["n"].astype("int64"),
+                             "s": a["s"]})
+
+    agg = (ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+           .groupby("tile")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s")).to_pandas())
+    out = pd.DataFrame({
+        "tile": agg["tile"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "mean_value": (agg["s"] / agg["n"]).round(round_to),
+    })
+    return out.sort_values("tile").reset_index(drop=True)

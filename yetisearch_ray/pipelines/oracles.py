@@ -3881,3 +3881,47 @@ tokf AS (
 SELECT DISTINCT doc_id::BIGINT AS doc_id, {float(boost)} AS score
 FROM tokf WHERE term = '{term}'
 ORDER BY doc_id LIMIT {k}"""
+
+
+# Ground truth for events.weekly_churn (week-over-week disappearance).
+WEEKLY_CHURN_SQL = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events),
+mx AS (SELECT max(wk) AS m FROM uw),
+cand AS (SELECT user_id, wk + INTERVAL 7 DAY AS nwk
+         FROM uw, mx WHERE wk < m)
+SELECT cand.nwk AS week, count(*)::BIGINT AS active_prev,
+       sum(CASE WHEN u2.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS churned,
+       round(sum(CASE WHEN u2.user_id IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS churn_rate
+FROM cand LEFT JOIN uw u2
+  ON u2.user_id = cand.user_id AND u2.wk = cand.nwk
+GROUP BY cand.nwk ORDER BY week"""
+
+
+def user_quartiles_sql(tiles: int = 4, round_to: int = 6) -> str:
+    """Ground truth for events.user_value_quartiles (per-user NTILE
+    rolled up per tile)."""
+    return f"""
+WITH t AS (
+  SELECT value,
+         ntile({tiles}) OVER (PARTITION BY user_id
+                              ORDER BY value, event_id) AS tile
+  FROM events
+)
+SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n,
+       round(sum(value) / count(*), {round_to}) AS mean_value
+FROM t GROUP BY tile ORDER BY tile"""
+
+
+def prefix_dup_sql(prefix_chars: int = 100, min_size: int = 2,
+                   k: int = 20) -> str:
+    """Ground truth for dedup.prefix_dup_clusters."""
+    return f"""
+WITH h AS (SELECT md5(substr(text, 1, {prefix_chars})) AS prefix_hash
+           FROM documents),
+c AS (SELECT prefix_hash, count(*)::BIGINT AS n
+      FROM h GROUP BY prefix_hash)
+SELECT prefix_hash, n FROM c WHERE n >= {min_size}
+ORDER BY n DESC, prefix_hash LIMIT {k}"""
