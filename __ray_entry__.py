@@ -810,6 +810,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boilerplate-prefix duplicate clusters
         "dedup_prefix_clusters":
             lambda sf: dedup.prefix_dup_clusters(_docs(sf)),
+        # FIRST/LAST_VALUE endpoints drift rollup
+        "ev_first_last_drift": events.first_last_drift,
+        # deterministic weighted sample (Efraimidis-Spirakis A-Res)
+        "cur_weighted_sample":
+            lambda sf: curation.weighted_sample(_docs(sf)),
     }
 
 
@@ -1119,4 +1124,6 @@ def oracle_sql() -> dict[str, str]:
         "ev_weekly_churn": oracles.WEEKLY_CHURN_SQL,
         "ev_user_quartiles": oracles.user_quartiles_sql(),
         "dedup_prefix_clusters": oracles.prefix_dup_sql(),
+        "ev_first_last_drift": oracles.FIRST_LAST_DRIFT_SQL,
+        "cur_weighted_sample": oracles.weighted_sample_sql(),
     }

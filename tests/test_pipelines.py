@@ -2331,3 +2331,43 @@ class TestChurnQuartilesPrefix:
         ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
         out = dedup.prefix_dup_clusters(ds, min_size=2, k=10)
         assert int(out.n.max()) >= 5
+
+
+class TestDriftWeightedSample:
+    def test_drift_counts_partition(self, ray_session):
+        from yetisearch_ray.pipelines import events
+
+        out = events.first_last_drift(SF)
+        assert int(out.n_up[0] + out.n_down[0] + out.n_flat[0]) \
+            == int(out.n_users[0])
+
+    def test_weighted_sample_deterministic_and_biased(self, ray_session):
+        """Same input => identical sample; heavier docs must be
+        overrepresented vs a uniform draw (statistical sanity on the
+        planted two-weight corpus)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from yetisearch_ray.pipelines import curation
+
+        n = 2000
+        heavy = set(range(0, n, 10))  # 10% of docs get 50x weight
+        t = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "n_chars": pa.array([5000 if i in heavy else 100
+                                 for i in range(n)], pa.int64()),
+        })
+        a = curation.weighted_sample(rd.from_arrow(t), k=100)
+        b = curation.weighted_sample(rd.from_arrow(t), k=100)
+        assert list(a.doc_id) == list(b.doc_id)
+        frac_heavy = sum(1 for d in a.doc_id if int(d) in heavy) / 100
+        assert frac_heavy > 0.5  # 10% of ids, 50x weight -> ~0.85 expected
+
+    def test_weighted_sample_block_invariance(self, ray_session):
+        """Repartitioning must not change the sample (no RNG state)."""
+        import ray.data as rd
+        from yetisearch_ray.pipelines import curation
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet")
+        a = curation.weighted_sample(docs, k=25)
+        b = curation.weighted_sample(docs.repartition(7), k=25)
+        assert list(a.doc_id) == list(b.doc_id)

@@ -910,3 +910,49 @@ def dup_rate_by_source(ds, *, text_col="text", src_col="source",
     agg["n_dup_docs"] = agg["n_dup_docs"].astype("int64")
     agg["dup_rate"] = (agg["n_dup_docs"] / agg["n_docs"]).round(round_to)
     return agg.sort_values("source").reset_index(drop=True)
+
+
+def weighted_sample(ds, *, k: int = 50, id_col: str = "doc_id",
+                    weight_col: str = "n_chars", round_to: int = 12):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each row draws key = ln(u)/w with u a DETERMINISTIC
+    md5-uniform of its id, and the global top-k keys are the sample —
+    P(selection) proportional to weight, reproducible across runs,
+    machines and block boundaries (no RNG state), which is what a
+    quality-weighted corpus subsample needs for auditability.
+
+    Distributed shape: zero shuffle — each batch prunes to its local
+    top-k candidates (vectorized argpartition), the driver merges the
+    bounded (blocks x k) candidate set.  Keys are rounded to
+    ``round_to`` digits BEFORE ranking, ties broken by id, so the
+    DuckDB oracle (same md5-uniform, same ln-key) is bit-identical.
+    Columns (doc_id, weight, key), best key first."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _md5_u64_tokens
+
+    TWO64 = 18446744073709551616.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = w > 0
+        ids, w = ids[ok], w[ok]
+        h = _md5_u64_tokens(np.array([str(int(i)) for i in ids],
+                                     dtype=object))
+        u = (h.astype(np.float64) + 1.0) / TWO64
+        key = np.round(np.log(u) / w, round_to)
+        if key.size > k:
+            top = np.argpartition(-key, k - 1)[:k]
+            ids, w, key = ids[top], w[top], key[top]
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "weight": pa.array(w, pa.float64()),
+            "key": pa.array(key, pa.float64()),
+        })
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["key", id_col],
+                            ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)

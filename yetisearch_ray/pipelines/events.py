@@ -1253,3 +1253,74 @@ def user_value_quartiles(sf_dir: str, *, tiles: int = 4,
         "mean_value": (agg["s"] / agg["n"]).round(round_to),
     })
     return out.sort_values("tile").reset_index(drop=True)
+
+
+def first_last_drift(sf_dir: str, *, round_to: int = 6):
+    """FIRST_VALUE/LAST_VALUE window rollup: each user's first and last
+    event value (by ts, event_id order), aggregated into a drift
+    report — how many users ended higher vs lower than they started
+    and the mean delta.  The per-entity endpoints shape (SQL
+    ``first_value/last_value OVER (PARTITION BY user ORDER BY ...)``)
+    with an aggregate-sized result.
+
+    Distributed shape: per-batch per-user (argmin, argmax) endpoint
+    partials — each batch contributes at most one candidate pair per
+    user it sees — then one user groupby merges candidates and emits
+    (delta sign, delta) rows; the final aggregate is one row.
+    Columns (n_users, n_up, n_down, n_flat, mean_delta)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        # order within the batch by (ts, event_id) once; first/last per
+        # user are then the first/last hit in that order
+        order = np.lexsort((eid, ts))
+        uo, to_, eo, vo = uid[order], ts[order], eid[order], val[order]
+        u, first_idx = np.unique(uo, return_index=True)
+        # last occurrence: unique on the reversed array
+        ur, last_rev = np.unique(uo[::-1], return_index=True)
+        last_idx = uo.size - 1 - last_rev
+        return pa.table({
+            "user_id": pa.array(u),
+            "f_ts": pa.array(to_[first_idx]),
+            "f_eid": pa.array(eo[first_idx]),
+            "f_val": pa.array(vo[first_idx], pa.float64()),
+            "l_ts": pa.array(to_[last_idx]),
+            "l_eid": pa.array(eo[last_idx]),
+            "l_val": pa.array(vo[last_idx], pa.float64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        fo = np.lexsort((g["f_eid"].to_numpy(),
+                         g["f_ts"].to_numpy()))[0]
+        lo = np.lexsort((g["l_eid"].to_numpy(),
+                         g["l_ts"].to_numpy()))[-1]
+        d = float(g["l_val"].iloc[lo]) - float(g["f_val"].iloc[fo])
+        return pd.DataFrame({
+            "up": [np.int64(d > 0)], "down": [np.int64(d < 0)],
+            "flat": [np.int64(d == 0)], "delta": [d],
+            "one": [np.int64(1)],
+        })
+
+    row = (ds.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("user_id").map_groups(merge, batch_format="pandas")
+           .aggregate(Sum("one", alias_name="n"),
+                      Sum("up", alias_name="up"),
+                      Sum("down", alias_name="down"),
+                      Sum("flat", alias_name="flat"),
+                      Sum("delta", alias_name="d")))
+    n = int(row["n"])
+    return pd.DataFrame({
+        "n_users": pd.array([n], dtype="int64"),
+        "n_up": pd.array([int(row["up"])], dtype="int64"),
+        "n_down": pd.array([int(row["down"])], dtype="int64"),
+        "n_flat": pd.array([int(row["flat"])], dtype="int64"),
+        "mean_delta": [round(float(row["d"]) / n, round_to)],
+    })

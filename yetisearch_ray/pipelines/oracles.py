@@ -3925,3 +3925,43 @@ c AS (SELECT prefix_hash, count(*)::BIGINT AS n
       FROM h GROUP BY prefix_hash)
 SELECT prefix_hash, n FROM c WHERE n >= {min_size}
 ORDER BY n DESC, prefix_hash LIMIT {k}"""
+
+
+# Ground truth for events.first_last_drift (FIRST/LAST_VALUE rollup).
+FIRST_LAST_DRIFT_SQL = """
+WITH w AS (
+  SELECT user_id,
+         first_value(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS fv,
+         last_value(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING
+            AND UNBOUNDED FOLLOWING) AS lv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+per_user AS (SELECT user_id, fv, lv, lv - fv AS d FROM w WHERE rn = 1)
+SELECT count(*)::BIGINT AS n_users,
+       sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+       sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+       sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS n_flat,
+       round(sum(d) / count(*), 6) AS mean_delta
+FROM per_user"""
+
+
+def weighted_sample_sql(k: int = 50, round_to: int = 12) -> str:
+    """Ground truth for curation.weighted_sample (Efraimidis–Spirakis
+    A-Res with the repo's deterministic md5-uniform; verified
+    bit-identical to numpy's float64 pipeline)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         (md5_number_lower(doc_id::VARCHAR)::DOUBLE + 1)
+           / 18446744073709551616.0 AS u
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, round(ln(u) / weight, {round_to}) AS key
+FROM w
+ORDER BY round(ln(u) / weight, {round_to}) DESC, doc_id
+LIMIT {k}"""
