@@ -815,6 +815,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic weighted sample (Efraimidis-Spirakis A-Res)
         "cur_weighted_sample":
             lambda sf: curation.weighted_sample(_docs(sf)),
+        # Lorenz curve by customer decile (inequality profile)
+        "rel_lorenz_deciles": relational.lorenz_deciles,
+        # TPC-H Q21 shape: EXISTS/NOT-EXISTS supplier blame
+        "rel_q21_blame": relational.q21_supplier_blame,
     }
 
 
@@ -1126,4 +1130,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix_clusters": oracles.prefix_dup_sql(),
         "ev_first_last_drift": oracles.FIRST_LAST_DRIFT_SQL,
         "cur_weighted_sample": oracles.weighted_sample_sql(),
+        "rel_lorenz_deciles": oracles.lorenz_deciles_sql(),
+        "rel_q21_blame": oracles.q21_blame_sql(),
     }

@@ -2371,3 +2371,26 @@ class TestDriftWeightedSample:
         a = curation.weighted_sample(docs, k=25)
         b = curation.weighted_sample(docs.repartition(7), k=25)
         assert list(a.doc_id) == list(b.doc_id)
+
+
+class TestLorenzQ21:
+    def test_lorenz_monotone_and_complete(self, ray_session):
+        from yetisearch_ray.pipelines import relational
+
+        out = relational.lorenz_deciles(SF)
+        assert list(out.decile) == list(range(1, 11))
+        # shares rise decile over decile (revenue-ordered tiles)
+        assert (out.rev_share.diff().dropna() >= -1e-9).all()
+        assert abs(float(out.cum_share.iloc[-1]) - 1.0) < 1e-4
+        # ntile sizing: max size diff is 1
+        assert int(out.n.max() - out.n.min()) <= 1
+
+    def test_q21_blame_requires_coworkers(self, ray_session):
+        """With an infinite grace no one is late -> empty blame set."""
+        from yetisearch_ray.pipelines import relational
+
+        out = relational.q21_supplier_blame(SF, grace_days=100000)
+        assert len(out) == 0
+        some = relational.q21_supplier_blame(SF, grace_days=30)
+        tight = relational.q21_supplier_blame(SF, grace_days=60)
+        assert int(some.n_blamed.sum()) >= 0 and len(tight) >= 0

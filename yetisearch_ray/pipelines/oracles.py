@@ -3965,3 +3965,55 @@ SELECT doc_id, weight, round(ln(u) / weight, {round_to}) AS key
 FROM w
 ORDER BY round(ln(u) / weight, {round_to}) DESC, doc_id
 LIMIT {k}"""
+
+
+def lorenz_deciles_sql(tiles: int = 10, round_to: int = 6) -> str:
+    """Ground truth for relational.lorenz_deciles."""
+    return f"""
+WITH pc AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT rev, ntile({tiles}) OVER (ORDER BY rev, o_custkey) AS decile,
+         sum(rev) OVER () AS total
+  FROM pc
+),
+d AS (
+  SELECT decile, count(*)::BIGINT AS n,
+         sum(rev) / max(total) AS share
+  FROM t GROUP BY decile
+)
+SELECT decile::BIGINT AS decile, n,
+       round(share, {round_to}) AS rev_share,
+       round(sum(share) OVER (ORDER BY decile), {round_to}) AS cum_share
+FROM d ORDER BY decile"""
+
+
+def q21_blame_sql(grace_days: int = 60, k: int = 20) -> str:
+    """Ground truth for relational.q21_supplier_blame (TPC-H Q21
+    shape: EXISTS other supplier + NOT EXISTS other late supplier)."""
+    return f"""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate
+                       + INTERVAL {grace_days} DAY
+             THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+blamed AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM late l1
+  WHERE l1.is_late = 1
+    AND EXISTS (SELECT 1 FROM late l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.is_late = 1)
+)
+SELECT l_suppkey AS s_suppkey, count(*)::BIGINT AS n_blamed
+FROM blamed GROUP BY l_suppkey
+ORDER BY n_blamed DESC, s_suppkey LIMIT {k}"""

@@ -1866,3 +1866,156 @@ def revenue_gini(sf_dir: str, *, n_buckets: int = 256, round_to: int = 6):
         "gini": [round(gini, round_to)],
         "mean_rev": [round(total / n, round_to)],
     })
+
+
+def lorenz_deciles(sf_dir: str, *, tiles: int = 10, round_to: int = 6):
+    """Lorenz curve by customer decile: customers are ranked by total
+    order revenue, split into NTILE(10) deciles, and each decile
+    reports its revenue share and the cumulative share — the
+    inequality profile behind the Gini scalar.
+
+    Distributed shape: same sort-free global-rank machinery as
+    ``revenue_gini`` (bounded value-bucket histogram -> per-bucket
+    below-offsets -> exact local ranks inside one bucket-key shuffle);
+    tile boundaries follow SQL NTILE sizing (first n%tiles tiles get
+    one extra row), ties ordered by (rev, custkey) in both engine and
+    oracle.  Columns (decile, n, rev_share, cum_share)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="rev"))
+    g = per_cust.aggregate(Min("rev", alias_name="lo"),
+                           Max("rev", alias_name="hi"),
+                           Sum("rev", alias_name="total"),
+                           Count(alias_name="n"))
+    lo, hi = float(g["lo"]), float(g["hi"])
+    total, n = float(g["total"]), int(g["n"])
+    n_buckets = 256
+    width = max((hi - lo) / n_buckets, 1e-12)
+    base, extra = divmod(n, tiles)
+    # rank r (1-based) -> tile, SQL NTILE sizing
+    big_span = extra * (base + 1)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False)
+        b = np.minimum(((r - lo) / width).astype(np.int64), n_buckets - 1)
+        return pa.table({"bucket": pa.array(b), "rev": t["rev"],
+                         "o_custkey": t["o_custkey"]})
+
+    bk = per_cust.map_batches(bucketize, batch_format="pyarrow")
+    hist = bk.groupby("bucket").aggregate(Count(alias_name="c")).to_pandas()
+    hist = hist.sort_values("bucket").reset_index(drop=True)
+    below = np.concatenate([[0], np.cumsum(hist["c"].to_numpy())[:-1]])
+    off = {int(b): int(o) for b, o in zip(hist["bucket"], below)}
+    oref = ray.put(off)
+
+    def tile_partial(gdf: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        order = np.lexsort((gdf["o_custkey"].to_numpy(),
+                            gdf["rev"].to_numpy()))
+        x = gdf["rev"].to_numpy(np.float64)[order]
+        ranks = offs[int(gdf["bucket"].iloc[0])] \
+            + np.arange(1, x.size + 1, dtype=np.int64)
+        tile = np.where(
+            ranks <= big_span,
+            (ranks - 1) // (base + 1) + 1,
+            extra + 1 + (ranks - big_span - 1) // max(base, 1))
+        df = pd.DataFrame({"tile": tile, "x": x})
+        a = df.groupby("tile").agg(n=("x", "size"), s=("x", "sum"))
+        return a.reset_index()
+
+    agg = (bk.groupby("bucket")
+           .map_groups(tile_partial, batch_format="pandas")
+           .groupby("tile")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s")).to_pandas())
+    agg = agg.sort_values("tile").reset_index(drop=True)
+    share = agg["s"].to_numpy(np.float64) / total
+    out = pd.DataFrame({
+        "decile": agg["tile"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "rev_share": np.round(share, round_to),
+        "cum_share": np.round(np.cumsum(share), round_to),
+    })
+    return out
+
+
+def q21_supplier_blame(sf_dir: str, *, grace_days: int = 60, k: int = 20):
+    """TPC-H Q21 shape: suppliers BLAMED for late multi-supplier orders
+    — the supplier's line shipped late, the order has at least one
+    OTHER supplier (EXISTS), and no other supplier shipped late
+    (NOT EXISTS).  The canonical exists/not-exists self-join.
+
+    Distributed shape: one orderkey-keyed shuffle of slim
+    (orderkey, suppkey, late) rows joined map-side with a broadcast
+    (orderkey -> orderdate) array pair would re-broadcast a big dim;
+    instead orders ship their date INTO the shuffle (tagged union,
+    zero broadcast) and each order group resolves blame locally in
+    numpy; a final tiny supplier count groupby.  Columns
+    (s_suppkey, n_blamed)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["l_orderkey"],
+            "supp": t["l_suppkey"],
+            "ship": pa.array(t["l_shipdate"].to_numpy(zero_copy_only=False)
+                             .astype("datetime64[us]")),
+            "is_order": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["o_orderkey"],
+            "supp": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "ship": pa.array(t["o_orderdate"].to_numpy(zero_copy_only=False)
+                             .astype("datetime64[us]")),
+            "is_order": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    tagged = (li.map_batches(li_rows, batch_format="pyarrow")
+              .union(orders.map_batches(o_rows, batch_format="pyarrow")))
+    grace = np.timedelta64(grace_days, "D").astype("timedelta64[us]")
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        is_o = g["is_order"].to_numpy() == 1
+        if not is_o.any() or is_o.all():
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                                 "one": pd.Series(dtype="int64")})
+        odate = g["ship"].to_numpy().astype("datetime64[us]")[is_o][0]
+        supp = g["supp"].to_numpy()[~is_o]
+        late = g["ship"].to_numpy().astype("datetime64[us]")[~is_o] \
+            > odate + grace
+        u = np.unique(supp)
+        if u.size < 2:
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                                 "one": pd.Series(dtype="int64")})
+        late_supp = np.unique(supp[late])
+        # blamed iff exactly ONE distinct supplier shipped late on a
+        # multi-supplier order (EXISTS other + NOT EXISTS other-late)
+        blamed = late_supp if late_supp.size == 1 \
+            else np.empty(0, np.int64)
+        return pd.DataFrame({"s_suppkey": blamed.astype(np.int64),
+                             "one": np.ones(blamed.size, np.int64)})
+
+    out = (tagged.groupby("k").map_groups(blame, batch_format="pandas")
+           .groupby("s_suppkey")
+           .aggregate(Sum("one", alias_name="n_blamed")).to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "n_blamed": pd.Series(dtype="int64")})
+    out["n_blamed"] = out["n_blamed"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out.sort_values(["n_blamed", "s_suppkey"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))
