@@ -819,6 +819,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lorenz_deciles": relational.lorenz_deciles,
         # TPC-H Q21 shape: EXISTS/NOT-EXISTS supplier blame
         "rel_q21_blame": relational.q21_supplier_blame,
+        # per-language comment density over the code corpus
+        "code_comment_density": relational.code_comment_density,
+        # TPC-H Q5 shape: same-nation customer/supplier revenue
+        "rel_q5_local_volume": relational.q5_local_volume,
     }
 
 
@@ -1132,4 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_weighted_sample": oracles.weighted_sample_sql(),
         "rel_lorenz_deciles": oracles.lorenz_deciles_sql(),
         "rel_q21_blame": oracles.q21_blame_sql(),
+        "code_comment_density": oracles.code_comment_density_sql(
+            _CODE_GLOB_001),
+        "rel_q5_local_volume": oracles.q5_local_volume_sql(),
     }

@@ -4017,3 +4017,41 @@ blamed AS (
 SELECT l_suppkey AS s_suppkey, count(*)::BIGINT AS n_blamed
 FROM blamed GROUP BY l_suppkey
 ORDER BY n_blamed DESC, s_suppkey LIMIT {k}"""
+
+
+def code_comment_density_sql(parquet_glob: str, round_to: int = 6) -> str:
+    """Ground truth for relational.code_comment_density."""
+    return f"""
+WITH f AS (
+  SELECT lang, string_split(content, chr(10)) AS lines
+  FROM read_parquet('{parquet_glob}')
+),
+per_file AS (
+  SELECT lang, len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines,
+             x -> regexp_matches(x, '^\\s*(#|//)')))::BIGINT AS n_com
+  FROM f
+)
+SELECT lang, count(*)::BIGINT AS n_files,
+       sum(n_lines)::BIGINT AS n_lines,
+       round(sum(n_com)::DOUBLE / sum(n_lines), {round_to})
+         AS comment_frac,
+       round(sum(n_lines)::DOUBLE / count(*), {round_to})
+         AS avg_lines_per_file
+FROM per_file GROUP BY lang ORDER BY lang"""
+
+
+def q5_local_volume_sql(year: int = 1997, round_to: int = 4) -> str:
+    """Ground truth for relational.q5_local_volume (TPC-H Q5 shape)."""
+    return f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), {round_to})
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey AND year(o_orderdate) = {year}
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""

@@ -2019,3 +2019,138 @@ def q21_supplier_blame(sf_dir: str, *, grace_days: int = 60, k: int = 20):
     return (out.sort_values(["n_blamed", "s_suppkey"],
                             ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def code_comment_density(sf_dir: str, *, round_to: int = 6):
+    """Per-language comment-line density over the code corpus: the
+    fraction of lines whose trimmed text starts with ``#`` or ``//``
+    (language-agnostic rule so the report is comparable across langs)
+    plus lines-per-file — the code-quality profile a dataset curator
+    reads before weighting languages.
+
+    Distributed shape: one column-pruned pass; line split + comment
+    match are Arrow kernels (``split_pattern`` + ``match_substring_
+    regex`` on the flattened values, per-file counts via offset
+    diffs); a |langs|-row aggregate.  Columns (lang, n_files,
+    n_lines, comment_frac, avg_lines_per_file)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.corpus import corpus_path
+
+    ds = rd.read_parquet(corpus_path(sf_dir), columns=["lang", "content"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        content = t["content"].combine_chunks()
+        lines = pc.split_pattern(content, pattern="\n")
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lines.flatten()
+        is_com = pc.match_substring_regex(
+            flat, pattern=r"^\s*(#|//)").to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(is_com.astype(np.int64))])
+        n_com = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
+        n_lines = np.diff(offs)
+        return pa.table({
+            "lang": t["lang"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_com": pa.array(n_com, pa.int64()),
+        })
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_files"),
+                      Sum("n_lines", alias_name="n_lines"),
+                      Sum("n_com", alias_name="n_com")).to_pandas())
+    out["n_files"] = out["n_files"].astype("int64")
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["comment_frac"] = (out["n_com"] / out["n_lines"]).round(round_to)
+    out["avg_lines_per_file"] = (out["n_lines"] / out["n_files"]) \
+        .round(round_to)
+    return (out[["lang", "n_files", "n_lines", "comment_frac",
+                 "avg_lines_per_file"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
+def q5_local_volume(sf_dir: str, *, year: int = 1997, round_to: int = 4):
+    """TPC-H Q5 shape: revenue from orders where the CUSTOMER and the
+    SUPPLIER sit in the same nation (local supply chains), grouped by
+    nation — the join with an equality predicate across two dimension
+    paths (c_nationkey = s_nationkey).
+
+    Distributed shape: lineitem ⋈ orders is the one big-big hash join
+    (native ``Dataset.join`` on orderkey); customer→nation and
+    supplier→nation are broadcast sorted-array maps applied map-side;
+    the nation filter + per-nation partial sums keep the exchange at
+    |nations| rows.  Columns (n_name, revenue)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).to_pandas()
+
+    def sorted_map(keys, vals):
+        k = np.asarray(keys, np.int64)
+        v = np.asarray(vals, np.int64)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    ck, cn = sorted_map(cust["c_custkey"], cust["c_nationkey"])
+    sk, sn = sorted_map(supp["s_suppkey"], supp["s_nationkey"])
+    ref = ray.put((ck, cn, sk, sn))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(yr == year)).select(
+            ["o_orderkey", "o_custkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": rev})
+
+    joined = li.map_batches(li_slim, batch_format="pyarrow").join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        ckeys, cnat, skeys, snat = ray.get(ref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        ci = np.searchsorted(ckeys, c).clip(0, ckeys.size - 1)
+        si = np.searchsorted(skeys, s).clip(0, skeys.size - 1)
+        ok = (ckeys[ci] == c) & (skeys[si] == s) & (cnat[ci] == snat[si])
+        nat = cnat[ci][ok]
+        u, inv = np.unique(nat, return_inverse=True)
+        return pa.table({
+            "n_nationkey": pa.array(u, pa.int64()),
+            "rev": pa.array(np.bincount(inv, weights=rev[ok]),
+                            pa.float64()),
+        })
+
+    agg = (joined.map_batches(local_partial, batch_format="pyarrow")
+           .groupby("n_nationkey")
+           .aggregate(Sum("rev", alias_name="revenue")).to_pandas())
+    nm = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    agg["n_name"] = agg["n_nationkey"].map(nm)
+    agg["revenue"] = agg["revenue"].round(round_to)
+    return (agg[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
