@@ -915,3 +915,39 @@ class TestLmDirichlet:
         eng = SearchEngine(open_index(built_index))
         assert eng.search_lm("zzzznotaterm").num_rows == 0
         assert eng.search_lm("").num_rows == 0
+
+
+class TestUnreservedExecution:
+    """stages/exec_ctx.py: the scoped reservation disable must patch the
+    dataset's CAPTURED context (Ray snapshots DataContext at dataset
+    creation) and restore both contexts on exit."""
+
+    def test_patches_dataset_context_and_restores(self, ray_session):
+        import ray.data as rd
+
+        from ray.data import DataContext
+        from yetisearch_ray.stages.exec_ctx import unreserved_execution
+
+        ds = rd.range(8)
+        amb = DataContext.get_current()
+        assert amb.op_resource_reservation_enabled is True
+        assert ds.context.op_resource_reservation_enabled is True
+        with unreserved_execution(ds):
+            assert amb.op_resource_reservation_enabled is False
+            assert ds.context.op_resource_reservation_enabled is False
+            assert ds.count() == 8  # drains under the patched context
+        assert amb.op_resource_reservation_enabled is True
+        assert ds.context.op_resource_reservation_enabled is True
+
+    def test_restores_on_error(self, ray_session):
+        import ray.data as rd
+
+        from ray.data import DataContext
+        from yetisearch_ray.stages.exec_ctx import unreserved_execution
+
+        ds = rd.range(4)
+        with pytest.raises(RuntimeError):
+            with unreserved_execution(ds):
+                raise RuntimeError("boom")
+        assert DataContext.get_current().op_resource_reservation_enabled is True
+        assert ds.context.op_resource_reservation_enabled is True

@@ -669,12 +669,20 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
         .map_groups(_build_segment(index_dir, cfg.positions, gen),
                     batch_format="pyarrow", num_cpus=seg_cpus)
     )
-    for m in metrics.iter_rows():
-        man.record_partition(f"{gen}:{int(m['part'])}", {
-            "rows": int(m["rows"]), "terms": int(m["terms"]), "bytes": int(m["bytes"]),
-            "n_docs": int(m["n_docs"]), "sum_dl": int(m["sum_dl"]),
-            "input_fingerprint": input_fingerprint,
-        })
+    # The plan is map -> all-to-all -> tiny metrics reduce: the sort
+    # barrier materializes the combined blobs regardless of allocator
+    # policy, and the default per-op reservation would idle ~half the
+    # cluster (ONE in-flight tokenize task at 4 CPUs) while the blocking
+    # sort holds its share — see stages/exec_ctx.py for measurements.
+    from ..stages.exec_ctx import unreserved_execution
+
+    with unreserved_execution(metrics):
+        for m in metrics.iter_rows():
+            man.record_partition(f"{gen}:{int(m['part'])}", {
+                "rows": int(m["rows"]), "terms": int(m["terms"]), "bytes": int(m["bytes"]),
+                "n_docs": int(m["n_docs"]), "sum_dl": int(m["sum_dl"]),
+                "input_fingerprint": input_fingerprint,
+            })
     # phase wall-times ride the manifest (north-rule metrics; `iter_rows`
     # above drains the whole ingest+shuffle execution, so this span IS
     # the tokenize→exchange→segment-write pipeline)
