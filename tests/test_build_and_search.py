@@ -939,6 +939,26 @@ class TestUnreservedExecution:
         assert amb.op_resource_reservation_enabled is True
         assert ds.context.op_resource_reservation_enabled is True
 
+    def test_shared_context_not_left_stuck_false(self, ray_session):
+        """Two datasets derived from one source share a DataContext; the
+        second patch pass must not record prev=False and leave the flag
+        stuck False after exit (round-4 ADVICE item)."""
+        import ray.data as rd
+
+        from ray.data import DataContext
+        from yetisearch_ray.stages.exec_ctx import unreserved_execution
+
+        src = rd.range(8)
+        a = src.map_batches(lambda b: b)
+        b = src.map_batches(lambda b: b)
+        assert a.context is b.context or True  # may or may not share; force shared too
+        with unreserved_execution(a, b, a):
+            assert a.context.op_resource_reservation_enabled is False
+            assert b.context.op_resource_reservation_enabled is False
+        assert DataContext.get_current().op_resource_reservation_enabled is True
+        assert a.context.op_resource_reservation_enabled is True
+        assert b.context.op_resource_reservation_enabled is True
+
     def test_restores_on_error(self, ray_session):
         import ray.data as rd
 

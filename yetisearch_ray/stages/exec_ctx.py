@@ -44,6 +44,15 @@ def unreserved_execution(*datasets):
     context after the plan exists is a no-op.  Pass the dataset(s) about
     to be drained and their captured contexts are patched too (and
     restored on exit).  No-op on Ray versions without the attribute.
+
+    The ambient context is patched as well because datasets *derived
+    inside* the scope (e.g. a ``groupby`` issued during the drain)
+    snapshot it at creation.  That makes this scope a process-wide side
+    effect: a dataset created concurrently on another thread while the
+    drain runs would capture reservation-disabled permanently.  Call
+    sites (``index/build.py``) therefore assume no concurrent dataset
+    creation during a build drain — builds are single-threaded per
+    process by contract.
     """
     targets = []
     try:
@@ -56,7 +65,14 @@ def unreserved_execution(*datasets):
         ctx = getattr(ds, "context", None)
         if ctx is not None:
             ctxs.append(ctx)
+    # Dedupe by identity: two datasets derived from one source share a
+    # context object; patching it twice would record prev=False for the
+    # second entry and the restore would leave the flag stuck False.
+    seen_ids = set()
     for ctx in ctxs:
+        if id(ctx) in seen_ids:
+            continue
+        seen_ids.add(id(ctx))
         prev = getattr(ctx, "op_resource_reservation_enabled", None)
         if prev is not None:
             targets.append((ctx, prev))
@@ -64,5 +80,7 @@ def unreserved_execution(*datasets):
     try:
         yield
     finally:
-        for ctx, prev in targets:
+        # Reversed restore so, even if dedupe were ever bypassed, the
+        # first-recorded (true ambient) previous value wins.
+        for ctx, prev in reversed(targets):
             ctx.op_resource_reservation_enabled = prev
