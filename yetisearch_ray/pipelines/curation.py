@@ -235,7 +235,8 @@ def hash_split(ds, *, id_col: str = "doc_id",
 
 def curate_corpus(ds, *, lang: str | None = "en", min_quality: float = 0.3,
                   minhash_threshold: float = 0.5, text_col: str = "text",
-                  id_col: str = "doc_id", num_partitions: int | None = None):
+                  id_col: str = "doc_id", num_partitions: int | None = None,
+                  loser_broadcast_threshold: int = 1_000_000):
     """The composed curation pipeline a pre-training corpus runs
     end-to-end: language filter → quality gate → exact-dedup survivors
     → near-dup (MinHash) cluster survivors.  Returns the surviving full
@@ -244,10 +245,16 @@ def curate_corpus(ds, *, lang: str | None = "en", min_quality: float = 0.3,
     Composition of the individually-oracled operators, with the scale
     shapes they already carry: the lang filter is a pushdown-friendly
     predicate, the quality gate is a vectorized scan + id semi-join,
-    exact dedup shuffles (hash, id) pairs only, and the near-dup pass
-    broadcasts just the LOSER id set (bounded by the verified pair
-    table, not the corpus).  One materialize pins the deduped set so
-    the cluster pass and the final filter don't recompute it.
+    exact dedup shuffles (hash, id) pairs only.  The near-dup survivor
+    filter is size-switched like :func:`..dedup.connected_components`:
+    below ``loser_broadcast_threshold`` loser ids it broadcasts the set
+    (``ray.put`` once + vectorized ``np.isin`` per batch); above it —
+    web-scale corpora lose 30-50% of docs to near-dup, so the loser set
+    is O(N) — it runs a distributed ``left_anti`` hash join on the id
+    (the :func:`..dedup.exact_dedup_incremental` shape), so no O(N)
+    array ever reaches the driver or rides every task.  One materialize
+    pins the deduped set so the cluster pass and the final filter don't
+    recompute it.
     """
     import ray
 
@@ -269,14 +276,25 @@ def curate_corpus(ds, *, lang: str | None = "en", min_quality: float = 0.3,
         text_col=text_col, id_col=id_col)
 
     def losers(t: pa.Table) -> pa.Table:
-        return (t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
-                .select(["doc_id"]))
+        t = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        return pa.table({id_col: t["doc_id"]})
 
     import numpy as np
 
-    loser_df = clusters.map_batches(losers, batch_format="pyarrow").to_pandas()
-    loser_ids = (np.sort(loser_df["doc_id"].to_numpy(np.int64))
-                 if len(loser_df) else np.empty(0, np.int64))
+    # Loser set is output-bounded (subset of verified pair members), so
+    # pinning it is cheap; count() decides broadcast vs anti-join.
+    losers_ds = (clusters.map_batches(losers, batch_format="pyarrow")
+                 .materialize())
+    n_losers = losers_ds.count()
+    if n_losers == 0:
+        return deduped.sort(id_col)
+    if n_losers > loser_broadcast_threshold:
+        out = deduped.join(dd._join_ready(losers_ds, nparts),
+                           "left_anti", nparts, on=(id_col,))
+        return out.sort(id_col)
+
+    loser_ids = np.sort(
+        losers_ds.to_pandas()[id_col].to_numpy(np.int64))
     ref = ray.put(loser_ids)
 
     def drop(t: pa.Table) -> pa.Table:
@@ -692,9 +710,14 @@ def export_training_sequences(ds, *, seq_len: int = 128,
             "tokens_md5": [hashlib.md5(joined.encode()).hexdigest()],
         })
 
-    out = (tagged.groupby("_rng").map_groups(emit, batch_format="pyarrow")
-           .groupby("seq_id").map_groups(assemble, batch_format="pandas")
-           .sort("seq_id"))
+    from .dedup import _strip_meta
+
+    # arrowify before the sort: pandas-format blocks entering a Ray
+    # Data shuffle are ~20x slower than Arrow blocks
+    out = _strip_meta(
+        tagged.groupby("_rng").map_groups(emit, batch_format="pyarrow")
+        .groupby("seq_id").map_groups(assemble, batch_format="pandas")
+    ).sort("seq_id")
     if out_dir is not None:
         out.write_parquet(out_dir)
     return out

@@ -233,7 +233,12 @@ def funnel_counts(sf_dir: str, *, stages=("view", "click", "purchase")):
         return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
                              "reached": np.array([reached], dtype=np.int64)})
 
-    per_user = ds.groupby("user_id").map_groups(reach, batch_format="pandas")
+    from .dedup import _strip_meta
+
+    # arrowify before the next shuffle: pandas-format blocks entering a
+    # Ray Data groupby/aggregate are ~20x slower than Arrow blocks
+    per_user = _strip_meta(
+        ds.groupby("user_id").map_groups(reach, batch_format="pandas"))
     counts = (per_user.groupby("reached")
               .aggregate(Count(alias_name="n")).to_pandas())
     by_reach = dict(zip(counts["reached"].astype(int), counts["n"].astype(int)))
@@ -578,7 +583,10 @@ def transition_matrix(sf_dir: str):
                                  "type_to": pd.Series([], dtype=str)})
         return pd.DataFrame({"type_from": et[:-1], "type_to": et[1:]})
 
-    out = (ds.groupby("user_id").map_groups(shifts, batch_format="pandas")
+    from .dedup import _strip_meta
+
+    out = (_strip_meta(ds.groupby("user_id")
+                       .map_groups(shifts, batch_format="pandas"))
            .groupby(["type_from", "type_to"])
            .aggregate(Count(alias_name="n")).to_pandas())
     out["n"] = out["n"].astype("int64")
@@ -786,7 +794,10 @@ def session_stats(sf_dir: str, *, gap_minutes: int = 30,
                                      dtype="float64"),
             "n_events": pd.array(n.astype(np.int64), dtype="int64")})
 
-    per = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    from .dedup import _strip_meta
+
+    per = _strip_meta(
+        ds.groupby("user_id").map_groups(sess, batch_format="pandas"))
     agg = (per.aggregate(Count(alias_name="n_sessions"),
                          Mean("duration_sec", alias_name="mean_duration_sec"),
                          Mean("n_events", alias_name="mean_events"),
@@ -1040,7 +1051,10 @@ def bounce_rate(sf_dir: str, *, gap_minutes: int = 30,
             "bounce": pd.array((n == 1).astype(np.int64), dtype="int64"),
         })
 
-    agg = (ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    from .dedup import _strip_meta
+
+    agg = (_strip_meta(ds.groupby("user_id")
+                       .map_groups(sess, batch_format="pandas"))
            .groupby("day")
            .aggregate(Sum("one", alias_name="n_sessions"),
                       Sum("bounce", alias_name="n_bounce")).to_pandas())
@@ -1309,8 +1323,11 @@ def first_last_drift(sf_dir: str, *, round_to: int = 6):
             "one": [np.int64(1)],
         })
 
-    row = (ds.map_batches(endpoints, batch_format="pyarrow")
-           .groupby("user_id").map_groups(merge, batch_format="pandas")
+    from .dedup import _strip_meta
+
+    row = (_strip_meta(ds.map_batches(endpoints, batch_format="pyarrow")
+                       .groupby("user_id")
+                       .map_groups(merge, batch_format="pandas"))
            .aggregate(Sum("one", alias_name="n"),
                       Sum("up", alias_name="up"),
                       Sum("down", alias_name="down"),

@@ -1928,8 +1928,12 @@ def lorenz_deciles(sf_dir: str, *, tiles: int = 10, round_to: int = 6):
         a = df.groupby("tile").agg(n=("x", "size"), s=("x", "sum"))
         return a.reset_index()
 
-    agg = (bk.groupby("bucket")
-           .map_groups(tile_partial, batch_format="pandas")
+    from .dedup import _strip_meta
+
+    # arrowify before the next shuffle: pandas-format blocks entering a
+    # Ray Data groupby/aggregate are ~20x slower than Arrow blocks
+    agg = (_strip_meta(bk.groupby("bucket")
+                       .map_groups(tile_partial, batch_format="pandas"))
            .groupby("tile")
            .aggregate(Sum("n", alias_name="n"),
                       Sum("s", alias_name="s")).to_pandas())
@@ -2008,7 +2012,10 @@ def q21_supplier_blame(sf_dir: str, *, grace_days: int = 60, k: int = 20):
         return pd.DataFrame({"s_suppkey": blamed.astype(np.int64),
                              "one": np.ones(blamed.size, np.int64)})
 
-    out = (tagged.groupby("k").map_groups(blame, batch_format="pandas")
+    from .dedup import _strip_meta
+
+    out = (_strip_meta(tagged.groupby("k")
+                       .map_groups(blame, batch_format="pandas"))
            .groupby("s_suppkey")
            .aggregate(Sum("one", alias_name="n_blamed")).to_pandas())
     if len(out) == 0:
