@@ -133,10 +133,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sketches.heavy_hitters(ds, "text", k=100, tokens=True)
 
     def q_hll_distinct(sf_dir):
+        # bound oracle (round-4): the estimate itself is not SQL-
+        # reproducible, but |est/exact - 1| <= 3*1.04/sqrt(m) IS a
+        # deterministic checkable claim (fixed splitmix64 hash makes the
+        # HLL estimate a pure function of the column), so the driver row
+        # carries the engine's own exact distinct count plus the band
+        # verdict; the oracle emits COUNT(DISTINCT) and a constant 1.
         est, m = sketches.hll_distinct(_lineitem(sf_dir, ["l_partkey"]),
                                        "l_partkey", p=12)
-        return pd.DataFrame({"n_distinct_est": [round(est, 2)],
-                             "registers": pd.array([m], dtype="int64")})
+        exact = sketches.distinct_count(_lineitem(sf_dir, ["l_partkey"]),
+                                        "l_partkey")
+        within = int(abs(est / exact - 1.0) <= 3 * 1.04 / (m ** 0.5))
+        return pd.DataFrame({
+            "n_distinct_exact": pd.array([exact], dtype="int64"),
+            "registers": pd.array([m], dtype="int64"),
+            "within_3sigma": pd.array([within], dtype="int64"),
+        })
 
     def _docs(sf_dir):
         import ray.data as rd
@@ -343,7 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_quantiles": q_quantiles,
         # exact distributed COUNT(DISTINCT) + its HLL sketch counterpart
         "agg_distinct_parts": q_distinct_parts,
-        "agg_hll_distinct": q_hll_distinct,               # rows-only
+        "agg_hll_distinct": q_hll_distinct,       # bound-oracled (r4)
         # exact top-100 tokens via two-pass Misra-Gries (bounded shuffle)
         "agg_heavy_hitters": q_heavy_hitters,
         # CCNet-style bigram-LM self-scoring (wordcount shuffle + 2 joins)
@@ -385,8 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), min_required=1).to_pandas(),
         # composed v2 curation DAG: Gopher gate -> CCNet tail drop ->
         # best-survivor near-dup -> rebalance -> sequence export
-        # (rows-only: every stage is individually SQL-oracled, and the
-        # composition is pinned by a staged-replay pytest)
+        # (SQL-oracled end-to-end as of round 4: curate_corpus_v2_sql
+        # re-roots every stage oracle on the previous stage's CTE)
         "cur_pipeline_v2": lambda sf: curation.curate_corpus_v2(
             _docs(sf), targets={"src0": 0.5, "src1": 0.5}, seq_len=256
         ).to_pandas(),
@@ -988,6 +1000,9 @@ def oracle_sql() -> dict[str, str]:
         "cur_hash_split": oracles.hash_split_sql(),
         "cur_full_pipeline": oracles.curate_corpus_sql(
             STOPWORDS["en"], lang="en", min_quality=0.3, threshold=0.5),
+        "cur_pipeline_v2": oracles.curate_corpus_v2_sql(
+            STOPWORDS["en"], {"src0": 0.5, "src1": 0.5},
+            min_required=1, threshold=0.5, seq_len=256),
         "cur_stratified_sample": oracles.stratified_sample_sql(
             {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.25),
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),
@@ -1108,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_anti_join": oracles.ANTI_JOIN_SQL,
         "agg_quantiles": oracles.QUANTILES_SQL,
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
+        "agg_hll_distinct": oracles.HLL_BOUND_SQL,
         "agg_heavy_hitters": oracles.HEAVY_HITTERS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,

@@ -101,17 +101,47 @@ class TestEngineWand:
                                       sort=None, post_rescore=False)
 
     def test_end_to_end_results_unchanged(self, built_index):
-        """search() with the WAND fast path gives the same page as before."""
+        """search() with the WAND fast path gives the same page as the
+        exhaustive scan (use_wand=False)."""
         from yetisearch_ray.search.engine import SearchEngine, open_index
 
         eng = SearchEngine(open_index(built_index), cache_ttl=0)
         r = eng.search("parse buffer", mode="or", limit=10, normalize=False,
                        use_wand=True)
-        r2 = eng.search("parse buffer", mode="or", limit=10, normalize=False)
+        r2 = eng.search("parse buffer", mode="or", limit=10, normalize=False,
+                        use_wand=False)
         assert r["doc_id"].to_pylist() == r2["doc_id"].to_pylist()
         a = np.array(r["score"].to_pylist())
         b = np.array(r2["score"].to_pylist())
         assert np.allclose(a, b, atol=1e-9)
+
+    def test_default_auto_wand_rank_identity(self, built_index):
+        """Round-4: WAND is the DEFAULT for eligible plain-OR queries
+        (use_wand=None -> auto).  Property: for a battery of OR/smart
+        queries over the fixed corpus, the default path returns the
+        exact same (doc_id, score) page as the forced exhaustive scan —
+        and ineligible shapes (filters) still take the scan unchanged."""
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index), cache_ttl=0)
+        battery = [("parse", "or"), ("parse buffer", "or"),
+                   ("retry backoff deadline", "or"), ("return", "smart"),
+                   ("montreal cafe", "or"), ("zzz-nonsense-term", "or")]
+        for q, mode in battery:
+            auto = eng.search(q, mode=mode, limit=10, normalize=False)
+            scan = eng.search(q, mode=mode, limit=10, normalize=False,
+                              use_wand=False)
+            assert auto["doc_id"].to_pylist() == scan["doc_id"].to_pylist(), q
+            assert np.allclose(np.array(auto["score"].to_pylist()),
+                               np.array(scan["score"].to_pylist()),
+                               atol=1e-9), q
+        # ineligible: a filter forces the scan on both sides
+        f = [{"field": "lang", "value": "go"}]
+        a = eng.search("parse", mode="or", limit=10, filters=f,
+                       normalize=False)
+        b = eng.search("parse", mode="or", limit=10, filters=f,
+                       normalize=False, use_wand=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -136,4 +166,4 @@ class TestWandActorPool:
             ).to_pandas().sort_values(["qid", "result_rank"])
             return list(zip(out.qid, out.doc_id, out.result_rank))
 
-        assert run({"use_wand": True}) == run({})
+        assert run({"use_wand": True}) == run({"use_wand": False})

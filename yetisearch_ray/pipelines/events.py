@@ -141,7 +141,8 @@ def session_windows(sf_dir: str, *, gap_minutes: int = 30, min_events: int = 1):
     return pdf.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
-def asof_join_orders(sf_dir: str, *, direction: str = "backward"):
+def asof_join_orders(sf_dir: str, *, direction: str = "backward",
+                     as_dataset: bool = False):
     """For each event: the latest order of customer ``user_id`` placed
     at-or-before the event ts (as-of backward join), or with
     ``direction="forward"`` the EARLIEST order at-or-after it (ties on
@@ -192,6 +193,21 @@ def asof_join_orders(sf_dir: str, *, direction: str = "backward"):
         return j[cols]
 
     out = ds.groupby("user_id").map_groups(join_group, batch_format="pandas")
+    if as_dataset:
+        # streaming contract for the 100 TB path: arrowified, null
+        # orderkeys coalesced to -1, ordered by event id
+        import pyarrow.compute as pc
+
+        def tidy(t: pa.Table) -> pa.Table:
+            ok = pc.coalesce(t["o_orderkey"].cast(pa.int64()),
+                             pa.scalar(-1, pa.int64()))
+            return pa.table({
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "o_orderkey": ok,
+            })
+        return (out.map_batches(tidy, batch_format="pyarrow")
+                .sort("event_id"))
     pdf = out.to_pandas()
     pdf["event_id"] = pdf["event_id"].astype("int64")
     pdf["user_id"] = pdf["user_id"].astype("int64")

@@ -1508,6 +1508,170 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
 ORDER BY doc_id"""
 
 
+def curate_corpus_v2_sql(stopwords, targets: dict, *,
+                         min_required: int = 1, threshold: float = 0.5,
+                         seq_len: int = 256, vocab_size: int = 65535,
+                         buckets: int = 10_000) -> str:
+    """Ground truth for curation.curate_corpus_v2 — the composed v2
+    DAG end-to-end (round-4 verdict item #6): Gopher rule gate → CCNet
+    perplexity-tail drop (bigram LM fit ON the gated subset, exact
+    percentile_disc tertiles) → near-dup clusters over the fluent set
+    with QUALITY-argmax winners (losers dropped) → domain-mix rebalance
+    to ``targets`` → fixed-length training-sequence export.  Every
+    stage reuses the arithmetic of its individually-oracled stage SQL,
+    re-rooted on the previous stage's CTE."""
+    from .textstats import BPE_ISH_PATTERN
+
+    sw = ", ".join("'" + w.replace("'", "''") + "'"
+                   for w in sorted(stopwords))
+    vals = ", ".join(f"('{g}', {p!r})" for g, p in targets.items())
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return rf"""
+WITH RECURSIVE
+-- ---- stage 1: Gopher rule gate (gopher_rules_sql arithmetic) ----
+gd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+gw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+  FROM gd),
+gwagg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(length(w))::DOUBLE AS char_sum,
+         sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                  THEN 1 ELSE 0 END)::DOUBLE AS n_alpha,
+         count(DISTINCT lower(w)) FILTER (
+           lower(w) IN ('the','be','to','of','and','that','have','with')
+         )::BIGINT AS n_required
+  FROM gw GROUP BY doc_id),
+gl AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM gd),
+glagg AS (
+  SELECT doc_id,
+         count(*)::DOUBLE AS n_lines,
+         sum(CASE WHEN regexp_matches(ln, '^\s*(-|•)')
+                  THEN 1 ELSE 0 END)::DOUBLE AS n_bullet,
+         sum(CASE WHEN regexp_matches(ln, '\.\.\.$')
+                  THEN 1 ELSE 0 END)::DOUBLE AS n_ell_line
+  FROM gl GROUP BY doc_id),
+gfeat AS (
+  SELECT gd.doc_id,
+         coalesce(gwagg.n_words, 0) AS n_words,
+         CASE WHEN coalesce(gwagg.n_words, 0) > 0
+              THEN gwagg.char_sum / gwagg.n_words ELSE 0.0
+         END AS mean_word_len,
+         CASE WHEN coalesce(gwagg.n_words, 0) > 0
+              THEN ((length(gd.text) -
+                     length(replace(gd.text, '#', '')))::DOUBLE
+                    + len(regexp_extract_all(gd.text, '\.\.\.')))
+                   / gwagg.n_words
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN coalesce(gwagg.n_words, 0) > 0
+              THEN gwagg.n_alpha / gwagg.n_words ELSE 0.0
+         END AS alpha_word_ratio,
+         coalesce(gwagg.n_required, 0) AS n_required_words,
+         glagg.n_bullet / glagg.n_lines AS bullet_ratio,
+         glagg.n_ell_line / glagg.n_lines AS ellipsis_ratio
+  FROM gd LEFT JOIN gwagg USING (doc_id) JOIN glagg USING (doc_id)),
+gok AS (
+  SELECT doc_id FROM gfeat
+  WHERE n_words BETWEEN 50 AND 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+    AND n_required_words >= {min_required} AND bullet_ratio <= 0.9
+    AND ellipsis_ratio <= 0.3),
+gated AS (SELECT d.* FROM documents d JOIN gok USING (doc_id)),
+-- ---- stage 2: CCNet tail drop (LM fit on the GATED subset) ----
+ct AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM gated),
+cbi AS (
+  SELECT doc_id, toks[i] AS w1,
+         toks[i] || chr(31) || toks[i + 1] AS big
+  FROM ct, unnest(generate_series(1, len(toks) - 1)) AS r(i)),
+ccb AS (SELECT big, count(*) AS cb FROM cbi GROUP BY big),
+ccu AS (SELECT w1, count(*) AS cu
+        FROM (SELECT unnest(toks) AS w1 FROM ct) GROUP BY w1),
+cv AS (SELECT count(*) AS v FROM ccu),
+cs AS (
+  SELECT cbi.doc_id,
+         ln((ccb.cb + 0.1) / (ccu.cu + 0.1 * cv.v)) AS lp
+  FROM cbi JOIN ccb USING (big) JOIN ccu USING (w1), cv),
+cbase AS (SELECT doc_id, round(avg(lp), 4) AS avg_logp
+          FROM cs GROUP BY doc_id),
+cth AS (SELECT percentile_disc(0.3333333333333333) WITHIN GROUP
+                 (ORDER BY avg_logp) AS t1
+        FROM cbase),
+fluent AS (
+  SELECT g.* FROM gated g
+  JOIN cbase USING (doc_id), cth
+  WHERE cbase.avg_logp > cth.t1),
+-- ---- stage 3: near-dup clusters + quality-argmax winners ----
+{_minhash_pairs_ctes("fluent")},
+pr AS (SELECT id_a, id_b FROM pairs WHERE j >= {threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a
+),
+cl AS (SELECT id::BIGINT AS doc_id, MIN(r)::BIGINT AS cluster_id
+       FROM reach GROUP BY id),
+fq AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM fluent),
+q AS (SELECT doc_id,
+             round(least(1.0, len(toks) / 100.0) *
+                   (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks,
+                                               x -> x IN ({sw})))::DOUBLE
+                               / len(toks) END), 6) AS quality
+      FROM fq),
+winners AS (
+  SELECT doc_id FROM (
+    SELECT cl.cluster_id, cl.doc_id,
+           row_number() OVER (PARTITION BY cl.cluster_id
+                              ORDER BY q.quality DESC, cl.doc_id) AS rn
+    FROM cl JOIN q USING (doc_id))
+  WHERE rn = 1),
+kept AS (
+  SELECT f.* FROM fluent f
+  WHERE f.doc_id NOT IN (
+    SELECT doc_id FROM cl
+    WHERE doc_id NOT IN (SELECT doc_id FROM winners))),
+-- ---- stage 4: domain-mix rebalance (rebalance_mix_sql arithmetic) --
+tgt(g, p) AS (VALUES {vals}),
+counts AS (SELECT source AS g, count(*)::DOUBLE AS cnt
+           FROM kept GROUP BY source),
+tfeas AS (SELECT min(cnt / p) AS t FROM counts JOIN tgt USING (g)
+          WHERE p > 0),
+thr AS (SELECT g,
+               CAST(floor(p * tfeas.t / cnt * {buckets} + 0.5) AS BIGINT)
+                 AS thr
+        FROM counts JOIN tgt USING (g), tfeas),
+reb AS (
+  SELECT k.* FROM kept k JOIN thr ON thr.g = k.source
+  WHERE (md5_number_lower(k.doc_id::VARCHAR) % {buckets}) < thr.thr),
+-- ---- stage 5: training-sequence export (training_sequences_sql) ----
+arrs AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '{pat}')
+                  AS arr
+         FROM reb),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos,
+         (md5_number_lower(unnest(arr)) % {vocab_size})::BIGINT AS tid
+  FROM arrs
+  UNION ALL
+  SELECT doc_id, len(arr) + 1 AS pos, {vocab_size}::BIGINT AS tid
+  FROM arrs),
+gpos AS (SELECT tid,
+                row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+         FROM tok),
+seqs AS (SELECT gpos // {seq_len} AS seq_id, gpos % {seq_len} AS p, tid
+         FROM gpos)
+SELECT seq_id,
+       (list(tid ORDER BY p))[1] AS first_tid,
+       md5(array_to_string(list(tid ORDER BY p), ',')) AS tokens_md5
+FROM seqs GROUP BY seq_id HAVING count(*) = {seq_len}
+ORDER BY seq_id"""
+
+
 def stratified_sample_sql(rates: dict, default_rate: float = 1.0,
                           group_col: str = "source",
                           buckets: int = 10_000) -> str:
@@ -1619,6 +1783,20 @@ SELECT q::DOUBLE AS q, round(value, 4) AS value FROM (
 # companion): COUNT(DISTINCT l_partkey) over lineitem.
 DISTINCT_PARTS_SQL = """
 SELECT count(DISTINCT l_partkey)::BIGINT AS n_distinct FROM lineitem"""
+
+
+# Bound oracle for sketches.hll_distinct (round-4): the HLL estimate is
+# not SQL-reproducible, but with the fixed splitmix64 hash it is a pure
+# function of the column, so "the estimate lands within the standard
+# +/-3*1.04/sqrt(m) HLL band around the exact count" is a deterministic
+# claim.  The Ray entry emits the engine's own exact distinct count and
+# the band verdict; this oracle reproduces the exact count and asserts
+# the verdict must be 1 — an out-of-band estimate hash-mismatches.
+HLL_BOUND_SQL = """
+SELECT count(DISTINCT l_partkey)::BIGINT AS n_distinct_exact,
+       4096::BIGINT AS registers,
+       1::BIGINT AS within_3sigma
+FROM lineitem"""
 
 
 # Ground truth for textstats.bigram_lm_scores: add-0.1-smoothed bigram

@@ -670,7 +670,8 @@ def group_dispersion(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
-def percent_rank_nchars(sf_dir: str, *, round_to: int = 6):
+def percent_rank_nchars(sf_dir: str, *, round_to: int = 6,
+                        as_dataset: bool = False):
     """Global ``percent_rank()`` of every document by ``n_chars`` —
     full-table window ranking WITHOUT a global sort: the exact
     value-histogram prefix-sum pattern.  One (value → count) groupby
@@ -702,7 +703,11 @@ def percent_rank_nchars(sf_dir: str, *, round_to: int = 6):
         return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
                          "pr": pa.array(pr, pa.float64())})
 
-    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    attached = ds.map_batches(attach, batch_format="pyarrow")
+    if as_dataset:
+        # streaming contract for the 100 TB path (write_parquet-able)
+        return attached.sort("doc_id")
+    out = attached.to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_chars"] = out["n_chars"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

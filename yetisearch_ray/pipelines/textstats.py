@@ -375,7 +375,7 @@ def extract_keywords(ds, *, text_col="text", id_col="doc_id", limit=5):
 
 
 def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
-               num_partitions=None, round_to=6):
+               num_partitions=None, round_to=6, as_dataset=False):
     """Distributed TF-IDF: the top-k highest-scoring terms per document,
     with document frequencies computed over the whole corpus — the
     classic keyword/feature-extraction pass of a text pipeline.
@@ -484,6 +484,19 @@ def tfidf_topk(ds, *, text_col="text", id_col="doc_id", k=5,
     out = (scored.map_batches(partial_topk, batch_format="pyarrow")
            .map_batches(bucket, batch_format="pyarrow")
            .groupby("_bkt").map_groups(final_topk, batch_format="pandas"))
+    if as_dataset:
+        # streaming contract for the 100 TB path: arrowified, ordered,
+        # column-pinned Dataset the caller can write_parquet
+        def tidy(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col].cast(pa.int64()),
+                "term": t["term"].cast(pa.string()),
+                "tf": t["tf"].cast(pa.int64()),
+                "tfidf": t["tfidf"].cast(pa.float64()),
+                "term_rank": t["term_rank"].cast(pa.int64()),
+            })
+        return (out.map_batches(tidy, batch_format="pyarrow")
+                .sort([id_col, "term_rank"]))
     pdf = out.to_pandas().sort_values([id_col, "term_rank"])
     pdf["term_rank"] = pdf["term_rank"].astype("int64")
     return pdf.reset_index(drop=True)[[id_col, "term", "tf", "tfidf",
