@@ -1580,7 +1580,7 @@ gok AS (
     AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
     AND n_required_words >= {min_required} AND bullet_ratio <= 0.9
     AND ellipsis_ratio <= 0.3),
-gated AS (SELECT d.* FROM documents d JOIN gok USING (doc_id)),
+gated AS MATERIALIZED (SELECT d.* FROM documents d JOIN gok USING (doc_id)),
 -- ---- stage 2: CCNet tail drop (LM fit on the GATED subset) ----
 ct AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM gated),
 cbi AS (
@@ -1600,7 +1600,7 @@ cbase AS (SELECT doc_id, round(avg(lp), 4) AS avg_logp
 cth AS (SELECT percentile_disc(0.3333333333333333) WITHIN GROUP
                  (ORDER BY avg_logp) AS t1
         FROM cbase),
-fluent AS (
+fluent AS MATERIALIZED (
   SELECT g.* FROM gated g
   JOIN cbase USING (doc_id), cth
   WHERE cbase.avg_logp > cth.t1),
@@ -1614,7 +1614,7 @@ reach(id, r) AS (
   UNION
   SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a
 ),
-cl AS (SELECT id::BIGINT AS doc_id, MIN(r)::BIGINT AS cluster_id
+cl AS MATERIALIZED (SELECT id::BIGINT AS doc_id, MIN(r)::BIGINT AS cluster_id
        FROM reach GROUP BY id),
 fq AS (SELECT doc_id, {TOKENS_EXPR} AS toks FROM fluent),
 q AS (SELECT doc_id,
@@ -1631,7 +1631,7 @@ winners AS (
                               ORDER BY q.quality DESC, cl.doc_id) AS rn
     FROM cl JOIN q USING (doc_id))
   WHERE rn = 1),
-kept AS (
+kept AS MATERIALIZED (
   SELECT f.* FROM fluent f
   WHERE f.doc_id NOT IN (
     SELECT doc_id FROM cl
@@ -1646,12 +1646,12 @@ thr AS (SELECT g,
                CAST(floor(p * tfeas.t / cnt * {buckets} + 0.5) AS BIGINT)
                  AS thr
         FROM counts JOIN tgt USING (g), tfeas),
-reb AS (
+reb AS MATERIALIZED (
   SELECT k.* FROM kept k JOIN thr ON thr.g = k.source
   WHERE (md5_number_lower(k.doc_id::VARCHAR) % {buckets}) < thr.thr),
 -- ---- stage 5: training-sequence export (training_sequences_sql) ----
-arrs AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '{pat}')
-                  AS arr
+arrs AS MATERIALIZED (SELECT doc_id,
+                regexp_extract_all(coalesce(text, ''), '{pat}') AS arr
          FROM reb),
 tok AS (
   SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos,
