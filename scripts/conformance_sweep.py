@@ -96,9 +96,25 @@ def main() -> None:
 
     fails = {k: v for k, v in report.items()
              if v["err"] or v["hash_match"] is False}
-    out = "/tmp/conformance_sweep.json"
+    out = os.environ.get("CONFORMANCE_OUT", "/tmp/conformance_sweep.json")
+    oracled = sum(1 for k in report if k in oracles)
+    meta = {
+        "_meta": {
+            "sf_dir": sf,
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "git_rev": os.popen("git rev-parse --short HEAD 2>/dev/null")
+                        .read().strip(),
+            "entries": len(report),
+            "oracled": oracled,
+            "rows_only": len(report) - oracled,
+            "problems": len(fails),
+            "method": "driver-identical rows+schema+sorted-value-hash vs "
+                      "DuckDB (scripts/conformance_sweep.py)",
+        }
+    }
+    meta.update(report)
     with open(out, "w") as f:
-        json.dump(report, f, indent=1, default=str)
+        json.dump(meta, f, indent=1, default=str)
     print(f"\n{len(report)} entries, {len(fails)} problems -> {out}")
     if fails:
         for k, v in fails.items():

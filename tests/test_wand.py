@@ -143,6 +143,30 @@ class TestEngineWand:
                        normalize=False, use_wand=False)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
 
+    def test_rank_modified_shapes_bypass_wand(self, built_index):
+        """Round-4 full-sweep regression: decay, negative-term boosting
+        and other post-scoring rank modifiers re-order AFTER BM25, so
+        the auto-WAND default must hand them the full candidate set —
+        each shape's default page must equal its forced-scan page."""
+        from yetisearch_ray.search.engine import SearchEngine, open_index
+
+        eng = SearchEngine(open_index(built_index), cache_ttl=0)
+        shapes = [
+            dict(decay_column="doc_id", decay_origin=0.0,
+                 decay_scale=100.0),
+            dict(negative_terms=["buffer"], negative_boost=0.3),
+            dict(term_boosts={"parse": 2.0}),
+        ]
+        for kw in shapes:
+            a = eng.search("parse deadline", mode="or", limit=10,
+                           normalize=False, **kw)
+            b = eng.search("parse deadline", mode="or", limit=10,
+                           normalize=False, use_wand=False, **kw)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), kw
+            assert np.allclose(np.array(a["score"].to_pylist()),
+                               np.array(b["score"].to_pylist()),
+                               atol=1e-9), kw
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestWandActorPool:

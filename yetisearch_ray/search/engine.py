@@ -1323,7 +1323,19 @@ class SearchEngine:
         # - the win appears when cursors stream from disk/compressed
         # blocks, the 100 TB serving shape.
         wand_on = use_wand is None or bool(use_wand)
-        if wand_on and cq.fields is None and cq.min_should_match == 1 \
+        # Any post-scoring rank modifier (decay, rank blend, negative-
+        # term boosting, span constraint, id allowlist, distance blend)
+        # re-orders or prunes AFTER BM25, so WAND's top-(offset+limit)
+        # truncation would hand it an incomplete candidate set — those
+        # shapes must take the exhaustive scan.
+        rank_modified = (rank_column is not None or rank_weight != 0.0
+                         or decay_column is not None
+                         or bool(negative_terms) or bool(term_boosts)
+                         or restrict_ids is not None
+                         or distance_weight != 0.0 or slop != 0
+                         or bool(in_fields) or enable_suggestions)
+        if wand_on and not rank_modified and cq.fields is None \
+                and cq.min_should_match == 1 \
                 and not cq.dismax and not rank_column \
                 and all(ph.boost == 1.0 for ph in cq.phrases) \
                 and self._wand_eligible(
@@ -2522,8 +2534,9 @@ class SearchActor:
                  **engine_kwargs):
         self.engine = SearchEngine(open_index(index_dir), **engine_kwargs)
         # per-search defaults applied to every query this actor serves —
-        # e.g. {"use_wand": True} to serve eligible queries through the
-        # block-max WAND path from the actor pool
+        # e.g. {"use_wand": False} to force the exhaustive scan (since
+        # round 4 eligible plain-OR queries take the block-max WAND path
+        # by default)
         self.search_defaults = dict(search_defaults or {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
