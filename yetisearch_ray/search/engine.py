@@ -1175,7 +1175,7 @@ class SearchEngine:
         distance_weight: float = 0.0,
         sort: tuple | None = None,
         merge_tokens: bool = False,
-        use_wand: bool | None = None,
+        use_wand: bool = False,
         result_fields=None,
         enable_suggestions: bool = False,
         near_distance: int = 10,
@@ -1314,15 +1314,16 @@ class SearchEngine:
                     cq.any_of.append(ph)
         if not cq.phrases:
             return self._empty_result(with_docs)
-        # use_wand=None -> AUTO (round-4): block-max WAND serves every
-        # ELIGIBLE plain-OR query by default; the eligibility gate plus
-        # wand_topk's exactness guarantee preserve FTS5 rank identity
-        # (property-pinned in tests/test_wand.py).  False disables,
-        # True forces (still eligibility-gated).  Measured p50 parity
-        # with the numpy scan on a 20k-doc in-memory index (8.2 ms both)
-        # - the win appears when cursors stream from disk/compressed
-        # blocks, the 100 TB serving shape.
-        wand_on = use_wand is None or bool(use_wand)
+        # WAND stays OPT-IN: round 4 flipped it to auto-default,
+        # measured the bench battery on the 50k sf0.1 index, and
+        # reverted on the data - the pure-Python doc-at-a-time loop
+        # measured p50 163 ms vs 5.7 ms for the vectorized numpy scan
+        # (28x; p95 428 vs 26 ms) because this corpus's df ~ 0.7N gives
+        # WAND nothing to skip while the scan streams contiguous
+        # arrays.  WAND remains the right serving shape when cursors
+        # stream from disk/compressed blocks (the 100 TB path); rank
+        # identity with the scan is property-pinned in tests/test_wand.
+        wand_on = bool(use_wand)
         # Any post-scoring rank modifier (decay, rank blend, negative-
         # term boosting, span constraint, id allowlist, distance blend)
         # re-orders or prunes AFTER BM25, so WAND's top-(offset+limit)
@@ -2534,9 +2535,9 @@ class SearchActor:
                  **engine_kwargs):
         self.engine = SearchEngine(open_index(index_dir), **engine_kwargs)
         # per-search defaults applied to every query this actor serves —
-        # e.g. {"use_wand": False} to force the exhaustive scan (since
-        # round 4 eligible plain-OR queries take the block-max WAND path
-        # by default)
+        # e.g. {"use_wand": True} to serve eligible queries through the
+        # block-max WAND path (opt-in; see the measured-default note in
+        # search())
         self.search_defaults = dict(search_defaults or {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
