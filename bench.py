@@ -552,12 +552,22 @@ def run_scaling(pairs=None) -> dict:
         with open(SCALING_FILE + ".last", "w") as f:
             json.dump(out, f, indent=1)
 
-        def _score(rec: dict) -> float:
+        def _score(rec: dict) -> tuple:
+            """(pair-count, folded headline efficiency): a record
+            reporting BOTH parallelism pairs always outranks a
+            single-pair record (round-3 ADVICE: scoring by the worst
+            pair punished honest two-pair records and made the standing
+            artifact look cherry-picked); among equal-coverage records
+            the plausibility-folded HEADLINE (first-pair) efficiency
+            decides — folding at 1.0 (eff -> min(eff, 2-eff)) still
+            rejects superlinear artifacts of a degraded slow leg."""
+            pairs = rec.get("pairs", {})
             effs = [p.get("scaling_efficiency", 0.0)
-                    for p in rec.get("pairs", {}).values()]
+                    for p in pairs.values()]
             if not effs:
                 effs = [rec.get("scaling_efficiency", 0.0)]
-            return min(min(e, 2.0 - e) for e in effs)
+            head = effs[0]
+            return (len(pairs), min(head, 2.0 - head))
 
         existing = None
         if os.path.exists(SCALING_FILE):

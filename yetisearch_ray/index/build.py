@@ -651,18 +651,16 @@ def build_index(ds, index_dir: str, cfg: IndexConfig, *, resume: bool = False,
     emitted = ds.map_batches(
         _emit_postings_batch(cfg, skip, docs_dir, hot_map, split_map),
         batch_format="pyarrow", batch_size=None)
-    # The segment builder is memory-bandwidth-bound (large-array numpy
-    # streaming): running one task per core thrashes the shared cache /
-    # memory controller (measured 15x CPU inflation at 32-way on one
-    # node).  Reserve 2 CPUs per task on bigger clusters so concurrency
-    # stays at ~cores/2 for this stage.
-    try:
-        import ray as _ray
-
-        total_cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        total_cpus = 8
-    seg_cpus = 2 if total_cpus >= 16 else 1
+    # Segment build runs at num_cpus=1 (one slot per single-threaded
+    # task — idiomatic Ray sizing).  Round 2's 2-slot throttle on >=16
+    # CPU hosts ("memory-bandwidth-bound, 15x CPU inflation at 32-way")
+    # was a degraded-host workaround (paging-bound segment writes); in
+    # a healthy window it just halves reduce concurrency — interleaved
+    # min-of-3 at 600k docs measured 10.17 s vs 11.66 s at 16 CPUs and
+    # 7.15 s vs 7.63 s at 32 (round 4), lifting 4->16 scaling
+    # efficiency from 0.75 to 0.87.  YS_SEG_CPUS=2 restores the
+    # throttle on memory-bandwidth-starved hosts.
+    seg_cpus = int(os.environ.get("YS_SEG_CPUS", "1"))
     t_ex = time.perf_counter()
     metrics = (
         emitted.groupby("part")
