@@ -837,6 +837,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q5_local_volume": relational.q5_local_volume,
         # TPC-H Q7 shape: cross-nation trade pairs per year
         "rel_q7_nation_trade": relational.q7_nation_trade,
+        # TPC-H Q4 shape: EXISTS late-line probe per priority
+        "rel_q4_order_priority": relational.q4_order_priority,
+        # TPC-H Q13 shape: order-count distribution, zero bucket, no join
+        "rel_q13_custdist": relational.q13_custdist,
+        # TPC-H Q15 shape: max-over-aggregate top supplier of a quarter
+        "rel_q15_top_supplier": relational.q15_top_supplier,
+        # TPC-H Q22 shape: scalar-subquery + NOT EXISTS rich-inactive
+        "rel_q22_sales_opportunity": relational.q22_sales_opportunity,
+        # TPC-H Q8 shape: supplier-nation market share within a region
+        "rel_q8_market_share": relational.q8_market_share,
         # TPC-H Q19 shape: disjunctive band predicates
         "rel_q19_disjunctive": relational.q19_disjunctive_revenue,
         # per-dimension embedding variance report
@@ -1162,6 +1172,11 @@ def oracle_sql() -> dict[str, str]:
             _CODE_GLOB_001),
         "rel_q5_local_volume": oracles.q5_local_volume_sql(),
         "rel_q7_nation_trade": oracles.q7_nation_trade_sql(),
+        "rel_q4_order_priority": oracles.q4_order_priority_sql(),
+        "rel_q13_custdist": oracles.Q13_CUSTDIST_SQL,
+        "rel_q15_top_supplier": oracles.q15_top_supplier_sql(),
+        "rel_q22_sales_opportunity": oracles.q22_sales_opportunity_sql(),
+        "rel_q8_market_share": oracles.q8_market_share_sql(),
         "rel_q19_disjunctive": oracles.q19_disjunctive_sql(),
         "emb_dim_variance": oracles.dim_variance_sql(),
     }

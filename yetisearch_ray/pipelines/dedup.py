@@ -372,22 +372,33 @@ def _hash_obj_array(arr: np.ndarray) -> np.ndarray:
 
 def _shingle_hashes_batch(texts, n: int = 3):
     """Vectorized per-batch shingling: returns (flat shingle hashes uint64,
-    per-doc counts int64).  Shingles are word n-grams; hashing is pandas'
-    deterministic siphash — no per-shingle Python loop."""
-    token_lists = [_ws_tokens(t) for t in texts]
-    counts = np.array([len(tl) for tl in token_lists], dtype=np.int64)
-    flat = np.array([w for tl in token_lists for w in tl], dtype=object)
-    if flat.size == 0:
-        return np.empty(0, np.uint64), np.zeros(len(texts), np.int64)
-    doc_idx = np.repeat(np.arange(len(texts)), counts)
-    ser = pd.Series(flat)
-    parts = [ser] + [ser.shift(-j) for j in range(1, n)]
-    sh = parts[0].str.cat(parts[1:], sep=" ", na_rep="\x00")
-    valid = np.zeros(flat.size, dtype=bool)
-    if flat.size >= n:
-        valid[: flat.size - n + 1] = doc_idx[: flat.size - n + 1] == doc_idx[n - 1 :]
+    per-doc counts int64).  Shingles are word n-grams; tokenization is
+    one Arrow regex split over the whole batch (round 4 — the previous
+    per-doc ``_ws_tokens`` Python loop dominated the signing stage),
+    shingle strings are ``binary_join_element_wise`` over shifted
+    slices, and hashing is pandas' deterministic siphash — no per-doc
+    or per-shingle Python loop anywhere."""
+    import pyarrow.compute as pc
+
+    from .textstats import _ws_split_re2
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        col = texts
+        n_docs = len(texts)
+    else:
+        col = pa.array([t or "" for t in texts], pa.string())
+        n_docs = len(texts)
+    values, offs = _ws_split_re2(col)
+    counts = np.diff(offs)
     sh_counts = np.maximum(counts - n + 1, 0)
-    hashes = _hash_obj_array(sh.to_numpy(dtype=object)[valid])
+    total = len(values)
+    if total < n or int(sh_counts.sum()) == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs, np.int64)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    same = pa.array(doc_idx[: total - n + 1] == doc_idx[n - 1:])
+    parts = [values.slice(j, total - n + 1).filter(same) for j in range(n)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    hashes = _hash_obj_array(sh.to_numpy(zero_copy_only=False))
     return hashes.astype(np.uint64), sh_counts
 
 
@@ -452,7 +463,7 @@ def minhash_lsh_candidates(ds, *, text_col="text", id_col="doc_id",
     def sign(t: pa.Table) -> pa.Table:
         mh, mix = _signer_state(num_perm, seed, rows_per_band)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        hashes, sh_counts = _shingle_hashes_batch(t[text_col].to_pylist(), shingle_n)
+        hashes, sh_counts = _shingle_hashes_batch(t[text_col], shingle_n)
         ndocs = ids.size
         sigs = np.full((ndocs, num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
         starts = np.cumsum(sh_counts) - sh_counts
@@ -843,8 +854,7 @@ def ngram_decontaminate(ds, benchmark_texts, *, text_col="text",
 
     def flag(t: pa.Table) -> pa.Table:
         b = ray.get(bench_ref)
-        hashes, sh_counts = _shingle_hashes_batch(
-            t[text_col].to_pylist(), shingle_n)
+        hashes, sh_counts = _shingle_hashes_batch(t[text_col], shingle_n)
         doc_idx = np.repeat(np.arange(t.num_rows), sh_counts)
         # distinct (doc, shingle) pairs so n_hits counts DISTINCT shared
         # n-grams, matching the oracle's list_distinct semantics

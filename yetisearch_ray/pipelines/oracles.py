@@ -4285,3 +4285,85 @@ SELECT dim::BIGINT AS dim,
        round(avg(v), {round_to}) AS mean
 FROM x GROUP BY dim
 ORDER BY var_pop(v) DESC, dim LIMIT {k}"""
+
+
+def q4_order_priority_sql(date_lo: str = "1996-07-01",
+                          date_hi: str = "1996-10-01") -> str:
+    """Ground truth for relational.q4_order_priority (TPC-H Q4 shape;
+    ship>order as the late predicate — no commit/receipt dates in the
+    synthetic lineitem)."""
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{date_lo}'
+  AND o_orderdate <  TIMESTAMP '{date_hi}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+Q13_CUSTDIST_SQL = """
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+
+def q15_top_supplier_sql(date_lo: str = "1997-01-01",
+                         date_hi: str = "1997-04-01",
+                         round_to: int = 4) -> str:
+    """Ground truth for relational.q15_top_supplier: revenue rounded
+    BEFORE the max comparison, exactly like the operator."""
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), {round_to})
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+    AND l_shipdate <  TIMESTAMP '{date_hi}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey"""
+
+
+def q22_sales_opportunity_sql(cutoff: str = "2000-01-01",
+                              round_to: int = 4) -> str:
+    return f"""
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), {round_to}) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+
+def q8_market_share_sql(supp_nation: str = "NATION_3",
+                        cust_region: str = "EUROPE",
+                        years=(1996, 1997), round_to: int = 6) -> str:
+    ys = ", ".join(str(int(y)) for y in years)
+    return f"""
+SELECT o_year,
+       round(sum(CASE WHEN s_nat = '{supp_nation}' THEN volume
+                      ELSE 0 END) / sum(volume), {round_to}) AS mkt_share
+FROM (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS s_nat
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = '{cust_region}'
+    AND year(o_orderdate) IN ({ys}))
+GROUP BY o_year ORDER BY o_year"""

@@ -2315,3 +2315,287 @@ def q19_disjunctive_revenue(sf_dir: str, *, round_to: int = 4):
         "revenue": [round(float(row["rev"]), round_to)],
         "n_lines": pd.array([int(row["n"])], dtype="int64"),
     })
+
+
+def q4_order_priority(sf_dir: str, *, date_lo: str = "1996-07-01",
+                      date_hi: str = "1996-10-01",
+                      num_partitions: int = 8):
+    """TPC-H Q4 shape: per order priority, how many orders in a
+    3-month window had at least one line shipped AFTER the order date
+    (the late-pipeline EXISTS probe; the synthetic lineitem has no
+    commit/receipt dates, so ship>order is the late predicate).
+
+    Distributed shape: orders are filtered + column-pruned at the
+    scan, the EXISTS is ONE big-big hash join (orderkey) followed by a
+    map-side ship>order filter, the per-order dedup is a keyed
+    groupby over (orderkey, priority) — never a row explosion back to
+    the driver — and the final count moves |priorities| rows.
+    Columns (o_orderpriority, order_count)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dedup import _strip_meta
+
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]))
+
+    def o_slim(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(date_lo, "us"))
+        hi = pa.scalar(np.datetime64(date_hi, "us"))
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m)
+
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]))
+
+    j = li.join(orders.map_batches(o_slim, batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late(t: pa.Table) -> pa.Table:
+        m = pc.greater(t["l_shipdate"], t["o_orderdate"])
+        f = t.filter(m)
+        return pa.table({"o_orderkey": f["l_orderkey"],
+                         "o_orderpriority": f["o_orderpriority"]})
+
+    per_order = (j.map_batches(late, batch_format="pyarrow")
+                 .groupby(["o_orderkey", "o_orderpriority"]).count())
+    agg = (_strip_meta(per_order.select_columns(["o_orderpriority"]))
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="order_count")).to_pandas())
+    agg["order_count"] = agg["order_count"].astype("int64")
+    return (agg.sort_values("o_orderpriority").reset_index(drop=True)
+            [["o_orderpriority", "order_count"]])
+
+
+def q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape: the customer order-count DISTRIBUTION — how
+    many customers placed exactly k orders, including the zero bucket.
+
+    Distributed shape with NO join at all: orders aggregate to
+    (custkey, n_orders) — aggregate-sized — then a second groupby
+    histograms the counts; the zero bucket is total customers minus
+    distinct ordering customers, two scalar aggregates.  Columns
+    (c_count, custdist) ordered (custdist DESC, c_count DESC)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dedup import _strip_meta
+
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
+    per_cust = (_strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]))
+        .groupby("o_custkey").aggregate(Count(alias_name="c_count")))
+    dist = (_strip_meta(per_cust.select_columns(["c_count"]))
+            .groupby("c_count")
+            .aggregate(Count(alias_name="custdist")).to_pandas())
+    n_with_orders = int(dist["custdist"].sum())
+    zero = int(n_cust) - n_with_orders
+    if zero > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return (dist.sort_values(["custdist", "c_count"],
+                             ascending=[False, False])
+            .reset_index(drop=True)[["c_count", "custdist"]])
+
+
+def q15_top_supplier(sf_dir: str, *, date_lo: str = "1997-01-01",
+                     date_hi: str = "1997-04-01", round_to: int = 4):
+    """TPC-H Q15 shape: the supplier(s) with the MAXIMUM revenue in a
+    quarter — the max-over-aggregate (view + scalar subquery) pattern.
+
+    Distributed shape: one filtered map-side partial-sum pass over
+    lineitem, a supplier-keyed groupby (aggregate-sized), the global
+    max as a driver scalar over that small table, and a broadcast
+    name lookup — lineitem itself never leaves its partitions.
+    Ties all surface (revenue is rounded BEFORE the max comparison,
+    matching the SQL).  Columns (s_suppkey, s_name, total_revenue)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _strip_meta
+
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(date_lo, "us"))
+        hi = pa.scalar(np.datetime64(date_hi, "us"))
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        f = t.filter(m)
+        s = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        rev = (f["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - f["l_discount"].to_numpy(zero_copy_only=False)))
+        u, inv = np.unique(s, return_inverse=True)
+        return pa.table({
+            "l_suppkey": pa.array(u.astype(np.int64)),
+            "rev": pa.array(np.bincount(inv, weights=rev), pa.float64()),
+        })
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Sum("rev", alias_name="total_revenue"))
+                .to_pandas())
+    per_supp["total_revenue"] = per_supp["total_revenue"].round(round_to)
+    best = per_supp[per_supp["total_revenue"]
+                    == per_supp["total_revenue"].max()].copy()
+    names = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+    out = best.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def q22_sales_opportunity(sf_dir: str, *, cutoff: str = "2000-01-01",
+                          round_to: int = 4, num_partitions: int = 8):
+    """TPC-H Q22 shape: per nation, rich-but-lapsed customers —
+    account balance above the positive-balance average AND no orders
+    at-or-after ``cutoff`` (Q22's recent-activity window; on this
+    synthetic corpus every customer has SOME order, so the window is
+    what makes the NOT EXISTS selective) — the scalar-subquery +
+    NOT EXISTS composite.
+
+    Distributed shape: the average is one scalar aggregate (broadcast
+    into the filter), the NOT EXISTS is a distributed ``left_anti``
+    hash join against the DISTINCT recently-ordering customer keys
+    (filtered + reduced by a groupby before the join), and the final
+    rollup moves |nations| rows.  Columns
+    (c_nationkey, numcust, totacctbal)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from .dedup import _join_ready, _strip_meta
+
+    cust = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"]))
+    avg_bal = float(cust.filter(expr="c_acctbal > 0.0")
+                    .aggregate(Mean("c_acctbal", alias_name="m"))["m"])
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"]))
+
+    def recent(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(np.datetime64(cutoff, "us")))
+        return pa.table({"o_custkey": t.filter(m)["o_custkey"]})
+
+    have_recent = (orders.map_batches(recent, batch_format="pyarrow")
+                   .groupby("o_custkey").count()
+                   .select_columns(["o_custkey"]))
+    inactive = rich.join(_join_ready(have_recent, num_partitions),
+                         "left_anti", num_partitions,
+                         on=("c_custkey",), right_on=("o_custkey",))
+    agg = (inactive.groupby("c_nationkey")
+           .aggregate(Count(alias_name="numcust"),
+                      Sum("c_acctbal", alias_name="totacctbal"))
+           .to_pandas())
+    if agg.empty or "numcust" not in agg.columns:
+        return pd.DataFrame({"c_nationkey": pd.Series(dtype="int64"),
+                             "numcust": pd.Series(dtype="int64"),
+                             "totacctbal": pd.Series(dtype="float64")})
+    agg["numcust"] = agg["numcust"].astype("int64")
+    agg["c_nationkey"] = agg["c_nationkey"].astype("int64")
+    agg["totacctbal"] = agg["totacctbal"].round(round_to)
+    return (agg.sort_values("c_nationkey").reset_index(drop=True)
+            [["c_nationkey", "numcust", "totacctbal"]])
+
+
+def q8_market_share(sf_dir: str, *, supp_nation: str = "NATION_3",
+                    cust_region: str = "EUROPE", years=(1996, 1997),
+                    round_to: int = 6, num_partitions: int = 8):
+    """TPC-H Q8 shape: the market share of one supplier NATION within
+    the orders of one customer REGION, per year — conditional share of
+    a multi-dimension join.
+
+    Distributed shape: lineitem ⋈ orders is the single big-big hash
+    join; customer→region membership and supplier→nation membership
+    are broadcast sorted-key maps applied map-side; each batch emits
+    per-year (volume, nation_volume) partials so the final exchange
+    moves |years| rows.  Columns (o_year, mkt_share)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _strip_meta
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = int(region[region["r_name"] == cust_region]
+               ["r_regionkey"].iloc[0])
+    region_nations = set(nation[nation["n_regionkey"] == rkey]
+                         ["n_nationkey"].astype(int))
+    snat_key = int(nation[nation["n_name"] == supp_nation]
+                   ["n_nationkey"].iloc[0])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    in_region = cust[cust["c_nationkey"].isin(region_nations)]
+    ck = np.sort(in_region["c_custkey"].to_numpy(np.int64))
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    sk = np.sort(supp[supp["s_nationkey"] == snat_key]
+                 ["s_suppkey"].to_numpy(np.int64))
+    ref = ray.put((ck, sk))
+
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]))
+
+    def o_slim(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        m = pc.is_in(yr, value_set=pa.array(list(years), pa.int64()))
+        f = t.filter(m)
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "o_custkey": f["o_custkey"],
+                         "o_year": pc.year(f["o_orderdate"])})
+
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]))
+
+    j = li.join(orders.map_batches(o_slim, batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ckeys, skeys = ray.get(ref)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        yr = t["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vol = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        ci = np.searchsorted(ckeys, c).clip(0, max(ckeys.size - 1, 0))
+        in_reg = (ckeys[ci] == c) if ckeys.size else np.zeros(c.size, bool)
+        si = np.searchsorted(skeys, s).clip(0, max(skeys.size - 1, 0))
+        from_nat = (skeys[si] == s) if skeys.size else np.zeros(s.size, bool)
+        yr, vol, from_nat = yr[in_reg], vol[in_reg], from_nat[in_reg]
+        u, inv = np.unique(yr, return_inverse=True)
+        tot = np.bincount(inv, weights=vol)
+        nat = np.bincount(inv, weights=np.where(from_nat, vol, 0.0))
+        return pa.table({
+            "o_year": pa.array(u, pa.int64()),
+            "vol": pa.array(tot, pa.float64()),
+            "nat_vol": pa.array(nat, pa.float64()),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("vol", alias_name="vol"),
+                      Sum("nat_vol", alias_name="nat_vol")).to_pandas())
+    agg["mkt_share"] = (agg["nat_vol"] / agg["vol"]).round(round_to)
+    agg["o_year"] = agg["o_year"].astype("int64")
+    return (agg.sort_values("o_year").reset_index(drop=True)
+            [["o_year", "mkt_share"]])
