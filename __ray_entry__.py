@@ -316,6 +316,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   "brightness"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def _mm_qoi_stats(sf_dir):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.multimodal import (decode_qoi_features,
+                                                         to_qoi_payloads)
+
+        ids = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"]).limit(64)
+        df = decode_qoi_features(to_qoi_payloads(ids)).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def _mm_wav_stats(sf_dir):
         import numpy as np
         import ray.data as rd
@@ -559,6 +570,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real numpy PPM image resize+decode (rows-only: binary codec
         # path; analytic channel-mean goldens pinned in pytest)
         "mm_ppm_stats": _mm_ppm_stats,
+        # REAL compressed-image codec leg (QOI, qoiformat.org): synth ->
+        # qoi_encode -> actor-pool decode -> channel stats (rows-only:
+        # codec pinned by lossless round-trip + PPM-leg-equality pytest)
+        "mm_qoi_stats": _mm_qoi_stats,
         "cur_pack_bins": lambda sf: curation.pack_token_bins(
             textstats.token_counts(_docs(sf)), budget=2048).to_pandas(),
         # adjacent-bigram PMI collocations (corpus analytics)

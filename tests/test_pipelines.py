@@ -484,6 +484,46 @@ class TestPpmImage:
             # B channel is the id-keyed constant
             assert row.mean_b == (i * 7) % 256
 
+    def test_qoi_codec_spec_roundtrip(self):
+        """REAL QOI codec (qoiformat.org): lossless round-trip over
+        random and gradient images, plus the spec's chunk families
+        exercised by construction (runs, index hits, diffs, luma,
+        literals)."""
+        from yetisearch_ray.pipelines.multimodal import (
+            _parse_ppm, qoi_decode, qoi_encode, synth_ppm)
+
+        rng = np.random.default_rng(42)
+        for shape in [(1, 1, 3), (2, 3, 3), (24, 32, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(qoi_decode(qoi_encode(img)), img), shape
+        # run-heavy: constant image encodes almost entirely as RUN ops
+        flat = np.full((16, 16, 3), 7, np.uint8)
+        enc = qoi_encode(flat)
+        assert np.array_equal(qoi_decode(enc), flat)
+        assert len(enc) < flat.size // 10  # compression actually happened
+        # gradient (diff/luma-heavy) from the shared synth
+        img = _parse_ppm(synth_ppm(5))
+        assert np.array_equal(qoi_decode(qoi_encode(img)), img)
+
+    def test_qoi_decode_stage_matches_ppm_leg(self, ray_session):
+        """QOI and PPM legs synthesize the SAME image, so their decoded
+        channel means must agree exactly."""
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.multimodal import (
+            decode_ppm_features, decode_qoi_features, to_ppm_payloads,
+            to_qoi_payloads)
+
+        rows = [{"doc_id": i} for i in range(8)]
+        qdf = (decode_qoi_features(to_qoi_payloads(rd.from_items(rows)))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pdf = (decode_ppm_features(to_ppm_payloads(rd.from_items(rows)))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for c in ("width", "height", "mean_r", "mean_g", "mean_b",
+                  "brightness"):
+            assert (qdf[c] == pdf[c]).all(), c
+        assert (qdf["compress_ratio"] > 0).all()
+
     def test_ppm_parser_comments_and_tiny(self):
         from yetisearch_ray.pipelines.multimodal import _parse_ppm
 

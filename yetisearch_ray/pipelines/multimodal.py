@@ -402,3 +402,175 @@ def resize_ppm(ds, *, target_w=8, target_h=8, concurrency=(1, 2), batch_size=128
         fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ------------------------------------------------------------------ QOI
+#
+# REAL compressed-image codec, dependency-free: the QOI format
+# (qoiformat.org, public spec) — 14-byte header, byte-stream chunks
+# (RGB/RGBA literals, 64-slot hash index, 2-bit diffs, luma diffs,
+# runs), 8-byte end marker.  A full encoder + decoder in pure
+# Python/numpy turns the "compressed image" leg of the multimodal
+# pipeline from a declared stub into a working codec: synth → encode →
+# decode → features runs end-to-end with lossless round-trip goldens.
+# The per-image chunk loop is inherently sequential (each chunk
+# depends on the running pixel state), so it lives inside an
+# actor-pool stage over small batches — the Ray-side layout is
+# identical to a libjpeg-backed stage.
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def qoi_encode(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a QOI (channels=3) payload."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("qoi_encode expects (h, w, 3) uint8")
+    out = bytearray()
+    out += _QOI_MAGIC
+    out += int(w).to_bytes(4, "big") + int(h).to_bytes(4, "big")
+    out += bytes([3, 0])  # channels, colorspace (sRGB)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa_ = 0, 0, 0, 255
+    run = 0
+    flat = img.reshape(-1, 3)
+    for r, g, b in flat.tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        idx = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if index[idx] == (r, g, b, 255):
+            out.append(idx)
+        else:
+            index[idx] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def qoi_decode(payload: bytes) -> np.ndarray:
+    """Decode a QOI payload (channels 3 or 4) → (h, w, 3) uint8 array
+    (alpha dropped for the feature stages)."""
+    if payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload")
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    n = w * h
+    px = np.empty((n, 3), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    data = payload
+    while i < n:
+        byte = data[pos]
+        pos += 1
+        if byte == 0xFE:                       # QOI_OP_RGB
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0xFF:                     # QOI_OP_RGBA
+            r, g, b, a = (data[pos], data[pos + 1], data[pos + 2],
+                          data[pos + 3])
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:                       # QOI_OP_INDEX
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == 1:                     # QOI_OP_DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 2:                     # QOI_OP_LUMA
+                dg = (byte & 0x3F) - 32
+                nxt = data[pos]
+                pos += 1
+                r = (r + dg + ((nxt >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (nxt & 0xF) - 8) % 256
+            else:                              # QOI_OP_RUN
+                run = (byte & 0x3F) + 1
+                px[i:i + run] = (r, g, b)
+                i += run
+                index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        px[i] = (r, g, b)
+        i += 1
+    return px.reshape(h, w, 3)
+
+
+def to_qoi_payloads(ds, *, id_col="doc_id", width=32, height=24):
+    """Synthesize the SAME deterministic image as ``synth_ppm`` but
+    QOI-encoded — so the PPM and QOI legs share analytic goldens."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        payloads = []
+        for i in ids:
+            ppm = synth_ppm(int(i), width=width, height=height)
+            payloads.append(qoi_encode(_parse_ppm(ppm)))
+        return pa.table({
+            id_col: t[id_col],
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/qoi"] * t.num_rows, pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+class QoiDecodeStage:
+    """Actor-pool QOI decode → per-image channel stats (same feature
+    contract as PpmDecodeStage, plus the compression ratio)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, mr, mg, mb, br, ratio = [], [], [], [], [], [], [], []
+        for i, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            img = qoi_decode(p)
+            h, w, _ = img.shape
+            m = img.reshape(-1, 3).mean(axis=0)
+            ids.append(int(i))
+            ws.append(w)
+            hs.append(h)
+            mr.append(round(float(m[0]), 6))
+            mg.append(round(float(m[1]), 6))
+            mb.append(round(float(m[2]), 6))
+            br.append(round(float(m.mean()), 6))
+            ratio.append(round(len(p) / (h * w * 3), 6))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "mean_r": pa.array(mr, pa.float64()),
+            "mean_g": pa.array(mg, pa.float64()),
+            "mean_b": pa.array(mb, pa.float64()),
+            "brightness": pa.array(br, pa.float64()),
+            "compress_ratio": pa.array(ratio, pa.float64()),
+        })
+
+
+def decode_qoi_features(ds, *, concurrency=(1, 2), batch_size=128):
+    """Actor-pool QOI decode: small batches (binary rows)."""
+    return ds.map_batches(QoiDecodeStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
