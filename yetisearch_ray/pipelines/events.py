@@ -1357,3 +1357,88 @@ def first_last_drift(sf_dir: str, *, round_to: int = 6):
         "n_flat": pd.array([int(row["flat"])], dtype="int64"),
         "mean_delta": [round(float(row["d"]) / n, round_to)],
     })
+
+
+def watermark_late_counts(sf_dir: str, *, lateness_sec: int = 3600,
+                          range_bits: int = 6):
+    """Streaming watermark / late-data accounting — the Flink/Beam
+    allowed-lateness semantics over an out-of-order stream: an event is
+    LATE iff its timestamp is older than (watermark - lateness) at its
+    arrival, with watermark = max event-time seen so far.  The
+    synthetic stream is generated in time order, so arrival order is a
+    DETERMINISTIC md5 permutation of event_id (the hash_split idiom —
+    SQL-replicable, machine-independent), which models a shuffled
+    network arrival.
+
+    Distributed shape — the global running-max is a PREFIX SCAN over
+    fixed ranges of the arrival key (the pack_token_bins two-pass
+    pattern, so results are independent of Ray block boundaries):
+    pass 1 aggregates one (range, max_ts) row per 2^range_bits key
+    range (tiny driver table); the cumulative max of the PRIOR ranges
+    broadcasts as each range's incoming watermark; pass 2 scans each
+    range arrival-sorted with a local ``np.maximum.accumulate``.  The
+    final rollup moves |event_type| rows.
+    Columns (event_type, n_events, n_late)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .dedup import _md5_u64_tokens, _strip_meta
+
+    shift = np.uint64(64 - range_bits)
+    int64_min = np.iinfo(np.int64).min
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        a = _md5_u64_tokens(np.array([str(int(i)) for i in ids],
+                                     dtype=object))
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "_a": pa.array(a, pa.uint64()),
+            "_rng": pa.array((a >> shift).astype(np.int64), pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+    tagged = _strip_meta(ds.map_batches(tag, batch_format="pyarrow")
+                         ).materialize()
+    rmax = (tagged.groupby("_rng").aggregate(Max("ts_us", alias_name="mx"))
+            .to_pandas().sort_values("_rng"))
+    mx = rmax["mx"].to_numpy(np.int64)
+    prior = np.concatenate([[int64_min],
+                            np.maximum.accumulate(mx)[:-1]])
+    offsets = dict(zip(rmax["_rng"].astype(int), prior.astype(int)))
+    ref = ray.put(offsets)
+    lateness_us = int(lateness_sec) * 1_000_000
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        off = ray.get(ref)[int(g["_rng"].iloc[0])]
+        g = g.sort_values(["_a", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy(np.int64)
+        run = np.maximum.accumulate(ts)
+        pm = np.concatenate([[int64_min], run[:-1]])
+        if off > int64_min:
+            pm = np.maximum(pm, off)
+        late = (pm > int64_min) & (ts < pm - lateness_us)
+        et = g["event_type"].to_numpy()
+        u, inv = np.unique(et, return_inverse=True)
+        # Arrow output: pandas blocks entering the final shuffle are
+        # ~20x slower (round-4 finding)
+        return pa.table({
+            "event_type": pa.array(u, pa.string()),
+            "n_events": pa.array(np.bincount(inv), pa.int64()),
+            "n_late": pa.array(
+                np.bincount(inv, weights=late.astype(np.float64))
+                .astype(np.int64), pa.int64()),
+        })
+
+    agg = (tagged.groupby("_rng").map_groups(scan, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_late", alias_name="n_late")).to_pandas())
+    agg["n_events"] = agg["n_events"].astype("int64")
+    agg["n_late"] = agg["n_late"].astype("int64")
+    return (agg.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n_events", "n_late"]])

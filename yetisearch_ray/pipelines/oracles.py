@@ -4367,3 +4367,26 @@ FROM (
   WHERE r_name = '{cust_region}'
     AND year(o_orderdate) IN ({ys}))
 GROUP BY o_year ORDER BY o_year"""
+
+
+def watermark_late_sql(lateness_sec: int = 3600) -> str:
+    """Ground truth for events.watermark_late_counts: arrival order is
+    the md5 permutation of event_id (md5_number_lower = Python md5
+    digest[8:16] little-endian), watermark = running max event-time
+    over that order, late = ts < watermark_before_arrival - lateness."""
+    return f"""
+WITH o AS (
+  SELECT event_type, ts,
+         md5_number_lower(event_id::VARCHAR) AS a, event_id
+  FROM events),
+w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY a, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pm
+  FROM o)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(*) FILTER (pm IS NOT NULL
+                        AND ts < pm - INTERVAL {int(lateness_sec)} SECOND
+                        )::BIGINT AS n_late
+FROM w GROUP BY event_type ORDER BY event_type"""
