@@ -417,6 +417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best_survivors": lambda sf: dedup.best_survivors(
             _docs(sf), threshold=0.5),
         # domain-mix rebalance to target proportions (Pile/DoReMi shape)
+        # deterministic per-group uniform k-sample (reservoir shape)
+        "cur_group_sample_k": lambda sf: curation.group_sample_k(
+            _docs(sf), k=5),
         "cur_rebalance_mix": lambda sf: curation.rebalance_mix(
             _docs(sf), targets={"src0": 0.5, "src1": 0.3, "src2": 0.2}
         ).to_pandas(),
@@ -1032,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "cur_pipeline_v2": oracles.curate_corpus_v2_sql(
             STOPWORDS["en"], {"src0": 0.5, "src1": 0.5},
             min_required=1, threshold=0.5, seq_len=256),
+        "cur_group_sample_k": oracles.group_sample_k_sql(k=5),
         "cur_stratified_sample": oracles.stratified_sample_sql(
             {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.25),
         "text_chunk_stats": oracles.chunk_stats_sql(chunk_size=200, overlap=20),

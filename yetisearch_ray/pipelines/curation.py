@@ -979,3 +979,58 @@ def weighted_sample(ds, *, k: int = 50, id_col: str = "doc_id",
     cand = cand.sort_values(["key", id_col],
                             ascending=[False, True]).head(k)
     return cand.reset_index(drop=True)
+
+
+def group_sample_k(ds, *, k: int = 5, group_col: str = "source",
+                   id_col: str = "doc_id"):
+    """Uniform k-sample PER GROUP, deterministic: rank rows within each
+    group by the md5 of their id (a fixed random permutation — the
+    batch-mode equivalent of per-group reservoir sampling, but stable
+    across runs/machines/block boundaries and SQL-replicable) and keep
+    the k smallest.
+
+    Distributed shape: the md5 rank key is computed map-side; a
+    map-side combiner keeps at most k rows per group per block (the
+    ``grouped_topk`` idiom), so the shuffle moves <= k rows x groups x
+    blocks, never the corpus; one bucketed ``map_groups`` finishes the
+    ranking vectorized.  Returns (group, id, sample_rank) sorted by
+    (group, sample_rank)."""
+    import pandas as pd
+
+    from .dedup import _md5_u64_tokens, _strip_meta
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = _md5_u64_tokens(np.array([str(int(i)) for i in ids],
+                                     dtype=object))
+        return pa.table({
+            group_col: t[group_col],
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "_h": pa.array(h, pa.uint64()),
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([group_col, "_h", id_col])
+        out = pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k),
+            preserve_index=False)
+        return out.replace_schema_metadata(None)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([group_col, "_h", id_col], kind="mergesort")
+        g = g.groupby(group_col, sort=False).head(k)
+        rank = g.groupby(group_col, sort=False).cumcount() + 1
+        return pa.table({
+            group_col: pa.array(g[group_col], pa.string()),
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "sample_rank": pa.array(rank.to_numpy(np.int64), pa.int64()),
+        })
+
+    # group cardinality is tiny (sources), so one map_groups call per
+    # group is fine here; the map-side combiner already bounded the rows
+    out = (_strip_meta(ds.map_batches(keyed, batch_format="pyarrow"))
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col).map_groups(final, batch_format="pandas"))
+    pdf = out.to_pandas()
+    return (pdf.sort_values([group_col, "sample_rank"])
+            .reset_index(drop=True))

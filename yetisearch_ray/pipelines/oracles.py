@@ -4390,3 +4390,18 @@ SELECT event_type, count(*)::BIGINT AS n_events,
                         AND ts < pm - INTERVAL {int(lateness_sec)} SECOND
                         )::BIGINT AS n_late
 FROM w GROUP BY event_type ORDER BY event_type"""
+
+
+def group_sample_k_sql(k: int = 5, group_col: str = "source") -> str:
+    """Ground truth for curation.group_sample_k: row_number per group
+    over (md5_number_lower(id), id)."""
+    return f"""
+SELECT {group_col}, doc_id, sample_rank FROM (
+  SELECT {group_col}, doc_id,
+         row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id
+         )::BIGINT AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {k}
+ORDER BY {group_col}, sample_rank"""
