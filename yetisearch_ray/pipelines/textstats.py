@@ -329,26 +329,58 @@ def rolling_fingerprint(ds, *, text_col="text", id_col="doc_id", window=8):
     (hash function not SQL-replicable)."""
 
     def fn(t: pa.Table) -> pa.Table:
+        # Vectorized (round 4): one Arrow whitespace split over the
+        # batch, blake2b once per UNIQUE token (dictionary-encode +
+        # gather — the hash itself must stay per-string), then all
+        # window minima at once via sliding_window_view masked to
+        # windows that stay inside one document; per-doc sorted-unique
+        # sets fall out of one lexsort + adjacent-dedupe.  Exactly the
+        # old per-doc loop's output (pinned by test).
         ids = t[id_col]
-        out = []
-        for s in t[text_col].to_pylist():
-            toks = (s or "").split()
-            hs = np.array(
-                [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-                 for w in toks],
-                dtype=np.uint64,
-            )
-            if hs.size == 0:
-                out.append([])
-                continue
-            if hs.size <= window:
-                out.append([int(hs.min())])
-                continue
-            mins = {
-                int(hs[i : i + window].min()) for i in range(hs.size - window + 1)
-            }
-            out.append(sorted(mins))
-        return pa.table({id_col: ids, "fingerprints": pa.array(out, pa.list_(pa.uint64()))})
+        n_rows = t.num_rows
+        values, offs = _split_tokens(t[text_col])[1:]
+        n_tok = np.diff(offs)
+        d = values.dictionary_encode() if len(values) else None
+        out_lists: list[list[int]] = [[] for _ in range(n_rows)]
+        if d is not None and len(values):
+            uniq = d.dictionary.to_pylist()
+            hu = np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                    "little") for w in uniq),
+                dtype=np.uint64, count=len(uniq))
+            codes = d.indices.to_numpy(zero_copy_only=False)
+            h = hu[codes]
+            doc_idx = np.repeat(np.arange(n_rows), n_tok)
+            # short docs (1 <= n <= window): fingerprint = [doc min]
+            short = (n_tok > 0) & (n_tok <= window)
+            if short.any():
+                seg_min = np.minimum.reduceat(
+                    h, offs[:-1].clip(0, max(len(h) - 1, 0)))
+                for i in np.flatnonzero(short):
+                    out_lists[i] = [int(seg_min[i])]
+            if len(h) >= window:
+                sw = np.lib.stride_tricks.sliding_window_view(
+                    h, window).min(axis=1)
+                valid = doc_idx[: len(sw)] == doc_idx[window - 1:]
+                wdoc = doc_idx[: len(sw)][valid]
+                wmin = sw[valid]
+                if wmin.size:
+                    order = np.lexsort((wmin, wdoc))
+                    wdoc, wmin = wdoc[order], wmin[order]
+                    keep = np.concatenate(
+                        [[True], (wdoc[1:] != wdoc[:-1])
+                         | (wmin[1:] != wmin[:-1])])
+                    wdoc, wmin = wdoc[keep], wmin[keep]
+                    starts = np.flatnonzero(np.concatenate(
+                        [[True], wdoc[1:] != wdoc[:-1]]))
+                    bounds = np.concatenate([starts, [len(wdoc)]])
+                    for j, s in enumerate(starts):
+                        out_lists[int(wdoc[s])] = \
+                            wmin[s:bounds[j + 1]].tolist()
+        return pa.table({id_col: ids,
+                         "fingerprints": pa.array(out_lists,
+                                                  pa.list_(pa.uint64()))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
