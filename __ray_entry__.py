@@ -861,6 +861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic out-of-order arrival (distributed prefix-max)
         "ev_watermark_late": lambda sf: events.watermark_late_counts(
             sf, lateness_sec=14 * 86400),
+        # TPC-H Q2 shape: per-part argmin supplier (bucketed reduce)
+        "rel_q2_min_cost": relational.q2_min_cost_supplier,
         # TPC-H Q13 shape: order-count distribution, zero bucket, no join
         "rel_q13_custdist": relational.q13_custdist,
         # TPC-H Q15 shape: max-over-aggregate top supplier of a quarter
@@ -1197,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q7_nation_trade": oracles.q7_nation_trade_sql(),
         "rel_q4_order_priority": oracles.q4_order_priority_sql(),
         "ev_watermark_late": oracles.watermark_late_sql(14 * 86400),
+        "rel_q2_min_cost": oracles.q2_min_cost_supplier_sql(),
         "rel_q13_custdist": oracles.Q13_CUSTDIST_SQL,
         "rel_q15_top_supplier": oracles.q15_top_supplier_sql(),
         "rel_q22_sales_opportunity": oracles.q22_sales_opportunity_sql(),

@@ -4405,3 +4405,20 @@ SELECT {group_col}, doc_id, sample_rank FROM (
   FROM documents)
 WHERE sample_rank <= {k}
 ORDER BY {group_col}, sample_rank"""
+
+
+def q2_min_cost_supplier_sql(round_to: int = 6) -> str:
+    """Ground truth for relational.q2_min_cost_supplier: unit price
+    rounded BEFORE the argmin (same float-tie discipline as the
+    operator), ties to the smaller suppkey."""
+    return f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(sum(l_extendedprice) / sum(l_quantity), {round_to})
+           AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT l_partkey, l_suppkey, unit_price FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY unit_price, l_suppkey) AS rn
+  FROM ps)
+WHERE rn = 1 ORDER BY l_partkey"""

@@ -2599,3 +2599,86 @@ def q8_market_share(sf_dir: str, *, supp_nation: str = "NATION_3",
     agg["o_year"] = agg["o_year"].astype("int64")
     return (agg.sort_values("o_year").reset_index(drop=True)
             [["o_year", "mkt_share"]])
+
+
+def q2_min_cost_supplier(sf_dir: str, *, round_to: int = 6,
+                         buckets: int = 64):
+    """TPC-H Q2 shape: for every part, the supplier offering the
+    LOWEST unit price (sum price / sum quantity over their lines) —
+    the per-group ARGMIN over a two-key aggregate (the synthetic
+    schema has no partsupp, so lineitem is the supply relation).
+
+    Distributed shape: one (part, supplier)-keyed aggregate over
+    lineitem (two vectorized partial sums ride the groupby), then the
+    per-part argmin groups by a PART HASH BUCKET so ``map_groups``
+    makes one vectorized pandas call per bucket instead of one Python
+    call per part.  Unit price is rounded BEFORE the argmin on both
+    engines so float summation order cannot flip near-ties; ties break
+    on the smaller suppkey.  Columns (l_partkey, l_suppkey,
+    unit_price)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _strip_meta
+
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_quantity"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        key = (p.astype(np.int64) << 32) | s.astype(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        price = np.bincount(
+            inv, weights=t["l_extendedprice"].to_numpy(
+                zero_copy_only=False))
+        qty = np.bincount(
+            inv, weights=t["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.float64))
+        return pa.table({
+            "k": pa.array(u, pa.int64()),
+            "price": pa.array(price, pa.float64()),
+            "qty": pa.array(qty, pa.float64()),
+        })
+
+    ps = (li.map_batches(partial, batch_format="pyarrow")
+          .groupby("k")
+          .aggregate(Sum("price", alias_name="price"),
+                     Sum("qty", alias_name="qty")))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        part = k >> 32
+        q = (t["price"].to_numpy(zero_copy_only=False)
+             / t["qty"].to_numpy(zero_copy_only=False))
+        # DuckDB round() is half-AWAY-from-zero; np.round is half-even,
+        # and unit prices (4dp-price sums / integer quantities) land
+        # exactly on .5 boundaries often enough to matter (4 of 2000
+        # parts at sf0.01).  floor(x*10^n + 0.5) matches DuckDB for the
+        # positive prices here.
+        scale = 10.0 ** round_to
+        unit = np.floor(q * scale + 0.5) / scale
+        return pa.table({
+            "l_partkey": pa.array(part, pa.int64()),
+            "l_suppkey": pa.array(k & 0xFFFFFFFF, pa.int64()),
+            "unit_price": pa.array(unit, pa.float64()),
+            "_bkt": pa.array(part % buckets, pa.int64()),
+        })
+
+    def argmin(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["l_partkey", "unit_price", "l_suppkey"],
+                          kind="mergesort")
+        g = g.groupby("l_partkey", sort=False).head(1)
+        return pa.table({
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(np.int64)),
+            "l_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64)),
+            "unit_price": pa.array(g["unit_price"].to_numpy(np.float64)),
+        })
+
+    out = (ps.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(argmin, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("l_partkey").reset_index(drop=True)
+            [["l_partkey", "l_suppkey", "unit_price"]])
