@@ -1442,3 +1442,61 @@ def watermark_late_counts(sf_dir: str, *, lateness_sec: int = 3600,
     agg["n_late"] = agg["n_late"].astype("int64")
     return (agg.sort_values("event_type").reset_index(drop=True)
             [["event_type", "n_events", "n_late"]])
+
+
+def time_weighted_avg(sf_dir: str, *, round_to: int = 6,
+                      buckets: int = 64):
+    """Per-user TIME-WEIGHTED average of the event value — the
+    irregular-sampling streaming aggregate (each sample holds until the
+    next event): twa = Σ value_i·Δt_i / Σ Δt_i with Δt_i the gap to the
+    user's next event; users with a single event emit nothing.
+
+    Distributed shape: users group by a HASH BUCKET (user_id mod
+    ``buckets``) so ``map_groups`` makes one vectorized call per
+    bucket — inside, one sort + one shifted-difference pass computes
+    every user's weights at once (segment boundaries mask the
+    cross-user gap).  Ties on ts break by event_id, matching the SQL
+    window's ORDER BY.  Columns (user_id, n_gaps, twa)."""
+    import ray.data as rd
+
+    from .dedup import _strip_meta
+
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "value": t["value"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
+        })
+
+    def twa(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        same = np.concatenate([u[1:] == u[:-1], [False]])
+        dt = np.concatenate([(ts[1:] - ts[:-1]).astype(np.float64), [0.0]])
+        w = np.where(same, dt, 0.0)
+        uu, inv = np.unique(u, return_inverse=True)
+        wsum = np.bincount(inv, weights=w)
+        vw = np.bincount(inv, weights=v * w)
+        ngaps = np.bincount(inv, weights=same.astype(np.float64))
+        keep = wsum > 0.0
+        return pa.table({
+            "user_id": pa.array(uu[keep], pa.int64()),
+            "n_gaps": pa.array(ngaps[keep].astype(np.int64), pa.int64()),
+            "twa": pa.array(np.round(vw[keep] / wsum[keep], round_to),
+                            pa.float64()),
+        })
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(twa, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -4422,3 +4422,21 @@ SELECT l_partkey, l_suppkey, unit_price FROM (
                                ORDER BY unit_price, l_suppkey) AS rn
   FROM ps)
 WHERE rn = 1 ORDER BY l_partkey"""
+
+
+def time_weighted_avg_sql(round_to: int = 6) -> str:
+    """Ground truth for events.time_weighted_avg: lead() gap weights,
+    users with >= 1 gap only.  Zero-length gaps (duplicate timestamps)
+    contribute zero weight on both engines."""
+    return f"""
+WITH s AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       count(*)::BIGINT AS n_gaps,
+       round(sum(value * epoch_us(nxt - ts))
+             / sum(epoch_us(nxt - ts)), {round_to}) AS twa
+FROM s WHERE nxt IS NOT NULL
+GROUP BY user_id ORDER BY user_id"""
