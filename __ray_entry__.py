@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
         # distributed TF-IDF top-terms (df shuffle + term join + topk combiner)
         "text_tfidf_topk": lambda sf: textstats.tfidf_topk(_docs(sf), k=5),
+        # Heaps-law vocab growth at token budgets (prefix-sum positions)
+        "text_heaps_curve": lambda sf: textstats.heaps_curve(_docs(sf)),
         # per-source tokenizer report (fertility, distinct terms, TTR)
         "text_source_stats": lambda sf: textstats.source_token_stats(
             _docs(sf)),
@@ -1164,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_heavy_hitters": oracles.HEAVY_HITTERS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,
+        "text_heaps_curve": oracles.heaps_curve_sql(),
         "text_source_stats": oracles.source_token_stats_sql(),
         "text_ccnet_buckets": oracles.CCNET_BUCKETS_SQL,
         "text_entropy": oracles.ENTROPY_STATS_SQL,

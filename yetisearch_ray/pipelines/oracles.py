@@ -4440,3 +4440,28 @@ SELECT user_id,
              / sum(epoch_us(nxt - ts)), {round_to}) AS twa
 FROM s WHERE nxt IS NOT NULL
 GROUP BY user_id ORDER BY user_id"""
+
+
+def heaps_curve_sql(thresholds=(1000, 2000, 5000, 10000, 20000, 50000,
+                                100000, 200000, 500000, 1000000)) -> str:
+    """Ground truth for textstats.heaps_curve: global token position by
+    (doc_id, pos), per-term min, vocab(N) = #terms with first position
+    < N per fixed budget."""
+    vals = ", ".join(f"({int(n)})" for n in sorted(thresholds))
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, {TOKENS_EXPR} AS arr
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos,
+         unnest(arr) AS term
+  FROM arrs),
+g AS (SELECT term,
+             row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+      FROM tok),
+first AS (SELECT term, min(gpos) AS fp FROM g GROUP BY term),
+thr(budget) AS (VALUES {vals})
+SELECT budget::BIGINT AS budget,
+       (SELECT count(*) FROM first WHERE fp < budget)::BIGINT
+         AS n_distinct_terms
+FROM thr ORDER BY budget"""

@@ -1834,3 +1834,101 @@ def stopword_density_by_source(ds, *, text_col="text",
         "high_frac": (agg["nh"] / agg["n_docs"]).round(round_to),
     })
     return out.sort_values("source").reset_index(drop=True)
+
+
+def heaps_curve(ds, *, text_col="text", id_col="doc_id",
+                thresholds=(1000, 2000, 5000, 10000, 20000, 50000,
+                            100000, 200000, 500000, 1000000),
+                range_size: int = 512):
+    """Heaps-law vocabulary-growth curve: distinct terms seen within
+    the first N tokens of the corpus (stream order = (doc_id, token
+    position)) for each budget N — the vocabulary-scaling diagnostic a
+    pretraining pipeline reads next to ``zipf_fit``/``vocab_stats``.
+
+    Distributed shape (no global sort): global token positions come
+    from a two-pass PREFIX SUM over fixed doc-id ranges (the
+    ``pack_token_bins`` pattern — per-range token counts to the driver,
+    cumulative offsets broadcast back, per-range local enumerate), the
+    first occurrence of each term is a vocabulary-bounded
+    ``groupby(term).min(gpos)``, and the curve is a |thresholds|-bin
+    histogram + driver cumsum.  Block-boundary-independent by
+    construction.  Columns (budget, n_distinct_terms)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from .dedup import _strip_meta
+
+    def count_tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, offs = _ws_split_re2(t[text_col])
+        return pa.table({
+            "_rng": pa.array(ids // range_size, pa.int64()),
+            "n": pa.array(np.diff(offs), pa.int64()),
+        })
+
+    base = _strip_meta(ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col], text_col:
+                            pc.fill_null(t[text_col].cast(pa.string()),
+                                         "")}),
+        batch_format="pyarrow")).materialize()
+    sums = (base.map_batches(count_tag, batch_format="pyarrow")
+            .groupby("_rng").aggregate(Sum("n", alias_name="s"))
+            .to_pandas().sort_values("_rng"))
+    offsets = dict(zip(sums["_rng"].astype(int),
+                       (sums["s"].cumsum() - sums["s"]).astype(int)))
+    ref = ray.put(offsets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_rng", pa.array(ids // range_size,
+                                                pa.int64()))
+
+    def emit_first(g: pd.DataFrame) -> pa.Table:
+        off = ray.get(ref)[int(g["_rng"].iloc[0])]
+        g = g.sort_values(id_col, kind="mergesort")
+        col = pa.array(g[text_col].tolist(), pa.string())
+        values, offs = _ws_split_re2(col)
+        if len(values) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "gpos": pa.array([], pa.int64())})
+        gpos = off + np.arange(len(values), dtype=np.int64)
+        # map-side combine: per-range first occurrence per term
+        d = values.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        first = order[np.concatenate(
+            [[True], codes[order][1:] != codes[order][:-1]])]
+        return pa.table({
+            "term": pc.cast(d.dictionary.take(
+                pa.array(codes[first], pa.int64())), pa.string()),
+            "gpos": pa.array(gpos[first], pa.int64()),
+        })
+
+    firsts = (base.map_batches(tag, batch_format="pyarrow")
+              .groupby("_rng").map_groups(emit_first,
+                                          batch_format="pandas"))
+    fp = (_strip_meta(firsts).groupby("term")
+          .aggregate(Min("gpos", alias_name="fp")))
+
+    thr = np.asarray(sorted(thresholds), dtype=np.int64)
+
+    def hist(t: pa.Table) -> pa.Table:
+        f = t["fp"].to_numpy(zero_copy_only=False)
+        # bin b = first threshold index with fp < thr[b]
+        b = np.searchsorted(thr, f, side="right")
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hg = (fp.map_batches(hist, batch_format="pyarrow")
+          .groupby("b").aggregate(Sum("c", alias_name="c")).to_pandas())
+    counts = np.zeros(thr.size + 1, np.int64)
+    for b, c in zip(hg["b"].astype(int), hg["c"].astype(int)):
+        counts[b] = c
+    cum = np.cumsum(counts)
+    return pd.DataFrame({
+        "budget": pd.array(thr, dtype="int64"),
+        "n_distinct_terms": pd.array(cum[:thr.size], dtype="int64"),
+    })
