@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed COUNT(DISTINCT) + its HLL sketch counterpart
         "agg_distinct_parts": q_distinct_parts,
         "agg_hll_distinct": q_hll_distinct,       # bound-oracled (r4)
+        # per-group HLL sketches (elementwise-max merge), bound-oracled
+        "agg_group_hll": lambda sf: sketches.group_hll_distinct(
+            _lineitem(sf, ["l_returnflag", "l_partkey"]),
+            "l_returnflag", "l_partkey", p=12),
         # exact top-100 tokens via two-pass Misra-Gries (bounded shuffle)
         "agg_heavy_hitters": q_heavy_hitters,
         # CCNet-style bigram-LM self-scoring (wordcount shuffle + 2 joins)
@@ -1163,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_quantiles": oracles.QUANTILES_SQL,
         "agg_distinct_parts": oracles.DISTINCT_PARTS_SQL,
         "agg_hll_distinct": oracles.HLL_BOUND_SQL,
+        "agg_group_hll": oracles.GROUP_HLL_BOUND_SQL,
         "agg_heavy_hitters": oracles.HEAVY_HITTERS_SQL,
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,

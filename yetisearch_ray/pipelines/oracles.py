@@ -1799,6 +1799,16 @@ SELECT count(DISTINCT l_partkey)::BIGINT AS n_distinct_exact,
 FROM lineitem"""
 
 
+# Per-group bound oracle for sketches.group_hll_distinct (same
+# deterministic-band argument as HLL_BOUND_SQL, per l_returnflag group).
+GROUP_HLL_BOUND_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)::BIGINT AS n_distinct_exact,
+       4096::BIGINT AS registers,
+       1::BIGINT AS within_3sigma
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
 # Ground truth for textstats.bigram_lm_scores: add-0.1-smoothed bigram
 # LM self-scoring.  Tokens are RE2 \s+ splits (same TOKENS_EXPR
 # convention as the dedup/textstats oracles); P(w2|w1) = (c(w1w2)+a) /

@@ -417,3 +417,91 @@ def heavy_hitters(ds, column: str, *, k: int = 100, capacity: int = 4096,
            .rename(columns={"sum(cnt)": "cnt"})
            .sort_values(["cnt", "term"], ascending=[False, True]).head(k))
     return out[["term", "cnt"]].astype({"cnt": "int64"}).reset_index(drop=True)
+
+
+def group_hll_distinct(ds, group_col: str, column: str, *, p: int = 12):
+    """Per-GROUP HyperLogLog distinct estimate + the ±3σ bound verdict
+    against the engine's own exact per-group distinct count — the
+    grouped mergeable-sketch pattern: each batch emits one register row
+    per group it contains (a map-side combine), the per-group merge is
+    an elementwise max, and at any scale only |groups| × |blocks|
+    register rows (2^p bytes each) cross the exchange while the column
+    itself never leaves its partitions.  The exact side is the
+    two-level distinct groupby (value-keyed thinning first).
+
+    The fixed splitmix64 hash makes each group's estimate a pure
+    function of its value set, so "estimate within ±3·1.04/√m of the
+    exact count" is a deterministic, SQL-checkable claim (the
+    agg_hll_distinct bound-oracle idiom, per group).
+    Columns (group, n_distinct_exact, registers, within_3sigma)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from yetisearch_ray.pipelines.dedup import _strip_meta
+
+    if not 11 <= p <= 18:
+        raise ValueError("group_hll_distinct supports p in [11, 18]")
+    m = 1 << p
+    wbits = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        h = _hash_column(t[column])
+        gnp = groups.to_numpy(zero_copy_only=False)
+        out_g, out_r = [], []
+        for gval in pd.unique(gnp):
+            mask = gnp == gval
+            hg = h[mask]
+            regs = np.zeros(m, dtype=np.uint8)
+            idx = (hg >> np.uint64(wbits)).astype(np.int64)
+            w = hg & np.uint64((1 << wbits) - 1)
+            _, exp = np.frexp(w.astype(np.float64))
+            rho = np.where(w == 0, wbits + 1, wbits - exp + 1)\
+                .astype(np.uint8)
+            np.maximum.at(regs, idx, rho)
+            out_g.append(gval)
+            out_r.append(regs)
+        return pa.table({
+            group_col: pa.array(out_g, pa.string()),
+            "regs": pa.array([r.tolist() for r in out_r],
+                             pa.list_(pa.uint8())),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.max(np.stack([np.asarray(r, dtype=np.uint8)
+                                for r in g["regs"]]), axis=0)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros > 0:      # linear counting fallback
+            est = m * math.log(m / zeros)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "est": [float(est)]})
+
+    ests = (_strip_meta(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby(group_col).map_groups(merge, batch_format="pandas")
+            .to_pandas())
+
+    def thin(t: pa.Table) -> pa.Table:
+        tt = pa.table({group_col: t[group_col], column: t[column]})
+        return tt.group_by([group_col, column]).aggregate([])
+
+    exact = (_strip_meta(ds.map_batches(thin, batch_format="pyarrow"))
+             .groupby([group_col, column]).count()
+             .select_columns([group_col])
+             .groupby(group_col)
+             .aggregate(Count(alias_name="n_distinct_exact"))
+             .to_pandas())
+
+    out = ests.merge(exact, on=group_col)
+    band = 3 * 1.04 / (m ** 0.5)
+    out["within_3sigma"] = (
+        (out["est"] / out["n_distinct_exact"] - 1.0).abs() <= band
+    ).astype("int64")
+    out["n_distinct_exact"] = out["n_distinct_exact"].astype("int64")
+    out["registers"] = np.int64(m)
+    return (out.sort_values(group_col).reset_index(drop=True)
+            [[group_col, "n_distinct_exact", "registers",
+              "within_3sigma"]])
