@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_lm": lambda sf: textstats.bigram_lm_scores(_docs(sf)),
         # distributed TF-IDF top-terms (df shuffle + term join + topk combiner)
         "text_tfidf_topk": lambda sf: textstats.tfidf_topk(_docs(sf), k=5),
+        # per-term burstiness (Fano factor) over the top-df head
+        "text_burstiness": lambda sf: textstats.term_burstiness(
+            _docs(sf), k=50),
         # Heaps-law vocab growth at token budgets (prefix-sum positions)
         "text_heaps_curve": lambda sf: textstats.heaps_curve(_docs(sf)),
         # per-source tokenizer report (fertility, distinct terms, TTR)
@@ -877,6 +880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q15_top_supplier": relational.q15_top_supplier,
         # TPC-H Q22 shape: scalar-subquery + NOT EXISTS rich-inactive
         "rel_q22_sales_opportunity": relational.q22_sales_opportunity,
+        # TPC-H Q9 shape: profit per supplier-nation and order year
+        "rel_q9_profit": relational.q9_profit,
         # TPC-H Q8 shape: supplier-nation market share within a region
         "rel_q8_market_share": relational.q8_market_share,
         # TPC-H Q19 shape: disjunctive band predicates
@@ -1172,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_lm": oracles.BIGRAM_LM_SQL,
         "text_tfidf_topk": oracles.TFIDF_TOPK_SQL,
         "text_heaps_curve": oracles.heaps_curve_sql(),
+        "text_burstiness": oracles.term_burstiness_sql(k=50),
         "text_source_stats": oracles.source_token_stats_sql(),
         "text_ccnet_buckets": oracles.CCNET_BUCKETS_SQL,
         "text_entropy": oracles.ENTROPY_STATS_SQL,
@@ -1215,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q15_top_supplier": oracles.q15_top_supplier_sql(),
         "rel_q22_sales_opportunity": oracles.q22_sales_opportunity_sql(),
         "rel_q8_market_share": oracles.q8_market_share_sql(),
+        "rel_q9_profit": oracles.q9_profit_sql(),
         "rel_q19_disjunctive": oracles.q19_disjunctive_sql(),
         "emb_dim_variance": oracles.dim_variance_sql(),
     }

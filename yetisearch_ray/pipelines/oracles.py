@@ -4475,3 +4475,39 @@ SELECT budget::BIGINT AS budget,
        (SELECT count(*) FROM first WHERE fp < budget)::BIGINT
          AS n_distinct_terms
 FROM thr ORDER BY budget"""
+
+
+def q9_profit_sql(cost_factor: float = 0.6, round_to: int = 4) -> str:
+    return f"""
+SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - l_quantity * p_retailprice * {cost_factor!r}),
+             {round_to}) AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"""
+
+
+def term_burstiness_sql(k: int = 50, round_to: int = 6) -> str:
+    """Ground truth for textstats.term_burstiness: per-(doc, term) tf,
+    per-term count/moments, Fano factor with POPULATION variance —
+    computed from the same raw moments (Σtf, Σtf²) as the operator so
+    float arithmetic agrees."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_EXPR}) AS term
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       GROUP BY doc_id, term),
+m AS (SELECT term, count(*)::BIGINT AS df,
+             sum(tf) AS s1, sum(tf * tf) AS s2
+      FROM tf GROUP BY term
+      ORDER BY df DESC, term LIMIT {k})
+SELECT term, df,
+       round(s1 / df, {round_to}) AS mean_tf,
+       round((s2 / df - (s1 / df) * (s1 / df)) / (s1 / df),
+             {round_to}) AS burstiness
+FROM m ORDER BY df DESC, term"""

@@ -2682,3 +2682,88 @@ def q2_min_cost_supplier(sf_dir: str, *, round_to: int = 6,
            .to_pandas())
     return (out.sort_values("l_partkey").reset_index(drop=True)
             [["l_partkey", "l_suppkey", "unit_price"]])
+
+
+def q9_profit(sf_dir: str, *, cost_factor: float = 0.6,
+              round_to: int = 4, num_partitions: int = 8):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) —
+    profit = Σ extprice·(1-disc) − qty·cost, with cost =
+    ``cost_factor``·p_retailprice standing in for ps_supplycost (the
+    synthetic schema has no partsupp).
+
+    Distributed shape: lineitem ⋈ orders (for the year) is the single
+    big-big hash join; the part cost table and the supplier→nation map
+    are broadcast sorted-key arrays applied map-side; each batch emits
+    per-(nation, year) partials so the final exchange moves
+    |nations|x|years| rows.  Columns (n_name, o_year, profit) ordered
+    (n_name, o_year DESC)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _strip_meta
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_retailprice"])
+    pk = part["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    pcost = (part["p_retailprice"].to_numpy(np.float64)[order]
+             * cost_factor)
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    so = np.argsort(sk)
+    sk, snat = sk[so], supp["s_nationkey"].to_numpy(np.int64)[so]
+    ref = ray.put((pk, pcost, sk, snat))
+
+    orders = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]))
+
+    def o_slim(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.year(t["o_orderdate"])})
+
+    li = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"]))
+
+    j = li.join(orders.map_batches(o_slim, batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys, pcosts, skeys, snats = ray.get(ref)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        yr = t["o_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)\
+            .astype(np.float64)
+        pi = np.searchsorted(pkeys, p).clip(0, pkeys.size - 1)
+        si = np.searchsorted(skeys, s).clip(0, skeys.size - 1)
+        ok = (pkeys[pi] == p) & (skeys[si] == s)
+        profit = (rev - qty * pcosts[pi])[ok]
+        key = snats[si][ok] * 10_000 + yr[ok]
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "k": pa.array(u, pa.int64()),
+            "profit": pa.array(np.bincount(inv, weights=profit),
+                               pa.float64()),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("profit", alias_name="profit"))
+           .to_pandas())
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nm = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    agg["n_name"] = (agg["k"] // 10_000).astype(int).map(nm)
+    agg["o_year"] = (agg["k"] % 10_000).astype("int64")
+    agg["profit"] = agg["profit"].round(round_to)
+    return (agg.sort_values(["n_name", "o_year"],
+                            ascending=[True, False])
+            .reset_index(drop=True)[["n_name", "o_year", "profit"]])

@@ -1932,3 +1932,77 @@ def heaps_curve(ds, *, text_col="text", id_col="doc_id",
         "budget": pd.array(thr, dtype="int64"),
         "n_distinct_terms": pd.array(cum[:thr.size], dtype="int64"),
     })
+
+
+def term_burstiness(ds, *, text_col="text", id_col="doc_id", k=50,
+                    round_to=6):
+    """Per-term BURSTINESS (Fano factor Var(tf)/Mean(tf) over the docs
+    containing the term) for the ``k`` highest-df terms — the classic
+    content-vs-function-word signal (bursty terms concentrate in few
+    docs; function words spread evenly), a corpus diagnostic next to
+    ``zipf_fit``.
+
+    Distributed shape: the vectorized (doc, term, tf) explode
+    (:func:`_doc_term_tf`) feeds map-side per-term moment partials
+    (count, Σtf, Σtf²), one vocabulary-bounded groupby-sum, then a
+    distributed (df DESC, term) ``sort.limit(k)`` — only the fitted
+    head reaches the driver.  Population variance, rounded to
+    ``round_to`` like the SQL.  Columns (term, df, mean_tf,
+    burstiness)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _strip_meta
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        values, offs = _ws_split_re2(t[text_col])
+        _, terms, tf = _doc_term_tf(ids, values, offs)
+        tff = tf.astype(np.float64)
+        return pa.table({
+            "term": pc.cast(terms, pa.string()),
+            "n": pa.array(np.ones(len(tf), np.int64)),
+            "s1": pa.array(tff, pa.float64()),
+            "s2": pa.array(tff * tff, pa.float64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        # map-side per-batch moment combine before the shuffle
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        d = terms.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, weights=t["n"].to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        s1 = np.bincount(codes, weights=t["s1"].to_numpy(
+            zero_copy_only=False))
+        s2 = np.bincount(codes, weights=t["s2"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "term": pc.cast(d.dictionary, pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "s1": pa.array(s1, pa.float64()),
+            "s2": pa.array(s2, pa.float64()),
+        })
+
+    agg = (_strip_meta(ds.map_batches(explode, batch_format="pyarrow")
+                       .map_batches(combine, batch_format="pyarrow"))
+           .groupby("term")
+           .aggregate(Sum("n", alias_name="df"),
+                      Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2"))
+           .sort(["df", "term"], descending=[True, False])
+           .limit(k).to_pandas())
+    n = agg["df"].to_numpy(np.float64)
+    s1 = agg["s1"].to_numpy(np.float64)
+    s2 = agg["s2"].to_numpy(np.float64)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    return pd.DataFrame({
+        "term": agg["term"],
+        "df": agg["df"].astype("int64"),
+        "mean_tf": np.round(mean, round_to),
+        "burstiness": np.round(var / mean, round_to),
+    })
