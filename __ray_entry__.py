@@ -868,6 +868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q4_order_priority": relational.q4_order_priority,
         # streaming watermark / allowed-lateness accounting over a
         # deterministic out-of-order arrival (distributed prefix-max)
+        # exact per-window value quantiles (windowed percentile_disc)
+        "ev_windowed_quantiles": events.windowed_quantiles,
         # per-user time-weighted average (irregular-sampling aggregate)
         "ev_time_weighted_avg": events.time_weighted_avg,
         "ev_watermark_late": lambda sf: events.watermark_late_counts(
@@ -1214,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q5_local_volume": oracles.q5_local_volume_sql(),
         "rel_q7_nation_trade": oracles.q7_nation_trade_sql(),
         "rel_q4_order_priority": oracles.q4_order_priority_sql(),
+        "ev_windowed_quantiles": oracles.windowed_quantiles_sql(),
         "ev_time_weighted_avg": oracles.time_weighted_avg_sql(),
         "ev_watermark_late": oracles.watermark_late_sql(14 * 86400),
         "rel_q2_min_cost": oracles.q2_min_cost_supplier_sql(),

@@ -1500,3 +1500,64 @@ def time_weighted_avg(sf_dir: str, *, round_to: int = 6,
            .groupby("_bkt").map_groups(twa, batch_format="pandas")
            .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def windowed_quantiles(sf_dir: str, *, width_minutes: int = 1440,
+                       qs=(0.5, 0.95), round_to: int = 6,
+                       buckets: int = 32):
+    """EXACT per-window value quantiles (percentile_disc semantics) over
+    tumbling event-time windows — the windowed-selection aggregate a
+    monitoring pipeline runs next to the windowed counts.
+
+    Distributed shape: windows group by a HASH BUCKET so ``map_groups``
+    makes one vectorized call per bucket of windows; inside, one sort
+    by (window, value) + per-window offset arithmetic reads every
+    requested quantile with numpy indexing (percentile_disc index
+    ceil(q*n)-1).  Each window's rows are bounded by the window width,
+    not the stream length, so the reduce is size-safe at any horizon.
+    Columns (window_start, q, value)."""
+    import ray.data as rd
+
+    from .dedup import _strip_meta
+
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]))
+
+    def derive(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], multiple=width_minutes,
+                              unit="minute")
+        wi = w.cast(pa.int64())
+        b = (wi.to_numpy(zero_copy_only=False)
+             // (width_minutes * 60_000_000)) % buckets
+        return pa.table({
+            "window_start": w,
+            "value": t["value"],
+            "_bkt": pa.array(b.astype(np.int64), pa.int64()),
+        })
+
+    qarr = np.asarray(sorted(qs), np.float64)
+
+    def quant(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["window_start", "value"], kind="mergesort")
+        w = g["window_start"].to_numpy()
+        v = g["value"].to_numpy(np.float64)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], w[1:] != w[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [len(w)]]))
+        # percentile_disc: element at index ceil(q*n) - 1 per window
+        idx = (starts[:, None]
+               + np.ceil(qarr[None, :] * sizes[:, None]).astype(np.int64)
+               - 1)
+        n_win = starts.size
+        return pa.table({
+            "window_start": pa.array(np.repeat(w[starts], qarr.size)),
+            "q": pa.array(np.tile(qarr, n_win), pa.float64()),
+            "value": pa.array(np.round(v[idx.ravel()], round_to),
+                              pa.float64()),
+        })
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(quant, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["window_start", "q"])
+            .reset_index(drop=True))

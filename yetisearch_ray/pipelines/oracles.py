@@ -4511,3 +4511,20 @@ SELECT term, df,
        round((s2 / df - (s1 / df) * (s1 / df)) / (s1 / df),
              {round_to}) AS burstiness
 FROM m ORDER BY df DESC, term"""
+
+
+def windowed_quantiles_sql(width_minutes: int = 1440, qs=(0.5, 0.95),
+                           round_to: int = 6) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT window_start, {float(q)!r} AS q,
+       round(percentile_disc({float(q)!r}) WITHIN GROUP
+               (ORDER BY value), {round_to}) AS value
+FROM w GROUP BY window_start"""
+        for q in sorted(qs))
+    return f"""
+WITH w AS (
+  SELECT time_bucket(INTERVAL {int(width_minutes)} MINUTE, ts)
+           AS window_start, value
+  FROM events)
+{arms}
+ORDER BY window_start, q"""
