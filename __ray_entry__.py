@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), targets={"src0": 0.5, "src1": 0.5}, seq_len=256
         ).to_pandas(),
         # quality-argmax survivor per near-dup cluster (keep-best policy)
+        # near-dup cluster-size distribution (dedup health report)
+        "dedup_cluster_sizes": lambda sf: dedup.cluster_size_histogram(
+            _docs(sf), threshold=0.5),
         "dedup_best_survivors": lambda sf: dedup.best_survivors(
             _docs(sf), threshold=0.5),
         # domain-mix rebalance to target proportions (Pile/DoReMi shape)
@@ -1026,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": oracles.decontaminate_sql((0, 1)),
         "dedup_minhash_pairs": oracles.MINHASH_PAIRS_SQL,
         "dedup_minhash_clusters": oracles.MINHASH_CLUSTERS_SQL,
+        "dedup_cluster_sizes": oracles.CLUSTER_SIZE_HIST_SQL,
         "dedup_line_dedup": oracles.line_dedup_sql(_CODE_GLOB_001, min_docs=2),
         "dedup_substring_stats": oracles.SUBSTRING_DUP_SQL,
         "dedup_simhash_pairs": oracles.simhash_pairs_sql(max_hamming=3),

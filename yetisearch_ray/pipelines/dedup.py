@@ -1301,3 +1301,32 @@ def prefix_dup_clusters(ds, *, prefix_chars: int = 100, min_size: int = 2,
     return (agg.sort_values(["n", "prefix_hash"],
                             ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def cluster_size_histogram(ds, *, threshold: float = 0.5,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Near-dup CLUSTER-SIZE distribution — the dedup health report a
+    curation run reads before deleting anything: how many clusters of
+    each size the pair graph produced (singletons excluded; they never
+    enter the pair table).
+
+    Distributed shape: reuses :func:`minhash_dedup_clusters` (banding
+    shuffle + verified pairs + component labels), then two chained
+    aggregate-sized groupbys — members per cluster, clusters per size.
+    Columns (cluster_size, n_clusters) ordered by size."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    clusters = minhash_dedup_clusters(ds, threshold=threshold,
+                                      text_col=text_col, id_col=id_col)
+    per_cluster = (_strip_meta(clusters.select_columns(["cluster_id"]))
+                   .groupby("cluster_id")
+                   .aggregate(Count(alias_name="cluster_size")))
+    hist = (_strip_meta(per_cluster.select_columns(["cluster_size"]))
+            .groupby("cluster_size")
+            .aggregate(Count(alias_name="n_clusters")).to_pandas())
+    hist["cluster_size"] = hist["cluster_size"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return (hist.sort_values("cluster_size").reset_index(drop=True)
+            [["cluster_size", "n_clusters"]])

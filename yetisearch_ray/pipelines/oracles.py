@@ -4528,3 +4528,20 @@ WITH w AS (
   FROM events)
 {arms}
 ORDER BY window_start, q"""
+
+
+CLUSTER_SIZE_HIST_SQL = rf"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pr AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a
+),
+cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          FROM cl GROUP BY cluster_id)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
