@@ -157,6 +157,22 @@ def test_curate_corpus_anti_join_path_matches_broadcast(docs):
     assert len(joined) > 0
 
 
+def test_curate_corpus_v2_anti_join_path_matches_broadcast(docs):
+    """v2's loser filter got the same size switch (round-5 verdict
+    item #1): threshold=0 forces the distributed left_anti drop; both
+    paths must return identical surviving rows."""
+    broadcast = curation.curate_corpus_v2(
+        docs, return_docs=True,
+        loser_broadcast_threshold=10**9).to_pandas()
+    joined = curation.curate_corpus_v2(
+        docs, return_docs=True,
+        loser_broadcast_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        broadcast.reset_index(drop=True), joined.reset_index(drop=True),
+        check_dtype=False)
+    assert len(joined) > 0
+
+
 def test_connected_components_distributed_at_scale(ray_session):
     """Distributed min-label propagation on a 6k-edge graph with mixed
     shapes (cliques + diameter-8 chains) equals driver union-find."""

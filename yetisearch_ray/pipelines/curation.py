@@ -728,7 +728,8 @@ def curate_corpus_v2(ds, *, targets: dict | None = None,
                      seq_len: int = 1024, text_col: str = "text",
                      id_col: str = "doc_id",
                      num_partitions: int | None = None,
-                     return_docs: bool = False):
+                     return_docs: bool = False,
+                     loser_broadcast_threshold: int = 1_000_000):
     """The modern LLM curation DAG, end-to-end on Ray Data: Gopher rule
     gate (Rae et al. 2021) → CCNet perplexity-tail drop (Wenzek et al.
     2020) → MinHash near-dup clusters with QUALITY-argmax survivors →
@@ -739,9 +740,13 @@ def curate_corpus_v2(ds, *, targets: dict | None = None,
 
     Scale shapes preserved from the pieces: the Gopher gate and CCNet
     bucket filters are id semi-joins of flag scans (both sides shuffle
-    by id, nothing collects); the near-dup stage broadcasts only the
-    LOSER id set (cluster members minus quality winners — bounded by
-    the verified pair table); rebalance is a zero-shuffle Bernoulli
+    by id, nothing collects); the near-dup LOSER set (cluster members
+    minus quality winners) is computed as a distributed left_anti and
+    size-switched like :func:`curate_corpus` — broadcast below
+    ``loser_broadcast_threshold`` ids, distributed left_anti drop
+    above it, so no O(N) array ever reaches the driver at web scale
+    where near-dup losers are 30-50% of docs; rebalance is a
+    zero-shuffle Bernoulli
     scan; the export's only driver table is one count row per id range.
     Returns the sequence table (or the surviving doc rows when
     ``return_docs``).
@@ -779,24 +784,49 @@ def curate_corpus_v2(ds, *, targets: dict | None = None,
     clusters_ds = dd.minhash_dedup_clusters(
         fluent, threshold=minhash_threshold,
         text_col=text_col, id_col=id_col).materialize()
-    winners = dd.best_survivors(
+    winners_ds = dd.best_survivors(
         fluent, threshold=minhash_threshold, id_col=id_col,
-        num_partitions=nparts, clusters=clusters_ds)
-    clusters = clusters_ds.to_pandas()
-    loser_ids = np.sort(np.setdiff1d(
-        clusters["doc_id"].to_numpy(np.int64),
-        winners[id_col].to_numpy(np.int64)))
+        num_partitions=nparts, clusters=clusters_ds, as_dataset=True)
+
+    # Losers = cluster members minus the per-cluster quality winners —
+    # computed as a distributed left_anti on the id, never collected.
+    def member_ids(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["doc_id"]})
+
+    def winner_ids(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col]})
+
+    losers_ds = (clusters_ds.map_batches(member_ids,
+                                         batch_format="pyarrow")
+                 .join(dd._join_ready(
+                     winners_ds.map_batches(winner_ids,
+                                            batch_format="pyarrow"),
+                     nparts), "left_anti", nparts, on=(id_col,))
+                 .materialize())
 
     import ray
 
-    ref = ray.put(loser_ids)
+    # Same size switch as curate_corpus: web-scale near-dup loses
+    # 30-50% of docs, so the loser set is O(N) — broadcast only below
+    # the threshold, else a distributed left_anti drop.
+    n_losers = losers_ds.count()
+    if n_losers == 0:
+        kept = fluent
+    elif n_losers > loser_broadcast_threshold:
+        kept = dd._strip_meta(fluent).join(
+            dd._join_ready(losers_ds, nparts), "left_anti", nparts,
+            on=(id_col,))
+    else:
+        loser_ids = np.sort(
+            losers_ds.to_pandas()[id_col].to_numpy(np.int64))
+        ref = ray.put(loser_ids)
 
-    def drop(t: pa.Table) -> pa.Table:
-        bad = ray.get(ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~np.isin(ids, bad), pa.bool_()))
+        def drop(t: pa.Table) -> pa.Table:
+            bad = ray.get(ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(ids, bad), pa.bool_()))
 
-    kept = fluent.map_batches(drop, batch_format="pyarrow")
+        kept = fluent.map_batches(drop, batch_format="pyarrow")
     if targets:
         kept = rebalance_mix(kept, targets=targets, id_col=id_col)
     if return_docs:

@@ -1225,7 +1225,8 @@ def substring_dup_stats(ds, *, text_col="text", id_col="doc_id",
 
 
 def best_survivors(ds, *, threshold=0.5, id_col="doc_id",
-                   num_partitions=8, k=1, clusters=None):
+                   num_partitions=8, k=1, clusters=None,
+                   as_dataset=False):
     """Quality-based survivor selection over near-dup clusters — the
     "keep the best copy, not the arbitrary one" dedup policy real
     pipelines use: MinHash-verified pairs → connected components →
@@ -1268,6 +1269,8 @@ def best_survivors(ds, *, threshold=0.5, id_col="doc_id",
 
     out = (joined.map_batches(partial, batch_format="pyarrow")
            .groupby("cluster_id").map_groups(final, batch_format="pandas"))
+    if as_dataset:  # stay distributed — one winner row per cluster,
+        return out  # O(#clusters) at web scale, never on the driver
     pdf = out.to_pandas().sort_values("cluster_id").reset_index(drop=True)
     return pdf[["cluster_id", id_col, "quality"]]
 
