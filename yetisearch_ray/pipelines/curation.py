@@ -618,6 +618,7 @@ def export_training_sequences(ds, *, seq_len: int = 128,
                               text_col: str = "text",
                               id_col: str = "doc_id",
                               range_size: int = 4096,
+                              seqs_per_bucket: int = 256,
                               out_dir: str | None = None):
     """The terminal step of an LLM data pipeline: turn curated docs into
     fixed-length token-ID training sequences (GPT-2/Megatron style).
@@ -632,12 +633,19 @@ def export_training_sequences(ds, *, seq_len: int = 128,
     prefix-sum idiom as :func:`pack_token_bins`): pass 1 aggregates one
     token-count row per ``range_size``-id range (the only driver-side
     table) whose cumsum gives each range's global token offset,
-    broadcast via ``ray.put``; pass 2 re-tokenizes per range and emits
-    (seq_id, pos_in_seq, tid) rows — each token crosses the exchange
-    exactly once; pass 3 is a ``groupby(seq_id)`` assembly.  Returns
-    (seq_id, first_tid, tokens_md5) — md5 of the comma-joined ids, the
-    compact hash-comparable contract — sorted by seq_id; with
-    ``out_dir`` the rows are also written as partitioned parquet.
+    broadcast via ``ray.put``; pass 2 re-tokenizes per range and packs
+    its (seq_id, pos, tid) tokens into ONE Arrow-IPC blob per
+    ``seqs_per_bucket``-sequence BUCKET (tokens of a range are
+    contiguous in global position, so a range touches only a
+    contiguous run of buckets) — the exchange moves O(blob) rows, not
+    O(tokens) tuples (the ``index/build.py`` combine idiom); pass 3 is
+    a ``groupby(bucket)`` assembly that unpacks, lexsorts and hashes
+    ALL of a bucket's sequences in one vectorized call (the
+    ``events.time_weighted_avg`` bucket idiom).  Each token still
+    crosses the exchange exactly once.  Returns (seq_id, first_tid,
+    tokens_md5) — md5 of the comma-joined ids, the compact
+    hash-comparable contract — sorted by seq_id; with ``out_dir`` the
+    rows are also written as partitioned parquet.
     """
     import re
 
@@ -650,13 +658,23 @@ def export_training_sequences(ds, *, seq_len: int = 128,
     bpe = re.compile(BPE_ISH_PATTERN)
     eod = np.int64(vocab_size)
 
-    def _tids(s: str) -> "np.ndarray":
-        toks = bpe.findall(s or "")
-        if not toks:
-            return np.array([eod], np.int64)
-        ids = (_md5_u64_tokens(np.array(toks, object))
-               % vocab_size).astype(np.int64)
-        return np.concatenate([ids, [eod]])
+    def _range_tids(texts: list) -> "np.ndarray":
+        # Per-doc findall is the pure-Python floor (tokens must not
+        # cross doc boundaries); everything after it — the md5 token
+        # hashing and the EOD interleave — is ONE vectorized pass over
+        # the whole range instead of a per-doc loop.
+        tok_lists = [bpe.findall(s or "") for s in texts]
+        counts = np.array([len(l) + 1 for l in tok_lists], np.int64)
+        total = int(counts.sum())
+        out = np.full(total, eod, np.int64)
+        flat = [tok for l in tok_lists for tok in l]
+        if flat:
+            ids = (_md5_u64_tokens(np.array(flat, object))
+                   % vocab_size).astype(np.int64)
+            mask = np.ones(total, bool)
+            mask[np.cumsum(counts) - 1] = False  # EOD slots
+            out[mask] = ids
+        return out
 
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
@@ -678,45 +696,68 @@ def export_training_sequences(ds, *, seq_len: int = 128,
                        (sums["s"].cumsum() - sums["s"]).astype(int)))
     off_ref = ray.put(offsets)
 
+    tok_schema = pa.schema([("seq_id", pa.int64()),
+                            ("pos", pa.int64()),
+                            ("tid", pa.int64())])
+
     def emit(t: pa.Table) -> pa.Table:
         if id_col not in t.column_names or t.num_rows == 0:
-            return pa.table({"seq_id": pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64()),
-                             "tid": pa.array([], pa.int64())})
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "blob": pa.array([], pa.large_binary())})
         off = ray.get(off_ref)[int(t["_rng"][0].as_py())]
         ids = t[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         texts = t[text_col].to_pylist()
-        tids = np.concatenate([_tids(texts[i]) for i in order])
+        tids = _range_tids([texts[i] for i in order])
         gpos = off + np.arange(tids.size, dtype=np.int64)
-        return pa.table({"seq_id": pa.array(gpos // seq_len, pa.int64()),
+        toks = pa.table({"seq_id": pa.array(gpos // seq_len, pa.int64()),
                          "pos": pa.array(gpos % seq_len, pa.int64()),
-                         "tid": pa.array(tids, pa.int64())})
+                         "tid": pa.array(tids, pa.int64())},
+                        schema=tok_schema)
+        # MAP-SIDE COMBINE: one IPC blob per bucket (gpos is sorted,
+        # so buckets form contiguous runs — slice, don't group).
+        buck = (gpos // seq_len) // seqs_per_bucket
+        bstarts = np.flatnonzero(np.r_[True, buck[1:] != buck[:-1]])
+        bends = np.append(bstarts[1:], buck.size)
+        bucks, blobs = [], []
+        for s, e in zip(bstarts, bends):
+            sl = toks.slice(s, e - s)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, tok_schema) as w:
+                w.write_table(sl)
+            bucks.append(int(buck[s]))
+            blobs.append(sink.getvalue().to_pybytes())
+        return pa.table({"bucket": pa.array(bucks, pa.int64()),
+                         "blob": pa.array(blobs, pa.large_binary())})
 
     import hashlib
 
-    import pandas as pd
-
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos")
-        if len(g) != seq_len:
-            return pd.DataFrame({"seq_id": pd.Series([], dtype="int64"),
-                                 "first_tid": pd.Series([], dtype="int64"),
-                                 "tokens_md5": pd.Series([], dtype=object)})
-        joined = ",".join(str(int(x)) for x in g.tid)
-        return pd.DataFrame({
-            "seq_id": [int(g.seq_id.iloc[0])],
-            "first_tid": [int(g.tid.iloc[0])],
-            "tokens_md5": [hashlib.md5(joined.encode()).hexdigest()],
+    def assemble(g: pa.Table) -> pa.Table:
+        tabs = [pa.ipc.open_stream(b.as_py()).read_all()
+                for b in g["blob"]]
+        t = pa.concat_tables(tabs)
+        seq = t["seq_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        tid = t["tid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, seq))
+        seq, tid = seq[order], tid[order]
+        starts = np.flatnonzero(np.r_[True, seq[1:] != seq[:-1]])
+        ends = np.append(starts[1:], seq.size)
+        full = (ends - starts) == seq_len  # trailing partial dropped
+        strs = tid.astype(np.str_)  # vectorized int→decimal
+        md5s = [hashlib.md5(",".join(strs[s:e]).encode()).hexdigest()
+                for s, e, f in zip(starts, ends, full) if f]
+        return pa.table({
+            "seq_id": pa.array(seq[starts[full]], pa.int64()),
+            "first_tid": pa.array(tid[starts[full]], pa.int64()),
+            "tokens_md5": pa.array(md5s, pa.string()),
         })
 
     from .dedup import _strip_meta
 
-    # arrowify before the sort: pandas-format blocks entering a Ray
-    # Data shuffle are ~20x slower than Arrow blocks
     out = _strip_meta(
         tagged.groupby("_rng").map_groups(emit, batch_format="pyarrow")
-        .groupby("seq_id").map_groups(assemble, batch_format="pandas")
+        .groupby("bucket").map_groups(assemble, batch_format="pyarrow")
     ).sort("seq_id")
     if out_dir is not None:
         out.write_parquet(out_dir)

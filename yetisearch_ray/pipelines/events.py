@@ -348,15 +348,18 @@ def retention_cohorts(sf_dir: str):
     itself).  The standard growth-analytics triangle.
 
     Distributed shape: per-batch distinct ``(user_id, week)`` pairs
-    (map-side combine), one global pair-dedup groupby, then a per-user
-    ``map_groups`` that derives (cohort_week, offset) rows — per-user
-    state never leaves the group task and each user contributes at most
-    |weeks| rows — and a final aggregate-sized (cohort, offset) groupby.
-    The driver sees O(weeks²) bytes.  Columns
-    (cohort_week, offset_weeks, n_users)."""
+    (map-side combine), one global pair-dedup groupby, then users group
+    by a HASH BUCKET (user_id mod ``buckets``) so ``map_groups`` makes
+    one vectorized Arrow-emitting call per bucket — inside, one sort +
+    segment arithmetic derives every user's (cohort_week, offset) rows
+    at once (pandas blocks entering a shuffle are ~20x slower than
+    Arrow, round-4 finding) — and a final aggregate-sized
+    (cohort, offset) groupby.  The driver sees O(weeks²) bytes.
+    Columns (cohort_week, offset_weeks, n_users)."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    buckets = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
 
@@ -369,16 +372,29 @@ def retention_cohorts(sf_dir: str):
     pairs = (ds.map_batches(derive, batch_format="pyarrow")
              .groupby(["user_id", "wk"]).aggregate(Count(alias_name="_n")))
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        cw = g["wk"].min()
-        offs = ((g["wk"] - cw).dt.days // 7).astype("int64")
-        return pd.DataFrame({
-            "cohort_week": pd.Series(np.full(len(g), np.datetime64(cw, "us"))),
-            "offset_weeks": offs.to_numpy(),
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "wk": t["wk"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
         })
 
-    rows = pairs.groupby("user_id").map_groups(per_user,
-                                               batch_format="pandas")
+    week_us = np.timedelta64(7, "D").astype("timedelta64[us]")
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "wk"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        wk = g["wk"].to_numpy().astype("datetime64[us]")
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        reps = np.diff(np.append(starts, u.size))
+        cw = np.repeat(wk[starts], reps)  # sorted → first wk = min
+        offs = ((wk - cw) // week_us).astype(np.int64)
+        return pa.table({"cohort_week": pa.array(cw),
+                         "offset_weeks": pa.array(offs, pa.int64())})
+
+    rows = (pairs.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(per_bucket,
+                                        batch_format="pandas"))
     out = (rows.groupby(["cohort_week", "offset_weeks"])
            .aggregate(Count(alias_name="n_users")).to_pandas())
     out["offset_weeks"] = out["offset_weeks"].astype("int64")
@@ -424,16 +440,19 @@ def type_cooccurrence(sf_dir: str):
     (a < b), the number of users who performed both.
 
     Distributed shape: the same map-side-combined distinct
-    ``(user_id, event_type)`` pairs as ``distinct_users_per_type``, a
-    per-user ``map_groups`` emitting the ≤ C(|types|, 2) pairs for that
-    user, and a final pair-keyed count groupby — the all-pairs blowup
-    is bounded per group by the (tiny) type vocabulary, never by the
+    ``(user_id, event_type)`` pairs as ``distinct_users_per_type``;
+    users then group by a HASH BUCKET so ``map_groups`` makes one
+    vectorized call per bucket — a pandas self-merge on user_id builds
+    every user's a-before-b pairs at once and the per-bucket partial COUNT
+    collapses them before the exchange (Arrow blocks out; pandas
+    blocks entering a shuffle are ~20x slower, round-4 finding) — and
+    a final pair-keyed Sum groupby.  The all-pairs blowup stays
+    bounded per user by the (tiny) type vocabulary, never by the
     event stream.  Columns (type_a, type_b, n_users)."""
-    import itertools
-
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
+    buckets = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
 
@@ -445,19 +464,30 @@ def type_cooccurrence(sf_dir: str):
              .groupby(["user_id", "event_type"])
              .aggregate(Count(alias_name="_n")))
 
-    def combos(g: pd.DataFrame) -> pd.DataFrame:
-        ts = sorted(g["event_type"].unique())
-        combo = list(itertools.combinations(ts, 2))
-        if not combo:
-            return pd.DataFrame({"type_a": pd.Series([], dtype=str),
-                                 "type_b": pd.Series([], dtype=str)})
-        a, b = zip(*combo)
-        return pd.DataFrame({"type_a": list(a), "type_b": list(b)})
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
+        })
 
-    per_user = pairs.groupby("user_id").map_groups(combos,
-                                                   batch_format="pandas")
-    out = (per_user.groupby(["type_a", "type_b"])
-           .aggregate(Count(alias_name="n_users")).to_pandas())
+    def combos(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "event_type"]]
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        c = (m.groupby(["event_type_x", "event_type_y"]).size()
+             .reset_index(name="n"))
+        return pa.table({
+            "type_a": pa.array(c["event_type_x"], pa.string()),
+            "type_b": pa.array(c["event_type_y"], pa.string()),
+            "n": pa.array(c["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    partial = (pairs.map_batches(bucket, batch_format="pyarrow")
+               .groupby("_bkt").map_groups(combos,
+                                           batch_format="pandas"))
+    out = (partial.groupby(["type_a", "type_b"])
+           .aggregate(Sum("n", alias_name="n_users")).to_pandas())
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
@@ -469,41 +499,88 @@ def window_self_join(sf_dir: str, *, within_minutes: int = 5):
     pair once), counted per (type_a, type_b).  The co-visitation /
     next-action shape of a streaming two-sided join.
 
-    Distributed shape: the join is keyed by user (one hash shuffle);
-    inside each group a sorted double-pointer numpy sweep finds the
-    in-window pairs, so per-group work is O(events_u × avg window
-    occupancy), never O(events_u²) unless the data itself is — and the
-    pair stream collapses to (type_a, type_b) partials before the final
-    tiny groupby.  At cluster scale a hot user additionally splits by
-    time bucket (window-overlapped panes) under the same kernel.
-    Columns (type_a, type_b, n_pairs)."""
+    Distributed shape: users group by a HASH BUCKET (one hash
+    shuffle); inside each bucket ONE vectorized sweep handles every
+    user at once — user segments are lifted onto a shared int64 axis
+    (each segment offset by a stride wider than the global time range,
+    overflow-guarded with a per-segment fallback) so a single
+    ``searchsorted`` finds every event's in-window run without
+    crossing user boundaries.  Per-group work stays O(events ×
+    avg window occupancy), and the pair stream collapses to
+    (type_a, type_b) partial counts before the final tiny Sum groupby
+    (Arrow blocks out; pandas blocks entering a shuffle are ~20x
+    slower, round-4 finding).  At cluster scale a hot user
+    additionally splits by time bucket (window-overlapped panes)
+    under the same kernel.  Columns (type_a, type_b, n_pairs)."""
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
+    buckets = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type",
                                   "event_id"])
-    width = np.timedelta64(within_minutes * 60, "s")
+    width_us = np.int64(within_minutes * 60) * 1_000_000
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].to_numpy()
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
         et = g["event_type"].to_numpy()
-        # for each i, the first j with ts[j] > ts[i] + width
-        hi = np.searchsorted(ts, ts + width, side="right")
-        a_idx = np.repeat(np.arange(len(g)), hi - np.arange(len(g)) - 1)
-        b_idx = (np.concatenate([np.arange(i + 1, h)
-                                 for i, h in enumerate(hi)])
-                 if len(g) else np.array([], dtype=np.int64))
-        if a_idx.size == 0:
-            return pd.DataFrame({"type_a": pd.Series([], dtype=str),
-                                 "type_b": pd.Series([], dtype=str)})
-        return pd.DataFrame({"type_a": et[a_idx], "type_b": et[b_idx]})
+        n = ts.size
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.zeros(n, np.int64)
+        seg[starts[1:]] = 1
+        seg = np.cumsum(seg)  # user-segment index per row
+        tmin = ts.min()
+        stride = np.int64(ts.max() - tmin) + width_us + 1
+        n_segs = int(seg[-1]) + 1
+        if n_segs * stride < np.int64(2) ** 62:
+            # one searchsorted over the stride-lifted axis
+            adj = (ts - tmin) + seg * stride
+            hi = np.searchsorted(adj, adj + width_us, side="right")
+        else:  # overflow guard: per-segment searchsorted
+            ends = np.append(starts[1:], n)
+            hi = np.empty(n, np.int64)
+            for s, e in zip(starts, ends):
+                hi[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e] + width_us, side="right")
+        c = hi - np.arange(n) - 1
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), c)
+        # b_idx: for each i the run i+1 .. hi_i-1, built by offset math
+        base = np.repeat(np.cumsum(c) - c, c)
+        b_idx = np.arange(total) - base + a_idx + 1
+        d = pd.DataFrame({"a": et[a_idx], "b": et[b_idx]})
+        cnt = d.groupby(["a", "b"]).size().reset_index(name="n")
+        return pa.table({
+            "type_a": pa.array(cnt["a"], pa.string()),
+            "type_b": pa.array(cnt["b"], pa.string()),
+            "n": pa.array(cnt["n"].to_numpy(np.int64), pa.int64()),
+        })
 
-    per_user = ds.groupby("user_id").map_groups(pairs,
-                                                batch_format="pandas")
-    out = (per_user.groupby(["type_a", "type_b"])
-           .aggregate(Count(alias_name="n_pairs")).to_pandas())
+    partial = (ds.map_batches(bucket, batch_format="pyarrow")
+               .groupby("_bkt").map_groups(pairs,
+                                           batch_format="pandas"))
+    out = (partial.groupby(["type_a", "type_b"])
+           .aggregate(Sum("n", alias_name="n_pairs")).to_pandas())
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
@@ -1195,14 +1272,17 @@ def weekly_churn(sf_dir: str, *, round_to: int = 6):
     they went missing).  The complement of week-over-week retention.
 
     Distributed shape: per-batch distinct (user_id, week) pairs
-    (map-side combine) -> one global pair-dedup groupby -> a per-user
-    ``map_groups`` that emits (next_week, churned 0/1) for every
-    active week below the global max (per-user state stays in the
-    group task) -> a final |weeks|-row aggregate.  Columns
-    (week, active_prev, churned, churn_rate)."""
+    (map-side combine) -> one global pair-dedup groupby -> users group
+    by a HASH BUCKET so ``map_groups`` makes one vectorized call per
+    bucket (a pandas self-merge on (user, week+7d) marks presence for
+    every user at once; the per-bucket partial count collapses to
+    |weeks| Arrow rows before the exchange — pandas blocks entering a
+    shuffle are ~20x slower, round-4 finding) -> a final |weeks|-row
+    Sum aggregate.  Columns (week, active_prev, churned, churn_rate)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
+    buckets = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
 
@@ -1212,25 +1292,51 @@ def weekly_churn(sf_dir: str, *, round_to: int = 6):
             .group_by(["user_id", "wk"]).aggregate([])
 
     pairs = (ds.map_batches(derive, batch_format="pyarrow")
-             .groupby(["user_id", "wk"]).aggregate(Count(alias_name="_n")))
+             .groupby(["user_id", "wk"]).aggregate(Count(alias_name="_n"))
+             .materialize())
     max_wk = pairs.aggregate(Max("wk", alias_name="m"))["m"]
     max_wk64 = np.datetime64(max_wk, "us")
+    week_us = np.timedelta64(7, "D").astype("timedelta64[us]")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        wks = np.sort(g["wk"].to_numpy().astype("datetime64[us]"))
-        cur = wks[wks < max_wk64]
-        if not cur.size:
-            return pd.DataFrame({"week": pd.Series(dtype="datetime64[us]"),
-                                 "churned": pd.Series(dtype="int64")})
-        nxt = cur + np.timedelta64(7, "D").astype("timedelta64[us]")
-        present = np.isin(nxt, wks)
-        return pd.DataFrame({"week": nxt,
-                             "churned": (~present).astype("int64")})
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "wk": t["wk"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
+        })
 
-    rows = pairs.groupby("user_id").map_groups(per_user,
-                                               batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        d = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "wk": g["wk"].to_numpy().astype("datetime64[us]"),
+        })
+        q = d[d["wk"] < max_wk64].copy()
+        empty = pa.table({"week": pa.array([], pa.timestamp("us")),
+                          "active_prev": pa.array([], pa.int64()),
+                          "churned": pa.array([], pa.int64())})
+        if not len(q):
+            return empty
+        q["week"] = q["wk"] + week_us
+        m = q.merge(d, left_on=["user_id", "week"],
+                    right_on=["user_id", "wk"], how="left",
+                    suffixes=("", "_r"))
+        m["churned"] = m["wk_r"].isna().astype("int64")
+        c = (m.groupby("week")
+             .agg(active_prev=("churned", "size"),
+                  churned=("churned", "sum")).reset_index())
+        return pa.table({
+            "week": pa.array(c["week"].to_numpy().astype("datetime64[us]")),
+            "active_prev": pa.array(c["active_prev"].to_numpy(np.int64),
+                                    pa.int64()),
+            "churned": pa.array(c["churned"].to_numpy(np.int64),
+                                pa.int64()),
+        })
+
+    rows = (pairs.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(per_bucket,
+                                        batch_format="pandas"))
     out = (rows.groupby("week")
-           .aggregate(Count(alias_name="active_prev"),
+           .aggregate(Sum("active_prev", alias_name="active_prev"),
                       Sum("churned", alias_name="churned")).to_pandas())
     out["active_prev"] = out["active_prev"].astype("int64")
     out["churned"] = out["churned"].astype("int64")
@@ -1246,34 +1352,56 @@ def user_value_quartiles(sf_dir: str, *, tiles: int = 4,
     within-entity window-function shape (SQL ``NTILE(4) OVER
     (PARTITION BY user_id ORDER BY value, event_id)``).
 
-    Distributed shape: one user-key shuffle; the tile assignment is a
-    vectorized argsort inside ``map_groups`` (SQL NTILE sizing: the
-    first n%k tiles get one extra row); only (tile, partial sums)
-    leave the group.  Columns (tile, n, mean_value)."""
+    Distributed shape: users group by a HASH BUCKET (one shuffle); one
+    vectorized lexsort per bucket assigns every user's tiles at once
+    via segment-rank arithmetic (SQL NTILE sizing: the first n%k tiles
+    get one extra row); only (tile, partial sums) leave the bucket, as
+    Arrow (pandas blocks entering a shuffle are ~20x slower, round-4
+    finding).  Columns (tile, n, mean_value)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
+    buckets = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["event_id"].to_numpy(),
-                            g["value"].to_numpy()))
-        v = g["value"].to_numpy(np.float64)[order]
-        n = v.size
-        base, extra = divmod(n, tiles)
-        sizes = np.full(tiles, base, np.int64)
-        sizes[:extra] += 1
-        tile = np.repeat(np.arange(1, tiles + 1), sizes)[:n]
-        df = pd.DataFrame({"tile": tile, "v": v})
-        a = df.groupby("tile").agg(n=("v", "size"), s=("v", "sum"))
-        a = a[a["n"] > 0].reset_index()
-        return pd.DataFrame({"tile": a["tile"].astype("int64"),
-                             "n": a["n"].astype("int64"),
-                             "s": a["s"]})
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "value": t["value"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
+        })
 
-    agg = (ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["value"].to_numpy(),
+                            g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        v = g["value"].to_numpy(np.float64)[order]
+        n = u.size
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.append(starts, n))
+        # rank within user, then SQL NTILE: first n%k tiles one bigger
+        rank = np.arange(n) - np.repeat(starts, sizes)
+        nn = np.repeat(sizes, sizes).astype(np.int64)
+        base, extra = nn // tiles, nn % tiles
+        big = extra * (base + 1)  # rows covered by the bigger tiles
+        tile = np.where(
+            rank < big, rank // np.maximum(base + 1, 1),
+            extra + (rank - big) // np.maximum(base, 1)) + 1
+        s = np.bincount(tile, weights=v, minlength=tiles + 1)[1:]
+        cnt = np.bincount(tile, minlength=tiles + 1)[1:]
+        keep = cnt > 0
+        return pa.table({
+            "tile": pa.array(np.arange(1, tiles + 1)[keep], pa.int64()),
+            "n": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            "s": pa.array(s[keep], pa.float64()),
+        })
+
+    agg = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(per_bucket,
+                                       batch_format="pandas")
            .groupby("tile")
            .aggregate(Sum("n", alias_name="n"),
                       Sum("s", alias_name="s")).to_pandas())
