@@ -422,16 +422,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_pipeline_v2": lambda sf: curation.curate_corpus_v2(
             _docs(sf), targets={"src0": 0.5, "src1": 0.5}, seq_len=256
         ).to_pandas(),
-        # quality-argmax survivor per near-dup cluster (keep-best policy)
         # near-dup cluster-size distribution (dedup health report)
         "dedup_cluster_sizes": lambda sf: dedup.cluster_size_histogram(
             _docs(sf), threshold=0.5),
+        # quality-argmax survivor per near-dup cluster (keep-best policy)
         "dedup_best_survivors": lambda sf: dedup.best_survivors(
             _docs(sf), threshold=0.5),
-        # domain-mix rebalance to target proportions (Pile/DoReMi shape)
         # deterministic per-group uniform k-sample (reservoir shape)
         "cur_group_sample_k": lambda sf: curation.group_sample_k(
             _docs(sf), k=5),
+        # domain-mix rebalance to target proportions (Pile/DoReMi shape)
         "cur_rebalance_mix": lambda sf: curation.rebalance_mix(
             _docs(sf), targets={"src0": 0.5, "src1": 0.3, "src2": 0.2}
         ).to_pandas(),
@@ -869,12 +869,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q7_nation_trade": relational.q7_nation_trade,
         # TPC-H Q4 shape: EXISTS late-line probe per priority
         "rel_q4_order_priority": relational.q4_order_priority,
-        # streaming watermark / allowed-lateness accounting over a
-        # deterministic out-of-order arrival (distributed prefix-max)
         # exact per-window value quantiles (windowed percentile_disc)
         "ev_windowed_quantiles": events.windowed_quantiles,
         # per-user time-weighted average (irregular-sampling aggregate)
         "ev_time_weighted_avg": events.time_weighted_avg,
+        # streaming watermark / allowed-lateness accounting over a
+        # deterministic out-of-order arrival (distributed prefix-max)
         "ev_watermark_late": lambda sf: events.watermark_late_counts(
             sf, lateness_sec=14 * 86400),
         # TPC-H Q2 shape: per-part argmin supplier (bucketed reduce)

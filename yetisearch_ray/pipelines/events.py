@@ -1577,7 +1577,10 @@ def time_weighted_avg(sf_dir: str, *, round_to: int = 6,
     """Per-user TIME-WEIGHTED average of the event value — the
     irregular-sampling streaming aggregate (each sample holds until the
     next event): twa = Σ value_i·Δt_i / Σ Δt_i with Δt_i the gap to the
-    user's next event; users with a single event emit nothing.
+    user's next event; users with a single event emit nothing, and so
+    do users whose EVERY gap is zero-length (duplicate timestamps only
+    — twa would be 0/0; the oracle's HAVING clause encodes the same
+    exclusion).
 
     Distributed shape: users group by a HASH BUCKET (user_id mod
     ``buckets``) so ``map_groups`` makes one vectorized call per
@@ -1647,6 +1650,11 @@ def windowed_quantiles(sf_dir: str, *, width_minutes: int = 1440,
     import ray.data as rd
 
     from .dedup import _strip_meta
+
+    # epoch-origin floor vs DuckDB time_bucket's 2000-01-03 origin:
+    # boundaries coincide only for day-dividing widths (round-4 ADVICE)
+    assert 1440 % int(width_minutes) == 0, \
+        "width_minutes must divide 1440 (day-aligned windows)"
 
     ds = _strip_meta(rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "value"]))

@@ -4436,8 +4436,12 @@ WHERE rn = 1 ORDER BY l_partkey"""
 
 def time_weighted_avg_sql(round_to: int = 6) -> str:
     """Ground truth for events.time_weighted_avg: lead() gap weights,
-    users with >= 1 gap only.  Zero-length gaps (duplicate timestamps)
-    contribute zero weight on both engines."""
+    users with >= 1 POSITIVE-length gap only.  Zero-length gaps
+    (duplicate timestamps) contribute zero weight on both engines; a
+    user whose EVERY gap is zero-length has an undefined twa (0/0)
+    and is excluded on both sides — the operator's ``wsum > 0`` keep
+    mask and this HAVING clause encode the same rule (round-4
+    ADVICE)."""
     return f"""
 WITH s AS (
   SELECT user_id, value, ts,
@@ -4449,7 +4453,9 @@ SELECT user_id,
        round(sum(value * epoch_us(nxt - ts))
              / sum(epoch_us(nxt - ts)), {round_to}) AS twa
 FROM s WHERE nxt IS NOT NULL
-GROUP BY user_id ORDER BY user_id"""
+GROUP BY user_id
+HAVING sum(epoch_us(nxt - ts)) > 0
+ORDER BY user_id"""
 
 
 def heaps_curve_sql(thresholds=(1000, 2000, 5000, 10000, 20000, 50000,
@@ -4515,6 +4521,12 @@ FROM m ORDER BY df DESC, term"""
 
 def windowed_quantiles_sql(width_minutes: int = 1440, qs=(0.5, 0.95),
                            round_to: int = 6) -> str:
+    # DuckDB time_bucket's origin is 2000-01-03 while the operator
+    # floors from the 1970-01-01 epoch; both are midnight-aligned, so
+    # boundaries coincide exactly when the width divides a day
+    # (round-4 ADVICE — guard the silent divergence).
+    assert 1440 % int(width_minutes) == 0, \
+        "width_minutes must divide 1440 (day-aligned windows)"
     arms = "\nUNION ALL\n".join(
         f"""SELECT window_start, {float(q)!r} AS q,
        round(percentile_disc({float(q)!r}) WITHIN GROUP

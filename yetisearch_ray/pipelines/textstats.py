@@ -335,10 +335,17 @@ def rolling_fingerprint(ds, *, text_col="text", id_col="doc_id", window=8):
         # window minima at once via sliding_window_view masked to
         # windows that stay inside one document; per-doc sorted-unique
         # sets fall out of one lexsort + adjacent-dedupe.  Exactly the
-        # old per-doc loop's output (pinned by test).
+        # old per-doc loop's output (pinned by test) — including the
+        # \x1c-\x1f file/group/record/unit separators, which Python's
+        # str.split() treats as whitespace but Unicode White_Space
+        # (hence utf8_split_whitespace) does not: normalize them to
+        # spaces first so the token stream matches (round-4 ADVICE).
         ids = t[id_col]
         n_rows = t.num_rows
-        values, offs = _split_tokens(t[text_col])[1:]
+        import pyarrow.compute as _pc
+        col = _pc.replace_substring_regex(
+            _pc.fill_null(t[text_col], ""), "[\\x1c-\\x1f]", " ")
+        values, offs = _split_tokens(col)[1:]
         n_tok = np.diff(offs)
         d = values.dictionary_encode() if len(values) else None
         out_lists: list[list[int]] = [[] for _ in range(n_rows)]
