@@ -150,6 +150,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "within_3sigma": pd.array([within], dtype="int64"),
         })
 
+    def q_quality_distill(sf_dir):
+        # bound oracle (round-5, HLL_BOUND_SQL idiom): the logreg
+        # probabilities aren't SQL-reproducible, but the heuristic
+        # label counts ARE, and "agreement >= the pytest bar
+        # min(0.95, majority+0.05)" is a deterministic checkable claim
+        # (zero init + deterministic data order make the fit a pure
+        # function of the corpus AND its block layout — parameter
+        # averaging degrades with many tiny blocks, so the input is
+        # repartitioned to a pinned 8 blocks to make the row identical
+        # at any session parallelism); the oracle recomputes the label
+        # counts and bar exactly and emits meets_bar = 1.
+        out = classifier.quality_classifier(
+            _docs(sf_dir).repartition(8).materialize()).to_pandas()
+        n = len(out)
+        npos = int(out["label"].sum())
+        agreement = float((out["label"] == out["pred"]).mean())
+        majority = max(npos, n - npos) / n
+        bar = min(0.95, majority + 0.05)
+        return pd.DataFrame({
+            "n_docs": pd.array([n], dtype="int64"),
+            "n_label_pos": pd.array([npos], dtype="int64"),
+            "bar": [round(bar, 6)],
+            "meets_bar": pd.array([int(agreement >= bar)],
+                                  dtype="int64"),
+        })
+
     def _docs(sf_dir):
         import ray.data as rd
 
@@ -398,10 +424,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), target_source="src0").to_pandas(),
         # CCNet/fastText-style quality classifier: distributed
         # parameter-averaged logreg distills the oracled quality rule,
-        # then scores every doc (rows-only; pytest bars in
-        # tests/test_classifier.py pin accuracy + rule recovery)
-        "text_quality_distill": lambda sf: classifier.quality_classifier(
-            _docs(sf)).to_pandas(),
+        # then scores every doc; emits the (counts, bar, meets_bar)
+        # summary row so the sweep can bound-oracle it (round-5; pytest
+        # bars in tests/test_classifier.py still pin accuracy + rule
+        # recovery on the full table)
+        "text_quality_distill": q_quality_distill,
         # terminal training-sequence export (tokenize -> hash-vocab ids
         # -> EOD -> global fixed-length chunking via range prefix sums)
         "cur_train_sequences": lambda sf: curation.export_training_sequences(
@@ -1038,6 +1065,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_bloom": oracles.DEDUP_INCREMENTAL_SQL,
         "text_token_counts": oracles.TOKEN_COUNTS_SQL,
         "text_quality": oracles.quality_sql(STOPWORDS["en"]),
+        # bound-oracled (r5): heuristic label counts + pytest bar are
+        # SQL-exact; meets_bar is the engine's deterministic claim
+        "text_quality_distill":
+            oracles.quality_distill_bound_sql(STOPWORDS["en"]),
         "text_lang_id": oracles.lang_id_sql(LANG_MARKERS, _LANG_ORDER),
         "text_fingerprints": oracles.FINGERPRINT_SQL,
         "text_repetition": oracles.REPETITION_SQL,

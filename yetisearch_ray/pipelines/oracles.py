@@ -999,6 +999,39 @@ SELECT doc_id, n_tokens, n_chars, stopword_ratio, mean_token_len,
 FROM f"""
 
 
+def quality_distill_bound_sql(stopwords, threshold: float = 0.25) -> str:
+    """Bound oracle for classifier.quality_classifier's summary row
+    (the HLL_BOUND_SQL idiom): the logreg probabilities are not
+    SQL-reproducible, but the HEURISTIC label counts are — and
+    "distillation agreement >= the pytest bar" is a deterministic
+    checkable claim (fixed zero init + deterministic data order make
+    the fit a pure function of the corpus).  The label mirrors
+    classifier.default_quality_labels exactly (UNrounded stopword
+    ratio, unlike quality_sql's display rounding); the bar mirrors
+    tests/test_classifier.py: min(0.95, majority + 0.05)."""
+    sw = ", ".join("'" + w.replace("'", "''") + "'"
+                   for w in sorted(stopwords))
+    return f"""
+WITH t AS (
+  SELECT {TOKENS_EXPR} AS toks FROM documents
+),
+l AS (
+  SELECT CASE WHEN least(1.0, len(toks) / 100.0) *
+                   (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, x -> x IN ({sw})))::DOUBLE
+                               / len(toks) END)
+              >= {threshold!r} THEN 1 ELSE 0 END AS lab
+  FROM t
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(lab)::BIGINT AS n_label_pos,
+       round(least(0.95,
+                   greatest(sum(lab), count(*) - sum(lab))::DOUBLE
+                     / count(*) + 0.05), 6) AS bar,
+       1::BIGINT AS meets_bar
+FROM l"""
+
+
 def lang_id_sql(markers: dict, order) -> str:
     cnt = {
         lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
