@@ -353,6 +353,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = decode_qoi_features(to_qoi_payloads(ids)).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def _mm_jpeg_stats(sf_dir):
+        import ray.data as rd
+
+        from yetisearch_ray.pipelines.jpeg import (decode_jpeg_features,
+                                                   to_jpeg_payloads)
+
+        ids = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"]).limit(64)
+        df = decode_jpeg_features(to_jpeg_payloads(ids)).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def _mm_wav_stats(sf_dir):
         import numpy as np
         import ray.data as rd
@@ -616,6 +627,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # qoi_encode -> actor-pool decode -> channel stats (rows-only:
         # codec pinned by lossless round-trip + PPM-leg-equality pytest)
         "mm_qoi_stats": _mm_qoi_stats,
+        # REAL baseline-JPEG codec leg (pure-numpy ITU T.81 subset):
+        # synth -> jpeg_encode -> actor-pool decode -> channel stats
+        # (rows-only: lossy codec pinned by decode-of-fixture md5
+        # goldens + constant-color exactness in tests/test_jpeg.py)
+        "mm_jpeg_stats": _mm_jpeg_stats,
         "cur_pack_bins": lambda sf: curation.pack_token_bins(
             textstats.token_counts(_docs(sf)), budget=2048).to_pandas(),
         # adjacent-bigram PMI collocations (corpus analytics)
