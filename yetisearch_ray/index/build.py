@@ -204,18 +204,34 @@ def sketch_hot_terms(ds, cfg: "IndexConfig", *, sample_docs: int = 2000,
     loads = np.zeros(cfg.num_partitions, dtype=np.int64)
     hot_map: dict[str, int] = {}
     split_map: dict[str, list[int]] = {}
+    # LOAD-RELATIVE split budget (round-5): the fixed >=50%-of-docs rule
+    # alone leaves terms with df far above the per-partition mean but
+    # below half the corpus UNSPLIT — at the P=1024 / 2.4M-doc rehearsal
+    # that put 400x the median row count in the hot tenth of partitions
+    # (each Zipf-head keyword's full posting list landed whole).  A term
+    # whose sampled df exceeds ~2x the mean per-partition posting mass
+    # is split ceil(df / budget) ways instead, which bounds any single
+    # partition's share of any term at ~2x the mean regardless of P.
+    total_mass = max(1, int(tdf["df_sum"].sum()))
+    budget = max(1.0, 2.0 * total_mass / cfg.num_partitions)
     for term, df in hot:
-        if df >= n_sampled * split_df_ratio and cfg.num_partitions >= split_ways:
-            # ULTRA-hot term (present in most docs): SPLIT its postings
-            # across `split_ways` partitions by doc-hash salt; the reader
-            # merges the sub-lists (positions preserved — doc sets are
-            # disjoint).  This bounds any single partition's share of a
-            # pathological term.
+        ways = 1
+        if cfg.num_partitions >= split_ways:
+            if df >= n_sampled * split_df_ratio:
+                # ULTRA-hot term (present in most docs): always split
+                ways = split_ways
+            ways = min(max(ways, int(np.ceil(df / budget))),
+                       cfg.num_partitions)
+        if ways >= 2:
+            # SPLIT postings across `ways` partitions by doc-hash salt;
+            # the reader merges the sub-lists (positions preserved —
+            # doc sets are disjoint).  This bounds any single
+            # partition's share of a pathological term.
             parts = []
-            for _ in range(split_ways):
+            for _ in range(ways):
                 p = int(np.argmin(loads))
                 parts.append(p)
-                loads[p] += df // split_ways
+                loads[p] += df // ways
             split_map[term] = parts
         else:
             p = int(np.argmin(loads))
@@ -318,6 +334,16 @@ def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
     """
     nparts = cfg.num_partitions
     want_pos = cfg.positions
+    # Flatten the split map once per build task: with the load-relative
+    # budget there can be hundreds of split terms, so the per-batch
+    # application must be one vectorized map + gather, not a Python
+    # loop over split terms.
+    if split_map:
+        _split_id = {term: i for i, term in enumerate(split_map)}
+        _split_offs = np.cumsum(
+            [0] + [len(v) for v in split_map.values()]).astype(np.int64)
+        _split_flat = np.concatenate(
+            [np.asarray(v, dtype=np.uint32) for v in split_map.values()])
 
     def fn(t: pa.Table) -> pa.Table:
         if docs_dir is not None and t.num_rows:
@@ -346,14 +372,18 @@ def _emit_postings_batch(cfg: IndexConfig, skip_parts: frozenset[int],
             terms_arr = uniques[sc[starts]]
             part = term_partition(terms_arr, nparts, hot_map)
             if split_map:
-                # skew-splitting: an ultra-hot term's rows are salted by
-                # doc hash across its assigned partitions
+                # skew-splitting: a hot term's rows are salted by doc
+                # hash across its assigned partitions (vectorized:
+                # term -> split-group id, then ragged-offset gather)
                 run_docs = sr[starts]
-                for sterm, sparts in split_map.items():
-                    m = terms_arr == sterm
-                    if m.any():
-                        salt = (run_docs[m] % np.uint64(len(sparts))).astype(np.int64)
-                        part[m] = np.asarray(sparts, dtype=np.uint32)[salt]
+                sid = pd.Series(terms_arr).map(_split_id).to_numpy()
+                m = ~np.isnan(sid)
+                if m.any():
+                    si = sid[m].astype(np.int64)
+                    ways = (_split_offs[si + 1] - _split_offs[si])
+                    salt = (run_docs[m]
+                            % ways.astype(np.uint64)).astype(np.int64)
+                    part[m] = _split_flat[_split_offs[si] + salt]
             cols = {
                 "part": pa.array(part, pa.uint32()),
                 "term": pa.array(terms_arr.astype(str), pa.string()),
