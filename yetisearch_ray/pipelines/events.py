@@ -30,15 +30,21 @@ import pyarrow.compute as pc
 _ASOF_CACHE: dict = {}
 
 
-def _asof_split(orders_ref) -> dict:
+def _asof_buckets(orders_ref, buckets: int) -> dict:
+    """Per-worker cache: the broadcast (date-sorted) orders frame split
+    into user-hash buckets ONCE per process; per-group work is then a
+    dict lookup, never a scan of the full broadcast frame."""
     import ray
 
-    key = orders_ref.hex()
+    key = (orders_ref.hex(), buckets)
     v = _ASOF_CACHE.get(key)
     if v is None:
         od = ray.get(orders_ref)
-        v = {int(c): f.reset_index(drop=True)
-             for c, f in od.groupby("o_custkey", sort=False)}
+        b = od["o_custkey"].to_numpy().astype(np.int64) % buckets
+        # groupby(array) preserves within-group row order, so each
+        # bucket frame stays globally sorted by o_orderdate
+        v = {int(k): f.reset_index(drop=True)
+             for k, f in od.groupby(b, sort=False)}
         _ASOF_CACHE.clear()  # one broadcast table live at a time
         _ASOF_CACHE[key] = v
     return v
@@ -149,16 +155,21 @@ def asof_join_orders(sf_dir: str, *, direction: str = "backward",
     the date resolve to max o_orderkey backward / min forward, matching
     the SQL oracles).
 
-    Scale shape: the small side (orders) is deduped + sorted ONCE on the
-    driver, BROADCAST via ``ray.put``, and pre-split into a
-    ``{custkey: frame}`` dict once per worker process (module cache,
-    keyed on the object ref) — per-group work is a dict lookup +
-    ``pd.merge_asof``, never a scan of the full broadcast frame.  At
-    cluster scale with a LARGE right side, co-shuffle both sides by key
-    hash instead and ``merge_asof(by=...)`` per bucket."""
+    Scale shape: the small side (orders) is deduped + date-sorted ONCE
+    on the driver, BROADCAST via ``ray.put``, and pre-split into
+    user-hash BUCKET frames once per worker process (module cache,
+    keyed on the object ref); events group by the same hash bucket, so
+    ``map_groups`` makes ONE vectorized ``pd.merge_asof(by=user)``
+    call per bucket of users (round 5 — was one Python call + merge
+    per user), emitting Arrow.  At cluster scale with a LARGE right
+    side, co-shuffle both sides by key hash instead under the same
+    per-bucket kernel."""
     import ray
     import ray.data as rd
 
+    from .dedup import _strip_meta
+
+    buckets = 64
     orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderkey", "o_orderdate"])
     # collapse date ties ONCE driver-side: backward keeps the max
@@ -166,33 +177,50 @@ def asof_join_orders(sf_dir: str, *, direction: str = "backward",
     orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
     grp = orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
     orders = grp.last() if direction == "backward" else grp.first()
+    # merge_asof(by=) needs the ON key globally sorted on both sides
+    orders = orders.sort_values("o_orderdate", kind="mergesort")
     orders_ref = ray.put(orders)
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "user_id", "ts"])
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"]))
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        by_key = _asof_split(orders_ref)
-        uid = int(g["user_id"].iloc[0])
-        mine = by_key.get(uid)
-        g = g.sort_values("ts")
-        cols = ["event_id", "user_id", "ts", "o_orderdate", "o_orderkey"]
-        if mine is None:
-            g["o_orderdate"] = pd.Series(pd.NaT, index=g.index,
-                                         dtype="datetime64[us]")
-            g["o_orderkey"] = pd.array([pd.NA] * len(g), dtype="Int64")
-            return g[cols]
-        j = pd.merge_asof(g, mine[["o_orderdate", "o_orderkey"]],
-                          left_on="ts", right_on="o_orderdate",
-                          direction=direction)
-        j["o_orderkey"] = j["o_orderkey"].astype("Int64")
-        j["o_orderdate"] = j["o_orderdate"].astype("datetime64[us]")
-        # identical column order + dtypes on every branch: Ray unions the
-        # group outputs as blocks, and divergent layouts make mixed block
-        # schemas (streaming executor warns and falls back).
-        return j[cols]
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
 
-    out = ds.groupby("user_id").map_groups(join_group, batch_format="pandas")
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        ob = _asof_buckets(orders_ref, buckets).get(
+            int(g["_bkt"].iloc[0]))
+        g = g.sort_values("ts", kind="mergesort")
+        if ob is None:
+            j = g.assign(
+                o_orderdate=pd.Series(pd.NaT, index=g.index,
+                                      dtype="datetime64[us]"),
+                o_orderkey=pd.array([pd.NA] * len(g), dtype="Int64"))
+        else:
+            j = pd.merge_asof(
+                g, ob[["o_custkey", "o_orderdate", "o_orderkey"]],
+                left_on="ts", right_on="o_orderdate",
+                left_by="user_id", right_by="o_custkey",
+                direction=direction)
+        return pa.table({
+            "event_id": pa.array(j["event_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "user_id": pa.array(j["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "ts": pa.array(j["ts"].to_numpy().astype("datetime64[us]")),
+            "o_orderdate": pa.array(
+                j["o_orderdate"].to_numpy().astype("datetime64[us]")),
+            "o_orderkey": pa.array(
+                pd.array(j["o_orderkey"], dtype="Int64"),
+                pa.int64()),
+        })
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(join_bucket,
+                                       batch_format="pandas"))
     if as_dataset:
         # streaming contract for the 100 TB path: arrowified, null
         # orderkeys coalesced to -1, ordered by event id
