@@ -115,32 +115,47 @@ def sliding_window(sf_dir: str, *, width_minutes: int = 60,
     return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
-def session_windows(sf_dir: str, *, gap_minutes: int = 30, min_events: int = 1):
+def session_windows(sf_dir: str, *, gap_minutes: int = 30, min_events: int = 1,
+                    buckets: int = 64):
     """Per-user sessions: consecutive events with gaps < ``gap_minutes``.
 
-    groupby(user_id).map_groups with a sorted pandas group — the
-    documented ordering assumption is per-user ts order, established
-    inside the group (not relied on from the input)."""
+    Users group by a HASH BUCKET so ``map_groups`` makes one vectorized
+    Arrow-emitting call per bucket: one (user, ts) sort + a shifted
+    break mask (user change OR gap >= threshold) derives every user's
+    sessions at once via segment arithmetic (round 5 — was one Python
+    call per user)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type"])
-    gap = pd.Timedelta(minutes=gap_minutes)
+    from .dedup import _strip_meta
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = g["ts"].diff() >= gap
-        sid = new_session.cumsum()
-        agg = g.groupby(sid).agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-        )
-        agg = agg[agg.n_events >= min_events]
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
-        return agg.reset_index(drop=True)
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+    gap64 = np.timedelta64(gap_minutes * 60, "s").astype("timedelta64[us]")
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        brk = np.ones(u.size, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) >= gap64)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], u.size) - 1
+        n = ends - starts + 1
+        keep = n >= min_events
+        return pa.table({
+            "user_id": pa.array(u[starts][keep], pa.int64()),
+            "session_start": pa.array(ts[starts][keep]),
+            "session_end": pa.array(ts[ends][keep]),
+            "n_events": pa.array(n[keep].astype(np.int64), pa.int64()),
+        })
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(sessions, batch_format="pandas"))
     pdf = out.to_pandas()
     pdf["n_events"] = pdf["n_events"].astype("int64")
     pdf["user_id"] = pdf["user_id"].astype("int64")
@@ -252,39 +267,54 @@ def funnel_counts(sf_dir: str, *, stages=("view", "click", "purchase")):
 
     The standard product-analytics conversion query (and the windowless
     cousin of the reference's session semantics).  Distributed shape:
-    one ``groupby(user_id).map_groups`` pass emits a single
-    ``(user_id, reached)`` row per user — per-user state never leaves
-    the group task — and the funnel itself is a <= len(stages)-row
-    aggregate of that, so the driver sees O(stages) bytes.  Columns
+    users group by a HASH BUCKET; inside each bucket |stages| chained
+    C-level passes (filter stage rows → drop rows at-or-before the
+    user's previous stage time → per-user min) compute EVERY user's
+    reach at once, and only the per-bucket (reached, n) partial counts
+    leave the task as Arrow — the funnel is then a <= |stages|-row Sum
+    aggregate, so the driver sees O(stages) bytes.  Columns
     (stage, event_type, n_users)."""
     import ray.data as rd
-    from ray.data.aggregate import Count
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type"])
-
-    def reach(g: pd.DataFrame) -> pd.DataFrame:
-        reached = 0
-        t_prev = None
-        for s in stages:
-            mine = g.loc[g["event_type"] == s, "ts"]
-            if t_prev is not None:
-                mine = mine[mine > t_prev]
-            if mine.empty:
-                break
-            t_prev = mine.min()
-            reached += 1
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "reached": np.array([reached], dtype=np.int64)})
+    from ray.data.aggregate import Sum
 
     from .dedup import _strip_meta
 
-    # arrowify before the next shuffle: pandas-format blocks entering a
-    # Ray Data groupby/aggregate are ~20x slower than Arrow blocks
-    per_user = _strip_meta(
-        ds.groupby("user_id").map_groups(reach, batch_format="pandas"))
-    counts = (per_user.groupby("reached")
-              .aggregate(Count(alias_name="n")).to_pandas())
+    buckets = 64
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def reach(g: pd.DataFrame) -> pa.Table:
+        # chained per-stage min-after-previous, vectorized across users
+        reached = pd.Series(np.int64(0),
+                            index=pd.Index(g["user_id"].unique()))
+        prev = None
+        for s in stages:
+            e = g[g["event_type"] == s]
+            if prev is not None:
+                p = e["user_id"].map(prev)
+                e = e[e["ts"] > p]  # NaT/no-prev compares False → drops
+            if not len(e):
+                break
+            prev = e.groupby("user_id")["ts"].min()
+            reached.loc[prev.index] += 1
+        cnt = np.bincount(reached.to_numpy(np.int64),
+                          minlength=len(stages) + 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "reached": pa.array(nz.astype(np.int64), pa.int64()),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        })
+
+    counts = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby("_bkt").map_groups(reach, batch_format="pandas")
+              .groupby("reached")
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
     by_reach = dict(zip(counts["reached"].astype(int), counts["n"].astype(int)))
     rows = []
     for i, s in enumerate(stages, start=1):
@@ -650,32 +680,57 @@ def user_gap_stats(sf_dir: str):
     in seconds between consecutive events (the SQL ``lag()`` window
     shape; liveness/engagement profiling).
 
-    Distributed shape: one user-keyed shuffle; inside each group a
-    sorted vectorized diff — per-user state never leaves the task, the
-    driver sees one row per user.  Single-event users report 0 gaps
-    (SQL: avg/max over an empty lag set -> NULL, mirrored as 0.0 via
-    coalesce in the oracle).  Columns
+    Distributed shape: users group by a HASH BUCKET; one vectorized
+    (user, ts, event_id) sort + masked shifted-difference pass per
+    bucket computes every user's gap stats at once (segment boundaries
+    mask the cross-user gap; round 5 — was one Python call per user),
+    the driver sees one Arrow row per user.  Single-event users report
+    0 gaps (SQL: avg/max over an empty lag set -> NULL, mirrored as
+    0.0 via coalesce in the oracle).  Columns
     (user_id, n_events, mean_gap_sec, max_gap_sec)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_id"])
+    from .dedup import _strip_meta
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        d = g["ts"].diff().dropna().dt.total_seconds().to_numpy()
-        return pd.DataFrame({
-            "user_id": pd.array([int(g["user_id"].iloc[0])], dtype="int64"),
-            "n_events": pd.array([len(g)], dtype="int64"),
-            "mean_gap_sec": pd.array(
-                [round(float(d.mean()), 4) if d.size else 0.0],
-                dtype="float64"),
-            "max_gap_sec": pd.array(
-                [round(float(d.max()), 4) if d.size else 0.0],
-                dtype="float64"),
+    buckets = 64
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
         })
 
-    out = (ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        same = np.zeros(u.size, dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        d = np.zeros(u.size, np.float64)
+        d[1:] = (ts[1:] - ts[:-1]) / 1e6
+        uu, inv = np.unique(u, return_inverse=True)
+        n_ev = np.bincount(inv)
+        n_gap = np.bincount(inv, weights=same.astype(np.float64))
+        dsum = np.bincount(inv, weights=np.where(same, d, 0.0))
+        dmax = np.zeros(uu.size, np.float64)
+        np.maximum.at(dmax, inv[same], d[same])
+        mean = np.where(n_gap > 0, dsum / np.maximum(n_gap, 1), 0.0)
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "n_events": pa.array(n_ev.astype(np.int64), pa.int64()),
+            "mean_gap_sec": pa.array(np.round(mean, 4), pa.float64()),
+            "max_gap_sec": pa.array(np.round(dmax, 4), pa.float64()),
+        })
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(gaps, batch_format="pandas")
            .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -890,35 +945,44 @@ def session_stats(sf_dir: str, *, gap_minutes: int = 30,
     duration, mean/max events per session, under the same >=gap break
     rule as ``session_windows`` — the health-dashboard scalar rollup.
 
-    Distributed shape: one per-user ``map_groups`` emits ONE ROW PER
-    SESSION (duration, size); the raw stream and even the session table
+    Distributed shape: users group by a HASH BUCKET; one vectorized
+    (user, ts) sort + break mask per bucket emits ONE Arrow ROW PER
+    SESSION (duration, size) for every user at once (round 5 — was one
+    Python call per user); the raw stream and even the session table
     never reach the driver — a final scalar aggregate returns one row.
     Columns (n_sessions, mean_duration_sec, mean_events, max_events)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Mean
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"])
-    gap = np.timedelta64(gap_minutes * 60, "s")
-
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(g["ts"].to_numpy())
-        brk = np.empty(t.size, dtype=bool)
-        brk[0] = True
-        brk[1:] = (t[1:] - t[:-1]) >= gap
-        starts = np.flatnonzero(brk)
-        ends = np.r_[starts[1:], t.size] - 1
-        dur = (t[ends] - t[starts]) / np.timedelta64(1, "s")
-        n = np.r_[starts[1:], t.size] - starts
-        return pd.DataFrame({
-            "duration_sec": pd.array(dur.astype(np.float64),
-                                     dtype="float64"),
-            "n_events": pd.array(n.astype(np.int64), dtype="int64")})
-
     from .dedup import _strip_meta
 
-    per = _strip_meta(
-        ds.groupby("user_id").map_groups(sess, batch_format="pandas"))
+    buckets = 64
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+    gap64 = np.timedelta64(gap_minutes * 60, "s").astype("timedelta64[us]")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def sess(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]")
+        brk = np.ones(t.size, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) >= gap64)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], t.size) - 1
+        dur = (t[ends] - t[starts]) / np.timedelta64(1, "s")
+        n = np.append(starts[1:], t.size) - starts
+        return pa.table({
+            "duration_sec": pa.array(dur.astype(np.float64),
+                                     pa.float64()),
+            "n_events": pa.array(n.astype(np.int64), pa.int64())})
+
+    per = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(sess, batch_format="pandas"))
     agg = (per.aggregate(Count(alias_name="n_sessions"),
                          Mean("duration_sec", alias_name="mean_duration_sec"),
                          Mean("n_events", alias_name="mean_events"),
