@@ -741,30 +741,47 @@ def transition_matrix(sf_dir: str):
     (type_from, type_to) — the Markov-chain / next-action shape (SQL
     ``lead()`` window).
 
-    Distributed shape: user-keyed shuffle, vectorized shift per group
-    emitting transition pairs, then one tiny pair-count groupby.
+    Distributed shape: users group by a HASH BUCKET; one vectorized
+    (user, ts, event_id) sort per bucket emits every user's adjacent
+    pairs at once (a same-user mask drops the cross-user shift), and
+    the per-bucket partial pair counts leave as Arrow before the final
+    tiny Sum groupby (round 5 — was one Python call per user).
     Columns (type_from, type_to, n)."""
     import ray.data as rd
-    from ray.data.aggregate import Count
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type",
-                                  "event_id"])
-
-    def shifts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        et = g["event_type"].to_numpy()
-        if et.size < 2:
-            return pd.DataFrame({"type_from": pd.Series([], dtype=str),
-                                 "type_to": pd.Series([], dtype=str)})
-        return pd.DataFrame({"type_from": et[:-1], "type_to": et[1:]})
+    from ray.data.aggregate import Sum
 
     from .dedup import _strip_meta
 
-    out = (_strip_meta(ds.groupby("user_id")
-                       .map_groups(shifts, batch_format="pandas"))
+    buckets = 64
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def shifts(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        d = pd.DataFrame({"type_from": et[:-1][same],
+                          "type_to": et[1:][same]})
+        c = (d.groupby(["type_from", "type_to"]).size()
+             .reset_index(name="n"))
+        return pa.table({
+            "type_from": pa.array(c["type_from"], pa.string()),
+            "type_to": pa.array(c["type_to"], pa.string()),
+            "n": pa.array(c["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(shifts, batch_format="pandas")
            .groupby(["type_from", "type_to"])
-           .aggregate(Count(alias_name="n")).to_pandas())
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["type_from", "type_to"]).reset_index(drop=True)
 
@@ -1056,28 +1073,43 @@ def latest_event_per_user(sf_dir: str):
     (ties on ts broken by event_id desc) — the current-state snapshot
     every CDC/profile pipeline derives from an append-only log.
 
-    Distributed shape: one user-keyed shuffle, per-group vectorized
-    lexsort-argmax — the log never globally sorts.
+    Distributed shape: users group by a HASH BUCKET; one vectorized
+    (user, ts, event_id) lexsort per bucket takes every user's last
+    row at once via segment ends (round 5 — was one Python call per
+    user) — the log never globally sorts.
     Columns (user_id, ts, event_type, value)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_id",
-                                  "event_type", "value"])
+    from .dedup import _strip_meta
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        i = np.lexsort((g["event_id"].to_numpy(),
-                        g["ts"].to_numpy()))[-1]
-        r = g.iloc[[i]]
-        return pd.DataFrame({
-            "user_id": r["user_id"].astype("int64"),
-            "ts": r["ts"],
-            "event_type": r["event_type"],
-            "value": r["value"].round(4),
+    buckets = 64
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def latest(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ends = np.append(np.flatnonzero(u[1:] != u[:-1]), u.size - 1)
+        r = g.iloc[ends]
+        return pa.table({
+            "user_id": pa.array(r["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "ts": pa.array(r["ts"].to_numpy().astype("datetime64[us]")),
+            "event_type": pa.array(r["event_type"], pa.string()),
+            "value": pa.array(r["value"].to_numpy(np.float64).round(4),
+                              pa.float64()),
         })
 
-    out = (ds.groupby("user_id")
-           .map_groups(latest, batch_format="pandas").to_pandas())
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(latest, batch_format="pandas")
+           .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -1211,35 +1243,43 @@ def bounce_rate(sf_dir: str, *, gap_minutes: int = 30,
     fraction containing exactly one event — the engagement-quality KPI
     derived from the same >=gap sessionization as ``session_windows``.
 
-    Distributed shape: the per-user ``map_groups`` emits one row per
-    session (start day, size); a |days|-row aggregate finishes.
-    Columns (day, n_sessions, n_bounce, bounce_rate)."""
+    Distributed shape: users group by a HASH BUCKET; the vectorized
+    per-bucket session kernel (same break-mask segment arithmetic as
+    ``session_windows``) emits one Arrow row per session (start day,
+    bounce flag) for every user at once; a |days|-row aggregate
+    finishes.  Columns (day, n_sessions, n_bounce, bounce_rate)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"])
-    gap = np.timedelta64(gap_minutes * 60, "s")
-
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(g["ts"].to_numpy())
-        brk = np.empty(t.size, dtype=bool)
-        brk[0] = True
-        brk[1:] = (t[1:] - t[:-1]) >= gap
-        starts = np.flatnonzero(brk)
-        n = np.r_[starts[1:], t.size] - starts
-        day = t[starts].astype("datetime64[D]").astype("datetime64[us]")
-        return pd.DataFrame({
-            "day": day,
-            "one": pd.array(np.ones(starts.size, np.int64),
-                            dtype="int64"),
-            "bounce": pd.array((n == 1).astype(np.int64), dtype="int64"),
-        })
+    from ray.data.aggregate import Sum
 
     from .dedup import _strip_meta
 
-    agg = (_strip_meta(ds.groupby("user_id")
-                       .map_groups(sess, batch_format="pandas"))
+    buckets = 64
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+    gap64 = np.timedelta64(gap_minutes * 60, "s").astype("timedelta64[us]")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def sess(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]")
+        brk = np.ones(t.size, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) >= gap64)
+        starts = np.flatnonzero(brk)
+        n = np.append(starts[1:], t.size) - starts
+        day = t[starts].astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({
+            "day": pa.array(day),
+            "one": pa.array(np.ones(starts.size, np.int64), pa.int64()),
+            "bounce": pa.array((n == 1).astype(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(sess, batch_format="pandas")
            .groupby("day")
            .aggregate(Sum("one", alias_name="n_sessions"),
                       Sum("bounce", alias_name="n_bounce")).to_pandas())
@@ -1288,28 +1328,40 @@ def time_to_convert(sf_dir: str, *, from_type: str = "view",
     it; reported as one summary row (n_converted, mean, median, max) —
     the latency-funnel KPI.
 
-    Distributed shape: per-user ``map_groups`` emits one delta per
-    converting user; the |users|-row frame reduces to one row (median
-    exact on the aggregate).  Columns (n_converted, mean_sec,
-    median_sec, max_sec)."""
+    Distributed shape: users group by a HASH BUCKET; two C-level
+    passes per bucket (per-user min from-time, then per-user min
+    to-time at-or-after it) compute every converting user's delta at
+    once (round 5 — was one Python call per user); the |users|-row
+    Arrow frame reduces to one row (median exact on the aggregate).
+    Columns (n_converted, mean_sec, median_sec, max_sec)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type"])
+    from .dedup import _strip_meta
 
-    def delta(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.loc[g.event_type == from_type, "ts"]
-        if f.empty:
-            return pd.DataFrame({"d": pd.Series([], dtype="float64")})
-        t0 = f.min()
-        t = g.loc[(g.event_type == to_type) & (g.ts >= t0), "ts"]
-        if t.empty:
-            return pd.DataFrame({"d": pd.Series([], dtype="float64")})
-        d = (t.min() - t0).total_seconds()
-        return pd.DataFrame({"d": pd.array([d], dtype="float64")})
+    buckets = 64
+    ds = _strip_meta(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"]))
 
-    deltas = (ds.groupby("user_id")
-              .map_groups(delta, batch_format="pandas").to_pandas())
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def delta(g: pd.DataFrame) -> pa.Table:
+        f = (g[g["event_type"] == from_type]
+             .groupby("user_id")["ts"].min())
+        t = g[g["event_type"] == to_type]
+        t0 = t["user_id"].map(f)
+        t = t[t["ts"] >= t0]  # NaT (never-from users) compares False
+        t1 = t.groupby("user_id")["ts"].min()
+        d = ((t1 - f.loc[t1.index])
+             / pd.Timedelta(seconds=1)).to_numpy(np.float64)
+        return pa.table({"d": pa.array(d, pa.float64())})
+
+    deltas = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby("_bkt").map_groups(delta, batch_format="pandas")
+              .to_pandas())
     d = deltas["d"].to_numpy(np.float64)
     if d.size == 0:
         return pd.DataFrame({"n_converted": pd.array([0], dtype="int64"),
@@ -1330,30 +1382,43 @@ def user_type_entropy(sf_dir: str, *, k: int = 50, round_to: int = 6):
     ln(|types|) for uniform ones.  Returns the first ``k`` users by id.
 
     Distributed shape: map-side distinct-pair counts feed one
-    (user, type) groupby; the per-user entropy folds over that
-    aggregate in a second tiny groupby.
+    (user, type) groupby; users then group by a HASH BUCKET and one
+    vectorized segment pass per bucket folds every user's entropy at
+    once (round 5 — was one Python call per user).
     Columns (user_id, n_events, entropy)."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    buckets = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
     counts = (ds.groupby(["user_id", "event_type"])
               .aggregate(Count(alias_name="n")))
 
-    def ent(g: pd.DataFrame) -> pd.DataFrame:
-        n = g["n"].to_numpy(np.float64)
-        p = n / n.sum()
-        h = float(-(p * np.log(p)).sum())
-        return pd.DataFrame({
-            "user_id": pd.array([int(g["user_id"].iloc[0])],
-                                dtype="int64"),
-            "n_events": pd.array([int(n.sum())], dtype="int64"),
-            "entropy": [round(h, round_to)],
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "n": t["n"],
+            "_bkt": pa.array(u.astype(np.int64) % buckets, pa.int64()),
         })
 
-    out = (counts.groupby("user_id")
-           .map_groups(ent, batch_format="pandas").to_pandas())
+    def ent(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("user_id", kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.float64)
+        uu, inv = np.unique(u, return_inverse=True)
+        tot = np.bincount(inv, weights=n)
+        p = n / tot[inv]
+        h = np.bincount(inv, weights=-(p * np.log(p)))
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "n_events": pa.array(tot.astype(np.int64), pa.int64()),
+            "entropy": pa.array(np.round(h, round_to), pa.float64()),
+        })
+
+    out = (counts.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(ent, batch_format="pandas")
+           .to_pandas())
     return (out.sort_values("user_id").head(k)
             .reset_index(drop=True))
 
@@ -1515,8 +1580,10 @@ def first_last_drift(sf_dir: str, *, round_to: int = 6):
 
     Distributed shape: per-batch per-user (argmin, argmax) endpoint
     partials — each batch contributes at most one candidate pair per
-    user it sees — then one user groupby merges candidates and emits
-    (delta sign, delta) rows; the final aggregate is one row.
+    user it sees — then candidates group by a user-hash BUCKET and one
+    vectorized lexsort per bucket merges every user's endpoints at
+    once (round 5 — was one Python call per user), emitting per-bucket
+    partial sums as Arrow; the final aggregate is one row.
     Columns (n_users, n_up, n_down, n_flat, mean_delta)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -1547,23 +1614,39 @@ def first_last_drift(sf_dir: str, *, round_to: int = 6):
             "l_val": pa.array(vo[last_idx], pa.float64()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    buckets = 64
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(u.astype(np.int64) % buckets, pa.int64()))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy(np.int64)
+        # per-user global first: lexsort by (user, f_ts, f_eid), take
+        # segment starts; global last: (user, l_ts, l_eid), segment ends
         fo = np.lexsort((g["f_eid"].to_numpy(),
-                         g["f_ts"].to_numpy()))[0]
+                         g["f_ts"].to_numpy(), u))
+        uf = u[fo]
+        fstart = fo[np.flatnonzero(np.r_[True, uf[1:] != uf[:-1]])]
         lo = np.lexsort((g["l_eid"].to_numpy(),
-                         g["l_ts"].to_numpy()))[-1]
-        d = float(g["l_val"].iloc[lo]) - float(g["f_val"].iloc[fo])
-        return pd.DataFrame({
-            "up": [np.int64(d > 0)], "down": [np.int64(d < 0)],
-            "flat": [np.int64(d == 0)], "delta": [d],
-            "one": [np.int64(1)],
+                         g["l_ts"].to_numpy(), u))
+        ul = u[lo]
+        lend = lo[np.append(np.flatnonzero(ul[1:] != ul[:-1]),
+                            ul.size - 1)]
+        d = (g["l_val"].to_numpy(np.float64)[lend]
+             - g["f_val"].to_numpy(np.float64)[fstart])
+        return pa.table({
+            "up": pa.array([int((d > 0).sum())], pa.int64()),
+            "down": pa.array([int((d < 0).sum())], pa.int64()),
+            "flat": pa.array([int((d == 0).sum())], pa.int64()),
+            "delta": pa.array([float(d.sum())], pa.float64()),
+            "one": pa.array([int(d.size)], pa.int64()),
         })
 
-    from .dedup import _strip_meta
-
-    row = (_strip_meta(ds.map_batches(endpoints, batch_format="pyarrow")
-                       .groupby("user_id")
-                       .map_groups(merge, batch_format="pandas"))
+    row = (ds.map_batches(endpoints, batch_format="pyarrow")
+           .map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(merge, batch_format="pandas")
            .aggregate(Sum("one", alias_name="n"),
                       Sum("up", alias_name="up"),
                       Sum("down", alias_name="down"),
