@@ -560,15 +560,25 @@ def minhash_dedup_pairs(ds, *, text_col="text", id_col="doc_id", num_perm=64,
         return pa.table({"id_a": pa.array(ra, pa.int64()),
                          "id_b": pa.array(rb, pa.int64())})
 
-    def first_row(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        # map-side combine + vectorized global distinct (round 5): the
+        # old per-pair map_groups(first_row) made one Python call per
+        # distinct pair; per-block Arrow group_by + a Count aggregate
+        # dedupes entirely in C
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    def drop_n(t: pa.Table) -> pa.Table:
+        return t.select(["id_a", "id_b"])
+
+    from ray.data.aggregate import Count
 
     # tuples only: dedupe multi-band repeats, coalesce empty groupby
     # blocks, and bound the plan with a materialize (reused twice below)
     pairs = _join_ready(
         buckets.map_batches(to_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"]).map_groups(first_row,
-                                              batch_format="pyarrow"),
+        .map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n"))
+        .map_batches(drop_n, batch_format="pyarrow"),
         num_partitions).materialize()
     if pairs.count() == 0:
         return empty
@@ -797,14 +807,26 @@ def simhash_near_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming=3,
         .map_groups(pairs, batch_format="pyarrow")
     )
 
-    # the same pair can surface from several blocks — distinct it with a
-    # keyed groupby (distributed; only pair tuples shuffle), then collect
-    # the final small pair table sorted for determinism
-    def first_row(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
+    # the same pair can surface from several blocks — distinct it with
+    # a vectorized keyed aggregate (round 5: was one Python call per
+    # distinct pair via map_groups(first_row); hamming is a pure
+    # function of the pair, so Min() keeps the identical value), then
+    # collect the final small pair table sorted for determinism
+    from ray.data.aggregate import Min
 
-    ded = out.groupby(["id_a", "id_b"]).map_groups(first_row,
-                                                   batch_format="pyarrow")
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_a", "id_b"]).aggregate(
+            [("hamming", "min")]).rename_columns(
+                ["id_a", "id_b", "hamming"])
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "hamming": t["hamming"].cast(pa.int32())})
+
+    ded = (out.map_batches(batch_distinct, batch_format="pyarrow")
+           .groupby(["id_a", "id_b"])
+           .aggregate(Min("hamming", alias_name="hamming"))
+           .map_batches(tidy, batch_format="pyarrow"))
     sorted_pairs = ded.sort(["id_a", "id_b"])
     if as_dataset:
         return sorted_pairs
