@@ -436,14 +436,23 @@ def _near_dup_pairs_ivf(ds, *, threshold, vec_col, id_col, round_to,
         return _pair_table_from_blocks(ids, m, ids, m, threshold,
                                        round_to, same_block=True)
 
-    def first_row(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
+    # the same pair can surface from several probed buckets — distinct
+    # with a vectorized keyed aggregate (round 5: was one Python call
+    # per distinct pair; cosine is a pure function of the pair, so
+    # Min() keeps the identical value)
+    from ray.data.aggregate import Min
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_a", "id_b"]).aggregate(
+            [("cosine", "min")]).rename_columns(
+                ["id_a", "id_b", "cosine"])
 
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_pairs, batch_format="pyarrow")
+            .map_batches(batch_distinct, batch_format="pyarrow")
             .groupby(["id_a", "id_b"])
-            .map_groups(first_row, batch_format="pyarrow"))
+            .aggregate(Min("cosine", alias_name="cosine")))
 
 
 # ---------------------------------------------------------------- PQ (ADC)
