@@ -1600,16 +1600,16 @@ def source_vocab_overlap(ds, *, text_col="text", src_col="source",
     re-publishing the same material.
 
     Distributed shape: distinct (source, term) pairs shuffle once
-    (vocabulary-bounded); a per-TERM ``map_groups`` emits that term's
-    <= C(|sources|, 2) source pairs (bounded by the source cardinality,
-    never the corpus); one pair-keyed count and a broadcast of the
+    (vocabulary-bounded); terms then group by a HASH BUCKET and one
+    pandas self-merge per bucket emits every term's
+    <= C(|sources|, 2) source pairs at once, pre-counted per bucket
+    (round 5 — was one Python call per term, untenable at web-corpus
+    vocabulary sizes); one pair-keyed Sum and a broadcast of the
     |sources|-row vocab sizes finish.  Columns (source_a, source_b,
     n_shared, jaccard); zero-overlap pairs are omitted."""
-    import itertools
-
     import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     def pairs(t: pa.Table) -> pa.Table:
         arr = pc.fill_null(t[text_col], "").combine_chunks()
@@ -1629,21 +1629,32 @@ def source_vocab_overlap(ds, *, text_col="text", src_col="source",
              .to_pandas())
     nv = dict(zip(vocab["source"], vocab["nv"].astype(int)))
 
-    def combos(g: pd.DataFrame) -> pd.DataFrame:
-        ss = sorted(g["source"].unique())
-        combo = list(itertools.combinations(ss, 2))
-        if not combo:
-            return pd.DataFrame({"source_a": pd.Series([], dtype=str),
-                                 "source_b": pd.Series([], dtype=str)})
-        a, b = zip(*combo)
-        return pd.DataFrame({"source_a": list(a), "source_b": list(b)})
+    buckets = 64
 
-    from .dedup import _strip_meta
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["term"].to_pylist(), dtype=object))
+        return pa.table({
+            "source": t["source"], "term": t["term"],
+            "_bkt": pa.array((h % buckets).astype(np.int64), pa.int64()),
+        })
 
-    sh = (_strip_meta(tok.groupby("term")
-                      .map_groups(combos, batch_format="pandas"))
+    def combos(g: pd.DataFrame) -> pa.Table:
+        d = g[["term", "source"]]
+        m = d.merge(d, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        c = (m.groupby(["source_x", "source_y"]).size()
+             .reset_index(name="n"))
+        return pa.table({
+            "source_a": pa.array(c["source_x"], pa.string()),
+            "source_b": pa.array(c["source_y"], pa.string()),
+            "n": pa.array(c["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    sh = (tok.map_batches(bucket, batch_format="pyarrow")
+          .groupby("_bkt").map_groups(combos, batch_format="pandas")
           .groupby(["source_a", "source_b"])
-          .aggregate(Count(alias_name="n_shared")).to_pandas())
+          .aggregate(Sum("n", alias_name="n_shared")).to_pandas())
     sh["n_shared"] = sh["n_shared"].astype("int64")
     union = (sh["source_a"].map(nv) + sh["source_b"].map(nv)
              - sh["n_shared"])
