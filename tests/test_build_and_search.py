@@ -262,6 +262,38 @@ class TestEngineFeatures:
         seen = set(hot_map) | set(split_map)
         assert "tailhotterm" in seen
 
+    def test_load_relative_split_bounds_partition_share(self, ray_session):
+        """Round-5 P=1024 rehearsal finding: a term with df far above
+        the per-partition mean but below half the corpus must be SPLIT
+        ceil(df/budget) ways, not placed whole (the fixed >=50% rule
+        alone put 400x the median rows in the hot tenth of partitions).
+        """
+        import ray.data as rd
+
+        from yetisearch_ray.index.build import IndexConfig, sketch_hot_terms
+
+        # 1000 docs, P=64: one term in 30% of docs (below the 50% split
+        # ratio, ~19x the mean per-partition mass), long tail elsewhere
+        rows = [{"doc_id": i,
+                 "content": f"uniq{i} " + ("midhot common" if i % 10 < 3
+                                           else "rare stuff")}
+                for i in range(1000)]
+        ds = rd.from_items(rows)
+        cfg = IndexConfig(fields=[("content", "content")],
+                          num_partitions=64)
+        hot_map, split_map = sketch_hot_terms(ds, cfg, sample_docs=1000)
+        assert "midhot" in split_map, "mid-df term must be split"
+        ways = len(split_map["midhot"])
+        # budget = 2 * total_mass / P; df(midhot) ~ 300 of ~2300 pairs
+        # -> ceil(300 / 72) ~ 4-5 ways; assert the load-relative shape
+        assert ways >= 3, f"expected load-relative split, got {ways}"
+        # and the ultra-hot >=50% rule still applies on top
+        rows2 = [{"doc_id": i, "content": "everywhere filler"}
+                 for i in range(1000)]
+        _, split2 = sketch_hot_terms(rd.from_items(rows2), cfg,
+                                     sample_docs=1000)
+        assert "everywhere" in split2 and len(split2["everywhere"]) >= 4
+
     def test_resume_skips_committed(self, built_index, tiny_corpus_dir):
         """Resuming a committed build re-runs nothing destructive and keeps
         results identical."""
