@@ -906,6 +906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q21_blame": relational.q21_supplier_blame,
         # per-language comment density over the code corpus
         "code_comment_density": relational.code_comment_density,
+        # per-language top called identifiers (API-usage fingerprint)
+        "code_callsite_topk": relational.code_callsite_topk,
         # TPC-H Q5 shape: same-nation customer/supplier revenue
         "rel_q5_local_volume": relational.q5_local_volume,
         # TPC-H Q7 shape: cross-nation trade pairs per year
@@ -1263,6 +1265,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_lorenz_deciles": oracles.lorenz_deciles_sql(),
         "rel_q21_blame": oracles.q21_blame_sql(),
         "code_comment_density": oracles.code_comment_density_sql(
+            _CODE_GLOB_001),
+        "code_callsite_topk": oracles.code_callsite_topk_sql(
             _CODE_GLOB_001),
         "rel_q5_local_volume": oracles.q5_local_volume_sql(),
         "rel_q7_nation_trade": oracles.q7_nation_trade_sql(),

@@ -4262,6 +4262,40 @@ SELECT lang, count(*)::BIGINT AS n_files,
 FROM per_file GROUP BY lang ORDER BY lang"""
 
 
+def code_callsite_topk_sql(parquet_glob: str, k: int = 10) -> str:
+    """Ground truth for relational.code_callsite_topk: split on '(',
+    every segment except each file's last contributes its trailing
+    [a-z][a-z0-9_]* identifier (RE2 semantics match Arrow's)."""
+    return f"""
+WITH f AS (
+  SELECT lang, string_split(coalesce(content, ''), '(') AS segs
+  FROM read_parquet('{parquet_glob}')
+),
+s AS (
+  SELECT lang, segs[i] AS seg
+  FROM f, unnest(generate_series(1, len(segs) - 1)) AS r(i)
+),
+c AS (
+  SELECT lang,
+         regexp_extract(seg, '([a-z][a-z0-9_]*)\\s*$', 1) AS callee
+  FROM s
+  WHERE regexp_matches(seg, '([a-z][a-z0-9_]*)\\s*$')
+),
+n AS (
+  SELECT lang, callee, count(*)::BIGINT AS n
+  FROM c GROUP BY lang, callee
+),
+rk AS (
+  SELECT lang, callee, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, callee) AS rk
+  FROM n
+)
+SELECT lang, callee, n, rk::BIGINT AS rk
+FROM rk WHERE rk <= {k}
+ORDER BY lang, rk"""
+
+
 def q5_local_volume_sql(year: int = 1997, round_to: int = 4) -> str:
     """Ground truth for relational.q5_local_volume (TPC-H Q5 shape)."""
     return f"""

@@ -2083,6 +2083,67 @@ def code_comment_density(sf_dir: str, *, round_to: int = 6):
             .sort_values("lang").reset_index(drop=True))
 
 
+def code_callsite_topk(sf_dir: str, *, k: int = 10):
+    """Per-language call-site frequency profile over the code corpus:
+    the top-``k`` most-called identifiers per language (every
+    ``ident(`` occurrence counts one call) — the API-usage fingerprint
+    a code-dataset curator reads to spot generated/boilerplate-heavy
+    languages.  No reference counterpart (code-payload extension).
+
+    Distributed shape: one column-pruned pass; the callee extraction
+    is two Arrow kernels (``split_pattern`` on ``(`` — the callee is
+    the trailing identifier of every segment except each file's last —
+    then one ``extract_regex``), per-batch (lang, callee) partial
+    counts collapse before the shuffle, and the per-lang top-k runs
+    over the aggregate (|langs| x |idents| rows, never the corpus).
+    Ties (n desc, callee asc).  Columns (lang, callee, n, rk)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..sources.corpus import corpus_path
+
+    ds = rd.read_parquet(corpus_path(sf_dir), columns=["lang", "content"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        content = pc.fill_null(t["content"], "").combine_chunks()
+        segs = pc.split_pattern(content, pattern="(")
+        offs = segs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = segs.flatten()
+        n_segs = np.diff(offs)
+        # drop each file's LAST segment: it follows no "("
+        mask = np.ones(len(flat), dtype=bool)
+        mask[offs[1:] - 1] = False
+        callee = pc.extract_regex(
+            flat, pattern=r"(?P<c>[a-z][a-z0-9_]*)\s*$")
+        ok = pc.is_valid(callee).to_numpy(zero_copy_only=False) & mask
+        if not ok.any():
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "callee": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        names = pc.struct_field(callee, "c").to_numpy(zero_copy_only=False)
+        langs = np.repeat(np.asarray(t["lang"].to_pylist(), dtype=object),
+                          n_segs)
+        df = pd.DataFrame({"lang": langs[ok], "callee": names[ok]})
+        g = df.groupby(["lang", "callee"]).size().reset_index(name="n")
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "callee": pa.array(g["callee"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "callee"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.sort_values(["lang", "n", "callee"],
+                          ascending=[True, False, True], kind="mergesort")
+    top = agg.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    top["rk"] = top.groupby("lang").cumcount().astype("int64") + 1
+    return top[["lang", "callee", "n", "rk"]]
+
+
 def q5_local_volume(sf_dir: str, *, year: int = 1997, round_to: int = 4):
     """TPC-H Q5 shape: revenue from orders where the CUSTOMER and the
     SUPPLIER sit in the same nation (local supply chains), grouped by
