@@ -606,9 +606,11 @@ def window_self_join(sf_dir: str, *, within_minutes: int = 5):
         seg[starts[1:]] = 1
         seg = np.cumsum(seg)  # user-segment index per row
         tmin = ts.min()
-        stride = np.int64(ts.max() - tmin) + width_us + 1
+        stride = int(ts.max() - tmin) + int(width_us) + 1
         n_segs = int(seg[-1]) + 1
-        if n_segs * stride < np.int64(2) ** 62:
+        # guard computed in Python ints — a numpy int64 product here
+        # would itself wrap before the comparison
+        if n_segs * stride < 2 ** 62:
             # one searchsorted over the stride-lifted axis
             adj = (ts - tmin) + seg * stride
             hi = np.searchsorted(adj, adj + width_us, side="right")
