@@ -364,14 +364,17 @@ def windowed_topk(sf_dir: str, *, width_minutes: int = 60, n: int = 3):
 
     Distributed shape: the same map-side window derivation + one
     (event_type, window) groupby as ``tumbling_window``; the per-window
-    top-``n`` runs as a second, much smaller groupby over the
-    aggregate (|windows| x |types| rows, never the event stream).
-    Ties (count desc, event_type asc).  Columns
+    top-``n`` then groups by a WINDOW-HASH BUCKET over the aggregate
+    (|windows| x |types| rows, never the event stream) so one
+    vectorized call per bucket ranks every window at once (round 5 —
+    at a year-of-minute-windows horizon the per-window map_groups was
+    ~500k Python calls).  Ties (count desc, event_type asc).  Columns
     (window_start, event_type, n, rk)."""
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    buckets = 64
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type"])
 
@@ -386,14 +389,29 @@ def windowed_topk(sf_dir: str, *, width_minutes: int = 60, n: int = 3):
            .groupby(["event_type", "window_start"])
            .aggregate(Count(alias_name="n")))
 
-    def topn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "event_type"], ascending=[False, True],
-                          kind="mergesort").head(n).copy()
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def bucket(t: pa.Table) -> pa.Table:
+        wi = t["window_start"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = (wi // (width_minutes * 60_000_000)) % buckets
+        return t.append_column(
+            "_bkt", pa.array(b.astype(np.int64), pa.int64()))
 
-    out = (agg.groupby("window_start")
-           .map_groups(topn, batch_format="pandas").to_pandas())
+    def topn(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["window_start", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("window_start", sort=False).head(n)
+        rk = top.groupby("window_start", sort=False).cumcount() + 1
+        return pa.table({
+            "window_start": pa.array(
+                top["window_start"].to_numpy().astype("datetime64[us]")),
+            "event_type": pa.array(top["event_type"], pa.string()),
+            "n": pa.array(top["n"].to_numpy(np.int64), pa.int64()),
+            "rk": pa.array(rk.to_numpy(np.int64), pa.int64()),
+        })
+
+    out = (agg.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_bkt").map_groups(topn, batch_format="pandas")
+           .to_pandas())
     out["n"] = out["n"].astype("int64")
     return (out[["window_start", "event_type", "n", "rk"]]
             .sort_values(["window_start", "rk"]).reset_index(drop=True))
